@@ -1,0 +1,685 @@
+"""Relational query surface — SURVEY.md §2.4 correctness set.
+
+Every Hive physical operator the reference models
+(``hivehook/.../qinfo/OperatorInfo.scala:47-58``: TableScan, Filter,
+Select, GroupBy partial/final, the 6 join types, MapJoin/broadcast,
+ReduceSink/shuffle, FileSink, Limit, Fetch, order-by) is exercised here
+as an idiomatic PySpark DataFrame query with a DuckDB oracle.
+
+Design notes for 100 TB scale (tested at sf0.1 but written for a
+1000-executor cluster):
+
+- Scans are ``spark.read.parquet`` + declarative filter/select so
+  Catalyst pushes predicates and prunes columns at the parquet reader
+  (verify with ``.explain``: PushedFilters / ReadSchema).
+- Joins are expressed fact-⋈-dim with the dim on the right; AQE +
+  `JoinSelection` broadcast every dimension table (all are ≪ 10 MB per
+  1000× scale-up except `orders`, which Spark correctly shuffles).
+  `q07_join_broadcast` pins `broadcast()` explicitly, matching the
+  reference's MapJoin (`qinfo/OperatorInfo.scala:189-193`).
+- Aggregations rely on Spark's automatic partial/final HashAggregate
+  split (map-side combine) — the exact split the reference models as
+  GroupBy modes HASH/PARTIAL1/FINAL (`OperatorInfo.scala:211-223`).
+- Top-k = orderBy+limit → `TakeOrderedAndProject` (no global sort).
+- Double aggregates are rounded (2-6 dp) in BOTH engines: Spark's
+  partial-agg ordering is nondeterministic, so last-ulp FP noise must
+  not flip the oracle value-hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+# Scratch dir for queries that exercise write→read-back (FileSink →
+# TableScan stitching, partition pruning). Must stay inside /root/repo.
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(SCRATCH, key, tag)
+
+
+# ---------------------------------------------------------------------------
+# 1. scan / project / filter  (q1.plan shape: full scan + fetch)
+# ---------------------------------------------------------------------------
+
+
+def q01_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * FROM region — scan + fetch (reference q1.plan shape,
+    ``qinfo/OperatorInfo.scala:60-106``)."""
+    return _t(spark, sf_dir, "region")
+
+
+def q02_project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with aliasing + computed expression (Select operator,
+    ``qinfo/OperatorInfo.scala:195-209``). Column pruning should reach the
+    scan: ReadSchema must list only 4 columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.upper("l_returnflag").alias("flag"),
+    )
+
+
+def q03_virtual_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic row-id projection — functional stand-in for Hive's
+    virtual ROW__ID struct (FIXTURES.md virtual columns): a total-order
+    row_number, which unlike monotonically_increasing_id() is
+    oracle-checkable."""
+    from pyspark.sql import Window as W
+
+    n = _t(spark, sf_dir, "nation")
+    w = W.orderBy("n_nationkey")
+    return n.select(F.row_number().over(w).alias("row_id"), "n_nationkey", "n_name")
+
+
+def q04_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter with AND / = / IN / IS NOT NULL (the q27.plan predicate set:
+    GenericUDFOPAnd/OPEqual/OPNotNull/In — ``SURVEY.md §2.1``). All four
+    predicates must appear in PushedFilters at the parquet scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "F")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_custkey").isNotNull()
+            & (F.col("o_totalprice") > 1000.0)
+        )
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. joins — the 6 Hive join types (+ null-safe, + broadcast MapJoin)
+#    reference decode: qinfo/OperatorInfo.scala:121-187
+# ---------------------------------------------------------------------------
+
+
+def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, 2-way (Hive join type 0)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus")
+    )
+
+
+def q06_join_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way inner join chain (q27.plan shape) with a grouped count so the
+    result stays hashable at any sf. Dim tables broadcast via AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q07_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast (map) join small⋈big — the reference's MapJoin /
+    HashTableSink pair (``qinfo/OperatorInfo.scala:189-193``,
+    ``AttachHashSinkToMapJoinRule.scala``). `broadcast(part)` pins
+    BroadcastHashJoinExec regardless of stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.avg("l_extendedprice") + 1e-9, 4).alias("avg_price"))
+    )
+
+
+def q08_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (Hive type 1): customers that may have no orders;
+    count(o_orderkey) exercises null semantics on the probe side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q09_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (Hive type 2)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q10_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (Hive type 3) on deliberately partial key overlap."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 3 == 0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.coalesce("c_custkey", "o_custkey").alias("anykey"),
+        )
+    )
+
+
+def q11_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (Hive type 5) — EXISTS."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q12_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — NOT EXISTS (Spark-native complement of semi; the
+    reference's Hive vocabulary lacks it, noted as a free extension)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q13_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join ``<=>`` (the reference decodes Hive's nullsafe
+    flag at ``qinfo/OperatorInfo.scala:147``). Keys are made nullable with
+    nullif so NULL<=>NULL rows actually appear."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("a_key"), F.nullif(F.col("n_regionkey"), F.lit(2)).alias("a_reg")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("b_key"), F.nullif(F.col("n_regionkey"), F.lit(2)).alias("b_reg")
+    )
+    return (
+        n1.join(n2, n1.a_reg.eqNullSafe(n2.b_reg))
+        .groupBy("a_key")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. aggregation (GroupBy partial/final), distinct, order-by/limit
+# ---------------------------------------------------------------------------
+
+
+def q14_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-key group-by with sum/avg/count — exercises the
+    partial+final HashAggregate split the reference models as GroupBy modes
+    (``RemoveOperatorsRule.scala:56-68``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # l_shipdate is TIMESTAMP_NTZ (naive parquet timestamps), so to_date is
+    # a pure field extraction — session-timezone-independent, matching
+    # DuckDB's naive CAST(.. AS DATE).
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity") + 1e-9, 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + 1e-9, 4).alias("avg_price"),
+            F.round(F.avg("l_discount") + 1e-9, 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q15_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) + min/max — distinct-agg rewrite (expand + 2-phase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def q16_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order-by multi-key + limit → TakeOrderedAndProject (the reference's
+    ReduceSink-sort + Limit, q27.plan tail). Tie-broken on the unique key so
+    the result is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(25)
+    )
+
+
+def q17_q27_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q27 analog over TESTDATA (SURVEY.md §2.4 item 10): fact
+    (lineitem) joined to 4 dims with constant predicates, 4 avg aggregates,
+    group-by + order-by + limit 100. This is the flagship query."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("c_mktsegment") == "BUILDING")
+            & F.col("n_name").isin("NATION_1", "NATION_5", "NATION_9", "NATION_13", "NATION_21")
+        )
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(F.avg("l_quantity") + 1e-9, 4).alias("agg1"),
+            F.round(F.avg("l_extendedprice") + 1e-9, 4).alias("agg2"),
+            F.round(F.avg("l_discount") + 1e-9, 4).alias("agg3"),
+            F.round(F.avg("l_tax") + 1e-9, 4).alias("agg4"),
+        )
+        .orderBy("p_brand", "n_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. write → read-back (FileSink → TableScan stitch), partition pruning
+# ---------------------------------------------------------------------------
+
+
+def q18_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table scan with a partition-pruning predicate — the
+    reference resolves partitioned scans per-partition via
+    pathToPartitionInfo (``qinfo/TaskInfo.scala:78-84``; store_sales
+    partitioned by ss_store_sk). We materialize lineitem partitioned by
+    l_returnflag once, then scan with a partition filter: .explain must
+    show the pruned partition count."""
+    path = _scratch(sf_dir, "lineitem_by_flag")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        li = _t(spark, sf_dir, "lineitem")
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    part = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return part.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q19_insert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE DIRECTORY then read back (SURVEY.md §2.4 item 9:
+    FileSink → TableScan stitch, ``OperatorGraphBuilder.scala:51-80``).
+    The write and the re-read are separate Spark queries whose lineage the
+    hook stitches via the location map."""
+    path = _scratch(sf_dir, "top_orders")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = _t(spark, sf_dir, "orders")
+        (
+            o.filter(F.col("o_totalprice") > 50000.0)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice") + 1e-9, 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. free Spark extensions beyond reference parity (SURVEY §2.1 "not
+#    implemented" list): set ops, window, rollup, subqueries, as-of join
+# ---------------------------------------------------------------------------
+
+
+def q20_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.union(s).distinct()
+
+
+def q21_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer segment by price — Window + row_number
+    (beyond reference parity; standard OLAP top-k-per-group)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("price"), F.asc("o_orderkey"))
+    return j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+def q22_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q23_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price — scalar subquery via SQL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
+def q24_window_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events stream table (batch view of
+    the streaming windowed agg in hive_lineage_spark.streaming): 5-minute
+    buckets keyed on integer naive-epoch so both engines bucket identically
+    whatever the session time zone (ts is TIMESTAMP_NTZ)."""
+    from ..functions import naive_epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket", F.floor(naive_epoch_seconds("ts") / 300).cast("long"))
+        .groupBy("bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q25_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity): lag + cumulative sum
+    over a per-user window; integer naive-epoch seconds so engines agree."""
+    from pyspark.sql import Window as W
+
+    from ..functions import naive_epoch_seconds
+
+    e = _t(spark, sf_dir, "events").withColumn("es", naive_epoch_seconds("ts"))
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    sess = (
+        e.withColumn("gap", F.col("es") - F.lag("es").over(w))
+        .withColumn("is_new", F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q26_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k") + 1e-9, 4).alias("avg_k"), F.max("k").alias("max_k"))
+    )
+
+
+def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one — SURVEY §2.1 'not implemented'
+    extensions): for each event, the most recent order of the same customer
+    at-or-before the event timestamp. Composed from an equi-join on the key
+    + windowed argmax, which scales: the equi-join shuffles on user_id and
+    the window stays within the join partitioning (no extra shuffle). For
+    100 TB, pre-bucket both sides on the key."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    o = _t(spark, sf_dir, "orders")
+    j = (
+        e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "inner")
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("price"))
+    )
+    w = W.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "user_id", "o_orderkey", "price")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+QUERIES = {
+    "q01_full_scan": q01_full_scan,
+    "q02_project_alias": q02_project_alias,
+    "q03_virtual_rowid": q03_virtual_rowid,
+    "q04_filter_predicates": q04_filter_predicates,
+    "q05_join_inner": q05_join_inner,
+    "q06_join_4way": q06_join_4way,
+    "q07_join_broadcast": q07_join_broadcast,
+    "q08_join_left_outer": q08_join_left_outer,
+    "q09_join_right_outer": q09_join_right_outer,
+    "q10_join_full_outer": q10_join_full_outer,
+    "q11_join_left_semi": q11_join_left_semi,
+    "q12_join_left_anti": q12_join_left_anti,
+    "q13_join_nullsafe": q13_join_nullsafe,
+    "q14_agg_tpch_q1": q14_agg_tpch_q1,
+    "q15_agg_distinct": q15_agg_distinct,
+    "q16_topk": q16_topk,
+    "q17_q27_shape": q17_q27_shape,
+    "q18_partition_pruning": q18_partition_pruning,
+    "q19_insert_readback": q19_insert_readback,
+    "q20_union_distinct": q20_union_distinct,
+    "q21_window_topk_per_group": q21_window_topk_per_group,
+    "q22_rollup": q22_rollup,
+    "q23_scalar_subquery": q23_scalar_subquery,
+    "q24_window_bucket_agg": q24_window_bucket_agg,
+    "q25_sessionization": q25_sessionization,
+    "q26_json_extract": q26_json_extract,
+    "q27_asof_join": q27_asof_join,
+}
+
+
+ORACLES = {
+    "q01_full_scan": "SELECT * FROM region",
+    "q02_project_alias": """
+        SELECT l_orderkey AS okey, l_linenumber AS lineno,
+               round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+               upper(l_returnflag) AS flag
+        FROM lineitem
+    """,
+    "q03_virtual_rowid": """
+        SELECT row_number() OVER (ORDER BY n_nationkey) AS row_id, n_nationkey, n_name
+        FROM nation
+    """,
+    "q04_filter_predicates": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_custkey IS NOT NULL
+          AND o_totalprice > 1000.0
+    """,
+    "q05_join_inner": """
+        SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "q06_join_4way": """
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q07_join_broadcast": """
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+               round(avg(l_extendedprice) + 1e-9, 4) AS avg_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "q08_join_left_outer": """
+        SELECT c_custkey, c_name, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "q09_join_right_outer": """
+        SELECT c_mktsegment, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q10_join_full_outer": """
+        SELECT c_custkey, o_orderkey, coalesce(c_custkey, o_custkey) AS anykey
+        FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+        FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey % 3 = 0) o
+        ON c.c_custkey = o.o_custkey
+    """,
+    "q11_join_left_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+    """,
+    "q12_join_left_anti": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+    """,
+    "q13_join_nullsafe": """
+        SELECT a.a_key, CAST(count(*) AS BIGINT) AS n_matches
+        FROM (SELECT n_nationkey AS a_key, nullif(n_regionkey, 2) AS a_reg FROM nation) a
+        JOIN (SELECT n_nationkey AS b_key, nullif(n_regionkey, 2) AS b_reg FROM nation) b
+        ON a.a_reg IS NOT DISTINCT FROM b.b_reg
+        GROUP BY a.a_key
+    """,
+    "q14_agg_tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+               round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+               round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q15_agg_distinct": """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q16_topk": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+    """,
+    "q17_q27_shape": """
+        SELECT p_brand, n_name,
+               round(avg(l_quantity) + 1e-9, 4) AS agg1,
+               round(avg(l_extendedprice) + 1e-9, 4) AS agg2,
+               round(avg(l_discount) + 1e-9, 4) AS agg3,
+               round(avg(l_tax) + 1e-9, 4) AS agg4
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+          AND n_name IN ('NATION_1','NATION_5','NATION_9','NATION_13','NATION_21')
+        GROUP BY p_brand, n_name
+        ORDER BY p_brand, n_name
+        LIMIT 100
+    """,
+    "q18_partition_pruning": """
+        SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_linestatus
+    """,
+    "q19_insert_readback": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+               round(avg(o_totalprice) + 1e-9, 4) AS avg_price
+        FROM orders WHERE o_totalprice > 50000.0
+        GROUP BY o_orderpriority
+    """,
+    "q20_union_distinct": """
+        SELECT DISTINCT nkey FROM (
+            SELECT c_nationkey AS nkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nkey FROM supplier
+        )
+    """,
+    "q21_window_topk_per_group": """
+        SELECT * FROM (
+            SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS price,
+                   CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                           ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC) AS INT) AS rk
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rk <= 3
+    """,
+    "q22_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q23_scalar_subquery": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    """,
+    "q24_window_bucket_agg": """
+        SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q25_sessionization": """
+        WITH e AS (
+            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+        ), g AS (
+            SELECT user_id, es,
+                   es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS gap
+            FROM e
+        ), s AS (
+            SELECT user_id,
+                   CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS is_new
+            FROM g
+        )
+        SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id
+    """,
+    "q26_json_extract": """
+        SELECT event_type,
+               round(avg(CAST(props->>'$.k' AS BIGINT)) + 1e-9, 4) AS avg_k,
+               max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "q27_asof_join": """
+        SELECT event_id, user_id, o_orderkey, price FROM (
+            SELECT e.event_id, e.user_id, o.o_orderkey,
+                   round(o.o_totalprice, 2) AS price,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+            FROM events e JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            WHERE e.event_type = 'purchase'
+        ) WHERE rk = 1
+    """,
+}

@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for the local[32] test box but configured
+the way a 1000-executor cluster job would be: AQE on (runtime re-plan,
+skew-join handling, partition coalescing — the Spark analog of the
+reference's ConditionalTask runtime join choice, see
+``hivehook/.../qinfo/QueryInfo.scala:28-39``), UTC session time zone so
+results are comparable across engines, Arrow enabled for the Pandas-UDF
+slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "hive_lineage_spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or default_cpus()
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
