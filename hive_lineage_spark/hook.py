@@ -1,0 +1,238 @@
+"""Query-lineage hook — the rebuild of ``PostExecHook``
+(``hivehook/.../hook/PostExecHook.scala:17-81``) and the offline path
+(``hook/HivePlanUtils.scala:44-70``).
+
+Pipeline per tracked query (mirrors SURVEY.md §3's six stages):
+
+1. receive: ``track(df)`` after the action ran (post-exec hook moment)
+2. catalog snapshot: leaf relations → TableDef/DirectoryDef in a Model
+   (≈ ConvertHelper + locationMap, ``PostExecHook.scala:42-61``)
+3. plan walk: optimized + final physical plan capture (``plans.capture``)
+4. graph build + column lineage (``lineage.analyze``)
+5. normalize: collapse exchanges / partial aggs / wrapper stages
+   (``rules.normalize``)
+6. emit: pretty tree + structured JSON (the reference only prints)
+
+Cross-query stitching: when a tracked query reads a path that an earlier
+tracked query wrote, the reader's column lineage composes through the
+writer's — the Spark rebirth of the reference's sink-stack cross-task
+stitching (``hook/OperatorGraphBuilder.scala:51-80``) keyed by the
+location map exactly as ``PostExecHook.scala:43-61`` does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from .graph import GNode
+from .lineage import UNKNOWN, Cell, LineageResult, analyze
+from .metadata import DirectoryDef, Model, dir_fqn, table_from_columns
+from .plans.capture import Captured, capture, logical_graph
+from .rules import normalize
+
+
+def default_table_resolver(path: str) -> str | None:
+    """Map a scan root path to a table name: ``.../<name>.parquet`` →
+    ``name`` (the TESTDATA layout); otherwise None (treated as a
+    directory/temp input, like the reference's DirectoryDef)."""
+    base = os.path.basename(path.rstrip("/"))
+    if base.endswith(".parquet"):
+        return base[: -len(".parquet")]
+    return None
+
+
+def _norm_path(p: str) -> str:
+    return re.sub(r"^file:/+", "/", p).rstrip("/")
+
+
+@dataclass
+class QueryLineage:
+    name: str
+    captured: Captured
+    logical: GNode
+    physical: GNode | None
+    normalized: GNode | None
+    result: LineageResult
+    output_path: str | None = None
+
+    def column_map(self) -> dict[str, set[Cell]]:
+        return self.result.column_map()
+
+    def report(self) -> str:
+        """≈ PostExecHook's emit (``PostExecHook.scala:73-79``): query name,
+        operator tree, normalized graph, and per-column lineage."""
+        lines = [f"=== query: {self.name} ==="]
+        lines.append("--- logical operator graph ---")
+        lines.append(self.logical.tree_string())
+        if self.normalized is not None:
+            lines.append("--- normalized physical graph ---")
+            lines.append(self.normalized.tree_string(details=False))
+        lines.append("--- column lineage ---")
+        for c in self.result.columns:
+            bases = ", ".join(sorted(f"{t}.{col}" for t, col in c.bases))
+            lines.append(f"  {c.name} <- {bases}")
+        if self.result.indirect:
+            lines.append(
+                "  [indirect] "
+                + ", ".join(sorted(f"{t}.{c}" for t, c in self.result.indirect))
+            )
+        if self.output_path:
+            lines.append(f"--- output: {self.output_path}")
+        return "\n".join(lines)
+
+    def to_json(self) -> str:
+        doc = {
+            "query": self.name,
+            "lineage": self.result.to_dict(),
+            "logicalGraph": self.logical.to_dict(),
+            "normalizedPhysicalGraph": self.normalized.to_dict() if self.normalized else None,
+            "outputPath": self.output_path,
+        }
+        return json.dumps(doc, indent=2)
+
+
+@dataclass
+class LineageTracker:
+    """Driver-side lineage session (≈ the installed PostExecHook)."""
+
+    table_resolver: object = default_table_resolver
+    model: Model = field(default_factory=Model)
+    queries: list[QueryLineage] = field(default_factory=list)
+    # location map: normalized written path → the QueryLineage that wrote it
+    location_map: dict[str, QueryLineage] = field(default_factory=dict)
+
+    # -- step 2: catalog snapshot -------------------------------------------
+
+    def _leaf_tables(self, cap: Captured) -> list[str]:
+        names: list[str] = []
+        leaves = [p for p in cap.logical.walk() if not p.children and "Relation" in p.name]
+        for i, paths in enumerate(cap.leaf_paths):
+            name = None
+            for p in paths:
+                name = self.table_resolver(_norm_path(p))
+                if name:
+                    break
+            if name is None and paths:
+                name = _norm_path(paths[0])
+            names.append(name or f"<leaf{i}>")
+        return names
+
+    def _snapshot(self, cap: Captured, leaf_tables: list[str]) -> None:
+        from .plans.jsonplan import expr_trees
+
+        leaves = [p for p in cap.logical.walk() if not p.children]
+        for leaf_plan, name, paths in zip(leaves, leaf_tables, cap.leaf_paths):
+            cols = [
+                (t[0].get("name", "?"), str(t[0].get("dataType", "?")))
+                for t in expr_trees(leaf_plan, "output")
+            ]
+            location = _norm_path(paths[0]) if paths else ""
+            self.model.add(table_from_columns(name, location, cols))
+
+    # -- steps 1,3-6 ---------------------------------------------------------
+
+    def track(self, df: DataFrame, name: str = "query") -> QueryLineage:
+        """Capture lineage of an executed DataFrame query."""
+        cap = capture(df)
+        leaf_tables = self._leaf_tables(cap)
+        self._snapshot(cap, leaf_tables)
+
+        logical = logical_graph(cap.logical, leaf_tables)
+        result = analyze(cap.logical, leaf_tables)
+        normalized = normalize(cap.physical) if cap.physical is not None else None
+
+        # cross-query stitching via the location map
+        result = self._stitch_columns(result, leaf_tables, cap)
+        logical = self._stitch_graph(logical)
+
+        ql = QueryLineage(
+            name=name,
+            captured=cap,
+            logical=logical,
+            physical=cap.physical,
+            normalized=normalized,
+            result=result,
+        )
+        self.queries.append(ql)
+        return ql
+
+    def track_write(
+        self, df: DataFrame, path: str, name: str = "insert", fmt: str = "parquet", mode: str = "overwrite", partition_by: list[str] | None = None
+    ) -> QueryLineage:
+        """Write ``df`` to ``path`` and record it as a lineage sink
+        (FileSink analog). Later tracked reads of ``path`` stitch to it."""
+        writer = df.write.format(fmt).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        ql = self.track(df, name=name)
+        ql.output_path = _norm_path(path)
+        self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
+        self.location_map[ql.output_path] = ql
+        return ql
+
+    # -- stitching ------------------------------------------------------------
+
+    def _writer_for_table(self, table: str) -> QueryLineage | None:
+        return self.location_map.get(_norm_path(table))
+
+    def _stitch_columns(self, result: LineageResult, leaf_tables: list[str], cap: Captured) -> LineageResult:
+        """Compose column lineage through earlier tracked writes: a base
+        cell (written_path, col) is replaced by the writer query's own base
+        set for ``col`` (≈ FileSink→TableScan edge,
+        ``OperatorGraphBuilder.scala:51-80``)."""
+        stitched_tables = {t: self._writer_for_table(t) for t in leaf_tables}
+        if not any(stitched_tables.values()):
+            return result
+
+        def rewrite(cells: frozenset[Cell]) -> frozenset[Cell]:
+            out: set[Cell] = set()
+            for t, c in cells:
+                writer = stitched_tables.get(t)
+                if writer is None:
+                    out.add((t, c))
+                else:
+                    out.update(writer.column_map().get(c, {UNKNOWN}))
+            return frozenset(out)
+
+        for col in result.columns:
+            col.bases = rewrite(col.bases)
+        result.indirect = rewrite(result.indirect)
+        new_inputs = []
+        for t in result.input_tables:
+            w = stitched_tables.get(t)
+            new_inputs.extend(w.result.input_tables if w else [t])
+        result.input_tables = sorted(set(new_inputs))
+        result.notes.append(
+            "stitched through: " + ", ".join(sorted(t for t, w in stitched_tables.items() if w))
+        )
+        return result
+
+    def _stitch_graph(self, logical: GNode) -> GNode:
+        """Graft the writer query's operator graph under scans of written
+        paths, then let normalize() splice the intermediate scan."""
+
+        def rule(n: GNode) -> GNode:
+            if n.kind != "Scan":
+                return n
+            table = dict(n.detail).get("table", "")
+            writer = self._writer_for_table(table)
+            if writer is None:
+                return n
+            return GNode(
+                kind="Scan",
+                detail=(("table", ""), ("stitchedFrom", table)),
+                children=(writer.logical,),
+            )
+
+        return logical.transform_up(rule)
+
+    # -- emit ------------------------------------------------------------------
+
+    def report(self) -> str:
+        return "\n\n".join(q.report() for q in self.queries)

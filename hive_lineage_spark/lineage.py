@@ -1,0 +1,277 @@
+"""Column-level lineage resolution — the port of the reference's
+``SchemaMapping`` (``hivehook/.../hook/qinfo/SchemaMapping.scala:74-135``).
+
+The reference reverse-engineers column identity through Hive's per-operator
+RowSchema/columnExprMap (internal ``_col0`` names, reducer KEY./VALUE.
+slots, join side indexes) with a "unique column wins" fallback that is
+wrong for self-joins (``SchemaMapping.scala:116-121``). Catalyst gives us
+stable ``exprId``s instead, so the rebuild resolves lineage exactly — a
+documented, intentional divergence (SURVEY.md §7 risks): bottom-up over
+the optimized logical plan, every output attribute maps to the set of
+base ``(table, column)`` cells it derives from.
+
+Two lineage classes are computed:
+
+- **direct** (value) lineage: base cells whose values flow into the
+  output column — what the reference computes.
+- **indirect** (control) lineage: base cells referenced by filters, join
+  conditions and grouping that influence *which* rows appear — beyond the
+  reference, standard in modern lineage tools.
+
+The reference's "not mappable" sentinel ``Column(null,null)``
+(``SchemaMapping.scala:128-130``) survives as the ``("?", "?")`` cell.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .plans.jsonplan import PlanNode, attr_refs, expr_id, expr_trees, named_output
+
+Cell = tuple[str, str]  # (table, column)
+EId = tuple[int, str]  # Catalyst ExprId (id, jvmId)
+
+UNKNOWN: Cell = ("?", "?")
+
+_LEAF_KINDS = {
+    "LogicalRelation",
+    "HiveTableRelation",
+    "DataSourceV2Relation",
+    "DataSourceV2ScanRelation",
+    "LocalRelation",
+    "OneRowRelation",
+}
+
+_PASSTHROUGH = {
+    "Filter",
+    "Sort",
+    "GlobalLimit",
+    "LocalLimit",
+    "Repartition",
+    "RepartitionByExpression",
+    "SubqueryAlias",
+    "Distinct",
+    "ResolvedHint",
+    "UnresolvedHint",
+    "Deduplicate",
+    "WithCTE",
+    "Offset",
+    "Tail",
+}
+
+
+@dataclass
+class ColumnLineage:
+    name: str
+    eid: EId | None
+    bases: frozenset[Cell]
+    role: str = "direct"  # direct | aggregated | generated
+
+
+@dataclass
+class LineageResult:
+    columns: list[ColumnLineage]
+    input_tables: list[str]
+    indirect: frozenset[Cell] = frozenset()
+    notes: list[str] = field(default_factory=list)
+
+    def column_map(self) -> dict[str, set[Cell]]:
+        out: dict[str, set[Cell]] = {}
+        for c in self.columns:
+            out.setdefault(c.name, set()).update(c.bases)
+        return out
+
+    def to_dict(self) -> dict:
+        return {
+            "columns": [
+                {
+                    "name": c.name,
+                    "role": c.role,
+                    "bases": sorted(f"{t}.{col}" for t, col in c.bases),
+                }
+                for c in self.columns
+            ],
+            "inputTables": sorted(self.input_tables),
+            "indirect": sorted(f"{t}.{c}" for t, c in self.indirect),
+            "notes": self.notes,
+        }
+
+
+@dataclass
+class _NodeMap:
+    """Per-node schema mapping (≈ one SchemaMapping instance)."""
+
+    output: list[tuple[str, EId | None]]
+    bases: dict[EId, frozenset[Cell]]
+
+
+def _leaf_output(p: PlanNode) -> list[tuple[str, EId]]:
+    out = []
+    for tree in expr_trees(p, "output") or expr_trees(p, "outputAttrs"):
+        root = tree[0]
+        eid = expr_id(root)
+        if eid:
+            out.append((root.get("name", "?"), eid))
+    return out
+
+
+def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
+    """Resolve column lineage of the whole plan (≈ QueryNode._initialize
+    pass 3 forcing every operator's schemaMapping,
+    ``lineage/OperatorNode.scala:67-100``, but in one bottom-up pass)."""
+    leaf_iter = iter(leaf_tables)
+    tables: list[str] = []
+    indirect: set[Cell] = set()
+    notes: list[str] = []
+
+    def refs_bases(trees: list[list[dict]], m: _NodeMap) -> set[Cell]:
+        cells: set[Cell] = set()
+        for t in trees:
+            for eid, name in attr_refs(t):
+                cells.update(m.bases.get(eid, frozenset({UNKNOWN})))
+        return cells
+
+    def merge(children: list[_NodeMap]) -> dict[EId, frozenset[Cell]]:
+        bases: dict[EId, frozenset[Cell]] = {}
+        for c in children:
+            bases.update(c.bases)
+        return bases
+
+    def projectish(p: PlanNode, field_name: str, child: _NodeMap, role_for_alias: str) -> _NodeMap:
+        bases = dict(child.bases)
+        output: list[tuple[str, EId | None]] = []
+        for tree in expr_trees(p, field_name):
+            name, eid, in_eids = named_output(tree)
+            cells: set[Cell] = set()
+            for ie in in_eids:
+                cells.update(child.bases.get(ie, frozenset({UNKNOWN})))
+            if eid is not None:
+                bases[eid] = frozenset(cells)
+            output.append((name, eid))
+        return _NodeMap(output=output, bases=bases)
+
+    def visit(p: PlanNode) -> _NodeMap:
+        kind = p.name
+        children = [visit(c) for c in p.children]
+
+        if kind in _LEAF_KINDS:
+            table = next(leaf_iter, None) or f"<leaf{len(tables)}>"
+            tables.append(table)
+            out = _leaf_output(p)
+            return _NodeMap(
+                output=[(n, e) for n, e in out],
+                bases={e: frozenset({(table, n)}) for n, e in out},
+            )
+
+        if kind == "Project":
+            return projectish(p, "projectList", children[0], "direct")
+
+        if kind == "Aggregate":
+            # grouping keys are control lineage (which groups exist)
+            indirect.update(refs_bases(expr_trees(p, "groupingExpressions"), children[0]))
+            m = projectish(p, "aggregateExpressions", children[0], "aggregated")
+            return m
+
+        if kind == "Window":
+            child = children[0]
+            m = projectish(p, "windowExpressions", child, "direct")
+            indirect.update(refs_bases(expr_trees(p, "partitionSpec"), child))
+            indirect.update(refs_bases(expr_trees(p, "orderSpec"), child))
+            return _NodeMap(output=child.output + m.output, bases={**child.bases, **m.bases})
+
+        if kind == "Filter":
+            indirect.update(refs_bases(expr_trees(p, "condition"), children[0]))
+            return children[0]
+
+        if kind == "Join":
+            bases = merge(children)
+            jt = p.fields.get("joinType", {})
+            jt_name = jt.get("object", "").rsplit(".", 1)[-1].rstrip("$") if isinstance(jt, dict) else str(jt)
+            m = _NodeMap(output=[], bases=bases)
+            cond_m = _NodeMap(output=[], bases=bases)
+            indirect.update(refs_bases(expr_trees(p, "condition"), cond_m))
+            if jt_name in ("LeftSemi", "LeftAnti"):
+                m.output = children[0].output
+            else:
+                m.output = children[0].output + children[1].output
+            return m
+
+        if kind == "Union":
+            # Union.output reuses the first child's exprIds; each output
+            # position derives from that position in EVERY child.
+            first = children[0]
+            bases = merge(children)
+            for pos, (name, eid) in enumerate(first.output):
+                if eid is None:
+                    continue
+                cells = set()
+                for c in children:
+                    if pos < len(c.output):
+                        ceid = c.output[pos][1]
+                        cells.update(c.bases.get(ceid, frozenset({UNKNOWN})))
+                bases[eid] = frozenset(cells)
+            return _NodeMap(output=first.output, bases=bases)
+
+        if kind == "Expand":
+            # rollup/cube/distinct-agg: output attr i ← union over
+            # projections of the refs of expression i.
+            child = children[0]
+            out_attrs = _leaf_output(p)
+            projections = p.fields.get("projections")
+            bases = dict(child.bases)
+            per_pos: list[set[Cell]] = [set() for _ in out_attrs]
+            if isinstance(projections, list):
+                for proj in projections:
+                    if not isinstance(proj, list):
+                        continue
+                    for i, tree in enumerate(proj):
+                        if i < len(per_pos) and isinstance(tree, list):
+                            for eid, _ in attr_refs(tree):
+                                per_pos[i].update(child.bases.get(eid, frozenset({UNKNOWN})))
+            for (name, eid), cells in zip(out_attrs, per_pos):
+                bases[eid] = frozenset(cells)
+            return _NodeMap(output=[(n, e) for n, e in out_attrs], bases=bases)
+
+        if kind == "Generate":
+            child = children[0]
+            gen_refs = refs_bases(expr_trees(p, "generator"), child)
+            bases = dict(child.bases)
+            gen_out = []
+            for tree in expr_trees(p, "generatorOutput"):
+                root = tree[0]
+                eid = expr_id(root)
+                if eid:
+                    bases[eid] = frozenset(gen_refs)
+                    gen_out.append((root.get("name", "?"), eid))
+            return _NodeMap(output=child.output + gen_out, bases=bases)
+
+        if kind in _PASSTHROUGH and len(children) == 1:
+            return children[0]
+
+        if len(children) == 1:
+            # unknown unary op: inherit (≈ SchemaMapping default, :132)
+            notes.append(f"pass-through for unknown operator {kind}")
+            return children[0]
+
+        if len(children) == 0:
+            notes.append(f"opaque leaf {kind}")
+            return _NodeMap(output=[], bases={})
+
+        # unknown multi-child: not mappable (≈ SchemaMapping.scala:133 null)
+        notes.append(f"unmappable multi-child operator {kind}")
+        bases = merge(children)
+        out = [(n, e) for c in children for n, e in c.output]
+        return _NodeMap(output=out, bases={e: frozenset({UNKNOWN}) for _, e in out if e} | bases)
+
+    root = visit(plan)
+    agg_kinds = {"Aggregate"}
+    cols = []
+    for name, eid in root.output:
+        bases = root.bases.get(eid, frozenset({UNKNOWN})) if eid else frozenset({UNKNOWN})
+        cols.append(ColumnLineage(name=name, eid=eid, bases=bases))
+    return LineageResult(
+        columns=cols,
+        input_tables=tables,
+        indirect=frozenset(indirect),
+        notes=notes,
+    )

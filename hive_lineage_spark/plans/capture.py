@@ -1,0 +1,242 @@
+"""Post-execution plan capture — the rebuild of the reference's plan walk
+(``hivehook/.../hook/qinfo/QueryInfo.scala:58-111`` GraphWalker +
+``hook/OperatorGraphBuilder.scala``).
+
+Where the reference walks a Hive MR task DAG and stitches per-task operator
+trees with a sink stack, Spark hands us a single plan tree, so capture is:
+
+1. grab ``df._jdf.queryExecution()`` after the action (the hook moment —
+   ≈ ``PostExecHook.run``'s HookContext),
+2. parse ``optimizedPlan.toJSON()`` (logical, for column lineage),
+3. walk the executed physical plan via py4j — unwrapping
+   ``AdaptiveSparkPlanExec.finalPhysicalPlan()`` and recursing through
+   QueryStage / ReusedExchange wrappers, the AQE analog of the reference's
+   ConditionalTask + ``task.done()`` filtering
+   (``qinfo/QueryInfo.scala:28-39``, ``TaskInfo.scala:38-40``),
+4. resolve scan leaves to input paths (≈ the ``locationMap`` resolution at
+   ``qinfo/TaskInfo.scala:78-104``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from ..graph import GNode, node
+from .jsonplan import PlanNode, expr_summary, expr_trees, parse_tree
+
+# physical class → normalized graph kind (≈ OperatorInfo.apply dispatch,
+# qinfo/OperatorInfo.scala:47-58; unmatched classes fall through to their
+# simple name, like the reference's generic wrapper at :56)
+_PHYS_KIND = {
+    "FileSourceScanExec": "Scan",
+    "BatchScanExec": "Scan",
+    "InMemoryTableScanExec": "Scan",
+    "RowDataSourceScanExec": "Scan",
+    "FilterExec": "Filter",
+    "ProjectExec": "Project",
+    "HashAggregateExec": "HashAggregate",
+    "SortAggregateExec": "SortAggregate",
+    "ObjectHashAggregateExec": "ObjectHashAggregate",
+    "BroadcastHashJoinExec": "BroadcastHashJoin",
+    "ShuffledHashJoinExec": "ShuffledHashJoin",
+    "SortMergeJoinExec": "SortMergeJoin",
+    "BroadcastNestedLoopJoinExec": "BroadcastNestedLoopJoin",
+    "CartesianProductExec": "CartesianProduct",
+    "ShuffleExchangeExec": "ShuffleExchange",
+    "BroadcastExchangeExec": "BroadcastExchange",
+    "AQEShuffleReadExec": "AQEShuffleRead",
+    "ShuffleQueryStageExec": "ShuffleQueryStage",
+    "BroadcastQueryStageExec": "BroadcastQueryStage",
+    "ResultQueryStageExec": "ResultQueryStage",
+    "TableCacheQueryStageExec": "TableCacheQueryStage",
+    "ReusedExchangeExec": "ReusedExchange",
+    "WholeStageCodegenExec": "WholeStageCodegen",
+    "InputAdapter": "InputAdapter",
+    "AdaptiveSparkPlanExec": "AdaptiveSparkPlan",
+    "ColumnarToRowExec": "ColumnarToRow",
+    "RowToColumnarExec": "RowToColumnar",
+    "SortExec": "Sort",
+    "TakeOrderedAndProjectExec": "TakeOrderedAndProject",
+    "CollectLimitExec": "CollectLimit",
+    "GlobalLimitExec": "GlobalLimit",
+    "LocalLimitExec": "LocalLimit",
+    "WindowExec": "Window",
+    "WindowGroupLimitExec": "WindowGroupLimit",
+    "ExpandExec": "Expand",
+    "UnionExec": "Union",
+    "GenerateExec": "Generate",
+    "WriteFilesExec": "WriteFiles",
+    "DataWritingCommandExec": "DataWritingCommand",
+    "ExecutedCommandExec": "Command",
+}
+
+
+@dataclass
+class Captured:
+    """Everything the lineage layer needs from one executed query."""
+
+    logical: PlanNode  # parsed optimizedPlan (exprIds intact)
+    physical: GNode | None  # final physical plan as a graph (pre-normalize)
+    leaf_paths: list[list[str]]  # per logical leaf, its scan root paths
+    logical_str: str = ""
+    physical_str: str = ""
+    extras: dict = field(default_factory=dict)
+
+
+def _agg_mode(jnode) -> str:
+    """Partial/PartialMerge/Final/Complete of a physical aggregate —
+    the Spark analog of Hive GroupBy modes (``OperatorInfo.scala:211-223``)."""
+    try:
+        exprs = jnode.aggregateExpressions()
+        if exprs.size() == 0:
+            return "Complete"
+        return exprs.apply(0).mode().toString()
+    except Exception:  # noqa: BLE001
+        return "?"
+
+
+def _phys_detail(name: str, jnode) -> dict[str, str]:
+    d: dict[str, str] = {}
+    try:
+        if name in ("HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec"):
+            d["mode"] = _agg_mode(jnode)
+        elif name.endswith("JoinExec"):
+            d["joinType"] = jnode.joinType().toString()
+        elif name == "FileSourceScanExec":
+            loc = jnode.relation().location().rootPaths()
+            d["path"] = ",".join(str(loc.apply(i)) for i in range(loc.size()))
+            meta = jnode.metadata()
+            if meta.contains("PushedFilters"):
+                d["pushedFilters"] = str(meta.apply("PushedFilters"))
+            d["readSchema"] = str(jnode.requiredSchema().simpleString())[:120]
+    except Exception:  # noqa: BLE001 — detail is best-effort, capture must not fail
+        pass
+    return d
+
+
+def physical_graph(jplan) -> GNode:
+    """py4j walk of a physical plan into a GNode graph, recursing through
+    AQE stage wrappers so the *final* (post-replan) operators are captured."""
+    simple = jplan.getClass().getSimpleName()
+    # unwrap containers that hold their real subtree in a non-children slot
+    if simple == "AdaptiveSparkPlanExec":
+        try:
+            inner = physical_graph(jplan.finalPhysicalPlan())
+        except Exception:  # noqa: BLE001 — pre-execution or older API
+            inner = physical_graph(jplan.initialPlan())
+        return node("AdaptiveSparkPlan", (inner,))
+    if simple.endswith("QueryStageExec"):
+        kind = _PHYS_KIND.get(simple, simple)
+        return node(kind, (physical_graph(jplan.plan()),))
+
+    kind = _PHYS_KIND.get(simple, simple.removesuffix("Exec"))
+    kids = jplan.children()
+    children = tuple(physical_graph(kids.apply(i)) for i in range(kids.size()))
+    detail = _phys_detail(simple, jplan)
+    return GNode(kind=kind, detail=tuple(detail.items()), children=children)
+
+
+_PATH_RE = re.compile(r"Location: \w+\s*\[([^\]]*)\]")
+
+
+def leaf_scan_paths(jlogical) -> list[list[str]]:
+    """Root paths of every leaf relation, in pre-order leaf order (pairs up
+    positionally with the parsed JSON plan's leaves)."""
+    out: list[list[str]] = []
+    leaves = jlogical.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        paths: list[str] = []
+        try:
+            loc = leaf.relation().location().rootPaths()
+            paths = [str(loc.apply(j)) for j in range(loc.size())]
+        except Exception:  # noqa: BLE001 — views/in-memory relations have no path
+            pass
+        out.append(paths)
+    return out
+
+
+def capture(df: DataFrame) -> Captured:
+    """Capture the query execution of ``df`` (after its action has run —
+    AQE's final plan only exists post-execution, mirroring the reference
+    being a *post*-exec hook)."""
+    qe = df._jdf.queryExecution()
+    jlogical = qe.optimizedPlan()
+    logical = parse_tree(json.loads(jlogical.toJSON()))
+    leaf_paths = leaf_scan_paths(jlogical)
+    try:
+        physical = physical_graph(qe.executedPlan())
+        physical_str = qe.executedPlan().toString()
+    except Exception:  # noqa: BLE001
+        physical = None
+        physical_str = ""
+    return Captured(
+        logical=logical,
+        physical=physical,
+        leaf_paths=leaf_paths,
+        logical_str=jlogical.toString(),
+        physical_str=physical_str,
+    )
+
+
+# -- logical plan → operator graph (for printing/normalize parity) -----------
+
+_LOGICAL_KIND = {
+    "LogicalRelation": "Scan",
+    "HiveTableRelation": "Scan",
+    "DataSourceV2Relation": "Scan",
+    "DataSourceV2ScanRelation": "Scan",
+    "LocalRelation": "LocalScan",
+    "OneRowRelation": "OneRow",
+    "Filter": "Filter",
+    "Project": "Project",
+    "Aggregate": "Aggregate",
+    "Join": "Join",
+    "Window": "Window",
+    "Sort": "Sort",
+    "GlobalLimit": "GlobalLimit",
+    "LocalLimit": "LocalLimit",
+    "Union": "Union",
+    "Expand": "Expand",
+    "Generate": "Generate",
+    "RepartitionByExpression": "Repartition",
+    "Repartition": "Repartition",
+}
+
+
+def logical_graph(plan: PlanNode, leaf_tables: list[str] | None = None) -> GNode:
+    """Convert the parsed logical plan into the lineage GNode graph, with
+    per-operator detail blocks (≈ the reference's detail renderers,
+    ``qinfo/OperatorInfo.scala:102-105,116-118,183-185,200-208,216-222``)."""
+    leaf_iter = iter(leaf_tables or [])
+
+    def go(p: PlanNode) -> GNode:
+        kind = _LOGICAL_KIND.get(p.name, p.name)
+        detail: dict[str, str] = {}
+        if kind == "Scan":
+            detail["table"] = next(leaf_iter, "")
+        elif kind == "Filter":
+            ts = expr_trees(p, "condition")
+            if ts:
+                detail["predicate"] = expr_summary(ts[0])
+        elif kind == "Project":
+            detail["columns"] = ", ".join(expr_summary(t, 40) for t in expr_trees(p, "projectList"))[:160]
+        elif kind == "Aggregate":
+            detail["keys"] = ", ".join(expr_summary(t, 30) for t in expr_trees(p, "groupingExpressions"))[:120]
+            detail["aggs"] = ", ".join(expr_summary(t, 40) for t in expr_trees(p, "aggregateExpressions"))[:160]
+        elif kind == "Join":
+            jt = p.fields.get("joinType")
+            detail["joinType"] = (
+                jt.get("object", "").rsplit(".", 1)[-1].rstrip("$") if isinstance(jt, dict) else str(jt)
+            )
+            ts = expr_trees(p, "condition")
+            if ts:
+                detail["condition"] = expr_summary(ts[0])
+        children = tuple(go(c) for c in p.children)
+        return GNode(kind=kind, detail=tuple(detail.items()), children=children)
+
+    return go(plan)

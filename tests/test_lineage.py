@@ -1,0 +1,198 @@
+"""Lineage-analyzer integration tests — the rebuild's replacement for the
+reference's print-only plan-replay tests (``BasicTest.scala:13-33``), with
+real assertions: per-query column→base-column maps, input tables, graph
+normalization parity, and FileSink→TableScan stitching.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_lineage_spark.hook import LineageTracker
+
+SF = "/root/testdata/sf0.001"
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "test_lineage")
+
+
+def _t(spark, name):
+    return spark.read.parquet(f"{SF}/{name}.parquet")
+
+
+def _track(spark, df, name="q"):
+    df.collect()
+    return LineageTracker().track(df, name=name)
+
+
+def test_scan_lineage_q1_shape(spark):
+    """q1.plan parity: SELECT * FROM t — every output column maps to its
+    own base column, input table resolved from the scan path."""
+    ql = _track(spark, _t(spark, "region"), "full_scan")
+    assert ql.result.input_tables == ["region"]
+    cmap = ql.column_map()
+    assert cmap["r_regionkey"] == {("region", "r_regionkey")}
+    assert cmap["r_name"] == {("region", "r_name")}
+
+
+def test_project_alias_and_expression_lineage(spark):
+    li = _t(spark, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    ql = _track(spark, li)
+    cmap = ql.column_map()
+    assert cmap["okey"] == {("lineitem", "l_orderkey")}
+    assert cmap["net"] == {("lineitem", "l_extendedprice"), ("lineitem", "l_discount")}
+
+
+def test_filter_contributes_indirect_lineage(spark):
+    df = _t(spark, "orders").filter(F.col("o_totalprice") > 1000).select("o_orderkey")
+    ql = _track(spark, df)
+    assert ("orders", "o_totalprice") in ql.result.indirect
+    assert ql.column_map()["o_orderkey"] == {("orders", "o_orderkey")}
+
+
+def test_join_agg_lineage(spark):
+    li, o = _t(spark, "lineitem"), _t(spark, "orders")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    ql = _track(spark, df)
+    cmap = ql.column_map()
+    assert cmap["o_orderstatus"] == {("orders", "o_orderstatus")}
+    assert cmap["qty"] == {("lineitem", "l_quantity")}
+    assert set(ql.result.input_tables) == {"lineitem", "orders"}
+    # join keys are indirect lineage
+    assert ("lineitem", "l_orderkey") in ql.result.indirect
+    assert ("orders", "o_orderkey") in ql.result.indirect
+
+
+def test_self_join_lineage_not_confused(spark):
+    """The reference's 'unique column wins' heuristic is wrong on
+    self-joins (``SchemaMapping.scala:116-121``); exprIds keep the two
+    sides apart (documented divergence — SURVEY.md §7)."""
+    n1 = _t(spark, "nation").select(F.col("n_nationkey").alias("a"), F.col("n_regionkey").alias("r1"))
+    n2 = _t(spark, "nation").select(F.col("n_nationkey").alias("b"), F.col("n_regionkey").alias("r2"))
+    df = n1.join(n2, n1.r1 == n2.r2).select("a", "b")
+    ql = _track(spark, df)
+    cmap = ql.column_map()
+    assert cmap["a"] == {("nation", "n_nationkey")}
+    assert cmap["b"] == {("nation", "n_nationkey")}
+    assert ql.result.input_tables == ["nation", "nation"]
+
+
+def test_union_positionwise_lineage(spark):
+    c = _t(spark, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, "supplier").select(F.col("s_nationkey").alias("k"))
+    ql = _track(spark, c.union(s))
+    assert ql.column_map()["k"] == {("customer", "c_nationkey"), ("supplier", "s_nationkey")}
+
+
+def test_rollup_expand_lineage(spark):
+    li = _t(spark, "lineitem")
+    df = li.rollup("l_returnflag").agg(F.sum("l_quantity").alias("sq"))
+    ql = _track(spark, df)
+    cmap = ql.column_map()
+    assert cmap["sq"] == {("lineitem", "l_quantity")}
+    assert ("lineitem", "l_returnflag") in cmap["l_returnflag"]
+
+
+def test_window_lineage(spark):
+    from pyspark.sql import Window as W
+
+    o = _t(spark, "orders")
+    df = o.select(
+        "o_orderkey",
+        F.row_number().over(W.partitionBy("o_custkey").orderBy("o_totalprice")).alias("rk"),
+    )
+    ql = _track(spark, df)
+    assert ql.column_map()["o_orderkey"] == {("orders", "o_orderkey")}
+    # partition/order columns influence the window result
+    assert ("orders", "o_custkey") in ql.result.indirect
+    assert ("orders", "o_totalprice") in ql.result.indirect
+
+
+def test_q27_shape_flagship_lineage(spark):
+    """Golden lineage for the flagship query (SURVEY.md §2.4 item 10)."""
+    from hive_lineage_spark.operators.relational import q17_q27_shape
+
+    df = q17_q27_shape(spark, SF)
+    df.collect()
+    ql = LineageTracker().track(df, name="q27_shape")
+    cmap = ql.column_map()
+    assert cmap["agg1"] == {("lineitem", "l_quantity")}
+    assert cmap["agg2"] == {("lineitem", "l_extendedprice")}
+    assert cmap["agg3"] == {("lineitem", "l_discount")}
+    assert cmap["agg4"] == {("lineitem", "l_tax")}
+    assert cmap["p_brand"] == {("part", "p_brand")}
+    assert cmap["n_name"] == {("nation", "n_name")}
+    assert set(ql.result.input_tables) == {"lineitem", "orders", "customer", "nation", "part"}
+    # filter columns are control lineage
+    assert ("customer", "c_mktsegment") in ql.result.indirect
+    assert ("orders", "o_orderstatus") in ql.result.indirect
+
+
+def test_normalized_physical_graph_collapses_artifacts(spark):
+    li, o = _t(spark, "lineitem"), _t(spark, "orders")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()
+    ql = LineageTracker().track(df)
+    kinds = {n.kind for n in ql.normalized.walk()}
+    banned = {
+        "ShuffleExchange",
+        "BroadcastExchange",
+        "AQEShuffleRead",
+        "ShuffleQueryStage",
+        "BroadcastQueryStage",
+        "ResultQueryStage",
+        "WholeStageCodegen",
+        "InputAdapter",
+        "AdaptiveSparkPlan",
+        "ColumnarToRow",
+    }
+    assert not (kinds & banned), kinds & banned
+    # exactly one aggregate survives (the Final one) — RemoveMapSideGroupBy parity
+    aggs = ql.normalized.find("HashAggregate")
+    assert len(aggs) == 1
+    assert dict(aggs[0].detail)["mode"] == "Final"
+
+
+def test_write_readback_stitching(spark):
+    """SURVEY.md §2.4 item 9: FileSink → TableScan stitch across queries."""
+    out = os.path.join(SCRATCH, "stitch_orders")
+    tr = LineageTracker()
+    o = _t(spark, "orders")
+    tr.track_write(
+        o.filter(F.col("o_totalprice") > 1000).select("o_orderkey", "o_custkey", "o_totalprice"),
+        out,
+        name="writer",
+    )
+    back = spark.read.parquet(out).groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    back.collect()
+    ql = tr.track(back, name="reader")
+    cmap = ql.column_map()
+    # lineage reaches THROUGH the intermediate directory to the base table
+    assert cmap["spend"] == {("orders", "o_totalprice")}
+    assert cmap["o_custkey"] == {("orders", "o_custkey")}
+    assert ql.result.input_tables == ["orders"]
+    # and the stitched graph contains the writer's scan of orders
+    scans = [dict(n.detail).get("table") for n in ql.logical.find("Scan")]
+    assert "orders" in scans
+
+
+def test_lineage_json_roundtrip(spark):
+    import json
+
+    df = _t(spark, "nation").select("n_name")
+    ql = _track(spark, df)
+    doc = json.loads(ql.to_json())
+    assert doc["lineage"]["columns"][0]["name"] == "n_name"
+    assert doc["lineage"]["inputTables"] == ["nation"]

@@ -1,0 +1,37 @@
+"""Query-correctness tests vs the DuckDB oracle at sf0.001 (fast) —
+the same comparison the driver's gate performs at sf0.01
+(tools/check_oracle.py runs the full set; this keeps pytest quick).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from hive_lineage_spark.oracle import duckdb_fingerprint, spark_fingerprint
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_query_has_impl_for_oracle():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sfp = spark_fingerprint(QUERIES[name](spark, SF_SMOKE))
+    dfp = duckdb_fingerprint(duck, ORACLES[name])
+    assert sfp == dfp, f"{name}: spark={sfp} duck={dfp}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_return_rows(spark, name):
+    assert QUERIES[name](spark, SF_SMOKE).count() > 0
