@@ -1,4 +1,181 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+- ``ss01`` brute-force cosine top-k: the exactness baseline. All math is
+  JVM-side (``zip_with`` dot product + window top-k) — no Python UDF.
+- ``ss02`` IVF (inverted-file) top-k: the 100 TB path. Vectors are
+  assigned to coarse cells (nearest of K fixed centroids); a query scans
+  only its ``nprobe`` closest cells. At scale the assignment is a
+  broadcast join (centroids are tiny) and the probe is a partition-pruned
+  equi-join on cell id — the pair space shrinks by ~K/nprobe. Centroids
+  here are the first K vectors (deterministic, no training step) so the
+  whole operator is oracle-checkable; swap in k-means centroids on a real
+  corpus without changing the dataflow.
+
+Both emit cosine rounded to 6 dp; ordering ties are broken on neighbor id
+so results are deterministic across engines.
+"""
+
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return v.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+
+
+def _cosine(va, vb, na, nb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (na * nb)
+
+
+def ss01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K neighbors for the query vectors (vec_id < 10)."""
+    vec = _vectors(spark, sf_dir)
+    q = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = vec.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+_DOT_SQL = "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+
+
+def _vectors_sql() -> str:
+    return """
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                                (a, b) -> a + b)) AS nrm
+        FROM embeddings
+    )"""
+
+
+SS01_SQL = f"""
+    WITH {_vectors_sql()},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cosine
+        FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {K}
+"""
+
+
+def ss02_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-K: assign every vector to its nearest centroid cell
+    (broadcast join — centroids are tiny at any scale), probe the 2 best
+    cells per query, rank only candidates in probed cells. Approximate by
+    construction, but fully deterministic, so the oracle runs the same
+    algorithm."""
+    vec = _vectors(spark, sf_dir)
+    cent = vec.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    # cell assignment: argmax cosine over centroids (tie → lower cent_id)
+    scored = vec.join(F.broadcast(cent)).withColumn(
+        "sim", _cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell"))
+    )
+    # probe list: top-N_PROBE cells per query
+    q = vec.filter(F.col("vec_id") < N_QUERIES)
+    qs = q.join(F.broadcast(cent)).withColumn(
+        "sim", _cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = (
+        qs.withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"), F.col("cent_id").alias("cell"))
+    )
+    # candidates: vectors in probed cells only (the pruned search)
+    cands = (
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+SS02_SQL = f"""
+    WITH {_vectors_sql()},
+    cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id < {N_CENTROIDS}),
+    assign_scored AS (
+        SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
+               {_DOT_SQL.format(a='e.v', b='cent.cv')} / (e.nrm * cent.cn) AS sim
+        FROM e CROSS JOIN cent
+    ),
+    assign AS (
+        SELECT vec_id, v, nrm, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rk
+            FROM assign_scored
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rk
+            FROM assign_scored WHERE vec_id < {N_QUERIES}
+        ) WHERE rk <= {N_PROBE}
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='p.qv', b='a.v')} / (p.qn * a.nrm) AS cosine
+        FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM cands
+    ) WHERE rank <= {K}
+"""
+
+
+QUERIES = {
+    "ss01_ann_bruteforce": ss01_ann_bruteforce,
+    "ss02_ann_ivf": ss02_ann_ivf,
+}
+
+ORACLES = {
+    "ss01_ann_bruteforce": SS01_SQL,
+    "ss02_ann_ivf": SS02_SQL,
+}

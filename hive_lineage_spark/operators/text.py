@@ -1,4 +1,217 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+language-ID (stopword n-gram heuristic), quality scoring, fingerprinting.
+
+All computation is JVM-side column expressions (split / higher-order
+array functions / regexp) — the hot path a 100 TB text pipeline needs to
+stay out of Python. Every operator has a DuckDB oracle computing the
+identical deterministic function.
+"""
+
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import poly_hash, poly_hash_sql, word_ngrams, word_ngrams_sql
+from ..sources.registry import load_table
+
+# Stopword profiles for the heuristic language scorer. On a real corpus
+# these are per-language function words; the synthetic corpus shares one
+# vocabulary, so the profiles are disjoint slices of it — the *dataflow*
+# (score per profile → argmax) is the operator under test.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "data", "query", "table"),
+    "de": ("window", "order", "group", "batch"),
+    "es": ("row", "line", "value", "part"),
+    "fr": ("join", "merge", "sort", "stream"),
+    "zh": ("spark", "hash", "vector", "column"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+
+
+def tx01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, a BPE-ish
+    length/4 subword estimate, mean token length."""
+    d = _docs(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.length("text").alias("n_chars_obs"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_bpe_est"),
+        F.round(
+            F.aggregate(F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+            / F.size(ws)
+            + 1e-9,
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+TX01_SQL = """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+           CAST(length(text) AS INT) AS n_chars_obs,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+           round(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+                                                            w -> CAST(length(w) AS INT))),
+                             (a, x) -> a + x) * 1.0
+                 / len(string_split(text, ' ')) + 1e-9, 4) AS avg_token_len
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def tx02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score = |distinct tokens ∩ profile| per
+    language, prediction = first language (fixed priority order) with the
+    maximal score. Deterministic cascade, mirrored exactly in SQL."""
+    d = _docs(spark, sf_dir)
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    scored = d.select("doc_id", "lang", toks.alias("toks"))
+    for lang, words in LANG_PROFILES.items():
+        scored = scored.withColumn(
+            f"s_{lang}", F.size(F.array_intersect("toks", F.array(*[F.lit(w) for w in words])))
+        )
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = None
+    for lang in langs:
+        cond = F.col(f"s_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        pred.alias("pred_lang"),
+        best.alias("best_score"),
+    )
+
+
+def _tx02_sql() -> str:
+    score_cols = []
+    for lang, words in LANG_PROFILES.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(
+            f"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), {arr})) AS INT) AS s_{lang}"
+        )
+    langs = list(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cascade = "CASE " + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs) + " END"
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {', '.join(score_cols)} FROM documents
+    ), withbest AS (
+        SELECT *, {best} AS best FROM scored
+    )
+    SELECT doc_id, lang AS label, {cascade} AS pred_lang, best AS best_score
+    FROM withbest
+"""
+
+
+TX02_SQL = _tx02_sql()
+
+
+# ---------------------------------------------------------------------------
+
+
+def tx03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from surface statistics: alpha ratio, space ratio,
+    stopword ratio, mean word length — combined into one score. The 100 TB
+    use is filtering: the expression tree is pure codegen, so it fuses into
+    the scan."""
+    d = _docs(spark, sf_dir)
+    n = F.length("text").cast("double")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double")
+    spaces = F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).cast("double")
+    ws = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and")])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))).cast("double")
+    n_tok = F.size(ws).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(alpha / n + 1e-9, 4).alias("alpha_ratio"),
+        F.round(spaces / n + 1e-9, 4).alias("space_ratio"),
+        F.round(n_stop / n_tok + 1e-9, 4).alias("stopword_ratio"),
+        F.round(
+            (alpha / n) * 0.5 + (n_stop / n_tok) * 0.3 + (spaces / n) * 0.2 + 1e-9, 4
+        ).alias("quality"),
+    )
+
+
+TX03_SQL = """
+    WITH s AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+               CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS spaces,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> list_contains(['the', 'a', 'of', 'and'], w))) AS DOUBLE) AS n_stop,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        FROM documents
+    )
+    SELECT doc_id,
+           round(alpha / n + 1e-9, 4) AS alpha_ratio,
+           round(spaces / n + 1e-9, 4) AS space_ratio,
+           round(n_stop / n_tok + 1e-9, 4) AS stopword_ratio,
+           round((alpha / n) * 0.5 + (n_stop / n_tok) * 0.3 + (spaces / n) * 0.2 + 1e-9, 4) AS quality
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text polynomial hash plus the minimum
+    trigram-shingle hash (a 1-hash MinHash / winnowing-lite sketch) —
+    integer arithmetic, bit-identical across engines."""
+    d = _docs(spark, sf_dir)
+    grams = word_ngrams("text", 3)
+    gram_hashes = F.transform(
+        grams,
+        lambda g: F.aggregate(
+            F.transform(F.split(g, ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % 1_000_000_007,
+        ),
+    )
+    return d.select(
+        "doc_id",
+        poly_hash("text").alias("fp"),
+        F.coalesce(F.array_min(gram_hashes), F.lit(-1)).alias("min_gram_hash"),
+    )
+
+
+TX04_SQL = f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, text, {word_ngrams_sql('ws', 3)} AS grams FROM d)
+    SELECT doc_id,
+           {poly_hash_sql('text')} AS fp,
+           coalesce(list_min(list_transform(grams, g -> {poly_hash_sql('g')})), -1) AS min_gram_hash
+    FROM g
+"""
+
+
+QUERIES = {
+    "tx01_token_stats": tx01_token_stats,
+    "tx02_lang_id": tx02_lang_id,
+    "tx03_quality_score": tx03_quality_score,
+    "tx04_fingerprint": tx04_fingerprint,
+}
+
+ORACLES = {
+    "tx01_token_stats": TX01_SQL,
+    "tx02_lang_id": TX02_SQL,
+    "tx03_quality_score": TX03_SQL,
+    "tx04_fingerprint": TX04_SQL,
+}
