@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes via a noop-format write so timing covers the full
+distributed plan without driver-side collection costs (the realistic
+sink shape at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q04_filter_predicates",   # pushed-down scan filter
+    "q14_agg_tpch_q1",         # multi-agg group-by (TPC-H Q1 shape)
+    "q06_join_4way",           # 4-way join chain + agg
+    "q17_q27_shape",           # flagship: 4-dim star join + 4 avgs + top-100
+    "q16_topk",                # TakeOrderedAndProject
+    "q24_window_bucket_agg",   # time-bucket agg over events
+    "q25_sessionization",      # window functions
+    "dd02_ngram_jaccard",      # shingle inverted-index join
+    "dd03_minhash_lsh",        # minhash signatures + band join + verify
+    "dd05_simhash_pairs",      # simhash + banded hamming join
+    "dd06_embed_cosine_dup",   # n^2 vector math (zip_with codegen)
+    "ss01_ann_bruteforce",     # cosine top-k
+    "ss02_ann_ivf",            # pruned (IVF) top-k
+    "tx03_quality_score",      # regex/array codegen pipeline
+    "mm01_decode_stub",        # Arrow mapInPandas path
+]
+
+
+def execute(df) -> int:
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+    except Exception:  # noqa: BLE001 — fall back if noop sink unavailable
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
+
+    from hive_lineage_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the events µs-normalized scratch copy outside timed sections
+    from hive_lineage_spark.sources.registry import load_events
+
+    load_events(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        execute(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming concept (SURVEY.md §2.1 'not implemented'
+list: no watermarks, no state) — this module is part of the engine's
+beyond-parity surface. Patterns: file-source readStream → watermarked
+windowed aggregation → memory sink (for tests; swap the source/sink for
+Kafka + a real sink in production — the query graph is unchanged), plus
+a stateful custom operator via ``applyInPandasWithState``.
+
+Scale notes: watermark + append mode bounds state; the windowed agg
+state is partitioned by (window, event_type) — the same shuffle keys the
+batch query uses, so capacity planning carries over.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_events
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the (µs-normalized) events parquet. The
+    batch loader materializes the scratch copy; readStream needs an
+    explicit schema."""
+    batch = load_events(spark, sf_dir)
+    src_dir = os.path.dirname(batch.inputFiles()[0].replace("file:", ""))
+    return spark.readStream.schema(batch.schema).parquet(src_dir)
+
+
+def windowed_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (the canonical
+    streaming aggregation; late rows beyond the watermark are dropped).
+    ts arrives as TIMESTAMP_NTZ from parquet; event-time semantics
+    (watermarks) require TIMESTAMP, so cast first."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def batch_windowed_counts(events: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """The same aggregation on a batch DataFrame — used to assert
+    stream/batch equivalence (complete replay ⇒ identical results)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive a streaming query to completion over the static file source
+    (memory sink + processAllAvailable — the local test harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    session counting with an explicit state schema (the streaming analog
+    of the batch sessionization in relational.q25)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_sessions long, n_events long"
+    state_schema = "last_ts long, n_sessions long, n_events long"
+
+    def fn(key, pdfs, state: GroupState):
+        last_ts, n_sessions, n_events = state.get if state.exists else (None, 0, 0)
+        rows = []
+        for pdf in pdfs:
+            es = (pdf["ts"].astype("int64") // 1_000_000_000).sort_values()
+            for t in es:
+                if last_ts is None or t - last_ts > gap_s:
+                    n_sessions += 1
+                n_events += 1
+                last_ts = int(t)
+        state.update((last_ts, n_sessions, n_events))
+        rows.append((key[0], n_sessions, n_events))
+        yield pd.DataFrame(rows, columns=["user_id", "n_sessions", "n_events"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,69 @@
+"""Structured Streaming tests: a static parquet source drives a streaming
+query to completion via the memory sink; results must equal the batch
+computation (replay equivalence), and the stateful sessionizer must agree
+with the batch window-function sessionization (relational.q25).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_lineage_spark.sources.registry import load_events
+from hive_lineage_spark.streaming.events import (
+    batch_windowed_counts,
+    events_stream,
+    run_stream_to_memory,
+    sessionize_stateful,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_agg_stream_equals_batch(spark):
+    """Append mode emits exactly the windows the watermark has closed:
+    everything the batch query produces except windows still open when
+    the source exhausts (watermark = max event time - 10 min)."""
+    import datetime
+
+    stream = events_stream(spark, SF)
+    agg = windowed_counts(stream, window="5 minutes", watermark="10 minutes")
+    run_stream_to_memory(agg, "win_counts", output_mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM win_counts").collect()}
+    want = {tuple(r) for r in batch_windowed_counts(load_events(spark, SF)).collect()}
+    assert got <= want  # the stream never invents rows
+    assert len(got) > 0
+    max_ts = max(r[0] for r in want)
+    watermark_cutoff = max_ts - datetime.timedelta(minutes=10)
+    closed = {
+        r for r in want if r[0] + datetime.timedelta(minutes=5) <= watermark_cutoff
+    }
+    assert closed <= got  # every watermark-closed window was emitted
+    still_open = want - got
+    assert all(r[0] + datetime.timedelta(minutes=10) > watermark_cutoff for r in still_open)
+
+
+def test_stateful_sessionization_matches_batch(spark):
+    from hive_lineage_spark.operators.relational import q25_sessionization
+
+    stream = events_stream(spark, SF)
+    sess = sessionize_stateful(stream)
+    run_stream_to_memory(sess, "sessions", output_mode="update")
+    # update mode emits one row per user per batch; last row per user wins
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    got = {}
+    for r in rows:
+        got[r.user_id] = (r.n_sessions, r.n_events)
+    want = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q25_sessionization(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_watermark_is_attached(spark):
+    stream = events_stream(spark, SF)
+    agg = windowed_counts(stream, watermark="10 minutes")
+    assert agg.isStreaming
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
