@@ -1,0 +1,94 @@
+"""Physical-plan quality assertions — the encoded ``.explain`` review.
+
+These pin the optimizations that matter at 100 TB: predicate pushdown
+reaching the parquet scan, column pruning in ReadSchema, broadcast joins
+for dimension tables, the partial/final aggregate split, top-k as
+TakeOrderedAndProject, and partition pruning on partitioned data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_lineage_spark.operators import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_predicates_are_pushed_to_scan(spark):
+    plan = _plan(R.q04_filter_predicates(spark, SF))
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for token in ("o_orderstatus", "o_totalprice", "In(o_orderpriority"):
+        assert token in pushed, f"{token} not pushed down: {pushed}"
+
+
+def test_projection_prunes_columns_at_scan(spark):
+    plan = _plan(R.q02_project_alias(spark, SF))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 referenced columns are read, not all 11
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"):
+        assert col in read_schema
+    for col in ("l_shipdate", "l_quantity", "l_tax", "l_suppkey"):
+        assert col not in read_schema, f"{col} should be pruned: {read_schema}"
+
+
+def test_explicit_broadcast_join_is_broadcast(spark):
+    plan = _plan(R.q07_join_broadcast(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dimension_joins_auto_broadcast(spark):
+    """AQE/stats should broadcast every dimension in the flagship query —
+    no sort-merge join should survive for sub-10MB dims."""
+    df = R.q17_q27_shape(spark, SF)
+    df.collect()  # AQE final plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_has_partial_and_final_split(spark):
+    plan = _plan(R.q14_agg_tpch_q1(spark, SF))
+    # map-side combine: both modes present (keys=[...] twice with functions
+    # partial_/final or two HashAggregate occurrences)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_topk_uses_take_ordered_and_project(spark):
+    plan = _plan(R.q16_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan  # no global sort + limit
+
+
+def test_partition_pruning_reads_single_partition(spark):
+    df = R.q18_partition_pruning(spark, SF)
+    df.collect()
+    # the filter must land in PartitionFilters (directory pruning), not as
+    # a data filter — inputFiles() ignores pruning, so assert on the plan
+    plan = _plan(df)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "l_returnflag" in pf and "= R" in pf, pf
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_returnflag" not in pushed, f"should prune dirs, not row-filter: {pushed}"
+
+
+def test_whole_stage_codegen_covers_agg_pipeline(spark):
+    df = R.q14_agg_tpch_q1(spark, SF)
+    df.collect()  # codegen spans only appear in the AQE final plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    import re
+
+    # '*(n)' prefixes mark WholeStageCodegen spans; both agg stages must be in one
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:400]
+
+
+def test_semi_join_not_expanded_to_inner(spark):
+    plan = _plan(R.q11_join_left_semi(spark, SF))
+    assert "LeftSemi" in plan
