@@ -127,3 +127,22 @@ class GNode:
 
 def node(kind: str, children: tuple[GNode, ...] = (), **detail: str) -> GNode:
     return GNode(kind=kind, detail=tuple((k, str(v)) for k, v in detail.items()), children=children)
+
+
+def from_dict(doc: dict) -> GNode:
+    """Inverse of GNode.to_dict (shared DAG nodes were emitted once and
+    referenced by id afterwards — rebuild preserving the sharing)."""
+    by_id: dict[int, GNode] = {}
+
+    def go(d: dict) -> GNode:
+        if "ref" in d:
+            return by_id[d["ref"]]
+        n = GNode(
+            kind=d["kind"],
+            detail=tuple((k, str(v)) for k, v in d.get("detail", {}).items()),
+            children=tuple(go(c) for c in d.get("children", [])),
+        )
+        by_id[d["id"]] = n
+        return n
+
+    return go(doc)

@@ -138,7 +138,17 @@ class LineageTracker:
 
     def track(self, df: DataFrame, name: str = "query") -> QueryLineage:
         """Capture lineage of an executed DataFrame query."""
-        cap = capture(df)
+        return self.track_captured(capture(df), name)
+
+    def track_offline(self, path: str, name: str = "replay") -> QueryLineage:
+        """Offline plan replay: analyze a plan saved with Captured.save —
+        no SparkSession needed (≈ the reference's plan-replay tests,
+        ``BasicTest.scala:14-33``)."""
+        from .plans.capture import load_captured
+
+        return self.track_captured(load_captured(path), name)
+
+    def track_captured(self, cap: Captured, name: str = "query") -> QueryLineage:
         leaf_tables = self._leaf_tables(cap)
         self._snapshot(cap, leaf_tables)
 

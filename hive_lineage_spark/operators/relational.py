@@ -458,6 +458,64 @@ def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 6. source/sink format coverage: ORC, CSV, JSON round-trips. The reference
+#    is ORC-era Hive (q1.plan embeds OrcInputFormat/OrcSerde — SURVEY.md
+#    §1.1); these prove the engine reads/writes beyond parquet, with
+#    results oracle-checked against the original parquet tables.
+# ---------------------------------------------------------------------------
+
+
+def q28_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a supplier projection as ORC, read it back, aggregate —
+    the reference's native storage format (OrcSerde in q1.plan)."""
+    path = _scratch(sf_dir, "supplier_orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        s = _t(spark, sf_dir, "supplier")
+        s.select("s_suppkey", "s_nationkey", "s_acctbal").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+def q29_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-on-read source (header, explicit schema — no
+    inferSchema scan, which would double the read at scale)."""
+    path = _scratch(sf_dir, "nation_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        n = _t(spark, sf_dir, "nation")
+        n.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", True
+    ).csv(path)
+    return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+def q30_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink with a nested struct column, read back with an
+    explicit schema and a nested-field projection (nested types beyond the
+    reference's flat int/double/string surface)."""
+    path = _scratch(sf_dir, "customer_json")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        c = _t(spark, sf_dir, "customer")
+        nested = c.select(
+            "c_custkey",
+            F.struct(
+                F.col("c_mktsegment").alias("segment"), F.round("c_acctbal", 2).alias("balance")
+            ).alias("profile"),
+        )
+        nested.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "c_custkey long, profile struct<segment:string, balance:double>"
+    ).json(path)
+    return back.groupBy(F.col("profile.segment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("profile.balance"), 2).alias("sum_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 QUERIES = {
@@ -488,11 +546,28 @@ QUERIES = {
     "q25_sessionization": q25_sessionization,
     "q26_json_extract": q26_json_extract,
     "q27_asof_join": q27_asof_join,
+    "q28_orc_roundtrip": q28_orc_roundtrip,
+    "q29_csv_roundtrip": q29_csv_roundtrip,
+    "q30_json_roundtrip": q30_json_roundtrip,
 }
 
 
 ORACLES = {
     "q01_full_scan": "SELECT * FROM region",
+    "q28_orc_roundtrip": """
+        SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_supps,
+               round(sum(s_acctbal), 2) AS sum_bal
+        FROM supplier GROUP BY s_nationkey
+    """,
+    "q29_csv_roundtrip": """
+        SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+        FROM nation GROUP BY n_regionkey
+    """,
+    "q30_json_roundtrip": """
+        SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_custs,
+               round(sum(round(c_acctbal, 2)), 2) AS sum_bal
+        FROM customer GROUP BY c_mktsegment
+    """,
     "q02_project_alias": """
         SELECT l_orderkey AS okey, l_linenumber AS lineno,
                round(l_extendedprice * (1 - l_discount), 4) AS net_price,

@@ -84,7 +84,42 @@ class Captured:
     leaf_paths: list[list[str]]  # per logical leaf, its scan root paths
     logical_str: str = ""
     physical_str: str = ""
+    raw_logical: list[dict] = field(default_factory=list)  # toJSON nodes, for save/replay
     extras: dict = field(default_factory=dict)
+
+    def save(self, path: str) -> None:
+        """Persist the captured plan for offline replay — the rebuild's
+        analog of the reference's serialized sample plans
+        (``HivePlanUtils.readQueryPlan``, ``hook/HivePlanUtils.scala:40-42``;
+        capture recipe in ``BasicTest.scala:8-11``)."""
+        import os
+
+        doc = {
+            "rawLogical": self.raw_logical,
+            "leafPaths": self.leaf_paths,
+            "physical": self.physical.to_dict() if self.physical else None,
+            "logicalStr": self.logical_str,
+        }
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(doc, f)
+
+
+def load_captured(path: str) -> Captured:
+    """Offline entry point: rebuild a Captured plan from a saved file and
+    run the same analysis pipeline with no SparkSession at all (≈
+    ``HivePlanUtils.querPlanToOperatorGraph``, ``HivePlanUtils.scala:44-70``)."""
+    from ..graph import from_dict
+
+    with open(path) as f:
+        doc = json.load(f)
+    return Captured(
+        logical=parse_tree(doc["rawLogical"]),
+        physical=from_dict(doc["physical"]) if doc.get("physical") else None,
+        leaf_paths=doc.get("leafPaths", []),
+        logical_str=doc.get("logicalStr", ""),
+        raw_logical=doc["rawLogical"],
+    )
 
 
 def _agg_mode(jnode) -> str:
@@ -166,7 +201,8 @@ def capture(df: DataFrame) -> Captured:
     being a *post*-exec hook)."""
     qe = df._jdf.queryExecution()
     jlogical = qe.optimizedPlan()
-    logical = parse_tree(json.loads(jlogical.toJSON()))
+    raw_logical = json.loads(jlogical.toJSON())
+    logical = parse_tree(raw_logical)
     leaf_paths = leaf_scan_paths(jlogical)
     try:
         physical = physical_graph(qe.executedPlan())
@@ -180,6 +216,7 @@ def capture(df: DataFrame) -> Captured:
         leaf_paths=leaf_paths,
         logical_str=jlogical.toString(),
         physical_str=physical_str,
+        raw_logical=raw_logical,
     )
 
 

@@ -196,3 +196,28 @@ def test_lineage_json_roundtrip(spark):
     doc = json.loads(ql.to_json())
     assert doc["lineage"]["columns"][0]["name"] == "n_name"
     assert doc["lineage"]["inputTables"] == ["nation"]
+
+
+def test_offline_plan_replay(spark, tmp_path):
+    """Save a captured plan, reload it with a fresh tracker (no Spark
+    involvement in the analysis), and get identical lineage — the analog
+    of the reference's serialized-plan replay tests (BasicTest.scala)."""
+    from pyspark.sql import functions as F2
+
+    li, o = _t(spark, "lineitem"), _t(spark, "orders")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F2.sum("l_quantity").alias("qty"))
+    )
+    df.collect()
+    tr = LineageTracker()
+    online = tr.track(df, name="online")
+    plan_file = str(tmp_path / "q.plan.json")
+    online.captured.save(plan_file)
+
+    replayed = LineageTracker().track_offline(plan_file, name="replay")
+    assert replayed.column_map() == online.column_map()
+    assert replayed.result.input_tables == online.result.input_tables
+    assert replayed.normalized.tree_string() == online.normalized.tree_string()
+    assert replayed.logical.tree_string() == online.logical.tree_string()
