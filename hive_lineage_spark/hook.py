@@ -110,7 +110,7 @@ class LineageTracker:
 
     def _leaf_tables(self, cap: Captured) -> list[str]:
         names: list[str] = []
-        leaves = [p for p in cap.logical.walk() if not p.children and "Relation" in p.name]
+        leaves = [p for p in cap.logical.walk() if not p.children]
         for i, paths in enumerate(cap.leaf_paths):
             name = None
             for p in paths:
@@ -119,6 +119,8 @@ class LineageTracker:
                     break
             if name is None and paths:
                 name = _norm_path(paths[0])
+            if name is None and i < len(leaves) and leaves[i].name == "InMemoryRelation":
+                name = f"cache:{i}"
             names.append(name or f"<leaf{i}>")
         return names
 

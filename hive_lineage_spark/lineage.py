@@ -40,6 +40,10 @@ _LEAF_KINDS = {
     "DataSourceV2ScanRelation",
     "LocalRelation",
     "OneRowRelation",
+    # a .persist()ed subplan: Spark retains only the physical cached plan,
+    # so the cache is an honest lineage boundary, named "cache:<n>" by the
+    # tracker (≈ the reference's TempFileDef intermediate inputs)
+    "InMemoryRelation",
 }
 
 _PASSTHROUGH = {
@@ -249,7 +253,24 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
             return children[0]
 
         if len(children) == 1:
-            # unknown unary op: inherit (≈ SchemaMapping default, :132)
+            # Python-UDF barriers (mapInPandas & friends) and other schema-
+            # changing unary ops: exprIds do not flow through, so their
+            # fresh output attrs get the not-mappable sentinel (the
+            # reference's Column(null,null), SchemaMapping.scala:128-130),
+            # while pass-through attrs keep resolving.
+            fresh = _leaf_output(p)
+            if fresh:
+                child = children[0]
+                bases = dict(child.bases)
+                out: list[tuple[str, EId | None]] = []
+                for name, eid in fresh:
+                    if eid not in bases:
+                        bases[eid] = frozenset({UNKNOWN})
+                    out.append((name, eid))
+                notes.append(f"opaque schema barrier {kind}")
+                return _NodeMap(output=out, bases=bases)
+            # unknown unary op without own output: inherit
+            # (≈ SchemaMapping default, :132)
             notes.append(f"pass-through for unknown operator {kind}")
             return children[0]
 

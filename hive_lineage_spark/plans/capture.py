@@ -167,6 +167,10 @@ def physical_graph(jplan) -> GNode:
     if simple.endswith("QueryStageExec"):
         kind = _PHYS_KIND.get(simple, simple)
         return node(kind, (physical_graph(jplan.plan()),))
+    if simple == "ReusedExchangeExec":
+        # a leaf reference to an exchange computed elsewhere — recurse into
+        # the reused subtree so the normalized graph keeps real operators
+        return node("ReusedExchange", (physical_graph(jplan.child()),))
 
     kind = _PHYS_KIND.get(simple, simple.removesuffix("Exec"))
     kids = jplan.children()
@@ -224,6 +228,7 @@ def capture(df: DataFrame) -> Captured:
 
 _LOGICAL_KIND = {
     "LogicalRelation": "Scan",
+    "InMemoryRelation": "Scan",
     "HiveTableRelation": "Scan",
     "DataSourceV2Relation": "Scan",
     "DataSourceV2ScanRelation": "Scan",

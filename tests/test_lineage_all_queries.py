@@ -1,0 +1,46 @@
+"""Lineage smoke across the ENTIRE query surface: the tracker must
+capture, analyze, normalize, and emit every registered query without
+error — the rebuild's analog of pointing the reference hook at arbitrary
+production plans. Pandas-UDF stages (mapInPandas) legitimately produce
+the not-mappable sentinel; everything else must resolve.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from hive_lineage_spark.hook import LineageTracker
+from hive_lineage_spark.lineage import UNKNOWN
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = entrymod.queries()
+
+# queries whose plan contains a Python-UDF barrier (no exprId flow through
+# mapInPandas) — lineage degrades to the sentinel there, by design
+PYTHON_BARRIER = {"mm01_decode_stub", "dd06_embed_cosine_dup"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_lineage_capture_on_query(spark, name):
+    df = QUERIES[name](spark, SF)
+    df.collect()
+    ql = LineageTracker().track(df, name=name)
+    # emit paths never crash
+    assert ql.report()
+    assert ql.to_json()
+    # every output column of the query is accounted for in the lineage
+    lineage_cols = {c.name for c in ql.result.columns}
+    assert set(df.columns) <= lineage_cols, set(df.columns) - lineage_cols
+    if name not in PYTHON_BARRIER:
+        # all columns resolve to real base cells (no sentinel)
+        for c in ql.result.columns:
+            assert UNKNOWN not in c.bases, f"{name}.{c.name} unmappable"
+        assert ql.result.input_tables, name
+    # normalized physical graph exists and contains no execution artifacts
+    if ql.normalized is not None:
+        from hive_lineage_spark.rules import _ARTIFACT_KINDS
+
+        kinds = {n.kind for n in ql.normalized.walk()}
+        assert not (kinds & _ARTIFACT_KINDS), kinds & _ARTIFACT_KINDS
