@@ -1,0 +1,266 @@
+"""Extended SQL-operator coverage beyond strict reference parity
+(SURVEY.md §2.1 'not implemented / not recognized' list — window
+functions, grouping sets, set operations, UDTF/lateral views, scalar
+function library — all free on Spark, each with a DuckDB oracle).
+
+Includes the verbatim TPC-DS Q27 statement (the reference's q27.plan
+query, SURVEY.md §2.4 item 10) adapted to TESTDATA names, executed
+through ``spark.sql`` to exercise the SQL front end end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+
+def _reg(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# The reference's own benchmark query (text embedded in q27.plan),
+# re-targeted: lineitem≈store_sales fact; part/orders/customer/nation as
+# the four dimensions; same JOIN/WHERE/GROUP/ORDER/LIMIT shape.
+Q27_SQL_TEXT = """
+    SELECT p_brand, n_name,
+           round(avg(l_quantity) + 1e-9, 4) AS agg1,
+           round(avg(l_extendedprice) + 1e-9, 4) AS agg2,
+           round(avg(l_discount) + 1e-9, 4) AS agg3,
+           round(avg(l_tax) + 1e-9, 4) AS agg4
+    FROM lineitem
+    JOIN orders   ON (lineitem.l_orderkey = orders.o_orderkey)
+    JOIN customer ON (orders.o_custkey = customer.c_custkey)
+    JOIN nation   ON (customer.c_nationkey = nation.n_nationkey)
+    JOIN part     ON (lineitem.l_partkey = part.p_partkey)
+    WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+      AND n_name IN ('NATION_1','NATION_5','NATION_9','NATION_13','NATION_21')
+    GROUP BY p_brand, n_name
+    ORDER BY p_brand, n_name
+    LIMIT 100
+"""
+
+
+def q31_q27_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q27 as a raw SQL statement (q1/q27 replay analog through the
+    SQL parser instead of the DataFrame API — Catalyst produces the same
+    plan either way)."""
+    _reg(spark, sf_dir, "lineitem", "orders", "customer", "nation", "part")
+    return spark.sql(Q27_SQL_TEXT)
+
+
+def q32_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: returnflag × linestatus quantity matrix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+    )
+
+
+def q33_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: nations that have customers but no suppliers,
+    and vice versa, labeled."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    only_c = c.subtract(s).withColumn("side", F.lit("customer_only"))  # set EXCEPT
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    return only_c.union(both)
+
+
+def q34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id — finer than rollup/cube."""
+    _reg(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+def q35_exists_in_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + uncorrelated IN in one predicate."""
+    _reg(spark, sf_dir, "customer", "orders", "nation")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+        """
+    )
+
+
+def q36_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-clause chain (CTE reused twice — DAG, not tree)."""
+    _reg(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH big AS (SELECT * FROM orders WHERE o_totalprice > 100000.0),
+        by_status AS (SELECT o_orderstatus, count(*) AS n FROM big GROUP BY o_orderstatus)
+        SELECT b1.o_orderstatus, b1.n,
+               CAST(b1.n * 100.0 / (SELECT sum(n) FROM by_status) AS DOUBLE) AS pct
+        FROM by_status b1
+        """
+    )
+
+
+def q37_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF / lateral view (Generate operator): explode document tokens,
+    count token frequencies — the Hive LateralView the reference lists as
+    unrecognized."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def q38_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library sweep: string/math/conditional/date parts —
+    the expression surface the reference only passes through as strings."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.abs(F.col("o_totalprice") - 1000).alias("abs_diff"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("bucket"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    )
+
+
+def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles/median per group (Spark `percentile`, DuckDB
+    `quantile_cont` — both exact interpolated)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)") + 1e-9, 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)") + 1e-9, 4).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.25)") + 1e-9, 4).alias("q1_qty"),
+    )
+
+
+def q40_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL distinct, quantile sketch) — engine-
+    specific algorithms, so this is a rows-only check (no oracle); the
+    exact counterparts are q15/q39."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("approx_p50"),
+    )
+
+
+QUERIES = {
+    "q31_q27_sql_text": q31_q27_sql_text,
+    "q32_pivot": q32_pivot,
+    "q33_set_ops": q33_set_ops,
+    "q34_grouping_sets": q34_grouping_sets,
+    "q35_exists_in_subqueries": q35_exists_in_subqueries,
+    "q36_cte_chain": q36_cte_chain,
+    "q37_lateral_explode": q37_lateral_explode,
+    "q38_scalar_functions": q38_scalar_functions,
+    "q39_percentiles": q39_percentiles,
+    "q40_approx_sketches": q40_approx_sketches,
+}
+
+ORACLES = {
+    "q31_q27_sql_text": """
+        SELECT p_brand, n_name,
+               round(avg(l_quantity) + 1e-9, 4) AS agg1,
+               round(avg(l_extendedprice) + 1e-9, 4) AS agg2,
+               round(avg(l_discount) + 1e-9, 4) AS agg3,
+               round(avg(l_tax) + 1e-9, 4) AS agg4
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+          AND n_name IN ('NATION_1','NATION_5','NATION_9','NATION_13','NATION_21')
+        GROUP BY p_brand, n_name
+        ORDER BY p_brand, n_name
+        LIMIT 100
+    """,
+    "q32_pivot": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q33_set_ops": """
+        SELECT nkey, 'customer_only' AS side FROM (
+            SELECT DISTINCT c_nationkey AS nkey FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey AS nkey FROM supplier
+        )
+        UNION ALL
+        SELECT nkey, 'both' AS side FROM (
+            SELECT DISTINCT c_nationkey AS nkey FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey AS nkey FROM supplier
+        )
+    """,
+    "q34_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    "q35_exists_in_subqueries": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+    """,
+    "q36_cte_chain": """
+        WITH big AS (SELECT * FROM orders WHERE o_totalprice > 100000.0),
+        by_status AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY o_orderstatus)
+        SELECT b1.o_orderstatus, b1.n,
+               CAST(b1.n * 100.0 / (SELECT sum(n) FROM by_status) AS DOUBLE) AS pct
+        FROM by_status b1
+    """,
+    "q37_lateral_explode": """
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    """,
+    "q38_scalar_functions": """
+        SELECT o_orderkey,
+               substr(o_orderpriority, 1, 1) AS prio_code,
+               CAST(length(o_orderstatus) AS INT) AS status_len,
+               o_orderstatus || '-' || o_orderpriority AS tag,
+               abs(o_totalprice - 1000) AS abs_diff,
+               round(sqrt(o_totalprice), 4) AS sqrt_price,
+               CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo
+        FROM orders
+    """,
+    "q39_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 4) AS p90,
+               round(quantile_cont(l_quantity, 0.25) + 1e-9, 4) AS q1_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # q40 intentionally has no oracle: approx sketches are engine-specific
+}
