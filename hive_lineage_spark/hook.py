@@ -134,7 +134,47 @@ class LineageTracker:
                 for t in expr_trees(leaf_plan, "output")
             ]
             location = _norm_path(paths[0]) if paths else ""
-            self.model.add(table_from_columns(name, location, cols))
+            table = table_from_columns(name, location, cols)
+            part_cols, parts = self._discover_partitions(name, location)
+            if part_cols:
+                from dataclasses import replace
+
+                table = replace(table, partition_columns=tuple(part_cols))
+                for p in parts:
+                    self.model.add(p)
+            self.model.add(table)
+
+    def _discover_partitions(self, table: str, location: str):
+        """Hive-style ``key=value`` partition discovery at the scan root —
+        the rebuild of ConvertHelper's db→table→partition cascade
+        (``ConvertHelper.scala:144-164``): each partition directory becomes
+        a PartitionDef registered in the Model."""
+        from .metadata import PartitionDef, partition_fqn
+
+        part_cols: list[str] = []
+        parts: list[PartitionDef] = []
+        if not location or not os.path.isdir(location):
+            return part_cols, parts
+        try:
+            subdirs = sorted(
+                d for d in os.listdir(location)
+                if "=" in d and os.path.isdir(os.path.join(location, d))
+            )
+        except OSError:
+            return part_cols, parts
+        for d in subdirs:
+            key, _, value = d.partition("=")
+            if key not in part_cols:
+                part_cols.append(key)
+            parts.append(
+                PartitionDef(
+                    fqn=partition_fqn("default", table, d),
+                    table_fqn=f"default@{table}",
+                    values=(value,),
+                    location=os.path.join(location, d),
+                )
+            )
+        return part_cols, parts
 
     # -- steps 1,3-6 ---------------------------------------------------------
 

@@ -147,6 +147,10 @@ def _phys_detail(name: str, jnode) -> dict[str, str]:
             meta = jnode.metadata()
             if meta.contains("PushedFilters"):
                 d["pushedFilters"] = str(meta.apply("PushedFilters"))
+            if meta.contains("PartitionFilters"):
+                pf = str(meta.apply("PartitionFilters"))
+                if pf and pf != "[]":
+                    d["partitionFilters"] = pf
             d["readSchema"] = str(jnode.requiredSchema().simpleString())[:120]
     except Exception:  # noqa: BLE001 — detail is best-effort, capture must not fail
         pass

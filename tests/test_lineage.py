@@ -221,3 +221,27 @@ def test_offline_plan_replay(spark, tmp_path):
     assert replayed.result.input_tables == online.result.input_tables
     assert replayed.normalized.tree_string() == online.normalized.tree_string()
     assert replayed.logical.tree_string() == online.logical.tree_string()
+
+
+def test_partitioned_scan_lineage_and_partition_defs(spark):
+    """Partitioned-table parity (SURVEY §2.4 item 8): the catalog snapshot
+    registers PartitionDefs per key=value directory (ConvertHelper cascade)
+    and the physical scan records the partition-pruning filter."""
+    from hive_lineage_spark.metadata import PartitionDef
+    from hive_lineage_spark.operators.relational import q18_partition_pruning
+
+    df = q18_partition_pruning(spark, SF)
+    df.collect()
+    tr = LineageTracker()
+    ql = tr.track(df, name="partitioned")
+    # partition defs registered in the model
+    parts = tr.model.of_type(PartitionDef)
+    assert parts, "no PartitionDefs registered"
+    assert any("l_returnflag=R" in p.fqn for p in parts)
+    # table def knows its partition column
+    tdefs = [t for t in tr.model.defs.values() if getattr(t, "partition_columns", ())]
+    assert any("l_returnflag" in t.partition_columns for t in tdefs)
+    # physical scan detail carries the partition filter
+    scans = ql.physical.find("Scan")
+    pf = [dict(s.detail).get("partitionFilters", "") for s in scans]
+    assert any("l_returnflag" in x for x in pf), pf
