@@ -119,8 +119,11 @@ class LineageTracker:
                     break
             if name is None and paths:
                 name = _norm_path(paths[0])
-            if name is None and i < len(leaves) and leaves[i].name == "InMemoryRelation":
-                name = f"cache:{i}"
+            if name is None and i < len(leaves):
+                if leaves[i].name == "InMemoryRelation":
+                    name = f"cache:{i}"
+                elif leaves[i].name == "LogicalRDD":
+                    name = f"checkpoint:{i}"
             names.append(name or f"<leaf{i}>")
         return names
 

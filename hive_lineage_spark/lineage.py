@@ -44,6 +44,8 @@ _LEAF_KINDS = {
     # so the cache is an honest lineage boundary, named "cache:<n>" by the
     # tracker (≈ the reference's TempFileDef intermediate inputs)
     "InMemoryRelation",
+    # localCheckpoint() / RDD-backed data: same boundary, "checkpoint:<n>"
+    "LogicalRDD",
 }
 
 _PASSTHROUGH = {

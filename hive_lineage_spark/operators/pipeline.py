@@ -1,0 +1,165 @@
+"""End-to-end training-data pipeline operators: applying dedup decisions,
+clustering duplicates, deterministic sampling, and source mixing — the
+"what do I actually run over the corpus" layer on top of the sketch
+operators in ``dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import poly_hash, poly_hash_sql
+from ..sources.registry import load_table
+from .dedup import JACCARD_T, _postings_cached, _verify_pairs, dd02_ngram_jaccard
+
+
+def dd07_near_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply near-dedup to the corpus: drop every document that appears as
+    the higher-id member of a ≥0.5-Jaccard pair (keep-first-occurrence
+    policy — deterministic, order-free). Returns the retained corpus
+    stats per source. At scale the pair set is tiny relative to the
+    corpus, so this is a broadcast anti-join against the full scan."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd02_ngram_jaccard(spark, sf_dir).select(F.col("id_b").alias("doc_id")).distinct()
+    kept = d.join(F.broadcast(pairs), "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+DD07_SQL = None  # filled below (needs the dd02 pair SQL)
+
+
+def dd08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via iterative min-label propagation (connected
+    components) over the near-dup pair graph: each doc's label starts as
+    its own id and is repeatedly replaced by the minimum label among its
+    neighbors until fixpoint. The loop is a driver-side iteration over
+    DataFrames (each step is a distributed join+agg — the standard Spark
+    pattern for small-diameter iterative graph algorithms; for web-scale
+    graphs swap in the large-star/small-star variant). Deterministic, so
+    the oracle replays it with a recursive CTE."""
+    pairs = dd02_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    # iterative DataFrame algorithms MUST truncate lineage per step —
+    # otherwise each iteration's plan embeds the previous one and planning
+    # cost grows exponentially (localCheckpoint = in-memory cut point)
+    edges = edges.localCheckpoint(eager=True)
+    nodes = edges.select(F.col("id_a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    # near-dup clusters have tiny diameter; 8 halvings cover 2^8 chains
+    for _ in range(8):
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.node)
+            .groupBy(F.col("id_a").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    )
+
+
+def tx05_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (≈10%): a doc is kept iff
+    poly_hash(text) % 100 < 10. Unlike rand()/sampleBy this is stable
+    across runs, engines, partitionings and scale — the property a
+    reproducible training-data pipeline needs."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("h", poly_hash("text") % 100)
+        .filter(F.col("h") < 10)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+TX05_SQL = f"""
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE ({poly_hash_sql('text')}) % 100 < 10
+"""
+
+
+def tx06_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing with per-source caps: top-5 docs per source by
+    (quality proxy = n_chars, tie-broken on doc_id) — the 'compose the
+    training mix' operator. Window top-k per group keys the shuffle on
+    source, so it scales with the number of sources, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
+TX06_SQL = """
+    SELECT source, doc_id, n_chars, rk FROM (
+        SELECT source, doc_id, n_chars,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+"""
+
+
+# dd07 oracle: retained corpus per source, where dropped = id_b side of the
+# exact-Jaccard pair set (same pair SQL as dd02's oracle).
+from .dedup import DD02_SQL  # noqa: E402
+
+DD07_SQL = f"""
+    WITH pairs AS ({DD02_SQL}),
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY source
+"""
+
+# dd08 oracle: the same min-label propagation as a recursive reachability
+# closure — label(v) = min(node reachable from v), then cluster stats.
+DD08_SQL = f"""
+    WITH RECURSIVE pairs AS ({DD02_SQL}),
+    edges AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b AS id_a, id_a AS id_b FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT id_a AS src, id_a AS dst FROM edges
+        UNION
+        SELECT r.src, e.id_b AS dst
+        FROM reach r JOIN edges e ON r.dst = e.id_a
+    ),
+    labels AS (SELECT src AS node, min(dst) AS label FROM reach GROUP BY src)
+    SELECT label, CAST(count(*) AS BIGINT) AS cluster_size,
+           min(node) AS min_member, max(node) AS max_member
+    FROM labels GROUP BY label
+"""
+
+
+QUERIES = {
+    "dd07_near_dedup_apply": dd07_near_dedup_apply,
+    "dd08_dup_clusters": dd08_dup_clusters,
+    "tx05_hash_sample": tx05_hash_sample,
+    "tx06_source_mix": tx06_source_mix,
+}
+
+ORACLES = {
+    "dd07_near_dedup_apply": DD07_SQL,
+    "dd08_dup_clusters": DD08_SQL,
+    "tx05_hash_sample": TX05_SQL,
+    "tx06_source_mix": TX06_SQL,
+}

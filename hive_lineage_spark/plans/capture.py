@@ -233,6 +233,7 @@ def capture(df: DataFrame) -> Captured:
 _LOGICAL_KIND = {
     "LogicalRelation": "Scan",
     "InMemoryRelation": "Scan",
+    "LogicalRDD": "Scan",
     "HiveTableRelation": "Scan",
     "DataSourceV2Relation": "Scan",
     "DataSourceV2ScanRelation": "Scan",
