@@ -59,6 +59,8 @@ class QueryLineage:
     normalized: GNode | None
     result: LineageResult
     output_path: str | None = None
+    sql_text: str | None = None  # ≈ PostExecHook printing queryPlan.getQueryStr
+    command_type: str = "QUERY"  # ≈ hookContext command type (QUERY/INSERT)
 
     def column_map(self) -> dict[str, set[Cell]]:
         return self.result.column_map()
@@ -66,7 +68,9 @@ class QueryLineage:
     def report(self) -> str:
         """≈ PostExecHook's emit (``PostExecHook.scala:73-79``): query name,
         operator tree, normalized graph, and per-column lineage."""
-        lines = [f"=== query: {self.name} ==="]
+        lines = [f"=== query: {self.name} [{self.command_type}] ==="]
+        if self.sql_text:
+            lines.append(f"  {self.sql_text.strip()[:200]}")
         lines.append("--- logical operator graph ---")
         lines.append(self.logical.tree_string())
         if self.normalized is not None:
@@ -181,9 +185,11 @@ class LineageTracker:
 
     # -- steps 1,3-6 ---------------------------------------------------------
 
-    def track(self, df: DataFrame, name: str = "query") -> QueryLineage:
+    def track(self, df: DataFrame, name: str = "query", sql_text: str | None = None) -> QueryLineage:
         """Capture lineage of an executed DataFrame query."""
-        return self.track_captured(capture(df), name)
+        ql = self.track_captured(capture(df), name)
+        ql.sql_text = sql_text
+        return ql
 
     def track_offline(self, path: str, name: str = "replay") -> QueryLineage:
         """Offline plan replay: analyze a plan saved with Captured.save —
@@ -226,6 +232,7 @@ class LineageTracker:
             writer = writer.partitionBy(*partition_by)
         writer.save(path)
         ql = self.track(df, name=name)
+        ql.command_type = "INSERT"
         ql.output_path = _norm_path(path)
         self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
         self.location_map[ql.output_path] = ql
