@@ -166,8 +166,24 @@ def q40_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows in batch (`session_window`, 30-min gap) —
+    must agree with the manual lag/cumsum sessionization (q25): one row
+    per (user, session), aggregated to per-user session counts."""
+    e = load_table(spark, sf_dir, "events").withColumn("tsl", F.col("ts").cast("timestamp"))
+    sess = (
+        e.groupBy("user_id", F.session_window("tsl", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_in_session"))
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_in_session").alias("n_events"),
+    )
+
+
 QUERIES = {
     "q31_q27_sql_text": q31_q27_sql_text,
+    "q41_session_window": q41_session_window,
     "q32_pivot": q32_pivot,
     "q33_set_ops": q33_set_ops,
     "q34_grouping_sets": q34_grouping_sets,
@@ -180,6 +196,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    # q41: same per-user session stats as q25's oracle — session_window's
+    # gap semantics equal the lag/cumsum construction on this data
+    "q41_session_window": """
+        WITH e AS (
+            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+        ), g AS (
+            SELECT user_id, es,
+                   es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS gap
+            FROM e
+        ), s AS (
+            SELECT user_id,
+                   CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS is_new
+            FROM g
+        )
+        SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id
+    """,
     "q31_q27_sql_text": """
         SELECT p_brand, n_name,
                round(avg(l_quantity) + 1e-9, 4) AS agg1,
