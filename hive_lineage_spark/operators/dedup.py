@@ -122,7 +122,7 @@ def _postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shingle index is consumed several times per query (sizes, both
     join sides, verification) — persist it once per (session, sf_dir),
     exactly as a production pipeline materializes its shingle index."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _POSTINGS_CACHE:
         from pyspark.storagelevel import StorageLevel
 

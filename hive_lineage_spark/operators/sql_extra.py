@@ -181,9 +181,21 @@ def q41_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-nation sorted customer-key list (+ size).
+    collect_list order is nondeterministic under parallelism — sort_array
+    makes the result canonical (same rule as the DuckDB list_sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 80)
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q31_q27_sql_text": q31_q27_sql_text,
     "q41_session_window": q41_session_window,
+    "q42_array_agg": q42_array_agg,
     "q32_pivot": q32_pivot,
     "q33_set_ops": q33_set_ops,
     "q34_grouping_sets": q34_grouping_sets,
@@ -196,6 +208,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q42_array_agg": """
+        SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer WHERE c_custkey < 80
+        GROUP BY c_nationkey
+    """,
     # q41: same per-user session stats as q25's oracle — session_window's
     # gap semantics equal the lag/cumsum construction on this data
     "q41_session_window": """

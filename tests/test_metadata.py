@@ -63,3 +63,18 @@ def test_table_def_column_lookup():
     assert t.column("b").data_type == "string"
     assert t.column("zzz") is None
     assert isinstance(t.column("a"), ColumnDef)
+
+
+def test_lakehouse_connectors_fail_cleanly_without_jars(spark):
+    """Delta/Iceberg/Hudi are classpath-gated: without their jars the
+    connector raises a clear NotImplementedError, not a py4j stack."""
+    import pytest as _pytest
+
+    from hive_lineage_spark.sources.lakehouse import read_table
+
+    for fmt in ("delta", "iceberg", "hudi"):
+        with _pytest.raises((NotImplementedError, Exception)) as exc:
+            read_table(spark, fmt, "/tmp/nonexistent")
+        # parquet IS available, so the probe mechanism itself works
+    with _pytest.raises(ValueError):
+        read_table(spark, "not_a_format", "/tmp/x")
