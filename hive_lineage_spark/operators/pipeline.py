@@ -150,7 +150,66 @@ DD08_SQL = f"""
 """
 
 
+def tp01_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as one composed dataflow:
+
+        quality filter → near-dedup (keep-first) → deterministic 50%
+        content-hash sample → per-source cap (top-8 by length) → stats
+
+    Each stage is an operator proven individually (tx03, dd02, tx05,
+    tx06); composing them keeps everything in one Catalyst plan, so
+    filters still push down into the scan and the only shuffles are the
+    dedup-pair join and the final per-source window. This is the query a
+    real corpus build runs nightly."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    alpha_ratio = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double") / n
+    quality_ok = d.filter(alpha_ratio >= 0.7)
+
+    drop = dd02_ngram_jaccard(spark, sf_dir).select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = quality_ok.join(F.broadcast(drop), "doc_id", "left_anti")
+
+    sampled = deduped.filter((poly_hash("text") % 100) < 50)
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    capped = sampled.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 8)
+
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+TP01_SQL = f"""
+    WITH pairs AS ({DD02_SQL}),
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    quality AS (
+        SELECT * FROM documents
+        WHERE CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) >= 0.7
+    ),
+    deduped AS (
+        SELECT * FROM quality WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    sampled AS (
+        SELECT * FROM deduped WHERE ({poly_hash_sql('text')}) % 100 < 50
+    ),
+    capped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars DESC, doc_id ASC) AS rk
+            FROM sampled
+        ) WHERE rk <= 8
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_chars) AS total_chars, min(doc_id) AS min_doc
+    FROM capped GROUP BY source
+"""
+
+
 QUERIES = {
+    "tp01_full_pipeline": tp01_full_pipeline,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -158,6 +217,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tp01_full_pipeline": TP01_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,
