@@ -251,6 +251,28 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
                     gen_out.append((root.get("name", "?"), eid))
             return _NodeMap(output=child.output + gen_out, bases=bases)
 
+        if kind in ("ArrowEvalPython", "BatchEvalPython"):
+            # scalar Python/Pandas UDF stage: output = child ++ resultAttrs,
+            # and udfs[i]'s argument references give resultAttrs[i]'s true
+            # lineage — the UDF itself stays opaque, exactly like the
+            # reference rewriting through GenericUDF without interpreting
+            # it (SchemaMapping.scala:58-68).
+            child = children[0]
+            bases = dict(child.bases)
+            udf_trees = expr_trees(p, "udfs")
+            res_attrs = []
+            for tree in expr_trees(p, "resultAttrs"):
+                root = tree[0]
+                eid = expr_id(root)
+                if eid:
+                    res_attrs.append((root.get("name", "?"), eid))
+            for (name, eid), tree in zip(res_attrs, udf_trees):
+                cells: set[Cell] = set()
+                for ie, _ in attr_refs(tree):
+                    cells.update(child.bases.get(ie, frozenset({UNKNOWN})))
+                bases[eid] = frozenset(cells)
+            return _NodeMap(output=child.output + res_attrs, bases=bases)
+
         if kind in _PASSTHROUGH and len(children) == 1:
             return children[0]
 

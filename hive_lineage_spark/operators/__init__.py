@@ -14,10 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import dedup, multimodal, pipeline, relational, similarity, sql_extra, text
+    from . import dedup, multimodal, pandas_ops, pipeline, relational, similarity, sql_extra, text
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal):
+    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
@@ -26,9 +26,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    from . import dedup, multimodal, pipeline, relational, similarity, sql_extra, text
+    from . import dedup, multimodal, pandas_ops, pipeline, relational, similarity, sql_extra, text
 
     merged: dict[str, str] = {}
-    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal):
+    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops):
         merged.update(mod.ORACLES)
     return merged

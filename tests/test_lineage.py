@@ -245,3 +245,42 @@ def test_partitioned_scan_lineage_and_partition_defs(spark):
     scans = ql.physical.find("Scan")
     pf = [dict(s.detail).get("partitionFilters", "") for s in scans]
     assert any("l_returnflag" in x for x in pf), pf
+
+
+def test_two_hop_stitching_is_transitive(spark):
+    """write → read+write → read composes lineage across TWO hops back to
+    the base table."""
+    tr = LineageTracker()
+    p1 = os.path.join(SCRATCH, "hop1")
+    p2 = os.path.join(SCRATCH, "hop2")
+    o = _t(spark, "orders")
+    tr.track_write(
+        o.select("o_orderkey", "o_custkey", (F.col("o_totalprice") * 2).alias("dbl")),
+        p1,
+        name="hop1",
+    )
+    mid = spark.read.parquet(p1).filter(F.col("dbl") > 1000).select("o_custkey", "dbl")
+    tr.track_write(mid, p2, name="hop2")
+    final = spark.read.parquet(p2).groupBy("o_custkey").agg(F.sum("dbl").alias("total"))
+    final.collect()
+    ql = tr.track(final, name="final")
+    cmap = ql.column_map()
+    assert cmap["total"] == {("orders", "o_totalprice")}
+    assert cmap["o_custkey"] == {("orders", "o_custkey")}
+    assert ql.result.input_tables == ["orders"]
+
+
+def test_lineage_of_literal_only_query(spark):
+    """SELECT of literals (OneRowRelation) must not crash the analyzer."""
+    df = spark.sql("SELECT 1 AS one, 'x' AS tag")
+    df.collect()
+    ql = LineageTracker().track(df, name="literals")
+    assert {c.name for c in ql.result.columns} == {"one", "tag"}
+    assert ql.report()
+
+
+def test_lineage_of_empty_result(spark):
+    df = _t(spark, "orders").filter(F.col("o_totalprice") < -1).select("o_orderkey")
+    df.collect()
+    ql = LineageTracker().track(df, name="empty")
+    assert ql.column_map()["o_orderkey"] == {("orders", "o_orderkey")}
