@@ -75,11 +75,22 @@ class ColumnLineage:
 
 
 @dataclass
+class OperatorMapping:
+    """Per-operator schema mapping (≈ one reference SchemaMapping instance,
+    forced for every operator in ``OperatorNode._initialize`` pass 3)."""
+
+    kind: str
+    depth: int
+    outputs: list[tuple[str, frozenset[Cell]]]
+
+
+@dataclass
 class LineageResult:
     columns: list[ColumnLineage]
     input_tables: list[str]
     indirect: frozenset[Cell] = frozenset()
     notes: list[str] = field(default_factory=list)
+    operator_mappings: list[OperatorMapping] = field(default_factory=list)
 
     def column_map(self) -> dict[str, set[Cell]]:
         out: dict[str, set[Cell]] = {}
@@ -129,6 +140,7 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
     tables: list[str] = []
     indirect: set[Cell] = set()
     notes: list[str] = []
+    op_mappings: list[OperatorMapping] = []
 
     def refs_bases(trees: list[list[dict]], m: _NodeMap) -> set[Cell]:
         cells: set[Cell] = set()
@@ -156,9 +168,23 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
             output.append((name, eid))
         return _NodeMap(output=output, bases=bases)
 
-    def visit(p: PlanNode) -> _NodeMap:
+    def visit(p: PlanNode, depth: int = 0) -> _NodeMap:
+        m = _visit(p, depth)
+        op_mappings.append(
+            OperatorMapping(
+                kind=p.name,
+                depth=depth,
+                outputs=[
+                    (name, m.bases.get(eid, frozenset({UNKNOWN})) if eid else frozenset({UNKNOWN}))
+                    for name, eid in m.output
+                ],
+            )
+        )
+        return m
+
+    def _visit(p: PlanNode, depth: int) -> _NodeMap:
         kind = p.name
-        children = [visit(c) for c in p.children]
+        children = [visit(c, depth + 1) for c in p.children]
 
         if kind in _LEAF_KINDS:
             table = next(leaf_iter, None) or f"<leaf{len(tables)}>"
@@ -319,4 +345,5 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
         input_tables=tables,
         indirect=frozenset(indirect),
         notes=notes,
+        operator_mappings=list(reversed(op_mappings)),  # root first
     )

@@ -284,3 +284,24 @@ def test_lineage_of_empty_result(spark):
     df.collect()
     ql = LineageTracker().track(df, name="empty")
     assert ql.column_map()["o_orderkey"] == {("orders", "o_orderkey")}
+
+
+def test_per_operator_schema_mappings(spark):
+    """Every operator in the plan gets a schema mapping (≈ the reference
+    forcing schemaMapping for all operators, OperatorNode.scala:67-100)."""
+    li, o = _t(spark, "lineitem"), _t(spark, "orders")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    ql = _track(spark, df)
+    oms = ql.result.operator_mappings
+    kinds = [m.kind for m in oms]
+    assert kinds[0] == "Aggregate"  # root first
+    assert "Join" in kinds and kinds.count("LogicalRelation") == 2
+    # the Join-level mapping already resolves both sides to base columns
+    join_m = next(m for m in oms if m.kind == "Join")
+    flat = {name: bases for name, bases in join_m.outputs}
+    assert flat["l_quantity"] == frozenset({("lineitem", "l_quantity")})
+    assert flat["o_orderstatus"] == frozenset({("orders", "o_orderstatus")})
