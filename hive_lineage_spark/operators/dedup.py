@@ -109,10 +109,9 @@ def _hashed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias("g"),
         F.lead("w", 2).over(win).alias("_w2"),
-    ).filter(F.col("_w2").isNotNull())
-    postings = grams.select("doc_id", "g").distinct()
-    dictionary = postings.select("g").distinct().withColumn("gh", _poly_hash_expr(F.col("g")))
-    return postings.join(F.broadcast(dictionary), "g").select("doc_id", "gh").distinct()
+    ).filter(F.col("_w2").isNotNull()).select("doc_id", "g")
+    dictionary = grams.select("g").distinct().withColumn("gh", _poly_hash_expr(F.col("g")))
+    return grams.join(F.broadcast(dictionary), "g").select("doc_id", "gh").distinct()
 
 
 _POSTINGS_CACHE: dict = {}
