@@ -32,10 +32,14 @@ def poly_hash(col: Column | str) -> Column:
 
 
 def poly_hash_sql(expr: str) -> str:
-    """DuckDB equivalent of :func:`poly_hash` on expression ``expr``."""
+    """DuckDB equivalent of :func:`poly_hash` on expression ``expr``.
+
+    ``greatest(unicode(ch), 0)``: DuckDB's unicode('') is -1 while Spark's
+    ascii('') is 0 — the clamp keeps the engines identical on the empty
+    string (string_split('','') yields [''] in both)."""
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({expr}, ''), ch -> CAST(unicode(ch) AS BIGINT))), "
+        f"list_transform(string_split({expr}, ''), ch -> CAST(greatest(unicode(ch), 0) AS BIGINT))), "
         f"(acc, x) -> (acc * {MULT} + x) % {MOD})"
     )
 

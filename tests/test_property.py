@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the graph engine and the
+cross-engine hash — the class of testing the reference lacks entirely
+(SURVEY.md §5: no property tests, no assertions).
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hive_lineage_spark.graph import GNode, from_dict, node
+from hive_lineage_spark.rules import _ARTIFACT_KINDS, normalize
+
+_KINDS = ["Scan", "Filter", "Project", "HashAggregate", "Join"] + sorted(_ARTIFACT_KINDS)
+
+
+@st.composite
+def trees(draw, depth=0):
+    kind = draw(st.sampled_from(_KINDS))
+    if depth >= 4:
+        return node(kind)
+    n_children = draw(st.integers(min_value=0, max_value=2 if depth < 2 else 1))
+    children = tuple(draw(trees(depth + 1)) for _ in range(n_children))
+    detail = {}
+    if kind == "HashAggregate":
+        detail["mode"] = draw(st.sampled_from(["Partial", "PartialMerge", "Final", "Complete"]))
+    return node(kind, children, **detail)
+
+
+@given(trees())
+@settings(max_examples=200, deadline=None)
+def test_normalize_removes_all_removable_artifacts(t):
+    out = normalize(t)
+    for n in out.walk():
+        # an artifact may only survive if it had no single child to splice
+        # to (leaf or multi-child) — unary artifacts are always removed
+        if n.kind in _ARTIFACT_KINDS:
+            assert len(n.children) != 1
+
+
+@given(trees())
+@settings(max_examples=200, deadline=None)
+def test_normalize_is_idempotent(t):
+    once = normalize(t)
+    twice = normalize(once)
+    assert once.tree_string() == twice.tree_string()
+
+
+@given(trees())
+@settings(max_examples=200, deadline=None)
+def test_identity_transform_preserves_structure(t):
+    out = t.transform_up(lambda n: n)
+    assert out.tree_string() == t.tree_string()
+
+
+@given(trees())
+@settings(max_examples=100, deadline=None)
+def test_to_dict_from_dict_roundtrip(t):
+    assert from_dict(t.to_dict()).tree_string() == t.tree_string()
+
+
+def _preserved(n: GNode) -> bool:
+    # operators normalize may legitimately remove: artifacts, partial-mode
+    # aggregates, and unary table-less Scans (temp-scan collapse rule)
+    if n.kind in _ARTIFACT_KINDS or n.kind == "HashAggregate":
+        return False
+    if n.kind == "Scan" and len(n.children) == 1 and not dict(n.detail).get("table"):
+        return False
+    return True
+
+
+@given(trees())
+@settings(max_examples=100, deadline=None)
+def test_normalize_never_loses_non_artifact_operators(t):
+    before = [n.kind for n in t.walk() if _preserved(n)]
+    after = [n.kind for n in normalize(t).walk() if _preserved(n)]
+    assert sorted(before) == sorted(after)
+
+
+# -- cross-engine hash parity -------------------------------------------------
+
+
+def _py_poly_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    return h
+
+
+@given(st.text(alphabet=string.ascii_lowercase + " .,!?", min_size=0, max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_duckdb_poly_hash_matches_python_model(s):
+    """The DuckDB emission of the polynomial hash equals the reference
+    Python model on arbitrary ASCII strings (the Spark emission is checked
+    against the same model in test_hash_spark_side below)."""
+    import duckdb
+
+    from hive_lineage_spark.functions.hashing import poly_hash_sql
+
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {poly_hash_sql('?')}", [s]).fetchone()[0]
+    want = _py_poly_hash(s)
+    assert (got or 0) == want, (s, got, want)
+
+
+def test_hash_spark_side_matches_python_model(spark):
+    """Spark emission vs the Python model over a batch of tricky strings
+    (one Spark job for the whole batch — hypothesis drives the SQL side)."""
+    import string as _string
+
+    from pyspark.sql import functions as F
+
+    from hive_lineage_spark.functions.hashing import poly_hash
+
+    samples = [
+        "",
+        "a",
+        " ",
+        "abc def",
+        _string.ascii_lowercase,
+        "the quick brown fox! jumps? over, the. lazy dog",
+        "x" * 200,
+        "a b " * 50,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", poly_hash("s").alias("h")).collect()}
+    for s in samples:
+        assert got[s] == _py_poly_hash(s), s
