@@ -92,3 +92,31 @@ def test_whole_stage_codegen_covers_agg_pipeline(spark):
 def test_semi_join_not_expanded_to_inner(spark):
     plan = _plan(R.q11_join_left_semi(spark, SF))
     assert "LeftSemi" in plan
+
+
+def test_postings_dictionary_join_is_broadcast(spark):
+    """The shingle-hash dictionary join must broadcast (tiny dict side)."""
+    import hive_lineage_spark.operators.dedup as dd
+
+    po = dd._hashed_postings(spark, SF)
+    plan = _plan(po)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dedup_apply_is_broadcast_anti_join(spark):
+    """dd07 removes the (tiny) drop-list with a broadcast anti-join —
+    never a shuffle of the corpus."""
+    import hive_lineage_spark.operators.pipeline as pl
+
+    df = pl.dd07_near_dedup_apply(spark, SF)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_centroid_assignment_is_broadcast(spark):
+    import hive_lineage_spark.operators.similarity as ss
+
+    df = ss.ss02_ann_ivf(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
