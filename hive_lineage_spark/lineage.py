@@ -141,6 +141,7 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
     indirect: set[Cell] = set()
     notes: list[str] = []
     op_mappings: list[OperatorMapping] = []
+    roles: dict[EId, str] = {}  # eid -> aggregated | generated | udf
 
     def refs_bases(trees: list[list[dict]], m: _NodeMap) -> set[Cell]:
         cells: set[Cell] = set()
@@ -165,6 +166,8 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
                 cells.update(child.bases.get(ie, frozenset({UNKNOWN})))
             if eid is not None:
                 bases[eid] = frozenset(cells)
+                if role_for_alias != "direct" and tree[0].get("class") == "org.apache.spark.sql.catalyst.expressions.Alias":
+                    roles[eid] = role_for_alias
             output.append((name, eid))
         return _NodeMap(output=output, bases=bases)
 
@@ -274,6 +277,7 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
                 eid = expr_id(root)
                 if eid:
                     bases[eid] = frozenset(gen_refs)
+                    roles[eid] = "generated"
                     gen_out.append((root.get("name", "?"), eid))
             return _NodeMap(output=child.output + gen_out, bases=bases)
 
@@ -297,6 +301,7 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
                 for ie, _ in attr_refs(tree):
                     cells.update(child.bases.get(ie, frozenset({UNKNOWN})))
                 bases[eid] = frozenset(cells)
+                roles[eid] = "udf"
             return _NodeMap(output=child.output + res_attrs, bases=bases)
 
         if kind in _PASSTHROUGH and len(children) == 1:
@@ -339,7 +344,9 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
     cols = []
     for name, eid in root.output:
         bases = root.bases.get(eid, frozenset({UNKNOWN})) if eid else frozenset({UNKNOWN})
-        cols.append(ColumnLineage(name=name, eid=eid, bases=bases))
+        cols.append(
+            ColumnLineage(name=name, eid=eid, bases=bases, role=roles.get(eid, "direct"))
+        )
     return LineageResult(
         columns=cols,
         input_tables=tables,

@@ -305,3 +305,14 @@ def test_per_operator_schema_mappings(spark):
     flat = {name: bases for name, bases in join_m.outputs}
     assert flat["l_quantity"] == frozenset({("lineitem", "l_quantity")})
     assert flat["o_orderstatus"] == frozenset({("orders", "o_orderstatus")})
+
+
+def test_column_roles_distinguish_aggregated_and_direct(spark):
+    """Aggregate provenance is tagged — the analog of the reference's
+    key-vs-aggregated distinction in the ReduceSink KEY./VALUE. mapping."""
+    li = _t(spark, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("qty"))
+    ql = _track(spark, df)
+    roles = {c.name: c.role for c in ql.result.columns}
+    assert roles["qty"] == "aggregated"
+    assert roles["l_returnflag"] == "direct"
