@@ -38,8 +38,6 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     MOD,
     minhash_perm,
-    minhash_perm_sql,
-    poly_hash,
     poly_hash_sql,
     word_ngrams,
     word_ngrams_sql,

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import poly_hash, poly_hash_sql
 from ..sources.registry import load_table
-from .dedup import JACCARD_T, _postings_cached, _verify_pairs, dd02_ngram_jaccard
+from .dedup import dd02_ngram_jaccard
 
 
 def dd07_near_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
