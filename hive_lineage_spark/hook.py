@@ -207,6 +207,9 @@ class LineageTracker:
         result = analyze(cap.logical, leaf_tables)
         normalized = normalize(cap.physical) if cap.physical is not None else None
 
+        # resolve lineage through .persist() caches (Spark keeps only the
+        # cached PHYSICAL plan — exprId-compatible, so analyze() handles it)
+        result = self._stitch_caches(result, leaf_tables, cap)
         # cross-query stitching via the location map
         result = self._stitch_columns(result, leaf_tables, cap)
         logical = self._stitch_graph(logical)
@@ -239,6 +242,52 @@ class LineageTracker:
         return ql
 
     # -- stitching ------------------------------------------------------------
+
+    def _stitch_caches(self, result: LineageResult, leaf_tables: list[str], cap: Captured) -> LineageResult:
+        """Replace ``cache:<i>`` base cells with the lineage of the cached
+        physical subplan (captured at plan-capture time) — the analog of
+        resolving through the reference's intermediate TempFileDef scans."""
+        if not cap.cached_plans:
+            return result
+        from .plans.jsonplan import parse_tree
+
+        sub_maps: dict[str, dict[str, set[Cell]]] = {}
+        sub_inputs: dict[str, list[str]] = {}
+        for idx, doc in cap.cached_plans.items():
+            sub_plan = parse_tree(doc["raw"])
+            sub_tables: list[str] = []
+            for j, paths in enumerate(doc.get("leafPaths", [])):
+                name = None
+                for p in paths:
+                    name = self.table_resolver(_norm_path(p))
+                    if name:
+                        break
+                if name is None and paths:
+                    name = _norm_path(paths[0])
+                sub_tables.append(name or f"<cacheleaf{j}>")
+            sub_res = analyze(sub_plan, sub_tables)
+            sub_maps[f"cache:{idx}"] = sub_res.column_map()
+            sub_inputs[f"cache:{idx}"] = sub_res.input_tables
+            result.indirect = frozenset(result.indirect | sub_res.indirect)
+
+        def rewrite(cells: frozenset[Cell]) -> frozenset[Cell]:
+            out: set[Cell] = set()
+            for t, c in cells:
+                if t in sub_maps:
+                    out.update(sub_maps[t].get(c, {UNKNOWN}))
+                else:
+                    out.add((t, c))
+            return frozenset(out)
+
+        for col in result.columns:
+            col.bases = rewrite(col.bases)
+        result.indirect = rewrite(result.indirect)
+        new_inputs: list[str] = []
+        for t in result.input_tables:
+            new_inputs.extend(sub_inputs.get(t, [t]))
+        result.input_tables = sorted(set(new_inputs))
+        result.notes.append("resolved through caches: " + ", ".join(sorted(sub_maps)))
+        return result
 
     def _writer_for_table(self, table: str) -> QueryLineage | None:
         return self.location_map.get(_norm_path(table))

@@ -46,6 +46,12 @@ _LEAF_KINDS = {
     "InMemoryRelation",
     # localCheckpoint() / RDD-backed data: same boundary, "checkpoint:<n>"
     "LogicalRDD",
+    # physical scan leaves (cached-subplan analysis; Exec suffix stripped)
+    "FileSourceScan",
+    "RowDataSourceScan",
+    "BatchScan",
+    "LocalTableScan",
+    "InMemoryTableScan",
 }
 
 _PASSTHROUGH = {
@@ -186,8 +192,34 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
         return m
 
     def _visit(p: PlanNode, depth: int) -> _NodeMap:
-        kind = p.name
+        # analyze handles BOTH logical plans and physical plans (the latter
+        # appear as .persist()ed cached subplans, which Spark retains only
+        # physically) — physical node names are canonicalized by stripping
+        # the Exec suffix; field-name differences are handled per-branch.
+        kind = p.name.removesuffix("Exec") if p.name.endswith("Exec") else p.name
         children = [visit(c, depth + 1) for c in p.children]
+
+        if kind in ("HashAggregate", "SortAggregate", "ObjectHashAggregate") and children:
+            # physical aggregate: resultExpressions is the output list
+            indirect.update(refs_bases(expr_trees(p, "groupingExpressions"), children[0]))
+            return projectish(p, "resultExpressions", children[0], "aggregated")
+
+        if kind.endswith("Join") and kind != "Join" and len(children) == 2:
+            # physical join variants (BroadcastHashJoin, SortMergeJoin, ...)
+            bases = merge(children)
+            jt = p.fields.get("joinType", {})
+            jt_name = (
+                jt.get("object", "").rsplit(".", 1)[-1].rstrip("$") if isinstance(jt, dict) else str(jt)
+            )
+            m = _NodeMap(output=[], bases=bases)
+            indirect.update(refs_bases(expr_trees(p, "condition"), m))
+            indirect.update(refs_bases(expr_trees(p, "leftKeys"), m))
+            indirect.update(refs_bases(expr_trees(p, "rightKeys"), m))
+            if jt_name in ("LeftSemi", "LeftAnti"):
+                m.output = children[0].output
+            else:
+                m.output = children[0].output + children[1].output
+            return m
 
         if kind in _LEAF_KINDS:
             table = next(leaf_iter, None) or f"<leaf{len(tables)}>"
@@ -209,7 +241,8 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
 
         if kind == "Window":
             child = children[0]
-            m = projectish(p, "windowExpressions", child, "direct")
+            field_name = "windowExpressions" if expr_trees(p, "windowExpressions") else "windowExpression"
+            m = projectish(p, field_name, child, "direct")
             indirect.update(refs_bases(expr_trees(p, "partitionSpec"), child))
             indirect.update(refs_bases(expr_trees(p, "orderSpec"), child))
             return _NodeMap(output=child.output + m.output, bases={**child.bases, **m.bases})

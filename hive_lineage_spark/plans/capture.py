@@ -85,6 +85,7 @@ class Captured:
     logical_str: str = ""
     physical_str: str = ""
     raw_logical: list[dict] = field(default_factory=list)  # toJSON nodes, for save/replay
+    cached_plans: dict[int, dict] = field(default_factory=dict)  # leaf idx → cached physical
     extras: dict = field(default_factory=dict)
 
     def save(self, path: str) -> None:
@@ -99,6 +100,7 @@ class Captured:
             "leafPaths": self.leaf_paths,
             "physical": self.physical.to_dict() if self.physical else None,
             "logicalStr": self.logical_str,
+            "cachedPlans": {str(k): v for k, v in self.cached_plans.items()},
         }
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         with open(path, "w") as f:
@@ -119,6 +121,7 @@ def load_captured(path: str) -> Captured:
         leaf_paths=doc.get("leafPaths", []),
         logical_str=doc.get("logicalStr", ""),
         raw_logical=doc["rawLogical"],
+        cached_plans={int(k): v for k, v in doc.get("cachedPlans", {}).items()},
     )
 
 
@@ -203,6 +206,45 @@ def leaf_scan_paths(jlogical) -> list[list[str]]:
     return out
 
 
+def cached_subplans(jlogical) -> dict[int, dict]:
+    """For each InMemoryRelation leaf (a .persist()ed subplan), capture the
+    cached PHYSICAL plan — Spark keeps only that — so lineage can resolve
+    THROUGH the cache: the relation's output exprIds are identical to the
+    cached plan's output exprIds. Returns {leaf_index: {raw, leafPaths}}."""
+    out: dict[int, dict] = {}
+    leaves = jlogical.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() != "InMemoryRelation":
+            continue
+        try:
+            jphys = leaf.cacheBuilder().cachedPlan()
+            if jphys.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                # AQE roots serialize as a single opaque node; the initial
+                # plan is a complete tree with identical exprIds (runtime
+                # re-planning never changes column identity)
+                try:
+                    jphys = jphys.initialPlan()
+                except Exception:  # noqa: BLE001
+                    jphys = jphys.finalPhysicalPlan()
+            raw = json.loads(jphys.toJSON())
+            sub_paths: list[list[str]] = []
+            subleaves = jphys.collectLeaves()
+            for j in range(subleaves.size()):
+                sl = subleaves.apply(j)
+                paths: list[str] = []
+                try:
+                    loc = sl.relation().location().rootPaths()
+                    paths = [str(loc.apply(k)) for k in range(loc.size())]
+                except Exception:  # noqa: BLE001
+                    pass
+                sub_paths.append(paths)
+            out[i] = {"raw": raw, "leafPaths": sub_paths}
+        except Exception:  # noqa: BLE001 — keep the cache as a boundary
+            continue
+    return out
+
+
 def capture(df: DataFrame) -> Captured:
     """Capture the query execution of ``df`` (after its action has run —
     AQE's final plan only exists post-execution, mirroring the reference
@@ -212,6 +254,7 @@ def capture(df: DataFrame) -> Captured:
     raw_logical = json.loads(jlogical.toJSON())
     logical = parse_tree(raw_logical)
     leaf_paths = leaf_scan_paths(jlogical)
+    cached = cached_subplans(jlogical)
     try:
         physical = physical_graph(qe.executedPlan())
         physical_str = qe.executedPlan().toString()
@@ -225,6 +268,7 @@ def capture(df: DataFrame) -> Captured:
         logical_str=jlogical.toString(),
         physical_str=physical_str,
         raw_logical=raw_logical,
+        cached_plans=cached,
     )
 
 

@@ -316,3 +316,32 @@ def test_column_roles_distinguish_aggregated_and_direct(spark):
     roles = {c.name: c.role for c in ql.result.columns}
     assert roles["qty"] == "aggregated"
     assert roles["l_returnflag"] == "direct"
+
+
+def test_lineage_resolves_through_persist_cache(spark):
+    """.persist() keeps only the cached physical plan; lineage resolves
+    THROUGH it (exprIds are preserved across the cache boundary)."""
+    li = _t(spark, "lineitem")
+    cached = li.select("l_orderkey", (F.col("l_quantity") * 2).alias("dq")).filter(F.col("dq") > 5).persist()
+    cached.count()
+    df = cached.groupBy("l_orderkey").agg(F.sum("dq").alias("s"))
+    df.collect()
+    ql = LineageTracker().track(df, name="through_cache")
+    assert ql.result.input_tables == ["lineitem"]
+    cmap = ql.column_map()
+    assert cmap["s"] == {("lineitem", "l_quantity")}
+    assert cmap["l_orderkey"] == {("lineitem", "l_orderkey")}
+    cached.unpersist()
+
+
+def test_dedup_lineage_reaches_documents(spark):
+    """The flagship dedup operator's lineage reaches the base table even
+    though its shingle index is persisted."""
+    import hive_lineage_spark.operators.dedup as dd
+
+    df = dd.dd02_ngram_jaccard(spark, SF)
+    df.collect()
+    ql = LineageTracker().track(df, name="dd02")
+    assert ql.result.input_tables == ["documents"]
+    assert ql.column_map()["id_a"] == {("documents", "doc_id")}
+    assert ("documents", "text") in ql.result.indirect
