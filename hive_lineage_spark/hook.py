@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from .graph import GNode
 from .lineage import UNKNOWN, Cell, LineageResult, analyze
 from .metadata import DirectoryDef, Model, dir_fqn, table_from_columns
-from .plans.capture import Captured, capture, logical_graph
+from .plans.capture import Captured, capture, capture_qe, logical_graph
 from .rules import normalize
 
 
@@ -190,6 +190,45 @@ class LineageTracker:
         ql = self.track_captured(capture(df), name)
         ql.sql_text = sql_text
         return ql
+
+    def track_qe(self, jqe, name: str = "query") -> QueryLineage:
+        """Track from a py4j QueryExecution handle (what the listener gets)."""
+        return self.track_captured(capture_qe(jqe), name)
+
+    # -- live hook: automatic capture of every query -------------------------
+
+    def install(self, spark) -> None:
+        """Register this tracker as a real QueryExecutionListener — the
+        direct analog of installing the reference as a Hive post-exec hook
+        (``PostExecHook`` registered via hive.exec.post.hooks). Every
+        successful query on the session is captured automatically; the
+        listener bus invokes us asynchronously, so tests should poll
+        ``queries``. Implemented from Python via the py4j callback server."""
+        from pyspark.java_gateway import ensure_callback_server_started
+
+        ensure_callback_server_started(spark.sparkContext._gateway)
+        tracker = self
+
+        class _PyQueryExecutionListener:
+            def onSuccess(self, func_name, qe, duration_ns):  # noqa: N802 — Java iface
+                try:
+                    tracker.track_qe(qe, name=f"auto:{func_name}")
+                except Exception:  # noqa: BLE001 — a hook must never break queries
+                    pass
+
+            def onFailure(self, func_name, qe, exception):  # noqa: N802
+                pass
+
+            class Java:
+                implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
+
+        self._jlistener = _PyQueryExecutionListener()
+        spark._jsparkSession.listenerManager().register(self._jlistener)
+
+    def uninstall(self, spark) -> None:
+        if getattr(self, "_jlistener", None) is not None:
+            spark._jsparkSession.listenerManager().unregister(self._jlistener)
+            self._jlistener = None
 
     def track_offline(self, path: str, name: str = "replay") -> QueryLineage:
         """Offline plan replay: analyze a plan saved with Captured.save —

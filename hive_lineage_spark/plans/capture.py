@@ -249,7 +249,13 @@ def capture(df: DataFrame) -> Captured:
     """Capture the query execution of ``df`` (after its action has run —
     AQE's final plan only exists post-execution, mirroring the reference
     being a *post*-exec hook)."""
-    qe = df._jdf.queryExecution()
+    return capture_qe(df._jdf.queryExecution())
+
+
+def capture_qe(qe) -> Captured:
+    """Capture from a py4j QueryExecution handle directly — the form the
+    QueryExecutionListener hook receives (≈ PostExecHook.run's HookContext
+    parameter)."""
     jlogical = qe.optimizedPlan()
     raw_logical = json.loads(jlogical.toJSON())
     logical = parse_tree(raw_logical)

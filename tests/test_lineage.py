@@ -345,3 +345,27 @@ def test_dedup_lineage_reaches_documents(spark):
     assert ql.result.input_tables == ["documents"]
     assert ql.column_map()["id_a"] == {("documents", "doc_id")}
     assert ("documents", "text") in ql.result.indirect
+
+
+def test_query_execution_listener_auto_capture(spark):
+    """Installed as a real QueryExecutionListener (the PostExecHook
+    registration analog), the tracker captures queries automatically."""
+    import time
+
+    tr = LineageTracker()
+    tr.install(spark)
+    try:
+        df = _t(spark, "nation").filter(F.col("n_regionkey") == 0).select("n_name")
+        df.collect()
+        for _ in range(60):  # listener bus is async
+            if any(q.name.startswith("auto:") for q in tr.queries):
+                break
+            time.sleep(0.25)
+        autos = [q for q in tr.queries if q.name.startswith("auto:")]
+        assert autos, "listener never fired"
+        ql = autos[-1]
+        assert ql.result.input_tables == ["nation"]
+        assert ql.column_map()["n_name"] == {("nation", "n_name")}
+        assert ("nation", "n_regionkey") in ql.result.indirect
+    finally:
+        tr.uninstall(spark)
