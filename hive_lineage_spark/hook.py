@@ -288,8 +288,9 @@ class LineageTracker:
         resolving through the reference's intermediate TempFileDef scans."""
         if not cap.cached_plans:
             return result
-        from .plans.jsonplan import parse_tree
+        from .plans.jsonplan import expr_trees, parse_tree
 
+        leaves = [p for p in cap.logical.walk() if not p.children]
         sub_maps: dict[str, dict[str, set[Cell]]] = {}
         sub_inputs: dict[str, list[str]] = {}
         for idx, doc in cap.cached_plans.items():
@@ -305,7 +306,20 @@ class LineageTracker:
                     name = _norm_path(paths[0])
                 sub_tables.append(name or f"<cacheleaf{j}>")
             sub_res = analyze(sub_plan, sub_tables)
-            sub_maps[f"cache:{idx}"] = sub_res.column_map()
+            # map by POSITION: when a cached relation is instantiated twice
+            # (self-joins), Spark re-aliases the later occurrence's output
+            # attributes, so the leaf names need not match the cached
+            # plan's output names — positions always correspond.
+            by_name = sub_res.column_map()
+            sub_cols = [c.name for c in sub_res.columns]
+            leaf_names = [
+                t[0].get("name", "?") for t in expr_trees(leaves[idx], "output")
+            ] if idx < len(leaves) else []
+            positional = {
+                ln: by_name.get(sn, {UNKNOWN})
+                for ln, sn in zip(leaf_names, sub_cols)
+            }
+            sub_maps[f"cache:{idx}"] = {**by_name, **positional}
             sub_inputs[f"cache:{idx}"] = sub_res.input_tables
             result.indirect = frozenset(result.indirect | sub_res.indirect)
 
