@@ -192,10 +192,47 @@ def q42_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via bucketization — pairs of events by the
+    same user within 60 seconds. Spark has no native range join; the naive
+    form is an equi-join on user + a |t1−t2| ≤ 60 residual, which degrades
+    to per-user cross products. The scale pattern: bucket the range key
+    (floor(es/60)), equi-join on (user, bucket) for each of the candidate
+    bucket offsets {-1, 0, +1}, then apply the exact range filter — the
+    shuffle keys become (user, minute) so no per-user blowup survives."""
+    from ..functions import naive_epoch_seconds
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", naive_epoch_seconds("ts").alias("es"))
+    )
+    a = e.select(
+        F.col("user_id"), F.col("event_id").alias("id_a"), F.col("es").alias("es_a"),
+        F.floor(F.col("es") / 60).alias("bucket"),
+    )
+    b = e.select(
+        F.col("user_id").alias("user_b"), F.col("event_id").alias("id_b"), F.col("es").alias("es_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("es") / 60) - 1,
+                F.floor(F.col("es") / 60),
+                F.floor(F.col("es") / 60) + 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        a.join(b, (a.user_id == b.user_b) & (a.bucket == b.bucket))
+        .filter((F.col("id_a") < F.col("id_b")) & (F.abs(F.col("es_a") - F.col("es_b")) <= 60))
+        .select("user_id", "id_a", "id_b", (F.col("es_b") - F.col("es_a")).alias("dt"))
+        .distinct()
+    )
+
+
 QUERIES = {
     "q31_q27_sql_text": q31_q27_sql_text,
     "q41_session_window": q41_session_window,
     "q42_array_agg": q42_array_agg,
+    "q43_range_join_bucketized": q43_range_join_bucketized,
     "q32_pivot": q32_pivot,
     "q33_set_ops": q33_set_ops,
     "q34_grouping_sets": q34_grouping_sets,
@@ -208,6 +245,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q43_range_join_bucketized": """
+        WITH e AS (
+            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+        )
+        SELECT DISTINCT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+               b.es - a.es AS dt
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND abs(a.es - b.es) <= 60
+    """,
     "q42_array_agg": """
         SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys,
                CAST(count(*) AS BIGINT) AS n

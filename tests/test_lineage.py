@@ -345,6 +345,12 @@ def test_dedup_lineage_reaches_documents(spark):
     assert ql.result.input_tables == ["documents"]
     assert ql.column_map()["id_a"] == {("documents", "doc_id")}
     assert ("documents", "text") in ql.result.indirect
+    # no unresolved sentinel anywhere (cache reuse re-aliasing is handled)
+    from hive_lineage_spark.lineage import UNKNOWN
+
+    assert UNKNOWN not in ql.result.indirect
+    for c in ql.result.columns:
+        assert UNKNOWN not in c.bases
 
 
 def test_query_execution_listener_auto_capture(spark):
