@@ -11,49 +11,12 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 import time
 
-import duckdb
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def _norm_cell(v):
-    import datetime
-    import math
-
-    if v is None:
-        return "\0NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "\0NaN"
-        if v == int(v) and abs(v) < 2**53:
-            return repr(int(v))  # 3.0 and 3 hash alike across engines
-        return repr(round(v, 9))
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sorted_cols = [cols[i] for i in order]
-    lines = sorted("\x01".join(_norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
-    return len(rows), sorted_cols, h
 
 
 def main() -> int:
@@ -61,16 +24,16 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
+    from hive_lineage_spark.oracle import (
+        duckdb_connection,
+        duckdb_fingerprint,
+        spark_fingerprint,
+    )
     from hive_lineage_spark.session import get_spark
 
     spark = get_spark("check_oracle", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
-
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = duckdb_connection(sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -80,39 +43,31 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            rows = [tuple(r) for r in df.collect()]
-            scount, scols, shash = frame_fingerprint(list(df.columns), rows)
+            sfp = spark_fingerprint(fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"rows  {name}: rows-only check, {scount} rows ({time.time()-t0:.1f}s)")
-            if scount == 0:
+            print(f"rows  {name}: rows-only check, {sfp[0]} rows ({time.time()-t0:.1f}s)")
+            if sfp[0] == 0:
                 failures.append(name)
                 print(f"FAIL  {name}: 0 rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-            dcount, dcols_s, dhash = frame_fingerprint(dcols, drows)
+            dfp = duckdb_fingerprint(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             continue
-        ok = (scount, scols, shash) == (dcount, dcols_s, dhash)
-        status = "OK  " if ok else "FAIL"
-        print(f"{status}  {name}: spark={scount} duck={dcount} ({time.time()-t0:.1f}s)")
+        ok = sfp == dfp
+        print(f"{'OK  ' if ok else 'FAIL'}  {name}: spark={sfp[0]} duck={dfp[0]} ({time.time()-t0:.1f}s)")
         if not ok:
             failures.append(name)
-            if scols != dcols_s:
-                print(f"      cols spark={scols} duck={dcols_s}")
-            elif shash != dhash:
-                srow = sorted(rows)[:2] if rows else []
-                drow = sorted(drows)[:2] if drows else []
-                print(f"      hash mismatch; spark sample={srow} duck sample={drow}")
+            if sfp[1] != dfp[1]:
+                print(f"      cols spark={sfp[1]} duck={dfp[1]}")
+            else:
+                print("      value-hash mismatch")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0
