@@ -216,6 +216,43 @@ def q13_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_unique_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive UNIQUEJOIN (join type 4, decoded by the reference at
+    ``qinfo/OperatorInfo.scala:142``) — the one join type with no Spark
+    keyword. Semantics per the Hive language manual: all inputs are joined
+    on their join key; an input marked PRESERVE keeps its rows even when
+    the key matches no other input, while an unmarked input's unmatched
+    rows are dropped. Expressed as a composition: full-outer chain on the
+    coalesced key + a presence filter (key survives iff it appears in a
+    PRESERVE input, or in ≥2 inputs — i.e. a genuine match).
+
+    Inputs here: per-nation customer counts (PRESERVE), per-nation
+    supplier counts, region-limited nation names — each side filtered
+    differently so all three survive/drop paths are exercised. At scale
+    this is N-1 shuffles on the same join key; the repeated key means the
+    exchanges reuse one partitioning, and AQE broadcasts any small side.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") % 5 != 0)
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 3 != 0)
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 3)
+    a = c.groupBy(F.col("c_nationkey").alias("key_a")).agg(F.count(F.lit(1)).alias("n_customers"))
+    b = s.groupBy(F.col("s_nationkey").alias("key_b")).agg(F.count(F.lit(1)).alias("n_suppliers"))
+    d = n.select(F.col("n_nationkey").alias("key_c"), "n_name")
+    j = (
+        a.join(b, F.col("key_a") == F.col("key_b"), "full_outer")
+        .join(d, F.coalesce("key_a", "key_b") == F.col("key_c"), "full_outer")
+    )
+    in_a = F.col("key_a").isNotNull()
+    present = sum(F.col(k).isNotNull().cast("int") for k in ("key_a", "key_b", "key_c"))
+    return (
+        j.filter(in_a | (present >= 2))  # PRESERVE a; b/c keep only matched keys
+        .select(
+            F.coalesce("key_a", "key_b", "key_c").alias("nationkey"),
+            "n_customers", "n_suppliers", "n_name",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. aggregation (GroupBy partial/final), distinct, order-by/limit
 # ---------------------------------------------------------------------------
@@ -532,6 +569,7 @@ QUERIES = {
     "q11_join_left_semi": q11_join_left_semi,
     "q12_join_left_anti": q12_join_left_anti,
     "q13_join_nullsafe": q13_join_nullsafe,
+    "q44_unique_join": q44_unique_join,
     "q14_agg_tpch_q1": q14_agg_tpch_q1,
     "q15_agg_distinct": q15_agg_distinct,
     "q16_topk": q16_topk,
@@ -640,6 +678,24 @@ ORACLES = {
         JOIN (SELECT n_nationkey AS b_key, nullif(n_regionkey, 2) AS b_reg FROM nation) b
         ON a.a_reg IS NOT DISTINCT FROM b.b_reg
         GROUP BY a.a_key
+    """,
+    "q44_unique_join": """
+        WITH a AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_customers
+                   FROM customer WHERE c_nationkey % 5 <> 0 GROUP BY 1),
+             b AS (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_suppliers
+                   FROM supplier WHERE s_nationkey % 3 <> 0 GROUP BY 1),
+             c AS (SELECT n_nationkey AS k, n_name FROM nation WHERE n_regionkey < 3),
+             j AS (
+                 SELECT coalesce(a.k, b.k, c.k) AS nationkey,
+                        a.k IS NOT NULL AS in_a,
+                        CAST(a.k IS NOT NULL AS INT) + CAST(b.k IS NOT NULL AS INT)
+                          + CAST(c.k IS NOT NULL AS INT) AS present,
+                        n_customers, n_suppliers, n_name
+                 FROM a FULL OUTER JOIN b ON a.k = b.k
+                        FULL OUTER JOIN c ON coalesce(a.k, b.k) = c.k
+             )
+        SELECT nationkey, n_customers, n_suppliers, n_name
+        FROM j WHERE in_a OR present >= 2
     """,
     "q14_agg_tpch_q1": """
         SELECT l_returnflag, l_linestatus,

@@ -170,12 +170,92 @@ SS02_SQL = f"""
 """
 
 
+N_BITS = 8  # sign-LSH code width
+
+
+def _bucket_col(v):
+    """Sign-LSH code over the first N_BITS components: bit i set iff
+    v[i] > 0. Equivalent to random-hyperplane LSH with axis-aligned
+    hyperplanes — deterministic, so the oracle computes the identical
+    code. Swap in hashed projections on a real corpus without changing
+    the dataflow."""
+    bits = [
+        F.when(F.element_at(v, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(N_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ss03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-K: index vectors keyed by their sign-LSH code;
+    each query multi-probes its own bucket plus all Hamming-distance-1
+    buckets (N_BITS+1 probes). The join key becomes (bucket), so the
+    candidate pair space shrinks from N² to ~N²·(B+1)/2^B and the shuffle
+    partitions by code — no per-query blowup at 100 TB. Approximate by
+    construction (recall < 1), but deterministic, so the oracle runs the
+    same algorithm."""
+    vec = _vectors(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("v")))
+    idx = vec.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "bucket",
+    )
+    q = vec.filter(F.col("vec_id") < N_QUERIES)
+    probes = q.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+        F.explode(
+            F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_BITS)])
+        ).alias("bucket"),
+    )
+    cands = (
+        probes.join(idx, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(N_BITS)
+)
+_PROBES_SQL = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(N_BITS)])
+
+SS03_SQL = f"""
+    WITH {_vectors_sql()},
+    coded AS (SELECT vec_id, v, nrm, {_BUCKET_SQL} AS bucket FROM e),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+               unnest([{_PROBES_SQL}]) AS bucket
+        FROM coded WHERE vec_id < {N_QUERIES}
+    ),
+    cands AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='p.qv', b='c.v')} / (p.qn * c.nrm) AS cosine
+        FROM probes p JOIN coded c ON p.bucket = c.bucket AND p.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM cands
+    ) WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
+    "ss03_ann_lsh": ss03_ann_lsh,
 }
 
 ORACLES = {
     "ss01_ann_bruteforce": SS01_SQL,
     "ss02_ann_ivf": SS02_SQL,
+    "ss03_ann_lsh": SS03_SQL,
 }
