@@ -76,6 +76,45 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
         q.stop()
 
 
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup — the streaming half of the batch dedup
+    surface (operators/dedup.dd01): ``dropDuplicatesWithinWatermark`` on
+    the event identity keys. State holds only keys younger than the
+    watermark, so memory is bounded by (arrival rate × watermark) rather
+    than stream lifetime — the property that makes exact dedup viable on
+    an unbounded 100 TB/day feed, where plain ``dropDuplicates`` would
+    accumulate state forever."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts"])
+    )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension with no streaming state at all; Spark plans the
+    static side as a broadcast hash join, so at scale this is a map-side
+    lookup per batch — the standard shape for attaching catalog metadata
+    to a firehose."""
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .select("user_id", "event_type", "ts", "value", "tier")
+    )
+
+
+def user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small static dimension for enrich_stream: a deterministic per-user
+    tier derived from the customer table."""
+    from ..sources.registry import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("user_id"),
+        (F.col("c_custkey") % 3).cast("int").alias("tier"),
+    )
+
+
 def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     session counting with an explicit state schema (the streaming analog

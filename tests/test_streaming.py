@@ -12,9 +12,12 @@ from pyspark.sql import functions as F
 from hive_lineage_spark.sources.registry import load_events
 from hive_lineage_spark.streaming.events import (
     batch_windowed_counts,
+    dedup_stream,
+    enrich_stream,
     events_stream,
     run_stream_to_memory,
     sessionize_stateful,
+    user_tiers,
     windowed_counts,
 )
 
@@ -60,6 +63,29 @@ def test_stateful_sessionization_matches_batch(spark):
         for r in q25_sessionization(spark, SF).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Union the stream with itself so every event arrives twice; the
+    watermarked dedup must emit each (user_id, event_type, ts) exactly
+    once — i.e. the batch distinct count."""
+    stream = events_stream(spark, SF)
+    doubled = stream.union(stream)
+    deduped = dedup_stream(doubled, watermark="10 minutes")
+    run_stream_to_memory(deduped, "dedup_stream_out", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n FROM dedup_stream_out").collect()[0].n
+    want = load_events(spark, SF).select("user_id", "event_type", "ts").distinct().count()
+    assert got == want
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    stream = events_stream(spark, SF)
+    tiers = user_tiers(spark, SF)
+    run_stream_to_memory(enrich_stream(stream, tiers), "enriched", output_mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM enriched").collect()}
+    want = {tuple(r) for r in enrich_stream(load_events(spark, SF), tiers).collect()}
+    assert got == want
+    assert len(got) == 1000  # every event matched the dimension
 
 
 def test_watermark_is_attached(spark):
