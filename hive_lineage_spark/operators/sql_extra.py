@@ -156,13 +156,26 @@ def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q40_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches (HLL distinct, quantile sketch) — engine-
-    specific algorithms, so this is a rows-only check (no oracle); the
-    exact counterparts are q15/q39."""
+    """Approximate sketches (HLL distinct, quantile sketch). The raw sketch
+    values are engine-specific, so the hash-checkable contract is a
+    within-tolerance boolean: Spark computes both the sketch and the exact
+    value in ONE aggregation and emits |approx-exact|/exact < 5%; the
+    oracle computes the same bound from exact values (trivially true).
+    HLL rsd is tightened to 0.01 so the 5% tolerance is ~5 standard
+    deviations — deterministic-in-practice at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact_distinct = F.count_distinct("l_partkey").cast("double")
+    exact_p50 = F.expr("percentile(l_extendedprice, 0.5)")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("approx_p50"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey", 0.01).cast("double") - exact_distinct)
+            / exact_distinct
+            < F.lit(0.05)
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.percentile_approx("l_extendedprice", 0.5) - exact_p50) / exact_p50
+            < F.lit(0.05)
+        ).alias("p50_within_5pct"),
     )
 
 
@@ -184,10 +197,15 @@ def q41_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q42_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-nation sorted customer-key list (+ size).
     collect_list order is nondeterministic under parallelism — sort_array
-    makes the result canonical (same rule as the DuckDB list_sort)."""
+    makes the result canonical. The sorted array is emitted serialized as a
+    comma-joined string (not a raw array column): the correctness harness
+    canonicalizes results with a pandas sort, which cannot order list
+    values, so the canonical-string form is what makes this hash-checkable
+    while still exercising collect_list/sort_array."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 80)
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+        F.concat_ws(",", F.sort_array(F.collect_list("c_custkey"))).alias("custkeys"),
+        F.size(F.collect_list("c_custkey")).alias("n_keys"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -257,7 +275,9 @@ ORACLES = {
          AND abs(a.es - b.es) <= 60
     """,
     "q42_array_agg": """
-        SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys,
+        SELECT c_nationkey,
+               string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS custkeys,
+               CAST(count(*) AS INT) AS n_keys,
                CAST(count(*) AS BIGINT) AS n
         FROM customer WHERE c_custkey < 80
         GROUP BY c_nationkey
@@ -362,5 +382,15 @@ ORACLES = {
                round(quantile_cont(l_quantity, 0.25) + 1e-9, 4) AS q1_qty
         FROM lineitem GROUP BY l_returnflag
     """,
-    # q40 intentionally has no oracle: approx sketches are engine-specific
+    # q40: the sketch values are engine-specific, but the tolerance bound
+    # is checkable — Spark emits |approx-exact|/exact < 5% per group; the
+    # oracle states the same bound, which is true by construction on exact
+    # values. A sketch worse than tolerance turns the Spark side false and
+    # fails the hash match.
+    "q40_approx_sketches": """
+        SELECT l_returnflag,
+               true AS hll_within_5pct,
+               true AS p50_within_5pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
 }
