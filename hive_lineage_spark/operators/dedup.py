@@ -118,7 +118,10 @@ _POSTINGS_CACHE: dict = {}
 def _postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shingle index is consumed several times per query (sizes, both
     join sides, verification) — persist it once per (session, sf_dir),
-    exactly as a production pipeline materializes its shingle index."""
+    exactly as a production pipeline materializes its shingle index.
+    Long-lived sessions must release it via ``clear_postings_cache()``
+    (bench and tests do) — persisted RDDs otherwise pin executor
+    storage for the life of the session."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _POSTINGS_CACHE:
         from pyspark.storagelevel import StorageLevel
@@ -127,6 +130,16 @@ def _postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             StorageLevel.MEMORY_AND_DISK
         )
     return _POSTINGS_CACHE[key]
+
+
+def clear_postings_cache() -> None:
+    """Unpersist and drop every cached postings index (all sessions/dirs)."""
+    for df in _POSTINGS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _POSTINGS_CACHE.clear()
 
 
 def _verify_pairs(cand: DataFrame, po: DataFrame) -> DataFrame:

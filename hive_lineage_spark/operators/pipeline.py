@@ -32,38 +32,64 @@ def dd07_near_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 DD07_SQL = None  # filled below (needs the dd02 pair SQL)
 
 
-def dd08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters via iterative min-label propagation (connected
-    components) over the near-dup pair graph: each doc's label starts as
-    its own id and is repeatedly replaced by the minimum label among its
-    neighbors until fixpoint. The loop is a driver-side iteration over
-    DataFrames (each step is a distributed join+agg — the standard Spark
-    pattern for small-diameter iterative graph algorithms; for web-scale
-    graphs swap in the large-star/small-star variant). Deterministic, so
-    the oracle replays it with a recursive CTE."""
-    pairs = dd02_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-    # iterative DataFrame algorithms MUST truncate lineage per step —
-    # otherwise each iteration's plan embeds the previous one and planning
-    # cost grows exponentially (localCheckpoint = in-memory cut point)
+def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Connected components over an undirected edge list ``(id_a, id_b)``
+    (both directions present) → ``(node, label)`` where label = the
+    minimum node id reachable from ``node``.
+
+    Min-label propagation run to FIXPOINT: each iteration takes the min
+    over neighbor labels, then pointer-jumps (label ← label(label)) so
+    labels race down already-discovered paths — one-hop propagation alone
+    moves a component's minimum a single edge per iteration (a k-node
+    chain would need k rounds), while the jump step gives logarithmic
+    convergence. Termination is detected by counting changed labels (one
+    cheap agg per round on the checkpointed label table), not guessed
+    with a fixed round count. Each step localCheckpoints — iterative
+    DataFrame algorithms must truncate lineage or planning cost compounds
+    per round."""
     edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("id_a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
-    # near-dup clusters have tiny diameter; 8 halvings cover 2^8 chains
-    for _ in range(8):
+    for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.node)
             .groupBy(F.col("id_a").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(neighbor_min, labels.node == F.col("node2"), "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("mid"),
+        )
+        # pointer jump: every label value is itself a node in the label
+        # table, so label(label) is a self-join — path doubling
+        jump = labels.select(F.col("node").alias("jnode"), F.col("label").alias("jlabel"))
         new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            stepped.join(jump, stepped.mid == jump.jnode, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                "old_label",
+                F.least(F.col("mid"), F.coalesce(F.col("jlabel"), F.col("mid"))).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            # fixpoint: label(u) == label(v) across every edge, and labels
+            # only ever decrease toward the component min — done
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def dd08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the near-dup pair
+    graph (``connected_components`` fixpoint propagation), reported as
+    per-cluster stats. Deterministic, so the oracle replays it with a
+    recursive CTE."""
+    pairs = dd02_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    labels = connected_components(edges)
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("min_member"),
