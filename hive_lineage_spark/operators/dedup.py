@@ -397,47 +397,71 @@ DD05_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
+TILE_ROWS = 2048  # rows per block: 2048 × 64 doubles ≈ 1 MB per side per task
+
+
 def dd06_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.5) as a block matrix product:
-    the probe side streams through Arrow-batched ``mapInPandas`` and each
-    block is multiplied (BLAS dgemm) against a broadcast normalized matrix
-    of the build side. ~30× faster than per-element JVM lambda folds and
-    exactly the tiled brute-force layout used at scale — on 100 TB the
-    build side is tiled into broadcast-sized chunks (or replaced by the
-    IVF cells of similarity.ss02) while the probe side streaming and the
-    dgemm kernel stay unchanged."""
+    """Embedding near-dup pairs (cosine ≥ 0.5) as a DISTRIBUTED tiled
+    matrix product: embeddings are packed into ~TILE_ROWS-row blocks
+    (groupBy on vec_id mod B), the block table is self-joined on
+    block_a ≤ block_b (upper triangle — each unordered pair of vectors
+    lands in exactly one tile), and each tile row is multiplied with one
+    BLAS dgemm inside Arrow-batched ``mapInPandas``. No driver collect
+    anywhere: the quadratic work is spread over B·(B+1)/2 tiles with
+    ≤ 2·TILE_ROWS×dim doubles held per task, so the operator survives a
+    build side that no longer fits one machine. (All-pairs cosine is the
+    documented exactness baseline; at corpus scale the pruning path is
+    the IVF variant ``similarity.ss02`` over the same kernel.)"""
+    import math
+
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    build = e.toPandas()  # build side: 64 doubles/row — broadcastable
-    ids_b = build["vec_id"].to_numpy()
-    mat_b = np.array(build["v"].tolist(), dtype=np.float64)
-    mat_b = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids_b, mat_b))
+    n_blocks = max(1, math.ceil(e.count() / TILE_ROWS))
+    packed = (
+        e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
+    )
+    tiles = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("b.rows").alias("rows_b"),
+        )
+    )
 
-    def block(batches):
-        idsb, matb = bc.value
+    def unpack(rows):
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def tile(batches):
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ida = pdf["vec_id"].to_numpy()
-            mata = np.array(pdf["v"].tolist(), dtype=np.float64)
-            mata = mata / np.linalg.norm(mata, axis=1, keepdims=True)
-            sims = mata @ matb.T
-            ia, ib = np.where(sims >= COSINE_T)
-            keep = ida[ia] < idsb[ib]
-            yield pd.DataFrame(
-                {
-                    "id_a": ida[ia][keep],
-                    "id_b": idsb[ib][keep],
-                    "cosine": np.round(sims[ia, ib][keep], 6),
-                }
-            )
+            for blk_a, blk_b, rows_a, rows_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ida, mata = unpack(rows_a)
+                idb, matb = unpack(rows_b)
+                sims = mata @ matb.T
+                ia, ib = np.where(sims >= COSINE_T)
+                if blk_a == blk_b:
+                    # diagonal tile: both orientations present — keep the
+                    # upper triangle only
+                    keep = ida[ia] < idb[ib]
+                    ia, ib = ia[keep], ib[keep]
+                lo, hi = np.minimum(ida[ia], idb[ib]), np.maximum(ida[ia], idb[ib])
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cosine": np.round(sims[ia, ib], 6)}
+                )
 
-    return e.mapInPandas(block, schema="id_a long, id_b long, cosine double")
+    return tiles.mapInPandas(tile, schema="id_a long, id_b long, cosine double")
 
 
 DD06_SQL = f"""

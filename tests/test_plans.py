@@ -120,3 +120,40 @@ def test_ivf_centroid_assignment_is_broadcast(spark):
     df = ss.ss02_ann_ivf(spark, SF)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embed_cosine_has_no_driver_collect(spark, monkeypatch):
+    """dd06's build side must be tiled distributively — constructing AND
+    executing it must never pull the embeddings table to the driver."""
+    from pyspark.sql import DataFrame
+
+    import hive_lineage_spark.operators.dedup as dd
+
+    def _boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver-side collect in dd06's plan path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", _boom)
+    # sf0.001 has no pairs at the production threshold; lower it so the
+    # count job has real work end-to-end
+    monkeypatch.setattr(dd, "COSINE_T", 0.3)
+    monkeypatch.setattr(dd, "TILE_ROWS", 128)
+    n = dd.dd06_embed_cosine_dup(spark, SF).count()
+    assert n == 920  # exact pair count from the DuckDB oracle at t=0.3
+
+
+def test_embed_cosine_multi_tile_matches_single_tile(spark, monkeypatch):
+    """Shrinking the tile size (500 rows → 4 blocks → 10 tiles) must not
+    change the pair set: every unordered pair lands in exactly one tile."""
+    import hive_lineage_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "COSINE_T", 0.3)
+
+    def rows(df):
+        return {(r.id_a, r.id_b, r.cosine) for r in df.collect()}
+
+    single = rows(dd.dd06_embed_cosine_dup(spark, SF))
+    monkeypatch.setattr(dd, "TILE_ROWS", 128)
+    multi = rows(dd.dd06_embed_cosine_dup(spark, SF))
+    assert single == multi and len(single) == 920
