@@ -183,22 +183,25 @@ def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = po.join(dfreq, "gh").withColumn("rk", F.row_number().over(w)).join(sizes, "doc_id")
     prefix = ranked.filter(
         F.col("rk") <= F.col("n_grams") - F.ceil(F.col("n_grams") * JACCARD_T) + 1
-    ).select("doc_id", "gh", "rk", "n_grams")
+    ).select("doc_id", "gh", "rk")
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter: under the global order, every shared
     # element other than the first shared prefix gram is ordered after it,
     # so overlap ≤ 1 + min(|A|-rkA, |B|-rkB) at the minimal shared ranks;
     # pairs whose bound can't reach α = ⌈t/(1+t)·(|A|+|B|)⌉ are pruned
-    # before the (expensive) exact verification.
-    cand = (
+    # before the (expensive) exact verification. Doc sizes are joined onto
+    # the (much smaller) post-groupBy candidate set rather than carried
+    # through the prefix self-join shuffle — prefix rows stay 3 longs wide.
+    cand0 = (
         a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(
-            F.min("a.rk").alias("min_ra"),
-            F.min("b.rk").alias("min_rb"),
-            F.first("a.n_grams").alias("na"),
-            F.first("b.n_grams").alias("nb"),
-        )
+        .agg(F.min("a.rk").alias("min_ra"), F.min("b.rk").alias("min_rb"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    cand = (
+        cand0.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(
             1 + F.least(F.col("na") - F.col("min_ra"), F.col("nb") - F.col("min_rb"))
             >= F.ceil((F.col("na") + F.col("nb")) * (JACCARD_T / (1 + JACCARD_T)))
