@@ -38,11 +38,16 @@ from .rules import normalize
 
 def default_table_resolver(path: str) -> str | None:
     """Map a scan root path to a table name: ``.../<name>.parquet`` →
-    ``name`` (the TESTDATA layout); otherwise None (treated as a
-    directory/temp input, like the reference's DirectoryDef)."""
+    ``name`` (the TESTDATA layout), and the registry's µs-normalized
+    scratch convention ``.scratch/<sf>/<name>_us/`` → ``name`` (streaming
+    sources read that directory, not the file inside it); otherwise None
+    (treated as a directory/temp input, like the reference's
+    DirectoryDef)."""
     base = os.path.basename(path.rstrip("/"))
     if base.endswith(".parquet"):
         return base[: -len(".parquet")]
+    if base.endswith("_us") and ".scratch" in path:
+        return base[: -len("_us")]
     return None
 
 
@@ -195,6 +200,17 @@ class LineageTracker:
         """Track from a py4j QueryExecution handle (what the listener gets)."""
         return self.track_captured(capture_qe(jqe), name)
 
+    def track_stream_def(self, df: DataFrame, name: str = "stream") -> QueryLineage:
+        """Track the DEFINITION of a streaming DataFrame before (or
+        without) running it: column lineage from the analyzed plan, with
+        StreamingRelation leaves resolved to their source tables. The
+        per-micro-batch runtime analog is ``install_streaming``."""
+        from .plans.capture import capture_streaming_def
+
+        ql = self.track_captured(capture_streaming_def(df), name)
+        ql.command_type = "STREAM"
+        return ql
+
     # -- live hook: automatic capture of every query -------------------------
 
     def install(self, spark) -> None:
@@ -229,6 +245,79 @@ class LineageTracker:
         if getattr(self, "_jlistener", None) is not None:
             spark._jsparkSession.listenerManager().unregister(self._jlistener)
             self._jlistener = None
+
+    def track_stream_query(self, query, name: str = "stream") -> QueryLineage | None:
+        """Deterministically capture the LAST COMPLETED micro-batch of a
+        streaming query (valid during the run or after stop — the py4j
+        handle outlives termination). Each micro-batch's
+        IncrementalExecution is a full QueryExecution whose sources are
+        materialized as batch relations over that batch's files, so the
+        normal capture path applies. Pair with ``trigger(once=True)``
+        when "last batch" must mean "the batch with all the data" —
+        processAllAvailable and availableNow both follow the data batch
+        with an empty watermark-flush batch, which would then be the last
+        execution. Returns None before any batch ran."""
+        le = query._jsq.streamingQuery().lastExecution()
+        if le is None:
+            return None
+        batch_id = le.currentBatchId()
+        ql = self.track_qe(le, name=f"{name}:batch{batch_id}")
+        ql.command_type = "STREAM"
+        return ql
+
+    def install_streaming(self, spark) -> None:
+        """Register a StreamingQueryListener that captures micro-batch
+        lineage automatically: batch QueryExecutionListeners never see
+        streaming queries, so this is the streaming half of ``install``.
+        On each progress event the active query's ``lastExecution`` feeds
+        ``track_qe``, tagged ``stream:<query>:batch<actual-batch-id>``.
+        The listener bus is asynchronous, so a fast follow-up batch can
+        replace ``lastExecution`` before the event is handled — captures
+        are per-batch SAMPLES (deduped by batch id), not a guaranteed
+        log; use ``track_stream_query`` for a deterministic capture.
+        Best-effort by design: a hook must never break the stream."""
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        tracker, session = self, spark
+        seen: set[tuple[str, int]] = set()
+
+        class _StreamLineageListener(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                try:
+                    p = event.progress
+                    q = session.streams.get(str(p.id))
+                    if q is None:
+                        return
+                    le = q._jsq.streamingQuery().lastExecution()
+                    if le is None:
+                        return
+                    batch_id = le.currentBatchId()
+                    key = (str(p.id), batch_id)
+                    if key in seen:
+                        return
+                    seen.add(key)
+                    label = p.name or str(p.id)[:8]
+                    ql = tracker.track_qe(le, name=f"stream:{label}:batch{batch_id}")
+                    ql.command_type = "STREAM"
+                except Exception:  # noqa: BLE001 — never break the stream
+                    pass
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        self._stream_listener = _StreamLineageListener()
+        spark.streams.addListener(self._stream_listener)
+
+    def uninstall_streaming(self, spark) -> None:
+        if getattr(self, "_stream_listener", None) is not None:
+            spark.streams.removeListener(self._stream_listener)
+            self._stream_listener = None
 
     def track_offline(self, path: str, name: str = "replay") -> QueryLineage:
         """Offline plan replay: analyze a plan saved with Captured.save —

@@ -46,6 +46,13 @@ _LEAF_KINDS = {
     "InMemoryRelation",
     # localCheckpoint() / RDD-backed data: same boundary, "checkpoint:<n>"
     "LogicalRDD",
+    # streaming sources (pre-execution streaming plans; micro-batch plans
+    # instead materialize them as LogicalRelation/LocalRelation)
+    "StreamingRelation",
+    "StreamingRelationV2",
+    "StreamingExecutionRelation",
+    "StreamingDataSourceV2Relation",
+    "StreamingDataSourceV2ScanRelation",
     # physical scan leaves (cached-subplan analysis; Exec suffix stripped)
     "FileSourceScan",
     "RowDataSourceScan",

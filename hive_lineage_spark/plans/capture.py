@@ -201,7 +201,13 @@ def leaf_scan_paths(jlogical) -> list[list[str]]:
             loc = leaf.relation().location().rootPaths()
             paths = [str(loc.apply(j)) for j in range(loc.size())]
         except Exception:  # noqa: BLE001 — views/in-memory relations have no path
-            pass
+            # streaming source leaf: the path hides in the DataSource options
+            try:
+                opt = leaf.dataSource().options().get("path")
+                if opt.isDefined():
+                    paths = [str(opt.get())]
+            except Exception:  # noqa: BLE001
+                pass
         out.append(paths)
     return out
 
@@ -252,6 +258,24 @@ def capture(df: DataFrame) -> Captured:
     return capture_qe(df._jdf.queryExecution())
 
 
+def capture_streaming_def(df: DataFrame) -> Captured:
+    """Capture the DEFINITION of a streaming DataFrame (pre-execution):
+    streaming plans cannot be optimized/executed outside writeStream, so
+    this captures the analyzed plan — exprIds are already assigned there,
+    which is all column lineage needs. Leaves are StreamingRelation nodes
+    whose source path comes from the DataSource options."""
+    qe = df._jdf.queryExecution()
+    jlogical = qe.analyzed()
+    raw_logical = json.loads(jlogical.toJSON())
+    return Captured(
+        logical=parse_tree(raw_logical),
+        physical=None,
+        leaf_paths=leaf_scan_paths(jlogical),
+        logical_str=jlogical.toString(),
+        raw_logical=raw_logical,
+    )
+
+
 def capture_qe(qe) -> Captured:
     """Capture from a py4j QueryExecution handle directly — the form the
     QueryExecutionListener hook receives (≈ PostExecHook.run's HookContext
@@ -287,6 +311,12 @@ _LOGICAL_KIND = {
     "HiveTableRelation": "Scan",
     "DataSourceV2Relation": "Scan",
     "DataSourceV2ScanRelation": "Scan",
+    "StreamingRelation": "Scan",
+    "StreamingRelationV2": "Scan",
+    "StreamingExecutionRelation": "Scan",
+    "StreamingDataSourceV2Relation": "Scan",
+    "StreamingDataSourceV2ScanRelation": "Scan",
+    "EventTimeWatermark": "Watermark",
     "LocalRelation": "LocalScan",
     "OneRowRelation": "OneRow",
     "Filter": "Filter",
