@@ -351,7 +351,13 @@ def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole bucketing: if two signatures differ in ≤3 bits, at least one
     of their 4 bytes is identical — so the band join has 100% recall and
     the hamming filter makes the result exact. At scale this is a shuffle
-    on (band, byte) keys instead of an n² bit comparison."""
+    on (band, byte) keys instead of an n² bit comparison.
+
+    A pair whose signatures agree on k bands would surface k times; both
+    signatures ride along in the joined row, so each pair is kept only at
+    its FIRST matching band (filter: every earlier band's byte differs) —
+    exactly-once output with a codegen filter instead of a second
+    shuffle (`distinct`) over the whole candidate set."""
     sim = _simhash(spark, sf_dir)
     bands = sim.select(
         "doc_id",
@@ -376,14 +382,25 @@ def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(_no_earlier_band_match())
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+def _no_earlier_band_match():
+    """True iff no band BEFORE the joined one has equal bytes — dedups
+    multi-band matches to the first matching band, pair-exactly-once."""
+    cond = F.lit(True)
+    for bp in range(4):
+        byte_a = F.shiftright(F.col("a.simhash"), bp * 8).bitwiseAND(F.lit(255))
+        byte_b = F.shiftright(F.col("b.simhash"), bp * 8).bitwiseAND(F.lit(255))
+        cond = cond & ((F.col("a.band") <= F.lit(bp)) | (byte_a != byte_b))
+    return cond
 
 
 DD05_SQL = f"""
