@@ -42,7 +42,16 @@ def default_table_resolver(path: str) -> str | None:
     scratch convention ``.scratch/<sf>/<name>_us/`` → ``name`` (streaming
     sources read that directory, not the file inside it); otherwise None
     (treated as a directory/temp input, like the reference's
-    DirectoryDef)."""
+    DirectoryDef). Versioned-table data files (``<table>/data/v*/part-*``
+    with a ``_vlog`` commit log at the root — sources/vtable.py) resolve
+    to the table root's name, checked FIRST so the ``.parquet`` file rule
+    doesn't claim the individual part files."""
+    local = re.sub(r"^file:/+", "/", path)
+    marker = local.find(f"{os.sep}data{os.sep}")
+    if marker != -1:
+        vroot = local[:marker]
+        if os.path.isdir(os.path.join(vroot, "_vlog")):
+            return os.path.basename(vroot.rstrip(os.sep))
     base = os.path.basename(path.rstrip("/"))
     if base.endswith(".parquet"):
         return base[: -len(".parquet")]

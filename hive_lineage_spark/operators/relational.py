@@ -552,6 +552,32 @@ def q30_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_vtable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table (sources/vtable.py) time travel: build a nation
+    vtable as three commits — v0 overwrite (regions 0-1), v1 append
+    (regions 2-4), v2 overwrite (region 0 only) — then compare the v1
+    snapshot (full nation) against the latest snapshot per region. The
+    log-as-manifest read never lists the data directory; both snapshots
+    resolve immutable file sets."""
+    from ..sources.vtable import history, read_vtable, write_vtable
+
+    root = _scratch(sf_dir, "nation_vtable")
+    if len(history(root) if os.path.isdir(os.path.join(root, "_vlog")) else []) < 3:
+        n = _t(spark, sf_dir, "nation")
+        write_vtable(n.filter(F.col("n_regionkey") < 2), root, mode="overwrite")
+        write_vtable(n.filter(F.col("n_regionkey") >= 2), root, mode="append")
+        write_vtable(n.filter(F.col("n_regionkey") == 0), root, mode="overwrite")
+    v1 = read_vtable(spark, root, version=1).groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_v1")
+    )
+    latest = read_vtable(spark, root).groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_latest")
+    )
+    return v1.join(latest, "n_regionkey", "left").select(
+        "n_regionkey", "n_v1", F.coalesce("n_latest", F.lit(0)).alias("n_latest")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -587,6 +613,7 @@ QUERIES = {
     "q28_orc_roundtrip": q28_orc_roundtrip,
     "q29_csv_roundtrip": q29_csv_roundtrip,
     "q30_json_roundtrip": q30_json_roundtrip,
+    "q45_vtable_time_travel": q45_vtable_time_travel,
 }
 
 
@@ -605,6 +632,18 @@ ORACLES = {
         SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_custs,
                round(sum(round(c_acctbal, 2)), 2) AS sum_bal
         FROM customer GROUP BY c_mktsegment
+    """,
+    "q45_vtable_time_travel": """
+        WITH v1 AS (
+            SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_v1
+            FROM nation GROUP BY n_regionkey
+        ), latest AS (
+            SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_latest
+            FROM nation WHERE n_regionkey = 0 GROUP BY n_regionkey
+        )
+        SELECT v1.n_regionkey, v1.n_v1,
+               COALESCE(latest.n_latest, 0) AS n_latest
+        FROM v1 LEFT JOIN latest USING (n_regionkey)
     """,
     "q02_project_alias": """
         SELECT l_orderkey AS okey, l_linenumber AS lineno,

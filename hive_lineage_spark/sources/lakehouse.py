@@ -6,6 +6,11 @@ lineage layer resolves their scans by location exactly like file scans —
 but their jars are not on this environment's classpath, so each connector
 is gated behind an import/classpath probe and raises a clear error
 instead of a py4j ClassNotFound stack.
+
+For the lakehouse MECHANICS without external jars, ``vtable.py``
+implements the protocol natively (commit-log manifest, snapshot reads,
+time travel, compaction, data skipping) — use it where Delta/Iceberg
+jars are unavailable.
 """
 
 from __future__ import annotations

@@ -1,0 +1,241 @@
+"""Versioned parquet table ("vtable") — a native, jar-free lakehouse
+format with the core Delta-Lake-style mechanics the gated connectors in
+``lakehouse.py`` would provide: an append-only JSON commit log that IS
+the file manifest, snapshot-isolated reads, time travel (by version or
+timestamp), table history, compaction, and per-file min/max column stats
+for data skipping.
+
+Layout::
+
+    <root>/_vlog/00000000.json     one commit per file, monotonically
+    <root>/_vlog/00000001.json     numbered; created with O_EXCL so a
+    ...                            losing concurrent writer fails cleanly
+    <root>/data/v<version>-<uuid>/part-*.parquet   immutable data files
+
+Commit entry::
+
+    {"version": n, "ts": epoch, "op": "overwrite"|"append"|"compact",
+     "schema": <Spark schema json>,
+     "add":    [{"path": rel, "stats": {col: [min, max]} | null}, ...],
+     "remove": [rel, ...]}
+
+Why this scales (the same reasons Delta/Iceberg do):
+
+- **The log is the manifest.** A read replays O(commits) small JSON
+  files and never LISTs the data directory — on an object store that
+  turns an O(files) LIST storm into a few GETs.
+- **Immutable data files + atomic log append** give snapshot isolation:
+  a reader that resolved version N keeps a consistent file set even
+  while writers commit N+1.
+- **Data skipping**: per-file min/max stats recorded at write time let
+  ``read_vtable(..., prune=(col, lo, hi))`` drop non-overlapping files
+  BEFORE Spark plans the scan — the scan's file index never sees them
+  (complementing row-group pushdown inside the files that survive).
+- Reads hand Spark an explicit file list with an explicit schema, so
+  column pruning and predicate pushdown work exactly as for any parquet
+  scan, and the lineage layer resolves the files back to the table root
+  (``hook.default_table_resolver``).
+
+Single-writer-per-commit is assumed (O_EXCL create on local/HDFS
+semantics; an object-store port would use a conditional PUT — the same
+protocol point Delta's LogStore abstracts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOG_DIR = "_vlog"
+
+
+def _strip_scheme(path: str) -> str:
+    return path[5:] if path.startswith("file:") else path
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(_strip_scheme(root), LOG_DIR)
+
+
+def _commit_files(root: str) -> list[str]:
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f for f in os.listdir(d) if f.endswith(".json"))
+
+
+def is_vtable(root: str) -> bool:
+    return bool(_commit_files(root))
+
+
+def _write_commit(root: str, version: int, entry: dict) -> None:
+    """Atomic create-exclusive commit: a concurrent writer that lost the
+    race to this version number gets FileExistsError instead of silently
+    clobbering history."""
+    final = os.path.join(_log_dir(root), f"{version:08d}.json")
+    with open(final, "x") as f:
+        json.dump(entry, f)
+
+
+def _replay(root: str, version: int | None = None, timestamp: float | None = None):
+    """Replay the log to the requested snapshot. Returns
+    (schema_json, {rel_path: stats|None}, effective_version)."""
+    files = _commit_files(root)
+    if not files:
+        raise FileNotFoundError(f"not a vtable (no {LOG_DIR}/ commits): {root}")
+    commits = []
+    for fname in files:
+        with open(os.path.join(_log_dir(root), fname)) as f:
+            commits.append(json.load(f))
+    if timestamp is not None:
+        commits = [c for c in commits if c["ts"] <= timestamp]
+        if not commits:
+            raise ValueError(f"no commit at or before timestamp {timestamp}")
+    if version is not None:
+        if version >= len(commits):
+            raise ValueError(f"version {version} does not exist (latest: {len(commits) - 1})")
+        commits = commits[: version + 1]
+    active: dict[str, dict | None] = {}
+    for c in commits:
+        if c["op"] == "overwrite":
+            active = {}
+        for rel in c.get("remove", []):
+            active.pop(rel, None)
+        for add in c["add"]:
+            active[add["path"]] = add.get("stats")
+    return commits[-1]["schema"], active, commits[-1]["version"]
+
+
+def _collect_stats(spark: SparkSession, data_dir: str, stats_cols: list[str]) -> dict:
+    """Per-file min/max for the given columns — one aggregation over the
+    freshly written files, O(#files) result rows (not data) at the
+    driver. ``_metadata.file_path`` is the engine-provided file identity."""
+    df = spark.read.parquet(data_dir).select(
+        F.col("_metadata.file_path").alias("__file"), *stats_cols
+    )
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    out = {}
+    for r in df.groupBy("__file").agg(*aggs).collect():
+        out[os.path.basename(r["__file"])] = {
+            c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
+        }
+    return out
+
+
+def write_vtable(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+    _op: str | None = None,
+    _remove: list[str] | None = None,
+) -> int:
+    """Commit ``df`` as a new table version; returns the version number.
+    ``mode`` is ``append`` or ``overwrite``; ``stats_cols`` opts columns
+    into per-file min/max stats for read-time data skipping."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    root = _strip_scheme(root)
+    os.makedirs(_log_dir(root), exist_ok=True)
+    version = len(_commit_files(root))
+    data_rel = os.path.join("data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
+    data_dir = os.path.join(root, data_rel)
+    df.write.mode("error").parquet(data_dir)
+    part_files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+    stats = (
+        _collect_stats(df.sparkSession, data_dir, stats_cols) if stats_cols and part_files else {}
+    )
+    entry = {
+        "version": version,
+        "ts": time.time(),
+        "op": _op or mode,
+        "schema": df.schema.json(),
+        "add": [{"path": f"{data_rel}/{f}", "stats": stats.get(f)} for f in part_files],
+        "remove": _remove or [],
+    }
+    _write_commit(root, version, entry)
+    return version
+
+
+def read_vtable(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Snapshot read. ``version``/``timestamp`` time-travel; ``prune``
+    = (col, lo, hi) drops files whose recorded [min, max] cannot
+    intersect [lo, hi] before Spark ever plans the scan (files without
+    stats are conservatively kept). The pruning is an optimization only —
+    apply the real filter on the returned DataFrame as usual."""
+    root = _strip_scheme(root)
+    schema_json, active, _ = _replay(root, version, timestamp)
+    schema = StructType.fromJson(json.loads(schema_json))
+    rels = sorted(active)
+    if prune is not None:
+        col, lo, hi = prune
+        kept = []
+        for rel in rels:
+            st = active[rel]
+            if st is None or col not in st or st[col][0] is None:
+                kept.append(rel)
+                continue
+            mn, mx = st[col]
+            if not (mx < lo or mn > hi):
+                kept.append(rel)
+        rels = kept
+    if not rels:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*[os.path.join(root, r) for r in rels])
+
+
+def history(root: str) -> list[dict]:
+    """Commit history, oldest first: version, ts, op, files added/removed."""
+    root = _strip_scheme(root)
+    out = []
+    for fname in _commit_files(root):
+        with open(os.path.join(_log_dir(root), fname)) as f:
+            c = json.load(f)
+        out.append(
+            {
+                "version": c["version"],
+                "ts": c["ts"],
+                "op": c["op"],
+                "n_added": len(c["add"]),
+                "n_removed": len(c.get("remove", [])),
+            }
+        )
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    num_files: int = 1,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Rewrite the current active file set into ``num_files`` files
+    (small-file compaction, ≈ Delta OPTIMIZE): one commit that adds the
+    rewritten files and removes every prior active file. Content is
+    bit-identical; time travel to pre-compaction versions still resolves
+    the old (immutable) files."""
+    root = _strip_scheme(root)
+    _, active, _ = _replay(root)
+    current = read_vtable(spark, root)
+    return write_vtable(
+        current.coalesce(num_files),
+        root,
+        mode="append",
+        stats_cols=stats_cols,
+        _op="compact",
+        _remove=sorted(active),
+    )

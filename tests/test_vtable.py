@@ -1,0 +1,131 @@
+"""Versioned parquet table (sources/vtable.py): commit log as manifest,
+snapshot reads, time travel, overwrite semantics, compaction, min/max
+data skipping, commit exclusivity, and lineage resolution of vtable data
+files back to the table root."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_lineage_spark.sources.vtable import (
+    compact,
+    history,
+    is_vtable,
+    read_vtable,
+    write_vtable,
+    _write_commit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "events_vt")
+
+
+def _nation(spark):
+    return spark.read.parquet(os.path.join(SF, "nation.parquet"))
+
+
+def test_append_accumulates_and_overwrite_replaces(spark, root):
+    n = _nation(spark)
+    v = write_vtable(n.filter("n_regionkey < 2"), root, mode="overwrite")
+    assert v == 0 and is_vtable(root)
+    write_vtable(n.filter("n_regionkey >= 2"), root, mode="append")
+    assert read_vtable(spark, root).count() == n.count()
+    # overwrite drops every earlier file from the snapshot
+    write_vtable(n.filter("n_regionkey = 0"), root, mode="overwrite")
+    got = read_vtable(spark, root)
+    assert got.count() == n.filter("n_regionkey = 0").count()
+    assert got.select("n_regionkey").distinct().collect()[0][0] == 0
+
+
+def test_time_travel_by_version_and_timestamp(spark, root):
+    n = _nation(spark)
+    write_vtable(n.filter("n_regionkey < 2"), root, mode="overwrite")
+    write_vtable(n.filter("n_regionkey >= 2"), root, mode="append")
+    write_vtable(n.filter("n_regionkey = 0"), root, mode="overwrite")
+    assert read_vtable(spark, root, version=0).count() == n.filter("n_regionkey < 2").count()
+    assert read_vtable(spark, root, version=1).count() == n.count()
+    # timestamp travel: as-of v1's commit time sees v1
+    ts_v1 = history(root)[1]["ts"]
+    assert read_vtable(spark, root, timestamp=ts_v1).count() == n.count()
+    with pytest.raises(ValueError, match="does not exist"):
+        read_vtable(spark, root, version=9)
+
+
+def test_history_records_ops(spark, root):
+    n = _nation(spark)
+    write_vtable(n, root, mode="overwrite")
+    write_vtable(n.limit(3), root, mode="append")
+    compact(spark, root, num_files=1)
+    h = history(root)
+    assert [c["op"] for c in h] == ["overwrite", "append", "compact"]
+    assert [c["version"] for c in h] == [0, 1, 2]
+    assert h[2]["n_removed"] > 0
+
+
+def test_compact_preserves_content_and_old_versions(spark, root):
+    n = _nation(spark)
+    write_vtable(n.repartition(4), root, mode="overwrite")
+    before = {tuple(r) for r in read_vtable(spark, root).collect()}
+    n_files_before = len(read_vtable(spark, root).inputFiles())
+    compact(spark, root, num_files=1)
+    after_df = read_vtable(spark, root)
+    assert {tuple(r) for r in after_df.collect()} == before
+    assert len(after_df.inputFiles()) == 1 < n_files_before
+    # pre-compaction snapshot still resolves the original files
+    assert len(read_vtable(spark, root, version=0).inputFiles()) == n_files_before
+
+
+def test_stats_prune_skips_files(spark, root):
+    # range-partitioned write → disjoint per-file key ranges → pruning
+    # must hand Spark strictly fewer files, same filtered content
+    e = (
+        spark.read.parquet(os.path.join(SF, "customer.parquet"))
+        .select("c_custkey", "c_acctbal")
+        .repartitionByRange(4, "c_custkey")
+    )
+    write_vtable(e, root, mode="overwrite", stats_cols=["c_custkey"])
+    full = read_vtable(spark, root)
+    pruned = read_vtable(spark, root, prune=("c_custkey", 1, 10))
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    want = {tuple(r) for r in full.filter("c_custkey BETWEEN 1 AND 10").collect()}
+    got = {tuple(r) for r in pruned.filter("c_custkey BETWEEN 1 AND 10").collect()}
+    assert got == want
+
+
+def test_commit_is_create_exclusive(spark, root):
+    write_vtable(_nation(spark), root, mode="overwrite")
+    with pytest.raises(FileExistsError):
+        _write_commit(root, 0, {"version": 0, "ts": 0, "op": "append", "schema": "{}", "add": []})
+
+
+def test_empty_snapshot_keeps_schema(spark, root):
+    n = _nation(spark)
+    write_vtable(n.filter("n_regionkey < 0"), root, mode="overwrite")
+    got = read_vtable(spark, root)
+    assert got.count() == 0
+    assert got.columns == n.columns
+
+
+def test_lineage_resolves_vtable_scan_to_table_root(spark, root):
+    from hive_lineage_spark.hook import LineageTracker
+
+    shutil.rmtree(root, ignore_errors=True)
+    root_named = os.path.join(os.path.dirname(root), "nation_versioned")
+    write_vtable(_nation(spark), root_named, mode="overwrite")
+    df = (
+        read_vtable(spark, root_named)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()
+    ql = LineageTracker().track(df, name="vt")
+    assert ql.result.input_tables == ["nation_versioned"]
+    assert ql.column_map()["n_regionkey"] == {("nation_versioned", "n_regionkey")}
