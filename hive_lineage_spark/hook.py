@@ -26,6 +26,7 @@ import json
 import os
 import re
 from dataclasses import dataclass, field
+from types import SimpleNamespace
 
 from pyspark.sql import DataFrame
 
@@ -114,6 +115,35 @@ class QueryLineage:
         return json.dumps(doc, indent=2)
 
 
+class _MergedWriter:
+    """Union of multiple tracked commits to the same versioned table:
+    reads of a vtable snapshot built from several append commits stitch
+    to EVERY contributing writer, not just the last one. Duck-types the
+    writer surface the stitchers use (column_map / result.input_tables /
+    logical)."""
+
+    def __init__(self, writers: list[QueryLineage]):
+        self.writers = writers
+
+    def column_map(self) -> dict[str, frozenset]:
+        out: dict[str, frozenset] = {}
+        for w in self.writers:
+            for c, bases in w.column_map().items():
+                out[c] = out.get(c, frozenset()) | bases
+        return out
+
+    @property
+    def result(self):
+        tables = sorted({t for w in self.writers for t in w.result.input_tables})
+        return SimpleNamespace(input_tables=tables)
+
+    @property
+    def logical(self) -> GNode:
+        if len(self.writers) == 1:
+            return self.writers[0].logical
+        return GNode(kind="Union", detail=(), children=tuple(w.logical for w in self.writers))
+
+
 @dataclass
 class LineageTracker:
     """Driver-side lineage session (≈ the installed PostExecHook)."""
@@ -121,8 +151,11 @@ class LineageTracker:
     table_resolver: object = default_table_resolver
     model: Model = field(default_factory=Model)
     queries: list[QueryLineage] = field(default_factory=list)
-    # location map: normalized written path → the QueryLineage that wrote it
+    # location map: normalized written path (or resolved table name) → the
+    # QueryLineage (or _MergedWriter) that wrote it
     location_map: dict[str, QueryLineage] = field(default_factory=dict)
+    # versioned-table commit writers by table name, in commit order
+    _vtable_writers: dict[str, list[QueryLineage]] = field(default_factory=dict)
 
     # -- step 2: catalog snapshot -------------------------------------------
 
@@ -376,6 +409,39 @@ class LineageTracker:
         ql.output_path = _norm_path(path)
         self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
         self.location_map[ql.output_path] = ql
+        return ql
+
+    def track_write_vtable(
+        self,
+        df: DataFrame,
+        root: str,
+        mode: str = "append",
+        stats_cols: list[str] | None = None,
+        name: str = "vtable-commit",
+    ) -> QueryLineage:
+        """Commit ``df`` to a versioned table (sources/vtable.py) and
+        record the commit as a lineage sink. Later tracked reads of the
+        table stitch to the UNION of tracked commits (a snapshot built
+        from several appends has several writers); an overwrite commit
+        resets the writer set, matching snapshot semantics. The map is
+        keyed by the resolved table name — the same name
+        ``default_table_resolver`` gives the table's data files at read
+        time."""
+        from .sources.vtable import write_vtable
+
+        version = write_vtable(df, root, mode=mode, stats_cols=stats_cols)
+        ql = self.track(df, name=f"{name}:v{version}")
+        ql.command_type = "INSERT"
+        ql.output_path = _norm_path(root)
+        key = os.path.basename(ql.output_path)
+        writers = self._vtable_writers.setdefault(key, [])
+        if mode == "overwrite":
+            writers.clear()
+        writers.append(ql)
+        self.location_map[key] = (
+            ql if len(writers) == 1 else _MergedWriter(list(writers))
+        )
+        self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
         return ql
 
     # -- stitching ------------------------------------------------------------

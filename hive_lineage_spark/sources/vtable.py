@@ -198,6 +198,64 @@ def read_vtable(
     return spark.read.schema(schema).parquet(*[os.path.join(root, r) for r in rels])
 
 
+def read_vtable_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental (CDC-style) read: the rows INSERTED by each commit in
+    ``[from_version, to_version]``, tagged with a ``_commit_version``
+    column — the consumer-side contract of Delta's change feed for
+    append pipelines. Compaction commits are skipped (their adds are
+    rewrites of already-delivered rows, not new data); an overwrite
+    commit's adds are delivered as inserts (removals are not replayed —
+    this is the insert feed, not a full row-level diff)."""
+    root = _strip_scheme(root)
+    files = _commit_files(root)
+    if not files:
+        raise FileNotFoundError(f"not a vtable (no {LOG_DIR}/ commits): {root}")
+    out = None
+    for fname in files:
+        with open(os.path.join(_log_dir(root), fname)) as f:
+            c = json.load(f)
+        v = c["version"]
+        if v < from_version or (to_version is not None and v > to_version):
+            continue
+        if c["op"] == "compact" or not c["add"]:
+            continue
+        schema = StructType.fromJson(json.loads(c["schema"]))
+        part = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(root, a["path"]) for a in c["add"]])
+            .withColumn("_commit_version", F.lit(v))
+        )
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+    if out is None:
+        schema_json, _, _ = _replay(root)
+        schema = StructType.fromJson(json.loads(schema_json)).add("_commit_version", "int")
+        return spark.createDataFrame([], schema)
+    return out
+
+
+def read_vtable_stream(spark: SparkSession, root: str) -> DataFrame:
+    """Treat the table as a Structured Streaming source: the file stream
+    monitors the immutable data directory, so each new commit's files
+    arrive as a micro-batch — a native incremental pipeline over the
+    table with watermarks/stateful ops downstream. Suitable for
+    APPEND-ONLY tables: file sources cannot subtract, so overwrite or
+    compaction commits would re-deliver rewritten rows (Delta's streaming
+    source has the same restriction unless rewrites are explicitly
+    ignored)."""
+    schema_json, _, _ = _replay(root)  # also validates the table exists
+    schema = StructType.fromJson(json.loads(schema_json))
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(_strip_scheme(root), "data", "*"))
+    )
+
+
 def history(root: str) -> list[dict]:
     """Commit history, oldest first: version, ts, op, files added/removed."""
     root = _strip_scheme(root)

@@ -16,6 +16,8 @@ from hive_lineage_spark.sources.vtable import (
     history,
     is_vtable,
     read_vtable,
+    read_vtable_changes,
+    read_vtable_stream,
     write_vtable,
     _write_commit,
 )
@@ -129,3 +131,68 @@ def test_lineage_resolves_vtable_scan_to_table_root(spark, root):
     ql = LineageTracker().track(df, name="vt")
     assert ql.result.input_tables == ["nation_versioned"]
     assert ql.column_map()["n_regionkey"] == {("nation_versioned", "n_regionkey")}
+
+
+def test_change_feed_delivers_per_commit_inserts(spark, root):
+    n = _nation(spark)
+    write_vtable(n.filter("n_regionkey = 0"), root, mode="overwrite")
+    write_vtable(n.filter("n_regionkey = 1"), root, mode="append")
+    write_vtable(n.filter("n_regionkey = 2"), root, mode="append")
+    compact(spark, root)
+    ch = read_vtable_changes(spark, root, from_version=1)
+    got = {(r["n_regionkey"], r["_commit_version"]) for r in ch.collect()}
+    # commits 1 and 2 only — compaction (v3) rewrites are not re-delivered
+    assert got == {(1, 1), (2, 2)}
+    assert read_vtable_changes(spark, root, from_version=1, to_version=1).count() == n.filter(
+        "n_regionkey = 1"
+    ).count()
+
+
+def test_streaming_source_picks_up_new_commits(spark, root):
+    n = _nation(spark)
+    write_vtable(n.filter("n_regionkey < 2"), root, mode="append")
+    stream = read_vtable_stream(spark, root)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("vt_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.table("vt_stream").count()
+        assert first == n.filter("n_regionkey < 2").count()
+        write_vtable(n.filter("n_regionkey >= 2"), root, mode="append")
+        q.processAllAvailable()
+        assert spark.table("vt_stream").count() == n.count()
+    finally:
+        q.stop()
+
+
+def test_write_read_stitches_through_union_of_commits(spark, root):
+    """Reads of a snapshot built from several tracked append commits
+    must stitch column lineage to EVERY contributing writer query."""
+    from hive_lineage_spark.hook import LineageTracker
+
+    tracker = LineageTracker()
+    c = (
+        spark.read.parquet(os.path.join(SF, "customer.parquet"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    tracker.track_write_vtable(c.filter("c_custkey % 2 = 0"), root, mode="overwrite")
+    tracker.track_write_vtable(c.filter("c_custkey % 2 = 1"), root, mode="append")
+    df = (
+        read_vtable(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+    df.collect()
+    ql = tracker.track(df, name="readback")
+    assert ql.result.input_tables == ["customer"]
+    assert ql.column_map()["sum_bal"] == {("customer", "c_acctbal")}
+    assert ql.column_map()["c_mktsegment"] == {("customer", "c_mktsegment")}
+    # an overwrite commit resets the writer set to just itself
+    tracker.track_write_vtable(c.limit(5), root, mode="overwrite")
+    vt = os.path.basename(root)
+    assert len(tracker._vtable_writers[vt]) == 1
