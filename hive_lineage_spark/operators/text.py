@@ -202,11 +202,50 @@ TX04_SQL = f"""
 """
 
 
+# GPT-2-style pre-tokenizer, restricted to RE2-compatible constructs (no
+# lookaround) so Spark's Java regex and DuckDB's RE2 agree: contraction
+# suffixes, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, residual whitespace runs.
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+| +"
+
+
+def tx07_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword pre-tokenization (the brief's "token counting:
+    whitespace + a BPE-ish regex"): counts pre-tokens per document by
+    class — exactly the merge units a byte-pair encoder would start
+    from. Pure codegen regex over the scan; compare n_pre vs tx01's
+    whitespace n_tokens for a fertility estimate."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_pre"),
+        F.size(F.filter(toks, lambda t: t.rlike("^ ?[A-Za-z]+$"))).alias("n_word"),
+        F.size(F.filter(toks, lambda t: t.rlike("^ ?[0-9]+$"))).alias("n_num"),
+        F.size(F.filter(toks, lambda t: t.rlike("^'"))).alias("n_contraction"),
+    )
+
+
+TX07_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_pre,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[A-Za-z]+$'))) AS INT) AS n_word,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[0-9]+$'))) AS INT) AS n_num,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^'''))) AS INT) AS n_contraction
+    FROM t
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
     "tx03_quality_score": tx03_quality_score,
     "tx04_fingerprint": tx04_fingerprint,
+    "tx07_bpe_pretokenize": tx07_bpe_pretokenize,
 }
 
 ORACLES = {
@@ -214,4 +253,5 @@ ORACLES = {
     "tx02_lang_id": TX02_SQL,
     "tx03_quality_score": TX03_SQL,
     "tx04_fingerprint": TX04_SQL,
+    "tx07_bpe_pretokenize": TX07_SQL,
 }
