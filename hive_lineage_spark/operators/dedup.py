@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     MOD,
+    MULT,
     minhash_perm,
     poly_hash_sql,
     word_ngrams,
@@ -87,29 +88,73 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", word_ngrams("text", 3).alias("grams"))
 
 
+def _modpow_expr(e, bits: int = 20):
+    """M^e mod M' as codegen square-and-multiply over constant scalars:
+    M^(2^k) are Python-computed literals, so the whole expression is
+    ~``bits`` conditional multiply/mods with no array materialization
+    (a plan-literal array would be rebuilt per row — measured 1.5×
+    slower). Covers e < 2^bits (a million-char shingle at bits=20)."""
+    sq = [MULT % MOD]
+    for _ in range(bits - 1):
+        sq.append(sq[-1] * sq[-1] % MOD)
+    e = e.cast("long")
+    acc = F.lit(1).cast("long")
+    for k in range(bits):
+        # conditional FACTOR (not conditional multiply): acc appears once
+        # per level, keeping the expression tree linear in `bits`
+        factor = F.when(e.bitwiseAND(F.lit(1 << k)) != 0, F.lit(sq[k])).otherwise(
+            F.lit(1).cast("long")
+        )
+        acc = (acc * factor) % MOD
+    return acc
+
+
 def _hashed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, gh) postings: distinct poly-hashed word trigrams per doc.
 
-    Two scale-minded choices:
+    Scale-minded choices:
     - shingles are built with posexplode + window ``lead`` (pure
       whole-stage codegen; one shuffle on doc_id) instead of array
       higher-order functions, whose per-element interpreted eval is ~10×
       slower at corpus scale;
-    - the char-level polynomial hash runs once per DISTINCT shingle (the
-      dictionary grows sublinearly with the corpus and auto-broadcasts),
-      so downstream joins compare 8-byte longs, never strings."""
+    - the char-level polynomial hash runs once per DISTINCT WORD (the
+      vocabulary — sublinear in the corpus per Heaps' law, so its
+      broadcast stays small at any scale), then each trigram's hash is
+      composed arithmetically from its word hashes via Horner
+      concatenation H(x‖y) = H(x)·M^len(y) + H(y) (mod M'), with M^e by
+      codegen square-and-multiply. The gram STRING is never
+      materialized: no gram dictionary at all — the previous design
+      broadcast a DISTINCT-SHINGLE dictionary, which grows ~linearly
+      with the corpus (broadcast OOM at 100 TB); the word vocabulary is
+      the only broadcast this path needs. Values are bit-identical to
+      hashing the concatenated gram (tests/test_property.py)."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    vocab = tok.select("w").distinct().select(
+        "w", _poly_hash_expr(F.col("w")).alias("h"), F.length("w").cast("long").alias("l")
+    )
+    tk = tok.join(F.broadcast(vocab), "w").select("doc_id", "pos", "h", "l")
     win = Window.partitionBy("doc_id").orderBy("pos")
-    grams = tok.select(
-        "doc_id",
-        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias("g"),
-        F.lead("w", 2).over(win).alias("_w2"),
-    ).filter(F.col("_w2").isNotNull()).select("doc_id", "g")
-    dictionary = grams.select("g").distinct().withColumn("gh", _poly_hash_expr(F.col("g")))
-    return grams.join(F.broadcast(dictionary), "g").select("doc_id", "gh").distinct()
+    mp = _modpow_expr
+    h1 = F.col("h")
+    h2, l2 = F.lead("h", 1).over(win), F.lead("l", 1).over(win)
+    h3, l3 = F.lead("h", 2).over(win), F.lead("l", 2).over(win)
+    space = F.lit(32).cast("long")  # ascii(' ')
+    gh = (
+        (h1 * mp(l2 + l3 + F.lit(2))) % MOD
+        + (space * mp(l2 + l3 + F.lit(1))) % MOD
+        + (h2 * mp(l3 + F.lit(1))) % MOD
+        + (space * mp(l3)) % MOD
+        + h3
+    ) % MOD
+    return (
+        tk.select("doc_id", gh.alias("gh"), l3.alias("_has3"))
+        .filter(F.col("_has3").isNotNull())
+        .select("doc_id", "gh")
+        .distinct()
+    )
 
 
 _POSTINGS_CACHE: dict = {}

@@ -128,3 +128,53 @@ def test_hash_spark_side_matches_python_model(spark):
     got = {r["s"]: r["h"] for r in df.select("s", poly_hash("s").alias("h")).collect()}
     for s in samples:
         assert got[s] == _py_poly_hash(s), s
+
+
+def test_composed_gram_hash_equals_char_hash(spark):
+    """dd02's arithmetic Horner composition of word hashes (no gram
+    string, no gram dictionary) must be bit-identical to char-hashing
+    the concatenated trigram — over documents with tricky token shapes
+    (empty tokens from double spaces, punctuation, long words)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hive_lineage_spark.functions.hashing import poly_hash
+    from hive_lineage_spark.operators import dedup
+
+    texts = [
+        "a b c d e",
+        "one two three",
+        "x  y z w",          # double space -> empty token
+        "p q r",
+        ("w" * 120 + " " + "v" * 95 + " tail more tokens here"),
+        "sym! bo? ls, and. punct u ation",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    real_docs = dedup._docs
+    dedup._docs = lambda _spark, _sf: df
+    try:
+        got = {tuple(r) for r in dedup._hashed_postings(spark, "ignored").collect()}
+    finally:
+        dedup._docs = real_docs
+
+    from pyspark.sql import Window
+
+    tok = df.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+            ).alias("g"),
+            F.lead("w", 2).over(win).alias("_w2"),
+        )
+        .filter(F.col("_w2").isNotNull())
+    )
+    want = {
+        tuple(r)
+        for r in grams.select("doc_id", poly_hash(F.col("g")).alias("gh")).distinct().collect()
+    }
+    assert got == want
