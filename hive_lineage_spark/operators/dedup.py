@@ -88,25 +88,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", word_ngrams("text", 3).alias("grams"))
 
 
-def _modpow_expr(e, bits: int = 20):
-    """M^e mod M' as codegen square-and-multiply over constant scalars:
-    M^(2^k) are Python-computed literals, so the whole expression is
-    ~``bits`` conditional multiply/mods with no array materialization
-    (a plan-literal array would be rebuilt per row — measured 1.5×
-    slower). Covers e < 2^bits (a million-char shingle at bits=20)."""
-    sq = [MULT % MOD]
-    for _ in range(bits - 1):
-        sq.append(sq[-1] * sq[-1] % MOD)
-    e = e.cast("long")
-    acc = F.lit(1).cast("long")
-    for k in range(bits):
-        # conditional FACTOR (not conditional multiply): acc appears once
-        # per level, keeping the expression tree linear in `bits`
-        factor = F.when(e.bitwiseAND(F.lit(1 << k)) != 0, F.lit(sq[k])).otherwise(
-            F.lit(1).cast("long")
-        )
-        acc = (acc * factor) % MOD
-    return acc
+def _word_powers(w):
+    """M^len(w) mod M' — per distinct word, via the same char-walk the
+    hash uses (vocab-sized work). split('','') yields [''], so the empty
+    word needs the explicit M^0 = 1 branch."""
+    walk = F.aggregate(
+        F.split(w, ""), F.lit(1).cast("long"), lambda acc, _ch: (acc * MULT) % MOD
+    )
+    return F.when(F.length(w) == 0, F.lit(1).cast("long")).otherwise(walk)
 
 
 def _hashed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,8 +110,13 @@ def _hashed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
       vocabulary — sublinear in the corpus per Heaps' law, so its
       broadcast stays small at any scale), then each trigram's hash is
       composed arithmetically from its word hashes via Horner
-      concatenation H(x‖y) = H(x)·M^len(y) + H(y) (mod M'), with M^e by
-      codegen square-and-multiply. The gram STRING is never
+      concatenation H(x‖y) = H(x)·M^len(y) + H(y) (mod M'), factored so
+      the only powers needed are the per-word M^len carried in the
+      vocabulary — the per-gram expression is a handful of multiply/mods
+      (codegen; no conditionals, no modpow, no literal arrays — both
+      alternatives measured slower: a 20-level conditional chain paid
+      ~12 s of first-run JIT, a plan-literal power array rebuilt the
+      array per row). The gram STRING is never
       materialized: no gram dictionary at all — the previous design
       broadcast a DISTINCT-SHINGLE dictionary, which grows ~linearly
       with the corpus (broadcast OOM at 100 TB); the word vocabulary is
@@ -133,24 +127,21 @@ def _hashed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
     vocab = tok.select("w").distinct().select(
-        "w", _poly_hash_expr(F.col("w")).alias("h"), F.length("w").cast("long").alias("l")
+        "w", _poly_hash_expr(F.col("w")).alias("h"), _word_powers(F.col("w")).alias("p")
     )
-    tk = tok.join(F.broadcast(vocab), "w").select("doc_id", "pos", "h", "l")
+    tk = tok.join(F.broadcast(vocab), "w").select("doc_id", "pos", "h", "p")
     win = Window.partitionBy("doc_id").orderBy("pos")
-    mp = _modpow_expr
     h1 = F.col("h")
-    h2, l2 = F.lead("h", 1).over(win), F.lead("l", 1).over(win)
-    h3, l3 = F.lead("h", 2).over(win), F.lead("l", 2).over(win)
-    space = F.lit(32).cast("long")  # ascii(' ')
-    gh = (
-        (h1 * mp(l2 + l3 + F.lit(2))) % MOD
-        + (space * mp(l2 + l3 + F.lit(1))) % MOD
-        + (h2 * mp(l3 + F.lit(1))) % MOD
-        + (space * mp(l3)) % MOD
-        + h3
-    ) % MOD
+    h2, p2 = F.lead("h", 1).over(win), F.lead("p", 1).over(win)
+    h3, p3 = F.lead("h", 2).over(win), F.lead("p", 2).over(win)
+    # H(w1' 'w2' 'w3) = (h1·M+32)·p2·p3·M + (h2·M+32)·p3 + h3 (mod M'),
+    # pi = M^len(wi); every factor ≤ M' so interleaved mods keep each
+    # product < 1e18 (no long overflow)
+    t1 = (h1 * MULT + 32) % MOD
+    t2 = (h2 * MULT + 32) % MOD
+    gh = ((t1 * p2 % MOD) * p3 % MOD * MULT % MOD + t2 * p3 % MOD + h3) % MOD
     return (
-        tk.select("doc_id", gh.alias("gh"), l3.alias("_has3"))
+        tk.select("doc_id", gh.alias("gh"), p3.alias("_has3"))
         .filter(F.col("_has3").isNotNull())
         .select("doc_id", "gh")
         .distinct()
