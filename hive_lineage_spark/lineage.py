@@ -389,7 +389,9 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
         )
     return LineageResult(
         columns=cols,
-        input_tables=tables,
+        # one entry per distinct table: self-joins and multi-scan plans
+        # read the same table through several leaves
+        input_tables=sorted(set(tables)),
         indirect=frozenset(indirect),
         notes=notes,
         operator_mappings=list(reversed(op_mappings)),  # root first

@@ -115,6 +115,64 @@ def user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def view_purchase_join(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: attribute each purchase
+    to a preceding view by the same user within ``within``. Both sides
+    carry a watermark and the join condition bounds purchase_ts relative
+    to view_ts, so Spark can expire buffered view-state once the
+    purchase watermark passes view_ts + within — without the time bound
+    the state would grow forever (the planner rejects an append-mode
+    inner stream-stream join lacking one). State is keyed by user_id —
+    the same shuffle key as the batch as-of join (q27), so skew/capacity
+    planning carries over."""
+    ts = F.col("ts").cast("timestamp")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), ts.alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            ts.alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_ts", "purchase_ts", "amount"
+    )
+
+
+def batch_view_purchase_join(events: DataFrame, within: str = "30 minutes") -> DataFrame:
+    """Batch-equivalence oracle for view_purchase_join: identical logic
+    over the same events as a static DataFrame (watermarks only bound
+    state, never change the join result when all data is on time)."""
+    ts = F.col("ts").cast("timestamp")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), ts.alias("view_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), ts.alias("purchase_ts"), F.col("value").alias("amount")
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(F.col("v_user").alias("user_id"), "view_ts", "purchase_ts", "amount")
+
+
 def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     session counting with an explicit state schema (the streaming analog

@@ -173,3 +173,53 @@ def test_streaming_lineage_listener_captures_micro_batches(spark):
             assert {"win_start", "event_type", "n_events", "sum_value"} <= names
     finally:
         tracker.uninstall_streaming(spark)
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Watermarked stream-stream interval join (view→purchase
+    attribution) must produce exactly the batch join's pairs once the
+    source is exhausted — for an inner join, rows the watermark has
+    finalized are emitted and none are invented. A time-bound join
+    condition is what lets Spark expire buffered state; the planner
+    rejects the unbounded variant in append mode."""
+    from hive_lineage_spark.streaming.events import (
+        batch_view_purchase_join,
+        view_purchase_join,
+    )
+
+    stream = events_stream(spark, SF)
+    joined = view_purchase_join(stream, watermark="10 minutes", within="30 minutes")
+    assert joined.isStreaming
+    run_stream_to_memory(joined, "vp_join", output_mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM vp_join").collect()}
+    want = {tuple(r) for r in batch_view_purchase_join(load_events(spark, SF)).collect()}
+    assert got <= want  # never invents pairs
+    # the watermark only holds back pairs near the end of the input: every
+    # pair whose purchase precedes (max event time - watermark - within)
+    # must have been emitted
+    assert len(want) > 0
+    import datetime
+
+    max_ts = max(r[2] for r in want)
+    horizon = max_ts - datetime.timedelta(minutes=40)
+    settled = {r for r in want if r[2] <= horizon}
+    assert settled <= got
+    assert len(got) >= len(settled) > 0
+
+
+def test_stream_stream_join_definition_lineage(spark):
+    """Column lineage of the stream-stream join definition: both join
+    sides resolve to the same events source; value→amount and the two
+    timestamps map to events.ts."""
+    from hive_lineage_spark.hook import LineageTracker
+    from hive_lineage_spark.streaming.events import view_purchase_join
+
+    ql = LineageTracker().track_stream_def(
+        view_purchase_join(events_stream(spark, SF)), "vp_join"
+    )
+    cm = ql.column_map()
+    assert cm["amount"] == {("events", "value")}
+    assert cm["view_ts"] == {("events", "ts")}
+    assert cm["purchase_ts"] == {("events", "ts")}
+    assert cm["user_id"] == {("events", "user_id")}
+    assert ql.result.input_tables == ["events"]
