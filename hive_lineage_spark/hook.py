@@ -242,6 +242,25 @@ class LineageTracker:
         """Track from a py4j QueryExecution handle (what the listener gets)."""
         return self.track_captured(capture_qe(jqe), name)
 
+    def track_stream_write_def(
+        self, df: DataFrame, root: str, name: str = "stream-writer"
+    ) -> QueryLineage:
+        """Register a STREAMING query as the lineage writer of a
+        versioned table it sinks into (streaming/events.stream_to_vtable).
+        Inside foreachBatch the per-batch DataFrame is RDD-backed — its
+        plan bottoms out at a checkpoint boundary, not the stream's
+        sources — so the writer lineage comes from the stream DEFINITION,
+        whose StreamingRelation leaves resolve to the source tables.
+        Later tracked batch reads of the table stitch through it."""
+        ql = self.track_stream_def(df, name)
+        ql.command_type = "STREAM_INSERT"
+        ql.output_path = _norm_path(root)
+        key = os.path.basename(ql.output_path)
+        self._vtable_writers[key] = [ql]
+        self.location_map[key] = ql
+        self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
+        return ql
+
     def track_stream_def(self, df: DataFrame, name: str = "stream") -> QueryLineage:
         """Track the DEFINITION of a streaming DataFrame before (or
         without) running it: column lineage from the analyzed plan, with

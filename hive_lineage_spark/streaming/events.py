@@ -76,6 +76,39 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
         q.stop()
 
 
+def stream_to_vtable(
+    stream_df: DataFrame,
+    root: str,
+    tracker=None,
+    name: str = "stream_sink",
+):
+    """Streaming sink into a versioned table via ``foreachBatch``: each
+    micro-batch becomes one atomic vtable commit, so downstream batch
+    readers get snapshot isolation over the stream's output and
+    ``read_vtable_changes`` replays it per batch. With a ``tracker``
+    (LineageTracker), the STREAM DEFINITION is registered as the table's
+    lineage writer (inside foreachBatch the batch DataFrame is
+    RDD-backed, so per-batch plans bottom out at a checkpoint boundary —
+    the definition plan is the one whose leaves resolve to the real
+    sources); batch reads of the table then stitch column lineage
+    through it, closing the stream→table→batch chain. Returns the
+    StreamingQuery; caller drives/stops it.
+
+    Exactly-once caveat: foreachBatch is at-least-once on retry; a
+    production deployment would record the batch id in the commit entry
+    and skip an already-committed id (the Delta idempotent-sink recipe).
+    """
+    from ..sources.vtable import write_vtable
+
+    if tracker is not None:
+        tracker.track_stream_write_def(stream_df, root, name=f"{name}:definition")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_vtable(batch_df, root, mode="append")
+
+    return stream_df.writeStream.foreachBatch(sink).outputMode("append").start()
+
+
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup — the streaming half of the batch dedup
     surface (operators/dedup.dd01): ``dropDuplicatesWithinWatermark`` on

@@ -196,3 +196,36 @@ def test_write_read_stitches_through_union_of_commits(spark, root):
     tracker.track_write_vtable(c.limit(5), root, mode="overwrite")
     vt = os.path.basename(root)
     assert len(tracker._vtable_writers[vt]) == 1
+
+
+def test_stream_to_vtable_commits_batches_and_stitches_lineage(spark, root):
+    """foreachBatch → vtable: micro-batches land as atomic commits; the
+    content equals the batch projection, and a tracked batch read
+    stitches column lineage through the STREAMING writer back to the
+    events source."""
+    from hive_lineage_spark.hook import LineageTracker
+    from hive_lineage_spark.sources.registry import load_events
+    from hive_lineage_spark.streaming.events import events_stream, stream_to_vtable
+
+    tracker = LineageTracker()
+    root_named = os.path.join(os.path.dirname(root), "event_values")
+    stream = events_stream(spark, SF).select("event_id", "user_id", "event_type", "value")
+    q = stream_to_vtable(stream, root_named, tracker=tracker)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    h = history(root_named)
+    assert len(h) >= 1 and all(c["op"] == "append" for c in h)
+    got = read_vtable(spark, root_named)
+    want = load_events(spark, SF).select("event_id", "user_id", "event_type", "value")
+    assert got.count() == want.count()
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    df = got.groupBy("event_type").agg(F.round(F.sum("value"), 2).alias("total"))
+    df.collect()
+    ql = tracker.track(df, name="readback")
+    assert ql.result.input_tables == ["events"]
+    assert ql.column_map()["total"] == {("events", "value")}
+    assert ql.column_map()["event_type"] == {("events", "event_type")}
