@@ -49,7 +49,10 @@ _DRIVER_PRIORITY = [
     "q40_approx_sketches", "q42_array_agg",
     # custom operators Spark lacks natively
     "q27_asof_join", "q43_range_join_bucketized",
-    "q25_sessionization", "q41_session_window",
+    "q25_sessionization",
+    # native lakehouse format (time travel; q41's session-window semantics
+    # are covered in-window by q25)
+    "q45_vtable_time_travel",
 ]
 
 

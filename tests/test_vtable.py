@@ -229,3 +229,21 @@ def test_stream_to_vtable_commits_batches_and_stitches_lineage(spark, root):
     assert ql.result.input_tables == ["events"]
     assert ql.column_map()["total"] == {("events", "value")}
     assert ql.column_map()["event_type"] == {("events", "event_type")}
+
+
+def test_schema_evolution_on_append(spark, root):
+    """Appending with an extra column evolves the snapshot schema (the
+    latest commit's schema wins); rows from pre-evolution files read the
+    new column as NULL — Delta-style additive evolution."""
+    n = _nation(spark).select("n_nationkey", "n_name")
+    write_vtable(n, root, mode="overwrite")
+    evolved = _nation(spark).select(
+        "n_nationkey", "n_name", F.col("n_regionkey").alias("region")
+    )
+    write_vtable(evolved, root, mode="append")
+    got = read_vtable(spark, root)
+    assert got.columns == ["n_nationkey", "n_name", "region"]
+    assert got.count() == 2 * n.count()
+    assert got.filter(F.col("region").isNull()).count() == n.count()
+    # pre-evolution snapshot still reads with the old schema
+    assert read_vtable(spark, root, version=0).columns == ["n_nationkey", "n_name"]
