@@ -146,14 +146,73 @@ MM03_SQL = """
 """
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, tgt_w int, tgt_h int, resized boolean"
+_MAX_DIM = 32
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode (fake codec) then compute the
+    aspect-preserving fit into a MAX_DIM box with INTEGER-ONLY math
+    (exactly reproducible in SQL — no float scale factors). With a real
+    codec the same worker would call Image.resize((tgt_w, tgt_h))."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_image_fake(payload)
+            w, h = m["width"], m["height"]
+            if max(w, h) <= _MAX_DIM:
+                tw, th, resized = w, h, False
+            elif w >= h:
+                tw, th, resized = _MAX_DIM, max(1, (h * _MAX_DIM) // w), True
+            else:
+                tw, th, resized = max(1, (w * _MAX_DIM) // h), _MAX_DIM, True
+            rows.append((doc_id, w, h, tw, th, resized))
+        out = pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "tgt_w", "tgt_h", "resized"]
+        )
+        rows = []
+        yield out
+
+
+def mm04_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (the decode→resize stage of an image pipeline):
+    binary payload → Arrow mapInPandas → aspect-preserving target dims.
+    The codec is the documented stub; the batch shape, schema, and
+    integer resize arithmetic are real."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+MM04_SQL = f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST((octet_length(encode(text)) % 64) + 16 AS INT) AS width,
+               CAST(((octet_length(encode(text)) // 64) % 64) + 16 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN greatest(width, height) <= {_MAX_DIM} THEN width
+                     WHEN width >= height THEN {_MAX_DIM}
+                     ELSE greatest(1, (width * {_MAX_DIM}) // height) END AS INT) AS tgt_w,
+           CAST(CASE WHEN greatest(width, height) <= {_MAX_DIM} THEN height
+                     WHEN width >= height THEN greatest(1, (height * {_MAX_DIM}) // width)
+                     ELSE {_MAX_DIM} END AS INT) AS tgt_h,
+           greatest(width, height) > {_MAX_DIM} AS resized
+    FROM m
+"""
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
     "mm03_audio_window_stub": mm03_audio_window_stub,
+    "mm04_resize_stub": mm04_resize_stub,
 }
 
 ORACLES = {
     "mm01_decode_stub": MM01_SQL,
     "mm02_frame_sample": MM02_SQL,
     "mm03_audio_window_stub": MM03_SQL,
+    "mm04_resize_stub": MM04_SQL,
 }
