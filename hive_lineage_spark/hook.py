@@ -114,6 +114,49 @@ class QueryLineage:
         }
         return json.dumps(doc, indent=2)
 
+    def to_openlineage(self, namespace: str = "spark") -> dict:
+        """Emit the lineage as an OpenLineage-shaped RunEvent dict (the
+        open spec at openlineage.io: job + inputs/outputs datasets +
+        columnLineage facet), so the analyzer plugs into OL-compatible
+        catalogs without translation. Facets carried: column lineage per
+        output field (inputFields = this engine's base cells) and the
+        unknown-source sentinel dropped (OL has no '?' convention)."""
+        fields = {}
+        for c in self.result.columns:
+            ins = [
+                {"namespace": namespace, "name": t, "field": col}
+                for t, col in sorted(c.bases)
+                if t != "?"
+            ]
+            fields[c.name] = {
+                "inputFields": ins,
+                "transformationType": c.role.upper(),
+            }
+        inputs = [
+            {"namespace": namespace, "name": t} for t in self.result.input_tables
+        ]
+        outputs = []
+        if self.output_path:
+            outputs.append(
+                {
+                    "namespace": namespace,
+                    "name": self.output_path,
+                    "facets": {"columnLineage": {"fields": fields}},
+                }
+            )
+        return {
+            "eventType": "COMPLETE",
+            "job": {"namespace": namespace, "name": self.name},
+            "inputs": inputs,
+            "outputs": outputs,
+            "run": {
+                "facets": {
+                    "columnLineage": {"fields": fields},
+                    "processing_engine": {"name": "hive_lineage_spark"},
+                }
+            },
+        }
+
 
 class _MergedWriter:
     """Union of multiple tracked commits to the same versioned table:

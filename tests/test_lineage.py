@@ -377,3 +377,23 @@ def test_query_execution_listener_auto_capture(spark):
         assert ("nation", "n_regionkey") in ql.result.indirect
     finally:
         tr.uninstall(spark)
+
+
+def test_openlineage_emit_shape(spark):
+    """to_openlineage: RunEvent-shaped dict with inputs, job, and a
+    columnLineage facet whose inputFields are the base cells."""
+    df = (
+        _t(spark, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+    ql = _track(spark, df)
+    ev = ql.to_openlineage()
+    assert ev["eventType"] == "COMPLETE"
+    assert {d["name"] for d in ev["inputs"]} == {"lineitem"}
+    f = ev["run"]["facets"]["columnLineage"]["fields"]
+    assert f["sum_qty"]["inputFields"] == [
+        {"namespace": "spark", "name": "lineitem", "field": "l_quantity"}
+    ]
+    assert f["sum_qty"]["transformationType"] == "AGGREGATED"
+    assert f["l_returnflag"]["inputFields"][0]["field"] == "l_returnflag"
