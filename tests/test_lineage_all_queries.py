@@ -19,7 +19,12 @@ QUERIES = entrymod.queries()
 
 # queries whose plan contains a Python-UDF barrier (no exprId flow through
 # mapInPandas) — lineage degrades to the sentinel there, by design
-PYTHON_BARRIER = {"mm01_decode_stub", "dd06_embed_cosine_dup", "px02_grouped_zscore"}
+PYTHON_BARRIER = {
+    "mm01_decode_stub",
+    "mm04_resize_stub",
+    "dd06_embed_cosine_dup",
+    "px02_grouped_zscore",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
