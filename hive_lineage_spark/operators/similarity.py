@@ -248,14 +248,112 @@ SS03_SQL = f"""
 """
 
 
+def ss04_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-K: every vector compressed to one byte
+    per dimension — code_i = floor((x_i - mn_i)/(mx_i - mn_i)·255 + 0.5)
+    against GLOBAL per-dimension [mn, mx] — then searched by the cosine
+    of the DEQUANTIZED vectors. The standard vector-store memory play
+    (4× smaller than float32, cache-resident at corpus scale; recall loss
+    bounded by quantization error). Per-dim stats are one narrow
+    aggregation; the stats array broadcasts (it is 2·dim doubles
+    regardless of corpus size). Deterministic end-to-end, so the DuckDB
+    oracle runs the identical arithmetic — including the same left-fold
+    order and the same floor(+0.5) midpoint rule."""
+    vec = _vectors(spark, sf_dir)
+    dims = vec.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    stats = (
+        dims.groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))).alias("_mns"),
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias("_mxs"),
+        )
+        .select(
+            F.transform("_mns", lambda s: s["mn"]).alias("mns"),
+            F.transform("_mxs", lambda s: s["mx"]).alias("mxs"),
+        )
+    )
+    mn = lambda i: F.element_at(F.col("mns"), i + 1)  # noqa: E731
+    mx = lambda i: F.element_at(F.col("mxs"), i + 1)  # noqa: E731
+    code = lambda x, i: F.when(  # noqa: E731
+        mx(i) > mn(i), F.floor((x - mn(i)) / (mx(i) - mn(i)) * 255.0 + 0.5)
+    ).otherwise(F.lit(0))
+    deq = lambda x, i: mn(i) + code(x, i).cast("double") / 255.0 * (mx(i) - mn(i))  # noqa: E731
+    qz = vec.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.transform("v", deq).alias("vq"),
+    )
+    qz = qz.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform("vq", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    q = qz.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vq").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = qz.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vq").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine", _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+SS04_SQL = f"""
+    WITH raw AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, t.i AS dim, v[t.i] AS x
+        FROM raw, unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    stats AS (
+        SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        FROM (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim)
+    ),
+    qz0 AS (
+        SELECT vec_id,
+               list_transform(range(1, len(v) + 1), i ->
+                   CASE WHEN mxs[i] > mns[i]
+                        THEN mns[i] + floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5)
+                             / 255.0 * (mxs[i] - mns[i])
+                        ELSE mns[i] END) AS vq
+        FROM raw CROSS JOIN stats
+    ),
+    qz AS (
+        SELECT vec_id, vq,
+               sqrt(list_reduce(list_transform(vq, x -> x * x), (a, b) -> a + b)) AS nrm
+        FROM qz0
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='q.vq', b='c.vq')} / (q.nrm * c.nrm) AS cosine
+        FROM qz q JOIN qz c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
     "ss03_ann_lsh": ss03_ann_lsh,
+    "ss04_ann_sq8": ss04_ann_sq8,
 }
 
 ORACLES = {
     "ss01_ann_bruteforce": SS01_SQL,
     "ss02_ann_ivf": SS02_SQL,
     "ss03_ann_lsh": SS03_SQL,
+    "ss04_ann_sq8": SS04_SQL,
 }
