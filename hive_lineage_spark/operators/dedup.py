@@ -40,7 +40,6 @@ from ..functions.hashing import (
     MULT,
     minhash_perm,
     poly_hash_sql,
-    word_ngrams,
     word_ngrams_sql,
 )
 from ..sources.registry import load_table
@@ -81,11 +80,6 @@ DD01_SQL = """
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact near-dup ground truth)
 # ---------------------------------------------------------------------------
-
-
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", word_ngrams("text", 3).alias("grams"))
 
 
 def _word_powers(w):
