@@ -149,7 +149,7 @@ DD07_SQL = f"""
     WITH pairs AS ({DD02_SQL}),
     dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     GROUP BY source
 """
@@ -229,7 +229,7 @@ TP01_SQL = f"""
         ) WHERE rk <= 8
     )
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_chars) AS total_chars, min(doc_id) AS min_doc
+           CAST(sum(n_chars) AS BIGINT) AS total_chars, min(doc_id) AS min_doc
     FROM capped GROUP BY source
 """
 
