@@ -42,7 +42,7 @@ from ..functions.hashing import (
     poly_hash_sql,
     word_ngrams_sql,
 )
-from ..sources.registry import load_table
+from ..sources.registry import load_table, table_path
 
 N_HASHES = 32
 N_BANDS = 16  # × 2 rows per band
@@ -452,14 +452,26 @@ TILE_ROWS = 2048  # rows per block: 2048 × 64 doubles ≈ 1 MB per side per tas
 
 def dd06_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.5) as a DISTRIBUTED tiled
-    matrix product: embeddings are packed into ~TILE_ROWS-row blocks
-    (groupBy on vec_id mod B), the block table is self-joined on
-    block_a ≤ block_b (upper triangle — each unordered pair of vectors
-    lands in exactly one tile), and each tile row is multiplied with one
-    BLAS dgemm inside Arrow-batched ``mapInPandas``. No driver collect
-    anywhere: the quadratic work is spread over B·(B+1)/2 tiles with
+    matrix product: embeddings are packed into row blocks (groupBy on
+    vec_id mod B), the block table is self-joined on block_a ≤ block_b
+    (upper triangle — each unordered pair of vectors lands in exactly
+    one tile), and each tile row is multiplied with one BLAS dgemm
+    inside Arrow-batched ``mapInPandas``. No driver collect anywhere:
+    the quadratic work is spread over B·(B+1)/2 tiles with
     ≤ 2·TILE_ROWS×dim doubles held per task, so the operator survives a
-    build side that no longer fits one machine. (All-pairs cosine is the
+    build side that no longer fits one machine.
+
+    B is sized by BOTH constraints: blocks small enough for per-task
+    memory (TILE_ROWS cap) AND enough tiles to saturate the cluster
+    (B·(B+1)/2 ≥ 2·defaultParallelism — without this floor a corpus
+    smaller than one tile runs as a single task, which is exactly what
+    regressed the sf0.1 bench when n=2000 ≤ TILE_ROWS). The ≤-join is a
+    broadcast nested-loop whose output is striped by blk_a (strip for
+    blk_a=0 has B tiles, strip for blk_a=B-1 has one), so tiles are
+    round-robin repartitioned before the dgemm to even out that
+    triangular skew. Row count comes from the parquet footer
+    (driver-side metadata read, no scan job); at warehouse scale the
+    same number comes from catalog stats. (All-pairs cosine is the
     documented exactness baseline; at corpus scale the pruning path is
     the IVF variant ``similarity.ss02`` over the same kernel.)"""
     import math
@@ -470,7 +482,17 @@ def dd06_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n_blocks = max(1, math.ceil(e.count() / TILE_ROWS))
+    try:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
+    except Exception:
+        n_rows = e.count()
+    par = max(1, spark.sparkContext.defaultParallelism)
+    b_mem = math.ceil(n_rows / TILE_ROWS)
+    b_par = math.ceil((math.sqrt(1 + 16 * par) - 1) / 2)  # B(B+1)/2 >= 2*par
+    n_blocks = max(1, b_mem, b_par)
+    n_tiles = n_blocks * (n_blocks + 1) // 2
     packed = (
         e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
         .groupBy("blk")
@@ -485,6 +507,7 @@ def dd06_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.blk").alias("blk_b"),
             F.col("b.rows").alias("rows_b"),
         )
+        .repartition(min(n_tiles, 2 * par))
     )
 
     def unpack(rows):
