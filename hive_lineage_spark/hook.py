@@ -48,11 +48,17 @@ def default_table_resolver(path: str) -> str | None:
     to the table root's name, checked FIRST so the ``.parquet`` file rule
     doesn't claim the individual part files."""
     local = re.sub(r"^file:/+", "/", path)
-    marker = local.find(f"{os.sep}data{os.sep}")
-    if marker != -1:
+    # A path may contain several `/data/` components (a vtable can itself
+    # live under a directory named `data`, e.g. /data/wh/t/data/v0/part);
+    # the vtable root is the one whose parent holds `_vlog`. Scan
+    # right-to-left so the deepest plausible root wins.
+    sep_data = f"{os.sep}data{os.sep}"
+    marker = local.rfind(sep_data)
+    while marker != -1:
         vroot = local[:marker]
         if os.path.isdir(os.path.join(vroot, "_vlog")):
             return os.path.basename(vroot.rstrip(os.sep))
+        marker = local.rfind(sep_data, 0, marker)
     base = os.path.basename(path.rstrip("/"))
     if base.endswith(".parquet"):
         return base[: -len(".parquet")]

@@ -133,6 +133,44 @@ def test_lineage_resolves_vtable_scan_to_table_root(spark, root):
     assert ql.column_map()["n_regionkey"] == {("nation_versioned", "n_regionkey")}
 
 
+def test_resolver_picks_vtable_root_under_data_ancestor(spark, tmp_path):
+    """A vtable whose root lives UNDER a directory named `data`
+    (e.g. /data/wh/t/data/v0/part) must resolve to the table root with
+    the `_vlog`, not to the first `/data/` component in the path."""
+    from hive_lineage_spark.hook import default_table_resolver
+
+    vt_root = str(tmp_path / "data" / "wh" / "t")
+    write_vtable(_nation(spark), vt_root, mode="overwrite")
+    part = read_vtable(spark, vt_root).inputFiles()[0]
+    assert default_table_resolver(part) == "t"
+    # no _vlog anywhere on the path: falls through to the file-name rule
+    no_vlog = str(tmp_path / "data" / "x" / "data" / "v0" / "p.parquet")
+    assert default_table_resolver(no_vlog) == "p"
+
+
+def test_q45_rebuilds_partial_scratch_root(spark, duck):
+    """q45's scratch vtable setup must detect a partially built root
+    (crash after one commit) and rebuild from scratch — appending the
+    three setup commits on top would shift version indices and break
+    the version=1 read."""
+    from hive_lineage_spark.operators.relational import (
+        _scratch,
+        q45_vtable_time_travel,
+        ORACLES,
+    )
+    from hive_lineage_spark.oracle import duckdb_fingerprint, spark_fingerprint
+
+    vt_root = _scratch(SF, "nation_vtable")
+    shutil.rmtree(vt_root, ignore_errors=True)
+    # simulate a crash after the first setup commit
+    write_vtable(_nation(spark).limit(3), vt_root, mode="overwrite")
+    assert [c["op"] for c in history(vt_root)] == ["overwrite"]
+    sfp = spark_fingerprint(q45_vtable_time_travel(spark, SF))
+    dfp = duckdb_fingerprint(duck, ORACLES["q45_vtable_time_travel"])
+    assert sfp == dfp
+    assert [c["op"] for c in history(vt_root)] == ["overwrite", "append", "overwrite"]
+
+
 def test_change_feed_delivers_per_commit_inserts(spark, root):
     n = _nation(spark)
     write_vtable(n.filter("n_regionkey = 0"), root, mode="overwrite")
