@@ -559,10 +559,18 @@ def q45_vtable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot (full nation) against the latest snapshot per region. The
     log-as-manifest read never lists the data directory; both snapshots
     resolve immutable file sets."""
+    import shutil
+
     from ..sources.vtable import history, read_vtable, write_vtable
 
     root = _scratch(sf_dir, "nation_vtable")
-    if len(history(root) if os.path.isdir(os.path.join(root, "_vlog")) else []) < 3:
+    # Version numbers are load-bearing (the query reads version=1), so a
+    # partially built root (e.g. a crash after one commit) must be torn
+    # down, not appended to — appending on top would shift every index.
+    # Valid state is EXACTLY the three setup commits, nothing else.
+    ops = [c["op"] for c in (history(root) if os.path.isdir(os.path.join(root, "_vlog")) else [])]
+    if ops != ["overwrite", "append", "overwrite"]:
+        shutil.rmtree(root, ignore_errors=True)
         n = _t(spark, sf_dir, "nation")
         write_vtable(n.filter(F.col("n_regionkey") < 2), root, mode="overwrite")
         write_vtable(n.filter(F.col("n_regionkey") >= 2), root, mode="append")
