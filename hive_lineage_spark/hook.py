@@ -247,6 +247,31 @@ class LineageTracker:
                     self.model.add(p)
             self.model.add(table)
 
+    def _snapshot_views(self, cap: Captured) -> list[str]:
+        """Register every catalog VIEW the query traversed (reference
+        parity: ``ConvertHelper.scala:67-73`` stores the
+        (viewOriginalText, viewExpandedText) pair on TableDef). The
+        descriptors come from the ANALYZED plan's View nodes (captured
+        in ``Captured.views`` — the optimizer inlines the view body, so
+        column lineage keeps resolving to the BASE tables; the view is a
+        catalog entity, not a lineage boundary)."""
+        from dataclasses import replace
+
+        names: list[str] = []
+        for v in cap.views:
+            cols = [(n, t) for n, t in v.get("columns", [])]
+            t = table_from_columns(v["name"], location="", cols=cols, db=v.get("db", "default"))
+            t = replace(
+                t,
+                table_type="view",
+                view_sql=v.get("viewSql", ""),
+                view_sql_expanded=v.get("viewSqlExpanded", ""),
+                params=(("isTempView", str(v.get("isTemp", False))),),
+            )
+            self.model.add(t)
+            names.append(v["name"])
+        return names
+
     def _discover_partitions(self, table: str, location: str):
         """Hive-style ``key=value`` partition discovery at the scan root —
         the rebuild of ConvertHelper's db→table→partition cascade
@@ -290,6 +315,26 @@ class LineageTracker:
     def track_qe(self, jqe, name: str = "query") -> QueryLineage:
         """Track from a py4j QueryExecution handle (what the listener gets)."""
         return self.track_captured(capture_qe(jqe), name)
+
+    def track_write_qe(self, jqe, name: str = "insert") -> QueryLineage | None:
+        """Track a file-writing command execution: lineage of the SOURCE
+        plan, with the command's output path registered in the location
+        map so later tracked reads stitch through it — the automatic
+        analog of ``track_write`` (reference parity: PostExecHook gets
+        WriteEntity outputs in its HookContext, ``PostExecHook.scala:18-27``).
+        None if the execution isn't a write command."""
+        from .plans.capture import capture_write_command
+
+        got = capture_write_command(jqe)
+        if got is None:
+            return None
+        cap, out_path = got
+        ql = self.track_captured(cap, name)
+        ql.command_type = "INSERT"
+        ql.output_path = _norm_path(out_path)
+        self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
+        self.location_map[ql.output_path] = ql
+        return ql
 
     def track_stream_write_def(
         self, df: DataFrame, root: str, name: str = "stream-writer"
@@ -338,7 +383,10 @@ class LineageTracker:
         class _PyQueryExecutionListener:
             def onSuccess(self, func_name, qe, duration_ns):  # noqa: N802 — Java iface
                 try:
-                    tracker.track_qe(qe, name=f"auto:{func_name}")
+                    # write commands first: registers the output path so
+                    # later reads stitch without a manual track_write
+                    if tracker.track_write_qe(qe, name=f"auto:{func_name}") is None:
+                        tracker.track_qe(qe, name=f"auto:{func_name}")
                 except Exception:  # noqa: BLE001 — a hook must never break queries
                     pass
 
@@ -440,9 +488,12 @@ class LineageTracker:
     def track_captured(self, cap: Captured, name: str = "query") -> QueryLineage:
         leaf_tables = self._leaf_tables(cap)
         self._snapshot(cap, leaf_tables)
+        views = self._snapshot_views(cap)
 
         logical = logical_graph(cap.logical, leaf_tables)
         result = analyze(cap.logical, leaf_tables)
+        if views:
+            result.notes.append("through views: " + ", ".join(sorted(views)))
         normalized = normalize(cap.physical) if cap.physical is not None else None
 
         # resolve lineage through .persist() caches (Spark keeps only the

@@ -46,7 +46,12 @@ class TableDef(Def):
     input_format: str = "parquet"
     columns: tuple[ColumnDef, ...] = ()
     partition_columns: tuple[str, ...] = ()
+    # reference parity: TableDef.viewSql : Option[(original, expanded)]
+    # (``metadata/TableDef.scala:12``, populated ConvertHelper.scala:67-73
+    # from getViewOriginalText/getViewExpandedText). Spark's CatalogTable
+    # carries the same pair as viewOriginalText/viewText.
     view_sql: str = ""
+    view_sql_expanded: str = ""
     params: tuple[tuple[str, str], ...] = ()
 
     def column(self, name: str) -> ColumnDef | None:

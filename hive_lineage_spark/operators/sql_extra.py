@@ -10,6 +10,8 @@ through ``spark.sql`` to exercise the SQL front end end-to-end.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -246,8 +248,31 @@ def q43_range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_view_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a persistent catalog VIEW (CREATE OR REPLACE VIEW
+    joining nation to region). Views are first-class in the reference's
+    catalog model (``TableDef.scala:12`` viewSql, populated
+    ``ConvertHelper.scala:67-73``); here the analyzed plan inlines the
+    view body, so column lineage resolves through it to the BASE tables
+    while the tracker snapshots the view itself (name, schema,
+    original + expanded SQL) as a catalog entity."""
+    nation_p = os.path.join(sf_dir, "nation.parquet")
+    region_p = os.path.join(sf_dir, "region.parquet")
+    spark.sql(
+        f"""CREATE OR REPLACE VIEW nation_region_v AS
+            SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+            FROM parquet.`{nation_p}` n
+            JOIN parquet.`{region_p}` r ON n.n_regionkey = r.r_regionkey"""
+    )
+    return spark.sql(
+        """SELECT region_name, count(*) AS n_nations, min(n_name) AS first_nation
+           FROM nation_region_v GROUP BY region_name"""
+    )
+
+
 QUERIES = {
     "q31_q27_sql_text": q31_q27_sql_text,
+    "q46_view_lineage": q46_view_lineage,
     "q41_session_window": q41_session_window,
     "q42_array_agg": q42_array_agg,
     "q43_range_join_bucketized": q43_range_join_bucketized,
@@ -263,6 +288,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q46_view_lineage": """
+        WITH nation_region_v AS (
+            SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        )
+        SELECT region_name, count(*) AS n_nations, min(n_name) AS first_nation
+        FROM nation_region_v GROUP BY region_name
+    """,
     "q43_range_join_bucketized": """
         WITH e AS (
             SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events

@@ -86,6 +86,11 @@ class Captured:
     physical_str: str = ""
     raw_logical: list[dict] = field(default_factory=list)  # toJSON nodes, for save/replay
     cached_plans: dict[int, dict] = field(default_factory=dict)  # leaf idx → cached physical
+    # catalog VIEWs the ANALYZED plan traversed (View nodes are gone from
+    # the optimized plan — EliminateView inlines them), each a dict of
+    # name/db/columns/viewSql/viewSqlExpanded/isTemp (≈ the reference's
+    # TableDef.viewSql pair, ConvertHelper.scala:67-73)
+    views: list[dict] = field(default_factory=list)
     extras: dict = field(default_factory=dict)
 
     def save(self, path: str) -> None:
@@ -101,6 +106,7 @@ class Captured:
             "physical": self.physical.to_dict() if self.physical else None,
             "logicalStr": self.logical_str,
             "cachedPlans": {str(k): v for k, v in self.cached_plans.items()},
+            "views": self.views,
         }
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         with open(path, "w") as f:
@@ -122,6 +128,7 @@ def load_captured(path: str) -> Captured:
         logical_str=doc.get("logicalStr", ""),
         raw_logical=doc["rawLogical"],
         cached_plans={int(k): v for k, v in doc.get("cachedPlans", {}).items()},
+        views=doc.get("views", []),
     )
 
 
@@ -251,6 +258,78 @@ def cached_subplans(jlogical) -> dict[int, dict]:
     return out
 
 
+def view_descriptors(raw_analyzed: list[dict]) -> list[dict]:
+    """Extract catalog-view descriptors from an analyzed plan's toJSON
+    nodes. Each View node wraps its inlined body and carries the
+    CatalogTable, including the (viewOriginalText, viewText) pair — the
+    same original/expanded SQL the reference stores on TableDef.viewSql
+    (``ConvertHelper.scala:67-73``)."""
+    views: list[dict] = []
+    for raw in raw_analyzed:
+        if not raw.get("class", "").endswith(".View"):
+            continue
+        desc = raw.get("desc")
+        if not isinstance(desc, dict):
+            continue
+        ident = desc.get("identifier") or {}
+        schema = desc.get("schema") or {}
+        views.append(
+            {
+                "name": ident.get("table") or "?",
+                "db": ident.get("database") or "default",
+                "columns": [
+                    [
+                        f.get("name", "?"),
+                        f.get("type") if isinstance(f.get("type"), str) else str(f.get("type")),
+                    ]
+                    for f in schema.get("fields", [])
+                ],
+                "viewSql": desc.get("viewOriginalText") or "",
+                "viewSqlExpanded": desc.get("viewText") or "",
+                "isTemp": bool(raw.get("isTempView")),
+            }
+        )
+    return views
+
+
+def capture_write_command(qe) -> tuple[Captured, str] | None:
+    """If this execution is a file-writing command
+    (InsertIntoHadoopFsRelationCommand — what ``df.write.save`` /
+    ``INSERT INTO`` path tables execute), capture the SOURCE plan and
+    return it with the output path; None for any other execution. This
+    is the automatic-output half of the reference's hook contract: a
+    Hive PostExecHook receives the query's WriteEntity outputs in the
+    HookContext (``PostExecHook.scala:18-27``); a Spark
+    QueryExecutionListener only gets the QueryExecution, so the output
+    is recovered from the command node itself. The command's ``query``
+    child is the optimized source plan (exprIds intact — the same plan
+    ``capture_qe`` would see for a plain read); views for the catalog
+    snapshot come from the analyzed child."""
+    try:
+        jcmd = qe.optimizedPlan()
+        if jcmd.getClass().getSimpleName() != "InsertIntoHadoopFsRelationCommand":
+            return None
+        out_path = str(jcmd.outputPath().toString())
+        jquery = jcmd.query()
+        raw_logical = json.loads(jquery.toJSON())
+        try:
+            views = view_descriptors(json.loads(qe.analyzed().query().toJSON()))
+        except Exception:  # noqa: BLE001
+            views = []
+        cap = Captured(
+            logical=parse_tree(raw_logical),
+            physical=None,
+            leaf_paths=leaf_scan_paths(jquery),
+            logical_str=jquery.toString(),
+            raw_logical=raw_logical,
+            cached_plans=cached_subplans(jquery),
+            views=views,
+        )
+        return cap, out_path
+    except Exception:  # noqa: BLE001 — a hook must never break queries
+        return None
+
+
 def capture(df: DataFrame) -> Captured:
     """Capture the query execution of ``df`` (after its action has run —
     AQE's final plan only exists post-execution, mirroring the reference
@@ -273,6 +352,7 @@ def capture_streaming_def(df: DataFrame) -> Captured:
         leaf_paths=leaf_scan_paths(jlogical),
         logical_str=jlogical.toString(),
         raw_logical=raw_logical,
+        views=view_descriptors(raw_logical),
     )
 
 
@@ -285,6 +365,12 @@ def capture_qe(qe) -> Captured:
     logical = parse_tree(raw_logical)
     leaf_paths = leaf_scan_paths(jlogical)
     cached = cached_subplans(jlogical)
+    try:
+        # views only survive in the ANALYZED plan (EliminateView inlines
+        # them before optimization) — pull their catalog descriptors there
+        views = view_descriptors(json.loads(qe.analyzed().toJSON()))
+    except Exception:  # noqa: BLE001
+        views = []
     try:
         physical = physical_graph(qe.executedPlan())
         physical_str = qe.executedPlan().toString()
@@ -299,6 +385,7 @@ def capture_qe(qe) -> Captured:
         physical_str=physical_str,
         raw_logical=raw_logical,
         cached_plans=cached,
+        views=views,
     )
 
 

@@ -397,3 +397,71 @@ def test_openlineage_emit_shape(spark):
     ]
     assert f["sum_qty"]["transformationType"] == "AGGREGATED"
     assert f["l_returnflag"]["inputFields"][0]["field"] == "l_returnflag"
+
+
+def test_view_lineage_resolves_to_base_tables_and_snapshots_viewsql(spark):
+    """A query over a persistent catalog VIEW maps columns to the BASE
+    tables, and the tracker registers the view as a catalog TableDef
+    carrying the (original, expanded) SQL pair — reference parity with
+    TableDef.viewSql (``TableDef.scala:12``, ``ConvertHelper.scala:67-73``)."""
+    from hive_lineage_spark.metadata import TableDef
+    from hive_lineage_spark.operators.sql_extra import q46_view_lineage
+
+    df = q46_view_lineage(spark, SF)
+    df.collect()
+    tr = LineageTracker()
+    ql = tr.track(df, name="view_query")
+
+    # lineage punches through the view to the base tables
+    assert ql.result.input_tables == ["nation", "region"]
+    cmap = ql.column_map()
+    assert cmap["region_name"] == {("region", "r_name")}
+    assert cmap["first_nation"] == {("nation", "n_name")}
+    assert ("nation", "n_regionkey") in ql.result.indirect
+    assert any("nation_region_v" in n for n in ql.result.notes)
+
+    # the view itself is snapshotted as a catalog entity with its SQL
+    vt = tr.model.get("default@nation_region_v", TableDef)
+    assert vt is not None and vt.table_type == "view"
+    assert [c.name for c in vt.columns] == ["n_nationkey", "n_name", "region_name"]
+    assert "JOIN" in vt.view_sql and "nation.parquet" in vt.view_sql
+    assert vt.view_sql_expanded  # Spark stores original+expanded; both kept
+    assert dict(vt.params)["isTempView"] == "False"
+
+
+def test_listener_auto_captures_writes_and_stitches(spark, tmp_path):
+    """An UNTRACKED df.write.parquet under the installed listener must
+    register the output path automatically (PostExecHook receives
+    WriteEntity outputs, ``PostExecHook.scala:18-27``), so a later read
+    of that path stitches column lineage back to the base table with no
+    manual track_write call."""
+    import time
+
+    tr = LineageTracker()
+    tr.install(spark)
+    try:
+        out = str(tmp_path / "cust_slim")
+        df = _t(spark, "customer").select(
+            "c_custkey", F.col("c_mktsegment").alias("segment")
+        )
+        df.write.mode("overwrite").parquet(out)
+        for _ in range(60):  # listener bus is async
+            if any(q.command_type == "INSERT" for q in tr.queries):
+                break
+            time.sleep(0.25)
+        writes = [q for q in tr.queries if q.command_type == "INSERT"]
+        assert writes, "write command never captured"
+        assert writes[-1].output_path.endswith("cust_slim")
+        assert writes[-1].result.input_tables == ["customer"]
+
+        back = (
+            spark.read.parquet(out)
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        back.collect()
+        ql = tr.track(back, name="readback")
+        assert ql.result.input_tables == ["customer"]
+        assert ql.column_map()["segment"] == {("customer", "c_mktsegment")}
+    finally:
+        tr.uninstall(spark)
