@@ -8,12 +8,19 @@ Prints ONE JSON line:
 Each query executes via a noop-format write so timing covers the full
 distributed plan without driver-side collection costs (the realistic
 sink shape at scale).
+
+Each query runs $SPARK_GRAFT_BENCH_N times (default 5); the reported
+per-query number is the MEDIAN and "value" is the sum of medians —
+single runs on a shared box carry ±15% noise (BASELINE.md), which has
+masqueraded as regressions in past rounds. "spread" carries per-query
+[min, max] so noise stays visible.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,7 +37,7 @@ HEADLINE = [
     "dd02_ngram_jaccard",      # shingle inverted-index join
     "dd03_minhash_lsh",        # minhash signatures + band join + verify
     "dd05_simhash_pairs",      # simhash + banded hamming join
-    "dd06_embed_cosine_dup",   # n^2 vector math (zip_with codegen)
+    "dd06_embed_cosine_dup",   # tiled BLAS matrix product
     "ss01_ann_bruteforce",     # cosine top-k
     "ss02_ann_ivf",            # pruned (IVF) top-k
     "tx03_quality_score",      # regex/array codegen pipeline
@@ -49,6 +56,7 @@ def execute(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
 
     from hive_lineage_spark.session import get_spark
 
@@ -64,10 +72,15 @@ def main() -> None:
     load_events(spark, sf_dir)
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        execute(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            execute(qs[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -78,6 +91,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "runs_per_query": n_runs,
+                "spread": spread,
             }
         )
     )

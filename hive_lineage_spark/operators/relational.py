@@ -77,7 +77,14 @@ def q03_virtual_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic row-id projection — functional stand-in for Hive's
     virtual ROW__ID struct (FIXTURES.md virtual columns): a total-order
     row_number, which unlike monotonically_increasing_id() is
-    oracle-checkable."""
+    oracle-checkable.
+
+    SCALE CAVEAT: the unpartitioned window forces a single-partition
+    sort — safe ONLY because it runs on ``nation`` (25 rows, a bounded
+    dim table). For a fact table, assign ids per partition instead:
+    ``spark_partition_id()`` + per-partition ``row_number`` (or
+    zipWithIndex semantics via a partition-offset cumsum), which keeps
+    the sort distributed."""
     from pyspark.sql import Window as W
 
     n = _t(spark, sf_dir, "nation")

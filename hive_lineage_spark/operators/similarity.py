@@ -43,7 +43,12 @@ def _cosine(va, vb, na, nb):
 
 
 def ss01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-K neighbors for the query vectors (vec_id < 10)."""
+    """Exact cosine top-K neighbors for the query vectors (vec_id < 10).
+
+    SCALE CAVEAT: brute-force — every query vector scores the FULL
+    corpus. This is the documented exactness baseline (recall oracle for
+    the pruned variants); the 100 TB search path is ss02 (IVF: broadcast
+    centroids + cell-pruned join) or ss03 (sign-LSH buckets)."""
     vec = _vectors(spark, sf_dir)
     q = vec.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
@@ -258,7 +263,13 @@ def ss04_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; the stats array broadcasts (it is 2·dim doubles
     regardless of corpus size). Deterministic end-to-end, so the DuckDB
     oracle runs the identical arithmetic — including the same left-fold
-    order and the same floor(+0.5) midpoint rule."""
+    order and the same floor(+0.5) midpoint rule.
+
+    SCALE CAVEAT: the SEARCH over the dequantized vectors is still
+    brute-force (full-corpus scoring, like ss01) — SQ8 is the memory
+    compression layer, not the pruning layer. At corpus scale pair it
+    with ss02's IVF cell pruning: quantize within cells, score only the
+    probed cells."""
     vec = _vectors(spark, sf_dir)
     dims = vec.select("vec_id", F.posexplode("v").alias("dim", "x"))
     stats = (
