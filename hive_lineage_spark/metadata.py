@@ -52,6 +52,13 @@ class TableDef(Def):
     # carries the same pair as viewOriginalText/viewText.
     view_sql: str = ""
     view_sql_expanded: str = ""
+    # when this def was snapshotted (epoch seconds) — the staleness
+    # analog of the reference's lastAccessTime-gated re-convert
+    # (``ConvertHelper.scala:58,121``): Model.add upserts by fqn, so the
+    # NEWEST tracked query's schema wins; a table changed by an
+    # untracked job is refreshed at the next tracked query over it (and
+    # the ``install()`` listener makes same-session writes tracked).
+    snapshot_ts: float = 0.0
     params: tuple[tuple[str, str], ...] = ()
 
     def column(self, name: str) -> ColumnDef | None:
@@ -134,9 +141,14 @@ def snapshot_table(df_schema, name: str, location: str, db: str = "default") -> 
 def table_from_columns(
     name: str, location: str, cols: list[tuple[str, str]], db: str = "default"
 ) -> TableDef:
+    import time
+
     fqn = table_fqn(db, name)
     col_defs = tuple(
         ColumnDef(fqn=column_fqn(db, name, n), table_fqn=fqn, name=n, data_type=dt)
         for n, dt in cols
     )
-    return TableDef(fqn=fqn, name=name, db=db, location=location, columns=col_defs)
+    return TableDef(
+        fqn=fqn, name=name, db=db, location=location, columns=col_defs,
+        snapshot_ts=time.time(),
+    )

@@ -78,3 +78,16 @@ def test_lakehouse_connectors_fail_cleanly_without_jars(spark):
         # parquet IS available, so the probe mechanism itself works
     with _pytest.raises(ValueError):
         read_table(spark, "not_a_format", "/tmp/x")
+
+
+def test_snapshot_ts_upsert_keeps_newest():
+    """Per-query snapshots upsert by fqn with a timestamp — the rebuild's
+    analog of the reference's lastAccessTime-gated re-convert
+    (``ConvertHelper.scala:58,121``): the newest snapshot wins."""
+    m = Model()
+    t1 = table_from_columns("item", "/a", [("a", "int")])
+    t2 = table_from_columns("item", "/a", [("a", "int"), ("b", "string")])
+    assert 0 < t1.snapshot_ts <= t2.snapshot_ts
+    m.add(t1)
+    m.add(t2)
+    assert m.get("default@item", TableDef).snapshot_ts == t2.snapshot_ts
