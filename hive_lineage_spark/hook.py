@@ -322,18 +322,32 @@ class LineageTracker:
         map so later tracked reads stitch through it — the automatic
         analog of ``track_write`` (reference parity: PostExecHook gets
         WriteEntity outputs in its HookContext, ``PostExecHook.scala:18-27``).
+        Covers ``df.write.save`` to a path, ``saveAsTable`` (CTAS) and
+        ``INSERT INTO`` — the latter two also snapshot the TARGET
+        catalog table (name + schema + warehouse location) as a
+        TableDef, the WriteEntity→Def conversion of the reference.
         None if the execution isn't a write command."""
         from .plans.capture import capture_write_command
 
         got = capture_write_command(jqe)
         if got is None:
             return None
-        cap, out_path = got
-        ql = self.track_captured(cap, name)
+        ql = self.track_captured(got["cap"], name)
         ql.command_type = "INSERT"
-        ql.output_path = _norm_path(out_path)
-        self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
-        self.location_map[ql.output_path] = ql
+        ql.output_path = _norm_path(got["path"]) if got["path"] else None
+        if ql.output_path:
+            self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
+            self.location_map[ql.output_path] = ql
+        if got["table"] is not None:
+            db, tname = got["table"]
+            loc = ql.output_path or ""
+            if not loc:
+                # fresh CTAS: the metastore assigns the location after
+                # the command plans — recover it from the companion
+                # insert event (same table name) already in the map
+                matches = [p for p in self.location_map if os.path.basename(p) == tname]
+                loc = matches[-1] if matches else ""
+            self.model.add(table_from_columns(tname, loc, got["columns"], db=db))
         return ql
 
     def track_stream_write_def(

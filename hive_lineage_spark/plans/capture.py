@@ -292,30 +292,69 @@ def view_descriptors(raw_analyzed: list[dict]) -> list[dict]:
     return views
 
 
-def capture_write_command(qe) -> tuple[Captured, str] | None:
+def capture_write_command(qe) -> dict | None:
     """If this execution is a file-writing command
-    (InsertIntoHadoopFsRelationCommand — what ``df.write.save`` /
-    ``INSERT INTO`` path tables execute), capture the SOURCE plan and
-    return it with the output path; None for any other execution. This
-    is the automatic-output half of the reference's hook contract: a
-    Hive PostExecHook receives the query's WriteEntity outputs in the
-    HookContext (``PostExecHook.scala:18-27``); a Spark
+    (InsertIntoHadoopFsRelationCommand — the inner command that
+    ``df.write.save``, ``df.write.saveAsTable`` (CTAS) and
+    ``INSERT INTO`` all execute), capture the SOURCE plan and return it
+    with the output path / target catalog table; None for any other
+    execution. This is the automatic-output half of the reference's
+    hook contract: a Hive PostExecHook receives the query's WriteEntity
+    outputs in the HookContext (``PostExecHook.scala:18-27``); a Spark
     QueryExecutionListener only gets the QueryExecution, so the output
     is recovered from the command node itself. The command's ``query``
     child is the optimized source plan (exprIds intact — the same plan
     ``capture_qe`` would see for a plain read); views for the catalog
-    snapshot come from the analyzed child."""
+    snapshot come from the analyzed child.
+
+    Returns ``{"cap", "path", "table": (db, name) | None, "columns"}``.
+    """
+    def _ident_pair(ident) -> tuple[str, str]:
+        db = str(ident.database().get()) if ident.database().isDefined() else "default"
+        return (db, str(ident.table()))
+
     try:
         jcmd = qe.optimizedPlan()
-        if jcmd.getClass().getSimpleName() != "InsertIntoHadoopFsRelationCommand":
+        cls = jcmd.getClass().getSimpleName()
+        table: tuple[str, str] | None = None
+        if cls == "InsertIntoHadoopFsRelationCommand":
+            out_path = str(jcmd.outputPath().toString())
+            try:
+                jopt = jcmd.catalogTable()
+                if jopt.isDefined():
+                    table = _ident_pair(jopt.get().identifier())
+            except Exception:  # noqa: BLE001
+                pass
+        elif cls == "CreateDataSourceTableAsSelectCommand":
+            # fresh CTAS: the catalog table is on THIS command (the inner
+            # insert fires separately with catalogTable=None — the
+            # metastore assigns the warehouse location during creation,
+            # so locationUri may still be empty here)
+            jtbl = jcmd.table()
+            table = _ident_pair(jtbl.identifier())
+            out_path = ""
+            try:
+                jloc = jtbl.storage().locationUri()
+                if jloc.isDefined():
+                    out_path = str(jloc.get().toString())
+            except Exception:  # noqa: BLE001
+                pass
+        else:
             return None
-        out_path = str(jcmd.outputPath().toString())
         jquery = jcmd.query()
         raw_logical = json.loads(jquery.toJSON())
         try:
             views = view_descriptors(json.loads(qe.analyzed().query().toJSON()))
         except Exception:  # noqa: BLE001
             views = []
+        columns: list[tuple[str, str]] = []
+        try:
+            jschema = jquery.schema()
+            for i in range(jschema.size()):
+                f = jschema.apply(i)
+                columns.append((str(f.name()), str(f.dataType().simpleString())))
+        except Exception:  # noqa: BLE001
+            pass
         cap = Captured(
             logical=parse_tree(raw_logical),
             physical=None,
@@ -325,7 +364,7 @@ def capture_write_command(qe) -> tuple[Captured, str] | None:
             cached_plans=cached_subplans(jquery),
             views=views,
         )
-        return cap, out_path
+        return {"cap": cap, "path": out_path, "table": table, "columns": columns}
     except Exception:  # noqa: BLE001 — a hook must never break queries
         return None
 

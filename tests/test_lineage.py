@@ -465,3 +465,47 @@ def test_listener_auto_captures_writes_and_stitches(spark, tmp_path):
         assert ql.column_map()["segment"] == {("customer", "c_mktsegment")}
     finally:
         tr.uninstall(spark)
+
+
+def test_listener_auto_captures_ctas_and_table_read_stitches(spark):
+    """saveAsTable (CTAS) executes an inner
+    InsertIntoHadoopFsRelationCommand carrying the catalog table — the
+    listener must register the warehouse path AND snapshot the target
+    table, so a later spark.table() read stitches to the base table."""
+    import time
+
+    from hive_lineage_spark.metadata import TableDef
+
+    spark.sql("DROP TABLE IF EXISTS nation_ctas_t")
+    tr = LineageTracker()
+    tr.install(spark)
+    try:
+        df = _t(spark, "nation").select("n_nationkey", F.col("n_name").alias("nm"))
+        df.write.mode("overwrite").saveAsTable("nation_ctas_t")
+        # CTAS fires TWO events (the inner path insert + the create-table
+        # command carrying the catalog table); the bus is async
+        for _ in range(60):
+            paths = [q.output_path for q in tr.queries if q.output_path]
+            if paths and tr.model.get("default@nation_ctas_t") is not None:
+                break
+            time.sleep(0.25)
+        writes = [q for q in tr.queries if q.command_type == "INSERT" and q.output_path]
+        assert writes, "CTAS write never captured"
+        assert writes[-1].output_path.endswith("nation_ctas_t")
+
+        # the target catalog table is snapshotted with schema + location
+        td = tr.model.get("default@nation_ctas_t", TableDef)
+        assert td is not None
+        assert [c.name for c in td.columns] == ["n_nationkey", "nm"]
+        assert td.location == writes[-1].output_path
+
+        back = spark.table("nation_ctas_t").groupBy("nm").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        back.collect()
+        ql = tr.track(back, name="readback")
+        assert ql.result.input_tables == ["nation"]
+        assert ql.column_map()["nm"] == {("nation", "n_name")}
+    finally:
+        tr.uninstall(spark)
+        spark.sql("DROP TABLE IF EXISTS nation_ctas_t")
