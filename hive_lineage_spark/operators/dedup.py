@@ -268,20 +268,13 @@ DD02_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
-def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs ≥ 0.5 Jaccard.
-
-    Signatures are 32 plain min-aggregates over the hashed postings (pure
-    codegen — no array folds), banded 16×2 into bucket keys; the band
-    self-join yields candidates, which are verified with an exact
-    intersection count over the postings. Verification makes the output
-    exact; LSH only prunes the pair space — at 100 TB the band join
-    shuffles O(n·bands) small keys instead of O(n²) comparisons."""
-    po = _postings_cached(spark, sf_dir)
+def _minhash_bands(po: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH bucket rows: 32 min-aggregate MinHash
+    signatures (pure codegen — no array folds) banded 16×2."""
     sig = po.groupBy("doc_id").agg(
         *[F.min(minhash_perm(F.col("gh"), i)).alias(f"m{i}") for i in range(N_HASHES)]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -297,6 +290,19 @@ def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs ≥ 0.5 Jaccard.
+
+    Signatures are 32 plain min-aggregates over the hashed postings (pure
+    codegen — no array folds), banded 16×2 into bucket keys; the band
+    self-join yields candidates, which are verified with an exact
+    intersection count over the postings. Verification makes the output
+    exact; LSH only prunes the pair space — at 100 TB the band join
+    shuffles O(n·bands) small keys instead of O(n²) comparisons."""
+    po = _postings_cached(spark, sf_dir)
+    bands = _minhash_bands(po)
     cand = (
         bands.alias("a")
         .join(
@@ -554,6 +560,93 @@ DD06_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental (batch-vs-index) near-dedup
+# ---------------------------------------------------------------------------
+
+
+def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: match each INCOMING document (doc_id ≥
+    split, the arriving batch) against the already-INDEXED corpus
+    (doc_id < split) and emit the best match per incoming doc — the
+    shape every continuously-ingesting training pipeline needs (dedup
+    the new batch against the index, never the corpus against itself).
+
+    The band join is one-directional (indexed side × incoming side), so
+    its cost is O(batch · bands), not O(corpus²); at production scale
+    the indexed bands/postings are a materialized table and an arriving
+    batch only computes ITS OWN signatures and probes the buckets. The
+    split scalar is a 1-row broadcast, never a driver collect. Exact
+    Jaccard verification (shared ``_verify_pairs``) keeps the output
+    exact; best match = highest (rounded) jaccard, ties to the lowest
+    indexed id."""
+    from pyspark.sql import Window
+
+    po = _postings_cached(spark, sf_dir)
+    split = _docs(spark, sf_dir).groupBy().agg(
+        F.floor(F.max("doc_id") / 2).cast("long").alias("split_id")
+    )
+    bands = _minhash_bands(po).crossJoin(F.broadcast(split))
+    old = bands.filter(F.col("doc_id") < F.col("split_id"))
+    new = bands.filter(F.col("doc_id") >= F.col("split_id"))
+    cand = (
+        old.alias("a")
+        .join(
+            new.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ver = _verify_pairs(cand, po)
+    w = Window.partitionBy("id_b").orderBy(F.desc("jaccard"), F.asc("id_a"))
+    return (
+        ver.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_b").alias("new_id"),
+            F.col("id_a").alias("match_id"),
+            "jaccard",
+        )
+    )
+
+
+# Oracle: exact cross-split Jaccard pairs, best match per incoming doc.
+# (Same LSH-recall argument as DD03: verification makes survivors exact,
+# and the planted near-dups sit at j≈0.95 where band-miss is ~1e-16.)
+DD09_SQL = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, {word_ngrams_sql('ws', 3)} AS grams FROM d),
+    po AS (
+        SELECT DISTINCT doc_id, gh
+        FROM (SELECT doc_id, {poly_hash_sql('unnest(grams)')} AS gh FROM g)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM po GROUP BY doc_id),
+    sp AS (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS split_id FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM po a JOIN po b ON a.gh = b.gh
+        WHERE a.doc_id < (SELECT split_id FROM sp)
+          AND b.doc_id >= (SELECT split_id FROM sp)
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT id_a, id_b,
+               round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= {JACCARD_T}
+    )
+    SELECT id_b AS new_id, id_a AS match_id, jaccard
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY id_b ORDER BY jaccard DESC, id_a ASC
+        ) AS rk FROM ver
+    ) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
@@ -561,6 +654,7 @@ QUERIES = {
     "dd04_simhash": dd04_simhash,
     "dd05_simhash_pairs": dd05_simhash_pairs,
     "dd06_embed_cosine_dup": dd06_embed_cosine_dup,
+    "dd09_incremental_dedup": dd09_incremental_dedup,
 }
 
 ORACLES = {
@@ -570,4 +664,5 @@ ORACLES = {
     "dd04_simhash": DD04_SQL,
     "dd05_simhash_pairs": DD05_SQL,
     "dd06_embed_cosine_dup": DD06_SQL,
+    "dd09_incremental_dedup": DD09_SQL,
 }

@@ -234,8 +234,48 @@ TP01_SQL = f"""
 """
 
 
+SAMPLE_PER_CLASS = 40
+
+
+def tp02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced deterministic sampling: EXACTLY K documents per
+    language (or all of an underfull class) — the class-rebalancing
+    primitive of a training-data mix. Rank rows inside each class by
+    md5(doc_id) (a content-free deterministic shuffle both engines
+    compute identically) and keep rank ≤ K; unlike
+    ``df.sample(fraction)`` the per-class count is exact and
+    reproducible under any parallelism.
+
+    SCALE CAVEAT: the per-class window sorts each class within one
+    shuffle partition — parallelism is bounded by #classes. Fine for
+    language-count-sized strata; for high-cardinality strata rank in
+    two phases (per (class, hash-bucket) quotas, then a small
+    merge-rank of the K·buckets survivors)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_PER_CLASS)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+TP02_SQL = f"""
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk
+        FROM documents
+    ) WHERE rk <= {SAMPLE_PER_CLASS}
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
+    "tp02_stratified_sample": tp02_stratified_sample,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -244,6 +284,7 @@ QUERIES = {
 
 ORACLES = {
     "tp01_full_pipeline": TP01_SQL,
+    "tp02_stratified_sample": TP02_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,

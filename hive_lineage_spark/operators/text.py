@@ -240,12 +240,77 @@ TX07_SQL = f"""
 """
 
 
+# PII / URL scrubbing patterns — valid in both Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^ ]+"
+_NUM_RE = r"[0-9]+"
+
+
+def tx08_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing — the standard pre-training redaction pass
+    (emails → <EMAIL>, URLs → <URL>, digit runs → <NUM>), with
+    per-class match counts for audit. The synthetic corpus contains no
+    PII, so each doc deterministically embeds a synthetic
+    email/URL/numeric tail (same construction in the oracle) to
+    exercise every pattern; replacement order matters and is part of
+    the contract (emails before URLs before digit runs, so a URL's
+    digits don't decompose it). Pure codegen regexp chain over the
+    scan — no Python in the loop at any scale."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid,
+        F.lit("@example.com via https://site"), sid,
+        F.lit(".test/p?id="), (F.col("doc_id") * 7919).cast("string"),
+    )
+    after_email = F.regexp_replace(payload, _EMAIL_RE, "<EMAIL>")
+    after_url = F.regexp_replace(after_email, _URL_RE, "<URL>")
+    redacted = F.regexp_replace(after_url, _NUM_RE, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(payload, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(_URL_RE)).alias("n_urls"),
+        F.regexp_count(after_url, F.lit(_NUM_RE)).alias("n_nums"),
+        F.length(redacted).alias("n_chars_red"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+TX08_SQL = f"""
+    WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via https://site' || CAST(doc_id AS VARCHAR)
+                    || '.test/p?id=' || CAST(doc_id * 7919 AS VARCHAR) AS payload
+        FROM documents
+    ), r AS (
+        SELECT doc_id, payload,
+               regexp_replace(payload, '{_EMAIL_RE}', '<EMAIL>', 'g') AS after_email
+        FROM p
+    ), u AS (
+        SELECT doc_id, payload, after_email,
+               regexp_replace(after_email, '{_URL_RE}', '<URL>', 'g') AS after_url
+        FROM r
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(payload, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(after_email, '{_URL_RE}')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(after_url, '{_NUM_RE}')) AS INT) AS n_nums,
+           CAST(length(regexp_replace(after_url, '{_NUM_RE}', '<NUM>', 'g')) AS INT) AS n_chars_red,
+           md5(regexp_replace(after_url, '{_NUM_RE}', '<NUM>', 'g')) AS redacted_md5
+    FROM u
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
     "tx03_quality_score": tx03_quality_score,
     "tx04_fingerprint": tx04_fingerprint,
     "tx07_bpe_pretokenize": tx07_bpe_pretokenize,
+    "tx08_redact_pii": tx08_redact_pii,
 }
 
 ORACLES = {
@@ -254,4 +319,5 @@ ORACLES = {
     "tx03_quality_score": TX03_SQL,
     "tx04_fingerprint": TX04_SQL,
     "tx07_bpe_pretokenize": TX07_SQL,
+    "tx08_redact_pii": TX08_SQL,
 }
