@@ -178,3 +178,24 @@ def test_composed_gram_hash_equals_char_hash(spark):
         for r in grams.select("doc_id", poly_hash(F.col("g")).alias("gh")).distinct().collect()
     }
     assert got == want
+
+
+def test_deterministic_ops_invariant_under_repartitioning(spark):
+    """Operators documented as 'reproducible under any parallelism'
+    (tp02 stratified sample, tx05 hash sample, dd09 best-match) must
+    return the identical row set when the input arrives with a
+    different partitioning — rank/tie-break logic may not depend on
+    physical row order."""
+    from hive_lineage_spark.operators.dedup import dd09_incremental_dedup
+    from hive_lineage_spark.operators.pipeline import tp02_stratified_sample, tx05_hash_sample
+
+    sf = "/root/testdata/sf0.001"
+    for op in (tp02_stratified_sample, tx05_hash_sample, dd09_incremental_dedup):
+        base = {tuple(r) for r in op(spark, sf).collect()}
+        shuffled = {
+            tuple(r)
+            for r in op(spark, sf).repartition(7).collect()
+        }
+        assert base == shuffled, op.__name__
+        again = {tuple(r) for r in op(spark, sf).collect()}
+        assert base == again, f"{op.__name__} not run-to-run stable"
