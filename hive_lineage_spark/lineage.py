@@ -207,9 +207,40 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
         children = [visit(c, depth + 1) for c in p.children]
 
         if kind in ("HashAggregate", "SortAggregate", "ObjectHashAggregate") and children:
-            # physical aggregate: resultExpressions is the output list
-            indirect.update(refs_bases(expr_trees(p, "groupingExpressions"), children[0]))
-            return projectish(p, "resultExpressions", children[0], "aggregated")
+            # physical aggregate: resultExpressions is the output list —
+            # but its refs are the aggregate BUFFER attributes
+            # (aggregateAttributes), not child columns, so resolve each
+            # buffer attr to its aggregate expression's references
+            # first. Buffer/expression lists pair positionally for
+            # single-buffer functions; on a length mismatch (multi-
+            # buffer partials like avg) every buffer maps to the union
+            # of all aggregate inputs — over-approximate, never wrong.
+            child = children[0]
+            indirect.update(refs_bases(expr_trees(p, "groupingExpressions"), child))
+            agg_exprs = expr_trees(p, "aggregateExpressions")
+            agg_attrs = expr_trees(p, "aggregateAttributes")
+            aug = dict(child.bases)
+            expr_cells = []
+            for tree in agg_exprs:
+                cells: set[Cell] = set()
+                for ie, _ in attr_refs(tree):
+                    cells.update(child.bases.get(ie, frozenset({UNKNOWN})))
+                expr_cells.append(frozenset(cells))
+            union_cells = frozenset().union(*expr_cells) if expr_cells else frozenset()
+            for i, attr_tree in enumerate(agg_attrs):
+                eid = expr_id(attr_tree[0])
+                if eid is None:
+                    continue
+                aug[eid] = (
+                    expr_cells[i] if len(agg_attrs) == len(agg_exprs) else union_cells
+                )
+                roles[eid] = "aggregated"
+            return projectish(
+                p,
+                "resultExpressions",
+                _NodeMap(output=child.output, bases=aug),
+                "aggregated",
+            )
 
         if kind.endswith("Join") and kind != "Join" and len(children) == 2:
             # physical join variants (BroadcastHashJoin, SortMergeJoin, ...)

@@ -145,25 +145,28 @@ def _hashed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POSTINGS_CACHE: dict = {}
 
 
-def _postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shingle index is consumed several times per query (sizes, both
-    join sides, verification) — persist it once per (session, sf_dir),
-    exactly as a production pipeline materializes its shingle index.
-    Long-lived sessions must release it via ``clear_postings_cache()``
+def _persisted(tag: str, spark: SparkSession, sf_dir: str, builder) -> DataFrame:
+    """Persist a derived index once per (session, sf_dir, tag) — exactly
+    as a production pipeline materializes its shingle/signature indexes.
+    Long-lived sessions must release via ``clear_postings_cache()``
     (bench and tests do) — persisted RDDs otherwise pin executor
     storage for the life of the session."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key not in _POSTINGS_CACHE:
         from pyspark.storagelevel import StorageLevel
 
-        _POSTINGS_CACHE[key] = _hashed_postings(spark, sf_dir).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        _POSTINGS_CACHE[key] = builder(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     return _POSTINGS_CACHE[key]
 
 
+def _postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle index is consumed several times per query (sizes, both
+    join sides, verification) — see ``_persisted``."""
+    return _persisted("postings", spark, sf_dir, _hashed_postings)
+
+
 def clear_postings_cache() -> None:
-    """Unpersist and drop every cached postings index (all sessions/dirs)."""
+    """Unpersist and drop every cached derived index (all sessions/dirs)."""
     for df in _POSTINGS_CACHE.values():
         try:
             df.unpersist()
@@ -357,8 +360,9 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash signature (near-dup sketch)."""
-    return _simhash(spark, sf_dir)
+    """Per-document 32-bit SimHash signature (near-dup sketch); shares
+    the persisted signature frame with dd05."""
+    return _persisted("simhash", spark, sf_dir, _simhash)
 
 
 def _simhash_sql_core() -> str:
@@ -393,8 +397,13 @@ def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures ride along in the joined row, so each pair is kept only at
     its FIRST matching band (filter: every earlier band's byte differs) —
     exactly-once output with a codegen filter instead of a second
-    shuffle (`distinct`) over the whole candidate set."""
-    sim = _simhash(spark, sf_dir)
+    shuffle (`distinct`) over the whole candidate set.
+
+    The signature frame is persisted before the self-join: Spark's
+    exchange reuse does not fire here (the build side sits under a
+    BroadcastExchange with different partitioning), so an unpersisted
+    plan would run the whole scan→dictionary→32-sum pipeline TWICE."""
+    sim = _persisted("simhash", spark, sf_dir, _simhash)
     bands = sim.select(
         "doc_id",
         "simhash",
