@@ -509,3 +509,33 @@ def test_listener_auto_captures_ctas_and_table_read_stitches(spark):
     finally:
         tr.uninstall(spark)
         spark.sql("DROP TABLE IF EXISTS nation_ctas_t")
+
+
+def test_nested_view_lineage_snapshots_both_views(spark):
+    """A view defined over another view: lineage resolves through BOTH
+    inlined bodies to the base table, and the tracker snapshots each
+    view layer as its own catalog TableDef."""
+    from hive_lineage_spark.metadata import TableDef
+
+    spark.sql(
+        f"""CREATE OR REPLACE VIEW nation_inner_v AS
+            SELECT n_nationkey, upper(n_name) AS uname, n_regionkey
+            FROM parquet.`{SF}/nation.parquet`"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE VIEW nation_outer_v AS
+           SELECT n_regionkey, uname FROM nation_inner_v WHERE n_nationkey > 2"""
+    )
+    df = spark.sql(
+        "SELECT n_regionkey, min(uname) AS first_uname FROM nation_outer_v GROUP BY n_regionkey"
+    )
+    df.collect()
+    tr = LineageTracker()
+    ql = tr.track(df, name="nested_view")
+    assert ql.result.input_tables == ["nation"]
+    assert ql.column_map()["first_uname"] == {("nation", "n_name")}
+    assert ("nation", "n_nationkey") in ql.result.indirect
+    inner = tr.model.get("default@nation_inner_v", TableDef)
+    outer = tr.model.get("default@nation_outer_v", TableDef)
+    assert inner is not None and inner.table_type == "view" and "upper" in inner.view_sql
+    assert outer is not None and "nation_inner_v" in outer.view_sql
