@@ -225,6 +225,25 @@ def test_offline_plan_replay(spark, tmp_path):
     assert replayed.logical.tree_string() == online.logical.tree_string()
 
 
+def test_offline_replay_preserves_view_snapshots(spark, tmp_path):
+    """View descriptors ride along in Captured.save / load: an offline
+    replay of a view query re-registers the view TableDef."""
+    from hive_lineage_spark.metadata import TableDef
+    from hive_lineage_spark.operators.sql_extra import q46_view_lineage
+
+    df = q46_view_lineage(spark, SF)
+    df.collect()
+    online = LineageTracker().track(df, name="online")
+    plan_file = str(tmp_path / "view.plan.json")
+    online.captured.save(plan_file)
+
+    tr = LineageTracker()
+    replayed = tr.track_offline(plan_file, name="replay")
+    assert replayed.result.input_tables == ["nation", "region"]
+    vt = tr.model.get("default@nation_region_v", TableDef)
+    assert vt is not None and vt.table_type == "view" and vt.view_sql
+
+
 def test_partitioned_scan_lineage_and_partition_defs(spark):
     """Partitioned-table parity (SURVEY §2.4 item 8): the catalog snapshot
     registers PartitionDefs per key=value directory (ConvertHelper cascade)
