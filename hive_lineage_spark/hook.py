@@ -380,6 +380,26 @@ class LineageTracker:
         ql.command_type = "STREAM"
         return ql
 
+    def track_view_qe(self, jqe, name: str = "create-view") -> QueryLineage | None:
+        """Track a CREATE VIEW execution: the view's DEFINING plan is
+        analyzed (column provenance of the view body at DDL time) and
+        the view registered as a catalog TableDef with its original
+        SQL — the DDL half of the reference hook's coverage. None if
+        the execution isn't a CREATE VIEW."""
+        from dataclasses import replace
+
+        from .plans.capture import capture_view_command
+
+        got = capture_view_command(jqe)
+        if got is None:
+            return None
+        ql = self.track_captured(got["cap"], name)
+        ql.command_type = "CREATE_VIEW"
+        ql.sql_text = got["viewSql"]
+        t = table_from_columns(got["name"], location="", cols=got["columns"], db=got["db"])
+        self.model.add(replace(t, table_type="view", view_sql=got["viewSql"]))
+        return ql
+
     # -- live hook: automatic capture of every query -------------------------
 
     def install(self, spark) -> None:
@@ -397,10 +417,15 @@ class LineageTracker:
         class _PyQueryExecutionListener:
             def onSuccess(self, func_name, qe, duration_ns):  # noqa: N802 — Java iface
                 try:
-                    # write commands first: registers the output path so
-                    # later reads stitch without a manual track_write
-                    if tracker.track_write_qe(qe, name=f"auto:{func_name}") is None:
-                        tracker.track_qe(qe, name=f"auto:{func_name}")
+                    # commands first: writes register their output path
+                    # for stitching, CREATE VIEW snapshots the view def;
+                    # everything else is a plain query capture
+                    nm = f"auto:{func_name}"
+                    if (
+                        tracker.track_write_qe(qe, name=nm) is None
+                        and tracker.track_view_qe(qe, name=nm) is None
+                    ):
+                        tracker.track_qe(qe, name=nm)
                 except Exception:  # noqa: BLE001 — a hook must never break queries
                     pass
 

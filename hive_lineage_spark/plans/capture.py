@@ -369,6 +369,43 @@ def capture_write_command(qe) -> dict | None:
         return None
 
 
+def capture_view_command(qe) -> dict | None:
+    """If this execution is a CREATE VIEW command, capture the view's
+    DEFINING plan (lineage of the view body at DDL time — a Hive hook
+    sees DDL statements too) plus the catalog identity and original
+    SQL. None for any other execution."""
+    try:
+        jcmd = qe.optimizedPlan()
+        if jcmd.getClass().getSimpleName() != "CreateViewCommand":
+            return None
+        ident = jcmd.name()
+        db = str(ident.database().get()) if ident.database().isDefined() else "default"
+        name = str(ident.table())
+        jtext = jcmd.originalText()
+        view_sql = str(jtext.get()) if jtext.isDefined() else ""
+        jplan = jcmd.plan()  # the ANALYZED defining plan
+        raw_logical = json.loads(jplan.toJSON())
+        columns: list[tuple[str, str]] = []
+        try:
+            jschema = jplan.schema()
+            for i in range(jschema.size()):
+                f = jschema.apply(i)
+                columns.append((str(f.name()), str(f.dataType().simpleString())))
+        except Exception:  # noqa: BLE001
+            pass
+        cap = Captured(
+            logical=parse_tree(raw_logical),
+            physical=None,
+            leaf_paths=leaf_scan_paths(jplan),
+            logical_str=jplan.toString(),
+            raw_logical=raw_logical,
+            views=view_descriptors(raw_logical),
+        )
+        return {"cap": cap, "name": name, "db": db, "viewSql": view_sql, "columns": columns}
+    except Exception:  # noqa: BLE001 — a hook must never break queries
+        return None
+
+
 def capture(df: DataFrame) -> Captured:
     """Capture the query execution of ``df`` (after its action has run —
     AQE's final plan only exists post-execution, mirroring the reference

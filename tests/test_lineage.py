@@ -558,3 +558,38 @@ def test_nested_view_lineage_snapshots_both_views(spark):
     outer = tr.model.get("default@nation_outer_v", TableDef)
     assert inner is not None and inner.table_type == "view" and "upper" in inner.view_sql
     assert outer is not None and "nation_inner_v" in outer.view_sql
+
+
+def test_listener_captures_create_view_ddl(spark):
+    """CREATE VIEW under the installed listener: the view's defining
+    plan is analyzed at DDL time (column provenance to base tables) and
+    the view lands in the catalog model with its original SQL."""
+    import time
+
+    from hive_lineage_spark.metadata import TableDef
+
+    tr = LineageTracker()
+    tr.install(spark)
+    try:
+        spark.sql(
+            f"""CREATE OR REPLACE VIEW ddl_probe_v AS
+                SELECT n_nationkey, upper(n_name) AS uname
+                FROM parquet.`{SF}/nation.parquet` WHERE n_regionkey = 0"""
+        )
+        for _ in range(60):  # listener bus is async
+            if any(q.command_type == "CREATE_VIEW" for q in tr.queries):
+                break
+            time.sleep(0.25)
+        ddls = [q for q in tr.queries if q.command_type == "CREATE_VIEW"]
+        assert ddls, "CREATE VIEW never captured"
+        ql = ddls[-1]
+        assert ql.result.input_tables == ["nation"]
+        assert ql.column_map()["uname"] == {("nation", "n_name")}
+        assert ("nation", "n_regionkey") in ql.result.indirect
+        vt = tr.model.get("default@ddl_probe_v", TableDef)
+        assert vt is not None and vt.table_type == "view"
+        assert "upper(n_name)" in vt.view_sql
+        assert [c.name for c in vt.columns] == ["n_nationkey", "uname"]
+    finally:
+        tr.uninstall(spark)
+        spark.sql("DROP VIEW IF EXISTS ddl_probe_v")
