@@ -93,6 +93,12 @@ def _word_powers(w):
 
 
 def _hashed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gh) postings of the TESTDATA documents table (see
+    ``postings_of`` for the frame-level transform)."""
+    return postings_of(_docs(spark, sf_dir))
+
+
+def postings_of(d: DataFrame) -> DataFrame:
     """(doc_id, gh) postings: distinct poly-hashed word trigrams per doc.
 
     Scale-minded choices:
@@ -118,7 +124,6 @@ def _hashed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
       hashing the concatenated gram (tests/test_property.py)."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
     vocab = tok.select("w").distinct().select(
         "w", _poly_hash_expr(F.col("w")).alias("h"), _word_powers(F.col("w")).alias("p")
@@ -617,6 +622,37 @@ def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_a").alias("match_id"),
             "jaccard",
         )
+    )
+
+
+def incremental_dedup_frames(new_docs: DataFrame, indexed_docs: DataFrame) -> DataFrame:
+    """Frame-level incremental near-dedup: best indexed match (MinHash
+    band probe + exact Jaccard ≥ t, ties to lowest id) for each doc in
+    ``new_docs`` against ``indexed_docs`` — the reusable core behind
+    dd09, for callers whose "arriving batch" is an arbitrary DataFrame
+    (e.g. a vtable change feed; see the CDC test in test_vtable.py).
+    Both frames need (doc_id, text); doc_ids must be disjoint. dd09
+    itself stays on the single-table/split form to reuse the persisted
+    postings index."""
+    from pyspark.sql import Window
+
+    po_idx = postings_of(indexed_docs)
+    po_new = postings_of(new_docs)
+    cand = (
+        _minhash_bands(po_idx).alias("a")
+        .join(
+            _minhash_bands(po_new).alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ver = _verify_pairs(cand, po_idx.unionByName(po_new))
+    w = Window.partitionBy("id_b").orderBy(F.desc("jaccard"), F.asc("id_a"))
+    return (
+        ver.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("id_b").alias("new_id"), F.col("id_a").alias("match_id"), "jaccard")
     )
 
 

@@ -285,3 +285,28 @@ def test_schema_evolution_on_append(spark, root):
     assert got.filter(F.col("region").isNull()).count() == n.count()
     # pre-evolution snapshot still reads with the old schema
     assert read_vtable(spark, root, version=0).columns == ["n_nationkey", "n_name"]
+
+
+def test_change_feed_drives_incremental_dedup(spark, root):
+    """The CDC production story: documents land in a versioned table
+    commit by commit; each arriving commit (via the change feed) is
+    near-dedup-probed against the previously indexed snapshot. The
+    result must equal the batch operator's split-by-id semantics
+    (dd09's DuckDB-checked definition)."""
+    from hive_lineage_spark.operators.dedup import (
+        dd09_incremental_dedup,
+        incremental_dedup_frames,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select("doc_id", "text")
+    split = docs.groupBy().agg(F.floor(F.max("doc_id") / 2).cast("long").alias("s")).collect()[0][0]
+    write_vtable(docs.filter(F.col("doc_id") < split), root, mode="overwrite")
+    write_vtable(docs.filter(F.col("doc_id") >= split), root, mode="append")
+
+    arriving = read_vtable_changes(spark, root, from_version=1).select("doc_id", "text")
+    indexed = read_vtable(spark, root, version=0)
+    got = {
+        tuple(r) for r in incremental_dedup_frames(arriving, indexed).collect()
+    }
+    want = {tuple(r) for r in dd09_incremental_dedup(spark, SF).collect()}
+    assert got == want and got, "CDC-driven dedup must equal the batch split operator"
