@@ -593,3 +593,36 @@ def test_listener_captures_create_view_ddl(spark):
     finally:
         tr.uninstall(spark)
         spark.sql("DROP VIEW IF EXISTS ddl_probe_v")
+
+
+def test_listener_captures_insert_overwrite_directory(spark, tmp_path):
+    """INSERT OVERWRITE DIRECTORY (the Hive-ism the reference's
+    WriteEntity outputs cover) executes an inner path-writing command —
+    the listener captures it, including through the WriteFiles wrapper
+    on the source plan, and later reads stitch."""
+    import time
+
+    out = str(tmp_path / "iod_out")
+    tr = LineageTracker()
+    tr.install(spark)
+    try:
+        spark.sql(
+            f"""INSERT OVERWRITE DIRECTORY '{out}' USING parquet
+                SELECT n_nationkey, upper(n_name) AS uname
+                FROM parquet.`{SF}/nation.parquet`"""
+        )
+        for _ in range(60):
+            if any(q.command_type == "INSERT" for q in tr.queries):
+                break
+            time.sleep(0.25)
+        writes = [q for q in tr.queries if q.command_type == "INSERT" and q.output_path]
+        assert writes and writes[-1].output_path == out
+        assert writes[-1].column_map()["uname"] == {("nation", "n_name")}
+
+        back = spark.read.parquet(out).select("uname")
+        back.collect()
+        ql = tr.track(back, name="readback")
+        assert ql.result.input_tables == ["nation"]
+        assert ql.column_map()["uname"] == {("nation", "n_name")}
+    finally:
+        tr.uninstall(spark)
