@@ -270,9 +270,50 @@ def q46_view_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling date spine via a RECURSIVE CTE (Spark 4 supports
+    WITH RECURSIVE): generate every calendar day between the corpus's
+    min and max event dates, left-join per-day counts so silent days
+    surface as 0 — the standard time-series gap-fill a metrics pipeline
+    needs. Recursion depth = days in range (30 here); for multi-year
+    ranges prefer sequence()+explode, which is one codegen expression."""
+    _reg(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH RECURSIVE b AS (
+            SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+        ), days AS (
+            SELECT lo AS d, hi FROM b
+            UNION ALL
+            SELECT date_add(d, 1), hi FROM days WHERE d < hi
+        ), per_day AS (
+            SELECT CAST(ts AS DATE) AS ed, count(*) AS n FROM events GROUP BY CAST(ts AS DATE)
+        )
+        SELECT CAST(d AS STRING) AS day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        FROM days LEFT JOIN per_day ON ed = d
+        """
+    )
+
+
+Q47_SQL = """
+    WITH RECURSIVE b AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+    ), days AS (
+        SELECT lo AS d, hi FROM b
+        UNION ALL
+        SELECT d + 1, hi FROM days WHERE d < hi
+    ), per_day AS (
+        SELECT CAST(ts AS DATE) AS ed, count(*) AS n FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT CAST(d AS VARCHAR) AS day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+    FROM days LEFT JOIN per_day ON ed = d
+"""
+
+
 QUERIES = {
     "q31_q27_sql_text": q31_q27_sql_text,
     "q46_view_lineage": q46_view_lineage,
+    "q47_date_spine": q47_date_spine,
     "q41_session_window": q41_session_window,
     "q42_array_agg": q42_array_agg,
     "q43_range_join_bucketized": q43_range_join_bucketized,
@@ -288,6 +329,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q47_date_spine": Q47_SQL,
     "q46_view_lineage": """
         WITH nation_region_v AS (
             SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
