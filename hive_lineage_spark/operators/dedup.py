@@ -122,6 +122,17 @@ def postings_of(d: DataFrame) -> DataFrame:
       with the corpus (broadcast OOM at 100 TB); the word vocabulary is
       the only broadcast this path needs. Values are bit-identical to
       hashing the concatenated gram (tests/test_property.py)."""
+    return hashed_ngrams_of(d, 3)
+
+
+def hashed_ngrams_of(d: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gh) distinct hashed word n-grams for any n ≥ 2, same
+    construction as ``postings_of``: vocabulary-only hash broadcast,
+    window leads, and a Horner left fold
+    H(x‖' '‖w) = ((H(x)·M + 32) mod M') · M^len(w) + H(w)  (mod M')
+    — every factor stays < M' ≈ 1e9, so each two-term product fits a
+    long. Bit-identical to char-hashing the joined gram string
+    (tests/test_property.py checks n=3 and n=5)."""
     from pyspark.sql import Window
 
     tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
@@ -130,18 +141,15 @@ def postings_of(d: DataFrame) -> DataFrame:
     )
     tk = tok.join(F.broadcast(vocab), "w").select("doc_id", "pos", "h", "p")
     win = Window.partitionBy("doc_id").orderBy("pos")
-    h1 = F.col("h")
-    h2, p2 = F.lead("h", 1).over(win), F.lead("p", 1).over(win)
-    h3, p3 = F.lead("h", 2).over(win), F.lead("p", 2).over(win)
-    # H(w1' 'w2' 'w3) = (h1·M+32)·p2·p3·M + (h2·M+32)·p3 + h3 (mod M'),
-    # pi = M^len(wi); every factor ≤ M' so interleaved mods keep each
-    # product < 1e18 (no long overflow)
-    t1 = (h1 * MULT + 32) % MOD
-    t2 = (h2 * MULT + 32) % MOD
-    gh = ((t1 * p2 % MOD) * p3 % MOD * MULT % MOD + t2 * p3 % MOD + h3) % MOD
+    acc = F.col("h")
+    last_p = F.lit(1)
+    for i in range(1, n):
+        hi, pi = F.lead("h", i).over(win), F.lead("p", i).over(win)
+        acc = (((acc * MULT + 32) % MOD) * pi % MOD + hi) % MOD
+        last_p = pi
     return (
-        tk.select("doc_id", gh.alias("gh"), p3.alias("_has3"))
-        .filter(F.col("_has3").isNotNull())
+        tk.select("doc_id", acc.alias("gh"), last_p.alias("_has"))
+        .filter(F.col("_has").isNotNull())
         .select("doc_id", "gh")
         .distinct()
     )
@@ -692,6 +700,59 @@ DD09_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# test-set decontamination
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # decontamination n-gram length (longer than dedup's trigrams)
+BENCH_MOD = 20  # doc_id % 20 == 0 → the stand-in "benchmark/eval" split
+
+
+def dd10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag TRAINING documents that share any
+    hashed word 5-gram with the BENCHMARK split (doc_id % 20 == 0, the
+    stand-in for an eval set) — the contamination check every serious
+    training corpus runs before training. Per contaminated doc: the
+    number of distinct shared 5-grams and of benchmark docs hit.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (eval sets are fixed-size), so it BROADCASTS to the training-side
+    join — the training grams never shuffle. Grams are the same
+    vocabulary-composed hashes as dd02's (no gram strings
+    materialized); 5-grams instead of trigrams make matches specific
+    enough to mean real overlap."""
+    grams = hashed_ngrams_of(_docs(spark, sf_dir).select("doc_id", "text"), DECON_N)
+    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+DD10_SQL = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, {{ngrams}} AS grams FROM d),
+    po AS (
+        SELECT DISTINCT doc_id, {{ph}} AS gh
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+    ),
+    bench AS (SELECT doc_id AS bench_id, gh FROM po WHERE doc_id % {BENCH_MOD} = 0),
+    train AS (SELECT doc_id, gh FROM po WHERE doc_id % {BENCH_MOD} <> 0)
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.gh) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM train t JOIN bench b ON t.gh = b.gh
+    GROUP BY t.doc_id
+""".format(ngrams=word_ngrams_sql("ws", DECON_N), ph=poly_hash_sql("gram"))
+
+
 QUERIES = {
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
@@ -700,9 +761,11 @@ QUERIES = {
     "dd05_simhash_pairs": dd05_simhash_pairs,
     "dd06_embed_cosine_dup": dd06_embed_cosine_dup,
     "dd09_incremental_dedup": dd09_incremental_dedup,
+    "dd10_decontaminate": dd10_decontaminate,
 }
 
 ORACLES = {
+    "dd10_decontaminate": DD10_SQL,
     "dd01_exact_dedup": DD01_SQL,
     "dd02_ngram_jaccard": DD02_SQL,
     "dd03_minhash_lsh": DD03_SQL,

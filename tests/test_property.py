@@ -199,3 +199,37 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
         assert base == shuffled, op.__name__
         again = {tuple(r) for r in op(spark, sf).collect()}
         assert base == again, f"{op.__name__} not run-to-run stable"
+
+
+def test_composed_ngram_hash_equals_char_hash_n5(spark):
+    """The generalized Horner fold (hashed_ngrams_of, used by dd10's
+    5-gram decontamination) must stay bit-identical to char-hashing the
+    joined 5-gram string."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hive_lineage_spark.functions.hashing import poly_hash
+    from hive_lineage_spark.operators.dedup import hashed_ngrams_of
+
+    texts = [
+        "a b c d e f g",
+        "one two three four five",
+        "x  y z w v u",  # double space -> empty token
+        "short doc",      # < n words -> no grams
+        "sym! bo? ls, and. punct u ation longer",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {tuple(r) for r in hashed_ngrams_of(df, 5).collect()}
+
+    tok = df.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "w", *[F.lead("w", i).over(win) for i in range(1, 5)]).alias("g"),
+        F.lead("w", 4).over(win).alias("_w4"),
+    ).filter(F.col("_w4").isNotNull())
+    want = {
+        tuple(r)
+        for r in grams.select("doc_id", poly_hash(F.col("g")).alias("gh")).distinct().collect()
+    }
+    assert got == want
