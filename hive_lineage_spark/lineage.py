@@ -151,6 +151,7 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
     ``lineage/OperatorNode.scala:67-100``, but in one bottom-up pass)."""
     leaf_iter = iter(leaf_tables)
     tables: list[str] = []
+    loop_anchors: dict[str, _NodeMap] = {}  # UnionLoop id → anchor map
     indirect: set[Cell] = set()
     notes: list[str] = []
     op_mappings: list[OperatorMapping] = []
@@ -204,6 +205,48 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
         # physically) — physical node names are canonicalized by stripping
         # the Exec suffix; field-name differences are handled per-branch.
         kind = p.name.removesuffix("Exec") if p.name.endswith("Exec") else p.name
+
+        if kind == "UnionLoop":
+            # recursive CTE (WITH RECURSIVE): anchor ∪ recursive step,
+            # where the step's UnionLoopRef leaf re-reads the loop's own
+            # rows. Visit the ANCHOR first and publish its positional
+            # bases so the ref can bind to them — sound for lineage,
+            # since iteration adds no base columns the anchor doesn't
+            # already carry — then union positionally like Union.
+            anchor = visit(p.children[0], depth + 1)
+            loop_anchors[str(p.fields.get("id"))] = anchor
+            rec = visit(p.children[1], depth + 1) if len(p.children) > 1 else anchor
+            bases = {**anchor.bases, **rec.bases}
+            output: list[tuple[str, EId | None]] = []
+            for pos, raw in enumerate(p.fields.get("outputAttrIds") or []):
+                oid = (raw["id"], raw.get("jvmId", "")) if isinstance(raw, dict) and "id" in raw else None
+                cells: set[Cell] = set()
+                for side in (anchor, rec):
+                    if pos < len(side.output):
+                        seid = side.output[pos][1]
+                        cells.update(side.bases.get(seid, frozenset({UNKNOWN})))
+                name = anchor.output[pos][0] if pos < len(anchor.output) else f"col{pos}"
+                if oid is not None:
+                    bases[oid] = frozenset(cells)
+                output.append((name, oid))
+            return _NodeMap(output=output, bases=bases)
+
+        if kind == "UnionLoopRef":
+            # the recursion's self-reference: occupies a leaf slot (it
+            # appears in collectLeaves) but is NOT an input table — its
+            # columns bind positionally to the loop anchor's bases.
+            next(leaf_iter, None)
+            anchor = loop_anchors.get(str(p.fields.get("loopId")))
+            out = _leaf_output(p)
+            bases = {}
+            for pos, (_name, eid) in enumerate(out):
+                if anchor is not None and pos < len(anchor.output):
+                    aeid = anchor.output[pos][1]
+                    bases[eid] = anchor.bases.get(aeid, frozenset({UNKNOWN}))
+                else:
+                    bases[eid] = frozenset({UNKNOWN})
+            return _NodeMap(output=[(n, e) for n, e in out], bases=bases)
+
         children = [visit(c, depth + 1) for c in p.children]
 
         if kind in ("HashAggregate", "SortAggregate", "ObjectHashAggregate") and children:
