@@ -444,8 +444,16 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
             return children[0]
 
         if len(children) == 0:
+            # unknown leaf: it still occupies a collectLeaves slot — the
+            # name iterator must advance or every LATER scan binds to
+            # the wrong table (the q47 UnionLoopRef lesson, generalized)
+            next(leaf_iter, None)
             notes.append(f"opaque leaf {kind}")
-            return _NodeMap(output=[], bases={})
+            out = _leaf_output(p)
+            return _NodeMap(
+                output=[(n, e) for n, e in out],
+                bases={e: frozenset({UNKNOWN}) for _, e in out},
+            )
 
         # unknown multi-child: not mappable (≈ SchemaMapping.scala:133 null)
         notes.append(f"unmappable multi-child operator {kind}")
