@@ -273,9 +273,76 @@ TP02_SQL = f"""
 """
 
 
+PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_SHARDS = 8
+
+
+def tp03_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the last step of a pretraining data pipeline:
+    lay documents head-to-tail into fixed token-budget sequences.
+    Documents are sharded (doc_id mod S — the unit of parallelism),
+    ordered deterministically inside each shard (tokens desc, id), and
+    a windowed cumulative sum assigns each doc its sequence number
+    ``floor(prev_cumsum / budget)`` and byte-offset within it; a doc
+    straddling the boundary records the overflow so a downstream
+    splitter can cut it.
+
+    Scale shape: one shuffle on the shard key; the cumsum window runs
+    per shard, so parallelism = S (pick S ≈ cluster cores at scale —
+    packing is embarrassingly parallel across shards by construction).
+    All-integer arithmetic → bit-identical in the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    d = d.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    csum = F.sum("n_tokens").over(w)
+    start = (csum - F.col("n_tokens")).cast("long")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("long").alias("seq_id"),
+        F.pmod(start, F.lit(PACK_BUDGET)).cast("long").alias("offset"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.pmod(start, F.lit(PACK_BUDGET)) + F.col("n_tokens") - PACK_BUDGET).cast("long"),
+        ).alias("overflow"),
+    )
+
+
+TP03_SQL = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(doc_id % {PACK_SHARDS} AS INT) AS shard
+        FROM documents
+    ), c AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY n_tokens DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT) AS start
+        FROM d
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+           CAST(start % {PACK_BUDGET} AS BIGINT) AS offset,
+           CAST(greatest(0, start % {PACK_BUDGET} + n_tokens - {PACK_BUDGET}) AS BIGINT) AS overflow
+    FROM c
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
+    "tp03_pack_sequences": tp03_pack_sequences,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -285,6 +352,7 @@ QUERIES = {
 ORACLES = {
     "tp01_full_pipeline": TP01_SQL,
     "tp02_stratified_sample": TP02_SQL,
+    "tp03_pack_sequences": TP03_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,
