@@ -187,10 +187,14 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
     different partitioning — rank/tie-break logic may not depend on
     physical row order."""
     from hive_lineage_spark.operators.dedup import dd09_incremental_dedup
-    from hive_lineage_spark.operators.pipeline import tp02_stratified_sample, tx05_hash_sample
+    from hive_lineage_spark.operators.pipeline import (
+        tp02_stratified_sample,
+        tp03_pack_sequences,
+        tx05_hash_sample,
+    )
 
     sf = "/root/testdata/sf0.001"
-    for op in (tp02_stratified_sample, tx05_hash_sample, dd09_incremental_dedup):
+    for op in (tp02_stratified_sample, tp03_pack_sequences, tx05_hash_sample, dd09_incremental_dedup):
         base = {tuple(r) for r in op(spark, sf).collect()}
         shuffled = {
             tuple(r)
