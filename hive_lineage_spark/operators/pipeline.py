@@ -339,10 +339,73 @@ TP03_SQL = f"""
 """
 
 
+# Target mixture proportions (per mille) — the "data mixing" recipe a
+# pretraining corpus is built from. Integers so quota arithmetic is exact.
+MIX_WEIGHTS = {"en": 500, "de": 150, "es": 150, "fr": 100, "zh": 100}
+MIX_TOTAL = 200  # documents in the mixed sample
+
+
+def tp04_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling — build a training mix to a recipe:
+    each class (language here; source/domain in production) gets
+    ``floor(weight‰ · total / 1000)`` slots, filled deterministically
+    by md5 rank (same rank construction as tp02, so the mix is
+    reproducible under any parallelism). An underfull class yields
+    what it has — the shortfall is visible by comparing n_taken to the
+    quota rather than silently rebalanced.
+
+    Scale shape: the weight table is a literal (broadcast by
+    definition); one exchange on the class key for the rank window;
+    integer quotas → bit-identical DuckDB oracle."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [(k, v) for k, v in sorted(MIX_WEIGHTS.items())], "lang string, w int"
+    )
+    quota = weights.select(
+        "lang", F.floor(F.col("w") * MIX_TOTAL / 1000).cast("long").alias("quota")
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .groupBy("lang", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select("lang", "quota", "n_taken", "first_doc", "last_doc")
+    )
+
+
+TP04_SQL = f"""
+    WITH weights(lang, w) AS (
+        VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(MIX_WEIGHTS.items()))}
+    ), quota AS (
+        SELECT lang, CAST(floor(w * {MIX_TOTAL} / 1000) AS BIGINT) AS quota FROM weights
+    ), ranked AS (
+        SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk
+        FROM documents
+    )
+    SELECT r.lang, q.quota,
+           CAST(count(*) AS BIGINT) AS n_taken,
+           min(r.doc_id) AS first_doc, max(r.doc_id) AS last_doc
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.rk <= q.quota
+    GROUP BY r.lang, q.quota
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
     "tp03_pack_sequences": tp03_pack_sequences,
+    "tp04_weighted_mixture": tp04_weighted_mixture,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -353,6 +416,7 @@ ORACLES = {
     "tp01_full_pipeline": TP01_SQL,
     "tp02_stratified_sample": TP02_SQL,
     "tp03_pack_sequences": TP03_SQL,
+    "tp04_weighted_mixture": TP04_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,
