@@ -384,7 +384,7 @@ def test_query_execution_listener_auto_capture(spark):
     try:
         df = _t(spark, "nation").filter(F.col("n_regionkey") == 0).select("n_name")
         df.collect()
-        for _ in range(60):  # listener bus is async
+        for _ in range(240):  # generous: listener bus is async and the box is shared  # listener bus is async
             if any(q.name.startswith("auto:") for q in tr.queries):
                 break
             time.sleep(0.25)
@@ -464,7 +464,7 @@ def test_listener_auto_captures_writes_and_stitches(spark, tmp_path):
             "c_custkey", F.col("c_mktsegment").alias("segment")
         )
         df.write.mode("overwrite").parquet(out)
-        for _ in range(60):  # listener bus is async
+        for _ in range(240):  # generous: listener bus is async and the box is shared  # listener bus is async
             if any(q.command_type == "INSERT" for q in tr.queries):
                 break
             time.sleep(0.25)
@@ -503,7 +503,7 @@ def test_listener_auto_captures_ctas_and_table_read_stitches(spark):
         df.write.mode("overwrite").saveAsTable("nation_ctas_t")
         # CTAS fires TWO events (the inner path insert + the create-table
         # command carrying the catalog table); the bus is async
-        for _ in range(60):
+        for _ in range(240):  # generous: listener bus is async and the box is shared
             paths = [q.output_path for q in tr.queries if q.output_path]
             if paths and tr.model.get("default@nation_ctas_t") is not None:
                 break
@@ -576,7 +576,7 @@ def test_listener_captures_create_view_ddl(spark):
                 SELECT n_nationkey, upper(n_name) AS uname
                 FROM parquet.`{SF}/nation.parquet` WHERE n_regionkey = 0"""
         )
-        for _ in range(60):  # listener bus is async
+        for _ in range(240):  # generous: listener bus is async and the box is shared  # listener bus is async
             if any(q.command_type == "CREATE_VIEW" for q in tr.queries):
                 break
             time.sleep(0.25)
@@ -611,7 +611,7 @@ def test_listener_captures_insert_overwrite_directory(spark, tmp_path):
                 SELECT n_nationkey, upper(n_name) AS uname
                 FROM parquet.`{SF}/nation.parquet`"""
         )
-        for _ in range(60):
+        for _ in range(240):  # generous: listener bus is async and the box is shared
             if any(q.command_type == "INSERT" for q in tr.queries):
                 break
             time.sleep(0.25)
