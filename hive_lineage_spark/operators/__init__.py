@@ -16,18 +16,24 @@ from pyspark.sql import DataFrame, SparkSession
 # Registry order is part of the external contract: the correctness harness
 # checks the FIRST 50 entries. The priority block therefore front-loads
 # (a) the SURVEY §2.4 reference-parity queries q01-q19 + q31/q44,
-# (b) the round-1..3 LLM-data-pipeline operator set (dd01-08, ss01-04,
-# tx01-07, mm01-04, px01-02, tp01 — ALL of them in-window, graded as
-# first-class components), and (c) the custom operators Spark lacks
-# natively (as-of join, bucketized range join, sessionization).
-# Beyond the window (the cap is exactly 50): redundant format
-# round-trips (q28-q30), SQL-surface variants (q20-q24, q26, q32-q39)
-# whose semantics are covered by in-window queries, three ops with
-# tolerance/canonical-string or setup-heavy oracles (q40 sketches, q42
-# array agg, q45 vtable time travel), and the round-4 additions (q46
-# view lineage, dd09 incremental dedup, tx08 PII redaction, tp02
-# stratified sample). Every beyond-window query runs the SAME DuckDB
-# oracle locally via tests/test_queries.py and tools/check_oracle.py.
+# (b) the LLM-data-pipeline operator set, and (c) the custom operators
+# Spark lacks natively (as-of join, bucketized range join,
+# sessionization).
+# Round-5 rotation: the round-4 additions (q46 view lineage, q47 date
+# spine, dd09 incremental dedup, dd10 decontamination, tx08 PII
+# redaction, tp02-tp04 training-prep) move IN so the driver certifies
+# them; eight ops certified green in CORRECTNESS_r04 whose semantics
+# are covered by in-window siblings rotate OUT (dd04 simhash signatures
+# — exercised by dd05; ss03/ss04 ANN variants — ss01/ss02 stay; tx05/
+# tx06 sampling/mix — tx01-04+tx07 stay; mm03/mm04 stubs — mm01/mm02
+# carry the Arrow plumbing; px01 — px02 keeps the pandas-UDF surface).
+# Beyond the window (the cap is exactly 50): previously-certified
+# rotated-out ops, redundant format round-trips (q28-q30), SQL-surface
+# variants (q20-q24, q26, q32-q39) whose semantics are covered by
+# in-window queries, and three ops with tolerance/canonical-string or
+# setup-heavy oracles (q40 sketches, q42 array agg, q45 vtable time
+# travel). Every beyond-window query runs the SAME DuckDB oracle
+# locally via tests/test_queries.py and tools/check_oracle.py.
 _DRIVER_PRIORITY = [
     # §2.4 reference parity
     "q01_full_scan", "q02_project_alias", "q03_virtual_rowid",
@@ -37,21 +43,23 @@ _DRIVER_PRIORITY = [
     "q13_join_nullsafe", "q44_unique_join", "q14_agg_tpch_q1",
     "q15_agg_distinct", "q16_topk", "q17_q27_shape",
     "q18_partition_pruning", "q19_insert_readback", "q31_q27_sql_text",
+    # lineage/SQL round-4 additions (never driver-certified before r5)
+    "q46_view_lineage", "q47_date_spine",
     # deduplication
     "dd01_exact_dedup", "dd02_ngram_jaccard", "dd03_minhash_lsh",
-    "dd04_simhash", "dd05_simhash_pairs", "dd06_embed_cosine_dup",
+    "dd05_simhash_pairs", "dd06_embed_cosine_dup",
     "dd07_near_dedup_apply", "dd08_dup_clusters",
+    "dd09_incremental_dedup", "dd10_decontaminate",
     # similarity search
-    "ss01_ann_bruteforce", "ss02_ann_ivf", "ss03_ann_lsh", "ss04_ann_sq8",
+    "ss01_ann_bruteforce", "ss02_ann_ivf",
     # text analysis
     "tx01_token_stats", "tx02_lang_id", "tx03_quality_score",
-    "tx04_fingerprint", "tx05_hash_sample", "tx06_source_mix",
-    "tx07_bpe_pretokenize",
+    "tx04_fingerprint", "tx07_bpe_pretokenize", "tx08_redact_pii",
     # multimodal plumbing
-    "mm01_decode_stub", "mm02_frame_sample", "mm03_audio_window_stub",
-    "mm04_resize_stub",
-    # pandas-UDF ops + composed pipeline
-    "px01_pandas_udf_readability", "px02_grouped_zscore", "tp01_full_pipeline",
+    "mm01_decode_stub", "mm02_frame_sample",
+    # pandas-UDF ops + composed pipeline + training-prep
+    "px02_grouped_zscore", "tp01_full_pipeline",
+    "tp02_stratified_sample", "tp03_pack_sequences", "tp04_weighted_mixture",
     # custom operators Spark lacks natively
     "q27_asof_join", "q43_range_join_bucketized",
     "q25_sessionization",
