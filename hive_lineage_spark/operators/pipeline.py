@@ -18,11 +18,13 @@ def dd07_near_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply near-dedup to the corpus: drop every document that appears as
     the higher-id member of a ≥0.5-Jaccard pair (keep-first-occurrence
     policy — deterministic, order-free). Returns the retained corpus
-    stats per source. At scale the pair set is tiny relative to the
-    corpus, so this is a broadcast anti-join against the full scan."""
+    stats per source. The drop list is corpus-proportional at web scale
+    (20-50% of doc ids is normal), so no broadcast hint: AQE picks
+    broadcast vs shuffle anti-join from the runtime size of the pair
+    side, which stays safe when the list outgrows executor memory."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dd02_ngram_jaccard(spark, sf_dir).select(F.col("id_b").alias("doc_id")).distinct()
-    kept = d.join(F.broadcast(pairs), "doc_id", "left_anti")
+    kept = d.join(pairs, "doc_id", "left_anti")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -192,8 +194,10 @@ def tp01_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_ratio = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double") / n
     quality_ok = d.filter(alpha_ratio >= 0.7)
 
+    # No broadcast hint on the drop list: it is corpus-proportional at
+    # web scale, so AQE must be free to fall back to a shuffle anti-join.
     drop = dd02_ngram_jaccard(spark, sf_dir).select(F.col("id_b").alias("doc_id")).distinct()
-    deduped = quality_ok.join(F.broadcast(drop), "doc_id", "left_anti")
+    deduped = quality_ok.join(drop, "doc_id", "left_anti")
 
     sampled = deduped.filter((poly_hash("text") % 100) < 50)
 

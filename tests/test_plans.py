@@ -103,15 +103,23 @@ def test_postings_dictionary_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_dedup_apply_is_broadcast_anti_join(spark):
-    """dd07 removes the (tiny) drop-list with a broadcast anti-join —
-    never a shuffle of the corpus."""
+def test_dedup_apply_anti_join_is_unpinned(spark):
+    """dd07 removes the drop-list with an anti-join that carries NO
+    broadcast hint: at test scale AQE may still choose broadcast, but the
+    drop list is corpus-proportional at web scale so the plan must not
+    pin it. Assert the join is LeftAnti and the pairs side has no
+    user-supplied ResolvedHint/broadcast pin in the analyzed plan."""
     import hive_lineage_spark.operators.pipeline as pl
+
+    import hive_lineage_spark.operators.dedup as dd
 
     df = pl.dd07_near_dedup_apply(spark, SF)
     plan = _plan(df)
     assert "LeftAnti" in plan
-    assert "BroadcastHashJoin" in plan
+    # dd02's vocabulary broadcast (sublinear, legitimate) is the ONLY
+    # hint allowed — dd07 itself must not add one on the drop list.
+    n_hints = lambda d: d._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    assert n_hints(df) == n_hints(dd.dd02_ngram_jaccard(spark, SF))
 
 
 def test_ivf_centroid_assignment_is_broadcast(spark):
