@@ -98,35 +98,65 @@ SS01_SQL = f"""
 
 
 def ss02_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-K: assign every vector to its nearest centroid cell
-    (broadcast join — centroids are tiny at any scale), probe the 2 best
-    cells per query, rank only candidates in probed cells. Approximate by
-    construction, but fully deterministic, so the oracle runs the same
-    algorithm."""
+    """IVF top-K: assign every vector to its nearest centroid cell, probe
+    the 2 best cells per query, rank only candidates in probed cells.
+    Approximate by construction, but fully deterministic, so the oracle
+    runs the same algorithm.
+
+    Cell assignment is a PURE MAP: the K centroids collapse into a single
+    broadcast one-row array (2·K·dim doubles regardless of corpus size)
+    and each vector computes its argmax cell with a higher-order sort over
+    that array — no explode, no window, no shuffle of vector-carrying
+    rows. The only corpus shuffle in the whole operator is the candidates
+    equi-join on cell id, which is the algorithm. (An earlier version
+    exploded every vector ×K and ran row_number over a window — that
+    exchanged the K-times-replicated vector table, the dominant cost at
+    corpus scale.)
+
+    The per-element cosine uses the interpreted zip_with/aggregate fold
+    rather than dd06's Arrow BLAS kernel (dedup.py) — a deliberate
+    tradeoff: the DuckDB oracle's list_reduce is the same sequential
+    left-fold, so HOF arithmetic is bit-identical where a dgemm's blocked
+    summation may differ in the last ulp at rounding boundaries. On a
+    real corpus swap the scoring stage for the dd06 kernel."""
     vec = _vectors(spark, sf_dir)
     cent = vec.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
-    # cell assignment: argmax cosine over centroids (tie → lower cent_id)
-    scored = vec.join(F.broadcast(cent)).withColumn(
-        "sim", _cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn"))
+    cent_arr = cent.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assign = (
-        scored.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell"))
+
+    def cell_ranking(v_col, n_col):
+        # (-sim, cent_id) structs sorted ascending == sim desc, tie → lower
+        # cent_id: the same ordering the previous window used.
+        return F.array_sort(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (-_cosine(v_col, c["cv"], n_col, c["cn"])).alias("neg"),
+                    c["cent_id"].alias("cell"),
+                ),
+            )
+        )
+
+    assign = vec.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "v", "nrm",
+        F.element_at(cell_ranking(F.col("v"), F.col("nrm")), 1)["cell"].alias("cell"),
     )
-    # probe list: top-N_PROBE cells per query
-    q = vec.filter(F.col("vec_id") < N_QUERIES)
-    qs = q.join(F.broadcast(cent)).withColumn(
-        "sim", _cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn"))
-    )
-    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    # probe list: top-N_PROBE cells per query — same per-row ranking
     probes = (
-        qs.withColumn("rk", F.row_number().over(w_probe))
-        .filter(F.col("rk") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"), F.col("cent_id").alias("cell"))
+        vec.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+            F.explode(
+                F.transform(
+                    F.slice(cell_ranking(F.col("v"), F.col("nrm")), 1, N_PROBE),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
     )
     # candidates: vectors in probed cells only (the pruned search)
     cands = (

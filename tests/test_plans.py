@@ -122,12 +122,17 @@ def test_dedup_apply_anti_join_is_unpinned(spark):
     assert n_hints(df) == n_hints(dd.dd02_ngram_jaccard(spark, SF))
 
 
-def test_ivf_centroid_assignment_is_broadcast(spark):
+def test_ivf_centroid_assignment_is_map_only(spark):
+    """ss02's cell assignment must be a pure map over a broadcast one-row
+    centroid array: no window partitioned by vec_id (the old design
+    exploded every vector ×K and exchanged the replicated vector table).
+    The only row_number window left is the final per-query rank."""
     import hive_lineage_spark.operators.similarity as ss
 
     df = ss.ss02_ann_ivf(spark, SF)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(vec_id" not in plan
 
 
 def test_embed_cosine_has_no_driver_collect(spark, monkeypatch):
