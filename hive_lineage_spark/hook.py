@@ -339,15 +339,20 @@ class LineageTracker:
             self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
             self.location_map[ql.output_path] = ql
         if got["table"] is not None:
+            from dataclasses import replace
+
             db, tname = got["table"]
-            loc = ql.output_path or ""
-            if not loc:
-                # fresh CTAS: the metastore assigns the location after
-                # the command plans — recover it from the companion
-                # insert event (same table name) already in the map
-                matches = [p for p in self.location_map if os.path.basename(p) == tname]
-                loc = matches[-1] if matches else ""
-            self.model.add(table_from_columns(tname, loc, got["columns"], db=db))
+            target = got.get("target") or {}
+            # the target's own CatalogTable is authoritative: INSERT INTO
+            # resolves by position (source aliases may differ from the
+            # declared columns) and the source schema drops the partition
+            # spec; the catalog also carries the resolved location.
+            loc = _norm_path(target["location"]) if target.get("location") else (ql.output_path or "")
+            cols = target.get("columns") or got["columns"]
+            t = table_from_columns(tname, loc, cols, db=db)
+            if target.get("partition_cols"):
+                t = replace(t, partition_columns=tuple(target["partition_cols"]))
+            self.model.add(t)
         return ql
 
     def track_stream_write_def(

@@ -307,38 +307,74 @@ def capture_write_command(qe) -> dict | None:
     ``capture_qe`` would see for a plain read); views for the catalog
     snapshot come from the analyzed child.
 
-    Returns ``{"cap", "path", "table": (db, name) | None, "columns"}``.
+    Returns ``{"cap", "path", "table": (db, name) | None, "columns",
+    "target": {"columns", "partition_cols", "location"} | None}`` —
+    ``target`` is the TARGET table's own CatalogTable snapshot (declared
+    schema incl. partition columns, resolved location) whenever the
+    write lands in a catalog table. For INSERT INTO an existing table
+    this is authoritative: resolution is by position, so the SOURCE
+    plan's column names may legitimately differ from the target's
+    declared columns, and the source schema also drops the partition
+    spec.
     """
     def _ident_pair(ident) -> tuple[str, str]:
         db = str(ident.database().get()) if ident.database().isDefined() else "default"
         return (db, str(ident.table()))
 
+    def _catalog_table_info(jtbl) -> dict:
+        info: dict = {"columns": [], "partition_cols": [], "location": ""}
+        try:
+            jschema = jtbl.schema()
+            for i in range(jschema.size()):
+                f = jschema.apply(i)
+                info["columns"].append((str(f.name()), str(f.dataType().simpleString())))
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            jp = jtbl.partitionColumnNames()
+            info["partition_cols"] = [str(jp.apply(i)) for i in range(jp.size())]
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            jloc = jtbl.storage().locationUri()
+            if jloc.isDefined():
+                info["location"] = str(jloc.get().toString())
+        except Exception:  # noqa: BLE001
+            pass
+        return info
+
     try:
         jcmd = qe.optimizedPlan()
         cls = jcmd.getClass().getSimpleName()
         table: tuple[str, str] | None = None
+        target: dict | None = None
         if cls == "InsertIntoHadoopFsRelationCommand":
             out_path = str(jcmd.outputPath().toString())
             try:
                 jopt = jcmd.catalogTable()
                 if jopt.isDefined():
                     table = _ident_pair(jopt.get().identifier())
+                    target = _catalog_table_info(jopt.get())
             except Exception:  # noqa: BLE001
                 pass
         elif cls == "CreateDataSourceTableAsSelectCommand":
             # fresh CTAS: the catalog table is on THIS command (the inner
-            # insert fires separately with catalogTable=None — the
-            # metastore assigns the warehouse location during creation,
-            # so locationUri may still be empty here)
+            # insert fires separately with catalogTable=None). The
+            # command's own CatalogTable predates metastore registration
+            # (location may be unassigned, schema comes from the query),
+            # so re-read the registered table from the session catalog —
+            # by onSuccess the create has committed.
             jtbl = jcmd.table()
             table = _ident_pair(jtbl.identifier())
-            out_path = ""
             try:
-                jloc = jtbl.storage().locationUri()
-                if jloc.isDefined():
-                    out_path = str(jloc.get().toString())
+                jmeta = (
+                    qe.sparkSession().sessionState().catalog()
+                    .getTableMetadata(jtbl.identifier())
+                )
+                target = _catalog_table_info(jmeta)
             except Exception:  # noqa: BLE001
-                pass
+                target = _catalog_table_info(jtbl)
+            out_path = target["location"]
         else:
             return None
         jquery = jcmd.query()
@@ -364,7 +400,10 @@ def capture_write_command(qe) -> dict | None:
             cached_plans=cached_subplans(jquery),
             views=views,
         )
-        return {"cap": cap, "path": out_path, "table": table, "columns": columns}
+        return {
+            "cap": cap, "path": out_path, "table": table, "columns": columns,
+            "target": target,
+        }
     except Exception:  # noqa: BLE001 — a hook must never break queries
         return None
 

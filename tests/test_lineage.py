@@ -384,7 +384,7 @@ def test_query_execution_listener_auto_capture(spark):
     try:
         df = _t(spark, "nation").filter(F.col("n_regionkey") == 0).select("n_name")
         df.collect()
-        for _ in range(240):  # generous: listener bus is async and the box is shared  # listener bus is async
+        for _ in range(240):  # generous: listener bus is async and the box is shared
             if any(q.name.startswith("auto:") for q in tr.queries):
                 break
             time.sleep(0.25)
@@ -464,7 +464,7 @@ def test_listener_auto_captures_writes_and_stitches(spark, tmp_path):
             "c_custkey", F.col("c_mktsegment").alias("segment")
         )
         df.write.mode("overwrite").parquet(out)
-        for _ in range(240):  # generous: listener bus is async and the box is shared  # listener bus is async
+        for _ in range(240):  # generous: listener bus is async and the box is shared
             if any(q.command_type == "INSERT" for q in tr.queries):
                 break
             time.sleep(0.25)
@@ -530,6 +530,44 @@ def test_listener_auto_captures_ctas_and_table_read_stitches(spark):
         spark.sql("DROP TABLE IF EXISTS nation_ctas_t")
 
 
+def test_insert_into_existing_table_snapshots_target_schema(spark):
+    """INSERT INTO an existing table resolves by POSITION, so the source
+    plan's aliases can differ from the target's declared columns. The
+    listener must snapshot the TARGET's CatalogTable schema (declared
+    names, partition spec included) — not the source aliases — and must
+    not drop partition_columns on the upsert."""
+    import time
+
+    from hive_lineage_spark.metadata import TableDef
+
+    spark.sql("DROP TABLE IF EXISTS nation_part_t")
+    spark.sql(
+        "CREATE TABLE nation_part_t (nkey BIGINT, nname STRING) "
+        "USING parquet PARTITIONED BY (rkey BIGINT)"
+    )
+    tr = LineageTracker()
+    tr.install(spark)
+    try:
+        src = _t(spark, "nation").select(
+            F.col("n_nationkey").alias("src_key"),
+            F.col("n_name").alias("src_name"),
+            F.col("n_regionkey").alias("src_region"),
+        )
+        src.write.insertInto("nation_part_t")
+        for _ in range(240):  # listener bus is async and the box is shared
+            td = tr.model.get("default@nation_part_t", TableDef)
+            if td is not None:
+                break
+            time.sleep(0.25)
+        assert td is not None, "INSERT target never snapshotted"
+        assert [c.name for c in td.columns] == ["nkey", "nname", "rkey"]
+        assert td.partition_columns == ("rkey",)
+        assert td.location.endswith("nation_part_t")
+    finally:
+        tr.uninstall(spark)
+        spark.sql("DROP TABLE IF EXISTS nation_part_t")
+
+
 def test_nested_view_lineage_snapshots_both_views(spark):
     """A view defined over another view: lineage resolves through BOTH
     inlined bodies to the base table, and the tracker snapshots each
@@ -576,7 +614,7 @@ def test_listener_captures_create_view_ddl(spark):
                 SELECT n_nationkey, upper(n_name) AS uname
                 FROM parquet.`{SF}/nation.parquet` WHERE n_regionkey = 0"""
         )
-        for _ in range(240):  # generous: listener bus is async and the box is shared  # listener bus is async
+        for _ in range(240):  # generous: listener bus is async and the box is shared
             if any(q.command_type == "CREATE_VIEW" for q in tr.queries):
                 break
             time.sleep(0.25)
