@@ -13,7 +13,11 @@ Each query runs $SPARK_GRAFT_BENCH_N times (default 5); the reported
 per-query number is the MEDIAN and "value" is the sum of medians —
 single runs on a shared box carry ±15% noise (BASELINE.md), which has
 masqueraded as regressions in past rounds. "spread" carries per-query
-[min, max] so noise stays visible.
+[min, max] so noise stays visible, and "cold" carries each query's
+FIRST-run time in this session: for cache-bearing queries (dd02/dd03/
+dd05 persisted postings/signature indexes) the median is a warm-cache
+number that excludes the one-time index build, so the cold column is
+the honest apples-to-apples figure against single-run baselines.
 """
 
 from __future__ import annotations
@@ -73,6 +77,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         runs: list[float] = []
         for _ in range(n_runs):
@@ -81,6 +86,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        cold[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +99,7 @@ def main() -> None:
                 "sf": float(sf),
                 "runs_per_query": n_runs,
                 "spread": spread,
+                "cold": cold,
             }
         )
     )
