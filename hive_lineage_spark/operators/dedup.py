@@ -715,9 +715,14 @@ def dd10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus runs before training. Per contaminated doc: the
     number of distinct shared 5-grams and of benchmark docs hit.
 
-    Scale shape: the benchmark gram set is tiny relative to the corpus
-    (eval sets are fixed-size), so it BROADCASTS to the training-side
-    join — the training grams never shuffle. Grams are the same
+    Scale shape: a REAL eval set is fixed-size (thousands of docs no
+    matter how big the corpus grows), so its gram set broadcasts and the
+    training grams never shuffle. The ``doc_id % 20`` split here is a
+    test-scale stand-in only — it is corpus-PROPORTIONAL, so the
+    explicit broadcast below is justified by the fixed-size-eval-table
+    assumption, not by this synthetic split; feeding a proportional
+    split at 100 TB would need the hint dropped (AQE then picks a
+    shuffle join). Grams are the same
     vocabulary-composed hashes as dd02's (no gram strings
     materialized); 5-grams instead of trigrams make matches specific
     enough to mean real overlap."""

@@ -167,6 +167,35 @@ def test_normalized_physical_graph_collapses_artifacts(spark):
     assert dict(aggs[0].detail)["mode"] == "Final"
 
 
+def test_reused_exchange_plan_lineage(spark):
+    """Shared-subplan identity: a self-join of one aggregation reuses the
+    shuffle exchange (AQE emits a ReusedExchangeExec leaf referencing the
+    subtree computed elsewhere — the Spark analog of the reference's
+    by-id node dedup, ``GraphNode.scala:20-27`` / ``Node.scala:63-97``).
+    Capture must recurse INTO the reused subtree so both join inputs
+    bottom out at real operators, and column lineage through the reused
+    side must be identical to the original side."""
+    o = _t(spark, "orders")
+    agg = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    j = (
+        agg.alias("a")
+        .join(agg.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey"))
+        .select(F.col("a.o_custkey"), (F.col("a.s") + F.col("b.s")).alias("ss"))
+    )
+    j.collect()
+    ql = LineageTracker().track(j, name="reuse")
+    # the executed plan really contains the reuse leaf, and capture
+    # inlined its subtree (real scan operators on BOTH sides)
+    assert ql.physical.find("ReusedExchange"), "plan no longer exercises reuse"
+    scans = [n for n in ql.normalized.walk() if n.kind == "Scan"]
+    assert len(scans) >= 2
+    # lineage flows through the reused side exactly like the original
+    cmap = ql.column_map()
+    assert cmap["o_custkey"] == {("orders", "o_custkey")}
+    assert cmap["ss"] == {("orders", "o_totalprice")}
+    assert ql.result.input_tables == ["orders"]
+
+
 def test_write_readback_stitching(spark):
     """SURVEY.md §2.4 item 9: FileSink → TableScan stitch across queries."""
     out = os.path.join(SCRATCH, "stitch_orders")
