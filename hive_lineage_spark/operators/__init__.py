@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 # tx06 sampling/mix — tx01-04+tx07 stay; mm03/mm04 stubs — mm01/mm02
 # carry the Arrow plumbing; px01 — px02 keeps the pandas-UDF surface).
 # Beyond the window (the cap is exactly 50): previously-certified
-# rotated-out ops, redundant format round-trips (q28-q30), SQL-surface
+# rotated-out ops, tp05 (identical output to in-window tp02 by
+# construction — equality is pinned by a test at two scales),
+# redundant format round-trips (q28-q30), SQL-surface
 # variants (q20-q24, q26, q32-q39) whose semantics are covered by
 # in-window queries, and three ops with tolerance/canonical-string or
 # setup-heavy oracles (q40 sketches, q42 array agg, q45 vtable time

@@ -252,9 +252,10 @@ def tp02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SCALE CAVEAT: the per-class window sorts each class within one
     shuffle partition — parallelism is bounded by #classes. Fine for
-    language-count-sized strata; for high-cardinality strata rank in
-    two phases (per (class, hash-bucket) quotas, then a small
-    merge-rank of the K·buckets survivors)."""
+    language-count-sized strata; for high-cardinality strata use
+    ``tp05_stratified_sample_hc`` (identical output, two-phase rank:
+    per-(class, hash-bucket) quotas, then a bounded merge-rank of the
+    K·buckets survivors)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -275,6 +276,42 @@ TP02_SQL = f"""
         FROM documents
     ) WHERE rk <= {SAMPLE_PER_CLASS}
 """
+
+
+SAMPLE_BUCKETS = 16
+
+
+def tp05_stratified_sample_hc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality-strata variant of tp02: the same exact
+    K-per-class sample computed in TWO rank phases so no window ever
+    sorts a whole class in one partition.
+
+    Phase 1 ranks inside (class, hash-bucket) — parallelism is
+    #classes × SAMPLE_BUCKETS, and each bucket keeps its own top-K:
+    a member of the class-global top-K has per-bucket rank ≤ its global
+    rank ≤ K, so the survivors are a guaranteed superset of the answer.
+    Phase 2 merge-ranks the ≤ K·buckets survivors per class — bounded
+    work independent of corpus size, unlike tp02's class-wide sort
+    (whose parallelism is capped at #classes and whose per-partition
+    sort grows with the class). Output is IDENTICAL to tp02 by
+    construction, so it shares tp02's oracle."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    srt = F.md5(F.col("doc_id").cast("string"))
+    w1 = Window.partitionBy("lang", "bkt").orderBy("srt", "doc_id")
+    survivors = (
+        d.select("doc_id", "lang", srt.alias("srt"),
+                 F.pmod(F.xxhash64("doc_id"), F.lit(SAMPLE_BUCKETS)).alias("bkt"))
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= SAMPLE_PER_CLASS)
+    )
+    w2 = Window.partitionBy("lang").orderBy("srt", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= SAMPLE_PER_CLASS)
+        .select("doc_id", "lang", "rk")
+    )
 
 
 PACK_BUDGET = 2048  # tokens per packed training sequence
@@ -408,6 +445,7 @@ TP04_SQL = f"""
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
+    "tp05_stratified_sample_hc": tp05_stratified_sample_hc,
     "tp03_pack_sequences": tp03_pack_sequences,
     "tp04_weighted_mixture": tp04_weighted_mixture,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
@@ -419,6 +457,8 @@ QUERIES = {
 ORACLES = {
     "tp01_full_pipeline": TP01_SQL,
     "tp02_stratified_sample": TP02_SQL,
+    # tp05 computes the identical sample two-phase; same oracle by design
+    "tp05_stratified_sample_hc": TP02_SQL,
     "tp03_pack_sequences": TP03_SQL,
     "tp04_weighted_mixture": TP04_SQL,
     "dd07_near_dedup_apply": DD07_SQL,

@@ -190,11 +190,18 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
     from hive_lineage_spark.operators.pipeline import (
         tp02_stratified_sample,
         tp03_pack_sequences,
+        tp05_stratified_sample_hc,
         tx05_hash_sample,
     )
 
     sf = "/root/testdata/sf0.001"
-    for op in (tp02_stratified_sample, tp03_pack_sequences, tx05_hash_sample, dd09_incremental_dedup):
+    for op in (
+        tp02_stratified_sample,
+        tp05_stratified_sample_hc,
+        tp03_pack_sequences,
+        tx05_hash_sample,
+        dd09_incremental_dedup,
+    ):
         base = {tuple(r) for r in op(spark, sf).collect()}
         shuffled = {
             tuple(r)
@@ -203,6 +210,22 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
         assert base == shuffled, op.__name__
         again = {tuple(r) for r in op(spark, sf).collect()}
         assert base == again, f"{op.__name__} not run-to-run stable"
+
+
+def test_tp05_two_phase_sample_equals_tp02(spark):
+    """The high-cardinality two-phase sampler must produce row-for-row
+    the same result as tp02's single-window sampler (the superset
+    argument: per-bucket top-K contains every class-global top-K
+    member), at more than one scale."""
+    from hive_lineage_spark.operators.pipeline import (
+        tp02_stratified_sample,
+        tp05_stratified_sample_hc,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        a = {tuple(r) for r in tp02_stratified_sample(spark, sf).collect()}
+        b = {tuple(r) for r in tp05_stratified_sample_hc(spark, sf).collect()}
+        assert a == b, sf
 
 
 def test_composed_ngram_hash_equals_char_hash_n5(spark):
