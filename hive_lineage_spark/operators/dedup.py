@@ -701,6 +701,77 @@ DD09_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# incremental postings-index maintenance
+# ---------------------------------------------------------------------------
+
+LATE_MOD, LATE_REM = 4, 3  # doc_id % 4 == 3 → the stand-in "arriving batch"
+DEL_MOD, DEL_REM = 10, 7  # doc_id % 10 == 7 (of the base) → retired docs
+
+
+def apply_postings_changes(
+    postings: DataFrame,
+    inserted_docs: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain a (doc_id, gh) postings index under change-data-capture
+    instead of rebuilding it: retire deleted docs with an anti-join on
+    the drop list and append the postings of the arriving batch —
+    computed from the BATCH ONLY, so maintenance cost is O(batch), not
+    O(corpus). This is how the dd02/dd03/dd09 index survives a
+    continuously-ingesting corpus: the cold build (the slowest path in
+    the bench) runs once, then each vtable change-feed commit flows
+    through here. Algebra: postings_of is per-doc independent, so
+    (index ∖ deleted) ∪ postings_of(inserted) == postings_of(snapshot)
+    exactly — pinned by the vtable CDC test and the dd11 oracle."""
+    out = postings
+    if deleted_ids is not None:
+        out = out.join(deleted_ids.select("doc_id"), "doc_id", "left_anti")
+    if inserted_docs is not None:
+        out = out.unionByName(postings_of(inserted_docs))
+    return out
+
+
+def dd11_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained postings index, fingerprinted per doc:
+    start from the base corpus's index (doc_id % 4 != 3), retire the
+    drop-list (doc_id % 10 == 7 of the base), append the arriving batch
+    (doc_id % 4 == 3) via ``apply_postings_changes``, then emit
+    (doc_id, n_grams, gh_xor) — count plus order-free XOR of the gram
+    hashes. The DuckDB oracle computes the same fingerprint from a
+    BATCH-BUILT index of the final snapshot, so a green row proves
+    incremental maintenance ≡ full rebuild, row for row."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    late = F.pmod(F.col("doc_id"), F.lit(LATE_MOD)) == LATE_REM
+    base = d.filter(~late)
+    arriving = d.filter(late)
+    deletes = base.filter(F.pmod(F.col("doc_id"), F.lit(DEL_MOD)) == DEL_REM)
+    maintained = apply_postings_changes(
+        postings_of(base), inserted_docs=arriving, deleted_ids=deletes
+    )
+    return maintained.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.expr("bit_xor(gh)").alias("gh_xor"),
+    )
+
+
+# Oracle: batch-build the index of the FINAL snapshot (everything except
+# the retired base docs) and fingerprint it identically.
+DD11_SQL = f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE NOT (doc_id % {LATE_MOD} <> {LATE_REM} AND doc_id % {DEL_MOD} = {DEL_REM})
+    ),
+    g AS (SELECT doc_id, {{ngrams}} AS grams FROM d),
+    po AS (
+        SELECT DISTINCT doc_id, {{ph}} AS gh
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, bit_xor(gh) AS gh_xor
+    FROM po GROUP BY doc_id
+""".format(ngrams=word_ngrams_sql("ws", 3), ph=poly_hash_sql("gram"))
+
+
+# ---------------------------------------------------------------------------
 # test-set decontamination
 # ---------------------------------------------------------------------------
 
@@ -767,6 +838,7 @@ QUERIES = {
     "dd06_embed_cosine_dup": dd06_embed_cosine_dup,
     "dd09_incremental_dedup": dd09_incremental_dedup,
     "dd10_decontaminate": dd10_decontaminate,
+    "dd11_incremental_postings": dd11_incremental_postings,
 }
 
 ORACLES = {
@@ -778,4 +850,5 @@ ORACLES = {
     "dd05_simhash_pairs": DD05_SQL,
     "dd06_embed_cosine_dup": DD06_SQL,
     "dd09_incremental_dedup": DD09_SQL,
+    "dd11_incremental_postings": DD11_SQL,
 }

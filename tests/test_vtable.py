@@ -287,6 +287,32 @@ def test_schema_evolution_on_append(spark, root):
     assert read_vtable(spark, root, version=0).columns == ["n_nationkey", "n_name"]
 
 
+def test_change_feed_maintains_postings_index(spark, root):
+    """Incremental index maintenance from the change feed: the postings
+    index built at v0, updated per-commit with apply_postings_changes
+    (arriving batch from read_vtable_changes + a retirement drop list),
+    must equal the index batch-built from the final snapshot — the
+    'never rebuild the cold index' production story behind dd11."""
+    from hive_lineage_spark.operators.dedup import apply_postings_changes, postings_of
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select("doc_id", "text")
+    late = F.pmod(F.col("doc_id"), F.lit(4)) == 3
+    write_vtable(docs.filter(~late), root, mode="overwrite")
+    write_vtable(docs.filter(late), root, mode="append")
+
+    idx0 = postings_of(read_vtable(spark, root, version=0))
+    arriving = read_vtable_changes(spark, root, from_version=1).select("doc_id", "text")
+    deletes = read_vtable(spark, root, version=0).filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 7
+    ).select("doc_id")
+    maintained = apply_postings_changes(idx0, inserted_docs=arriving, deleted_ids=deletes)
+
+    snapshot = read_vtable(spark, root).join(deletes, "doc_id", "left_anti")
+    want = {tuple(r) for r in postings_of(snapshot).collect()}
+    got = {tuple(r) for r in maintained.collect()}
+    assert got == want and got, "maintained index must equal a full rebuild"
+
+
 def test_change_feed_drives_incremental_dedup(spark, root):
     """The CDC production story: documents land in a versioned table
     commit by commit; each arriving commit (via the change feed) is
