@@ -223,3 +223,58 @@ def test_stream_stream_join_definition_lineage(spark):
     assert cm["purchase_ts"] == {("events", "ts")}
     assert cm["user_id"] == {("events", "user_id")}
     assert ql.result.input_tables == ["events"]
+
+
+def test_stream_vtable_incremental_dedup_end_to_end(spark, tmp_path):
+    """The full continuous-ingest composition: documents arrive as a
+    STREAM, land in a versioned table commit-per-micro-batch
+    (stream_to_vtable), and each commit's change feed is near-dedup
+    probed against the v0-indexed snapshot. The union of per-commit
+    matches must equal the batch operator's split-by-id semantics
+    (dd09's DuckDB-checked definition) — probing per micro-batch loses
+    nothing because each new doc's best match depends only on (doc,
+    index)."""
+    import os
+
+    from hive_lineage_spark.operators.dedup import (
+        dd09_incremental_dedup,
+        incremental_dedup_frames,
+    )
+    from hive_lineage_spark.sources.vtable import (
+        history,
+        read_vtable,
+        read_vtable_changes,
+        write_vtable,
+    )
+    from hive_lineage_spark.streaming.events import stream_to_vtable
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    split = docs.groupBy().agg(
+        F.floor(F.max("doc_id") / 2).cast("long").alias("s")
+    ).collect()[0][0]
+    root = str(tmp_path / "docs_vt")
+    write_vtable(docs.filter(F.col("doc_id") < split), root, mode="overwrite")
+
+    # stage the arriving half as 3 files → 3 micro-batches → 3 commits
+    staging = str(tmp_path / "arriving")
+    docs.filter(F.col("doc_id") >= split).repartition(3).write.parquet(staging)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(staging)
+    q = stream_to_vtable(stream, root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    versions = [c["version"] for c in history(root) if c["version"] >= 1]
+    assert len(versions) >= 2, "stream must have produced multiple commits"
+    indexed = read_vtable(spark, root, version=0)
+    got = set()
+    for v in versions:
+        arriving = read_vtable_changes(spark, root, from_version=v, to_version=v).select(
+            "doc_id", "text"
+        )
+        got |= {tuple(r) for r in incremental_dedup_frames(arriving, indexed).collect()}
+    want = {tuple(r) for r in dd09_incremental_dedup(spark, SF).collect()}
+    assert got == want and got
