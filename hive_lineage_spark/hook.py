@@ -82,6 +82,10 @@ class QueryLineage:
     output_path: str | None = None
     sql_text: str | None = None  # ≈ PostExecHook printing queryPlan.getQueryStr
     command_type: str = "QUERY"  # ≈ hookContext command type (QUERY/INSERT)
+    # versioned-table sink info (set by track_write_vtable): commit
+    # version + op, surfaced as OpenLineage datasetVersion/lifecycle
+    vtable_version: int | None = None
+    vtable_op: str | None = None
 
     def column_map(self) -> dict[str, set[Cell]]:
         return self.result.column_map()
@@ -143,11 +147,22 @@ class QueryLineage:
         ]
         outputs = []
         if self.output_path:
+            out_facets: dict = {"columnLineage": {"fields": fields}}
+            if self.vtable_version is not None:
+                # OL datasetVersion facet: a vtable commit IS a concrete
+                # dataset version; an overwrite additionally resets the
+                # snapshot (lifecycleStateChange has no append value, so
+                # plain appends carry the version facet only)
+                out_facets["version"] = {"datasetVersion": str(self.vtable_version)}
+                if self.vtable_op == "overwrite":
+                    out_facets["lifecycleStateChange"] = {
+                        "lifecycleStateChange": "OVERWRITE"
+                    }
             outputs.append(
                 {
                     "namespace": namespace,
                     "name": self.output_path,
-                    "facets": {"columnLineage": {"fields": fields}},
+                    "facets": out_facets,
                 }
             )
         return {
@@ -596,6 +611,8 @@ class LineageTracker:
         ql = self.track(df, name=f"{name}:v{version}")
         ql.command_type = "INSERT"
         ql.output_path = _norm_path(root)
+        ql.vtable_version = version
+        ql.vtable_op = mode
         key = os.path.basename(ql.output_path)
         writers = self._vtable_writers.setdefault(key, [])
         if mode == "overwrite":

@@ -447,6 +447,29 @@ def test_openlineage_emit_shape(spark):
     assert f["l_returnflag"]["inputFields"][0]["field"] == "l_returnflag"
 
 
+def test_openlineage_vtable_commit_carries_version_facets(spark, tmp_path):
+    """A tracked vtable commit emits the OL datasetVersion facet (every
+    commit is a concrete version) and, for overwrite, the
+    lifecycleStateChange facet; plain appends carry version only."""
+    tr = LineageTracker()
+    root = str(tmp_path / "nation_vt")
+    n = _t(spark, "nation").select("n_nationkey", "n_name")
+    ql0 = tr.track_write_vtable(n, root, mode="overwrite")
+    ql1 = tr.track_write_vtable(n, root, mode="append")
+
+    out0 = ql0.to_openlineage()["outputs"][0]
+    assert out0["facets"]["version"] == {"datasetVersion": "0"}
+    assert out0["facets"]["lifecycleStateChange"] == {
+        "lifecycleStateChange": "OVERWRITE"
+    }
+    out1 = ql1.to_openlineage()["outputs"][0]
+    assert out1["facets"]["version"] == {"datasetVersion": "1"}
+    assert "lifecycleStateChange" not in out1["facets"]
+    # a plain (non-vtable) query still emits no version facet
+    plain = _track(spark, n)
+    assert plain.to_openlineage()["outputs"] == []
+
+
 def test_view_lineage_resolves_to_base_tables_and_snapshots_viewsql(spark):
     """A query over a persistent catalog VIEW maps columns to the BASE
     tables, and the tracker registers the view as a catalog TableDef
