@@ -385,11 +385,98 @@ SS04_SQL = f"""
 """
 
 
+def ss05_ann_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K on the Arrow/BLAS path — the production
+    corpus-side scoring kernel (same blocked-dgemm design as dd06,
+    ``dedup.py``) applied to ANN: the fixed-size query set packs into
+    ONE block row (distributed collect_list — never a driver collect)
+    and broadcasts against B corpus blocks; each tile computes a
+    10×block dgemm and emits only its per-query partial top-K, so the
+    global rank window sees B·K slim rows per query, not the corpus.
+    Same output contract as ss01 (shares its oracle): SCALE.md's ~30×
+    interpreted-HOF argument, demonstrated on the ANN surface.
+
+    Honest crossover note: at the sf0.1 test scale (2k vectors) the
+    Arrow batch-transfer overhead makes warm runs ~1.5× ss01's HOF
+    path; the dgemm advantage is the per-element cost, so the kernel
+    wins as n·dim grows (cold sf0.1 already favors it ~2×, and dd06 —
+    the same kernel on the quadratic problem — is the bench's biggest
+    r3→r4 win). Ranking runs on UNROUNDED cosine (rounding only at the
+    output projection, exactly like the oracle's ORDER BY)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import TILE_ROWS
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    try:
+        import pyarrow.parquet as pq
+
+        from ..sources.registry import table_path
+
+        n_rows = pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
+    except Exception:  # noqa: BLE001
+        n_rows = e.count()
+    par = max(1, spark.sparkContext.defaultParallelism)
+    # B tiles total (linear, not dd06's quadratic): memory cap AND ≥2·par
+    n_blocks = max(1, math.ceil(n_rows / TILE_ROWS), 2 * par)
+
+    qblock = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .groupBy()
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows_q"))
+    )
+    corpus = (
+        e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows_c"))
+    )
+    tiles = corpus.crossJoin(F.broadcast(qblock))
+
+    def unpack(rows):
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def tile(batches):
+        for pdf in batches:
+            for rows_c, rows_q in zip(pdf["rows_c"], pdf["rows_q"]):
+                idc, matc = unpack(rows_c)
+                idq, matq = unpack(rows_q)
+                sims = matq @ matc.T  # n_q × block dgemm
+                for qi in range(len(idq)):
+                    mask = idc != idq[qi]
+                    s, ids = sims[qi][mask], idc[mask]
+                    order = np.lexsort((ids, -s))[:K]  # cosine desc, id asc
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.full(len(order), idq[qi]),
+                            "neighbor_id": ids[order],
+                            "cosine": s[order],
+                        }
+                    )
+
+    partial = tiles.mapInPandas(
+        tile, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
     "ss03_ann_lsh": ss03_ann_lsh,
     "ss04_ann_sq8": ss04_ann_sq8,
+    "ss05_ann_bruteforce_arrow": ss05_ann_bruteforce_arrow,
 }
 
 ORACLES = {
@@ -397,4 +484,6 @@ ORACLES = {
     "ss02_ann_ivf": SS02_SQL,
     "ss03_ann_lsh": SS03_SQL,
     "ss04_ann_sq8": SS04_SQL,
+    # ss05 is ss01 on the Arrow/BLAS kernel — identical output contract
+    "ss05_ann_bruteforce_arrow": SS01_SQL,
 }
