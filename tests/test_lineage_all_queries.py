@@ -24,6 +24,7 @@ PYTHON_BARRIER = {
     "mm04_resize_stub",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
+    "ss05_ann_bruteforce_arrow",
 }
 
 
