@@ -70,12 +70,14 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def word_ngrams_sql(ws_col: str = "ws", n: int = 3) -> str:
+def word_ngrams_sql(ws_col: str = "ws", n: int = 3, distinct: bool = True) -> str:
     """DuckDB equivalent of :func:`word_ngrams`, over an in-scope column
     ``ws_col`` that already holds ``string_split(text, ' ')`` (1-based
-    list indexing; lambdas may reference sibling columns)."""
+    list indexing; lambdas may reference sibling columns).
+    ``distinct=False`` keeps the full multiset (repetition analysis)."""
     joined = " || ' ' || ".join(f"{ws_col}[i+{j}]" for j in range(n))
-    return (
-        f"list_distinct(list_transform(range(1, greatest(len({ws_col}) - {n - 2}, 1)), "
-        f"i -> {joined}))"
+    body = (
+        f"list_transform(range(1, greatest(len({ws_col}) - {n - 2}, 1)), "
+        f"i -> {joined})"
     )
+    return f"list_distinct({body})" if distinct else body

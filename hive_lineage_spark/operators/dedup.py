@@ -125,14 +125,15 @@ def postings_of(d: DataFrame) -> DataFrame:
     return hashed_ngrams_of(d, 3)
 
 
-def hashed_ngrams_of(d: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gh) distinct hashed word n-grams for any n ≥ 2, same
+def hashed_ngrams_of(d: DataFrame, n: int, distinct: bool = True) -> DataFrame:
+    """(doc_id, gh) hashed word n-grams for any n ≥ 2, same
     construction as ``postings_of``: vocabulary-only hash broadcast,
     window leads, and a Horner left fold
     H(x‖' '‖w) = ((H(x)·M + 32) mod M') · M^len(w) + H(w)  (mod M')
     — every factor stays < M' ≈ 1e9, so each two-term product fits a
     long. Bit-identical to char-hashing the joined gram string
-    (tests/test_property.py checks n=3 and n=5)."""
+    (tests/test_property.py checks n=3 and n=5). ``distinct=False``
+    keeps every occurrence (the multiset repetition analysis needs)."""
     from pyspark.sql import Window
 
     tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
@@ -147,12 +148,12 @@ def hashed_ngrams_of(d: DataFrame, n: int) -> DataFrame:
         hi, pi = F.lead("h", i).over(win), F.lead("p", i).over(win)
         acc = (((acc * MULT + 32) % MOD) * pi % MOD + hi) % MOD
         last_p = pi
-    return (
+    out = (
         tk.select("doc_id", acc.alias("gh"), last_p.alias("_has"))
         .filter(F.col("_has").isNotNull())
         .select("doc_id", "gh")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 _POSTINGS_CACHE: dict = {}

@@ -304,6 +304,80 @@ TX08_SQL = f"""
 """
 
 
+def tx09_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rules family —
+    Rae et al. 2021 §A1.1: pages dominated by repeated phrases are
+    boilerplate/spam and get filtered before training): per document,
+    the duplicate fraction of word 2-grams and 3-grams
+    (1 − distinct/total) and the top-2-gram share (most frequent gram's
+    count / total). Gram hashes reuse the dedup path's vocabulary-
+    composed Horner fold (``hashed_ngrams_of`` with distinct=False — no
+    gram strings materialized), so the whole signal is two partial-agg
+    chains on (doc_id, gh) then doc_id. Counts are exact integers; the
+    ratios round at 4 dp with the repo-standard +1e-9 midpoint nudge in
+    both engines. Docs shorter than 3 words have no 3-grams and drop
+    out (inner join), matching the oracle's empty range."""
+    from .dedup import hashed_ngrams_of
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def rep_stats(n: int, p: str) -> DataFrame:
+        per_gram = (
+            hashed_ngrams_of(d, n, distinct=False)
+            .groupBy("doc_id", "gh")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return per_gram.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{p}_total"),
+            F.count(F.lit(1)).alias(f"{p}_distinct"),
+            F.max("c").alias(f"{p}_top"),
+        )
+
+    nudge = lambda x: F.round(x + F.lit(1e-9), 4)  # noqa: E731
+    return (
+        rep_stats(2, "g2")
+        .join(rep_stats(3, "g3"), "doc_id")
+        .select(
+            "doc_id",
+            "g2_total",
+            nudge(1 - F.col("g2_distinct") / F.col("g2_total")).alias("dup2_frac"),
+            nudge(1 - F.col("g3_distinct") / F.col("g3_total")).alias("dup3_frac"),
+            nudge(F.col("g2_top") / F.col("g2_total")).alias("top2_frac"),
+        )
+    )
+
+
+TX09_SQL = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g2 AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS g2_total,
+               CAST(count(*) AS BIGINT) AS g2_distinct,
+               CAST(max(c) AS BIGINT) AS g2_top
+        FROM (
+            -- group by the HASH (like the Spark side), so both engines
+            -- count the identical multiset even under a hash collision
+            SELECT doc_id, {poly_hash_sql('gram')} AS gh, count(*) AS c
+            FROM (SELECT doc_id, unnest({word_ngrams_sql('ws', 2, distinct=False)}) AS gram FROM d)
+            GROUP BY doc_id, gh
+        ) GROUP BY doc_id
+    ),
+    g3 AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS g3_total,
+               CAST(count(*) AS BIGINT) AS g3_distinct
+        FROM (
+            SELECT doc_id, {poly_hash_sql('gram')} AS gh, count(*) AS c
+            FROM (SELECT doc_id, unnest({word_ngrams_sql('ws', 3, distinct=False)}) AS gram FROM d)
+            GROUP BY doc_id, gh
+        ) GROUP BY doc_id
+    )
+    SELECT g2.doc_id, g2_total,
+           round(1 - g2_distinct * 1.0 / g2_total + 1e-9, 4) AS dup2_frac,
+           round(1 - g3_distinct * 1.0 / g3_total + 1e-9, 4) AS dup3_frac,
+           round(g2_top * 1.0 / g2_total + 1e-9, 4) AS top2_frac
+    FROM g2 JOIN g3 ON g2.doc_id = g3.doc_id
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -311,6 +385,7 @@ QUERIES = {
     "tx04_fingerprint": tx04_fingerprint,
     "tx07_bpe_pretokenize": tx07_bpe_pretokenize,
     "tx08_redact_pii": tx08_redact_pii,
+    "tx09_repetition": tx09_repetition,
 }
 
 ORACLES = {
@@ -320,4 +395,5 @@ ORACLES = {
     "tx04_fingerprint": TX04_SQL,
     "tx07_bpe_pretokenize": TX07_SQL,
     "tx08_redact_pii": TX08_SQL,
+    "tx09_repetition": TX09_SQL,
 }
