@@ -442,12 +442,96 @@ TP04_SQL = f"""
 """
 
 
+N_BINS = 10  # curriculum deciles
+
+
+def tp06_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: assign every document an exact quality decile
+    and report per-bin corpus stats — the sort-by-difficulty step of a
+    curriculum-training data build — WITHOUT a global sort.
+
+    The naive plan (``ntile(10) OVER (ORDER BY quality)``) funnels the
+    whole corpus through ONE window partition. Instead: the quality
+    score is rounded to a bounded 4-dp grid (≤ 10⁴+1 distinct values
+    regardless of corpus size — see ``text.quality_expr``), so binning
+    is a VALUE-histogram problem: one partial-agg groupBy onto the
+    grid, a cumulative window over that tiny table (bounded work, never
+    corpus-sized), bin = ceil(N_BINS·cdf) per VALUE, then per-bin
+    aggregation. Ties share a value and therefore a bin, so the split
+    is deterministic in both engines. Docs with the same rounded score
+    land together (value-based deciles, not row-split — the honest
+    semantics when the score grid is coarse)."""
+    from pyspark.sql import Window
+
+    from .text import quality_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", quality_expr().alias("q")
+    )
+    hist = d.groupBy("q").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_chars").alias("ch"),
+    )
+    total = hist.groupBy().agg(F.sum("c").alias("total"))
+    # single-partition window is fine HERE: the histogram is grid-bounded
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    binned = (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("cum", F.sum("c").over(w))
+        .withColumn(
+            "bin",
+            F.ceil(F.lit(N_BINS) * F.col("cum") / F.col("total")).cast("bigint"),
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+            F.sum("ch").alias("total_chars"),
+        )
+        .select("bin", "n_docs", "q_min", "q_max", "total_chars")
+    )
+
+
+TP06_SQL = f"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               round((CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)) * 0.5
+                     + (CAST(len(list_filter(string_split(text, ' '),
+                                             w -> list_contains(['the', 'a', 'of', 'and'], w))) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+                     + (CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE)) * 0.2 + 1e-9, 4) AS q
+        FROM documents
+    ),
+    hist AS (
+        SELECT q, CAST(count(*) AS BIGINT) AS c, CAST(sum(n_chars) AS BIGINT) AS ch
+        FROM s GROUP BY q
+    ),
+    binned AS (
+        SELECT q, c, ch,
+               CAST(ceil({N_BINS} * (sum(c) OVER (ORDER BY q
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                         * 1.0 / (SELECT sum(c) FROM hist)) AS BIGINT) AS bin
+        FROM hist
+    )
+    SELECT bin, CAST(sum(c) AS BIGINT) AS n_docs,
+           min(q) AS q_min, max(q) AS q_max,
+           CAST(sum(ch) AS BIGINT) AS total_chars
+    FROM binned GROUP BY bin
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
     "tp05_stratified_sample_hc": tp05_stratified_sample_hc,
     "tp03_pack_sequences": tp03_pack_sequences,
     "tp04_weighted_mixture": tp04_weighted_mixture,
+    "tp06_curriculum_bins": tp06_curriculum_bins,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -461,6 +545,7 @@ ORACLES = {
     "tp05_stratified_sample_hc": TP02_SQL,
     "tp03_pack_sequences": TP03_SQL,
     "tp04_weighted_mixture": TP04_SQL,
+    "tp06_curriculum_bins": TP06_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,

@@ -124,6 +124,24 @@ TX02_SQL = _tx02_sql()
 # ---------------------------------------------------------------------------
 
 
+def quality_expr():
+    """The combined quality score as a single codegen Column over a
+    frame carrying ``text`` (shared by tx03 and tp06's curriculum
+    binning): rounded to 4 dp with the repo-standard midpoint nudge, so
+    the value grid is bounded (≤ 10⁴+1 distinct values) — the property
+    tp06's sort-free decile binning relies on."""
+    n = F.length("text").cast("double")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double")
+    spaces = F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).cast("double")
+    ws = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and")])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))).cast("double")
+    n_tok = F.size(ws).cast("double")
+    return F.round(
+        (alpha / n) * 0.5 + (n_stop / n_tok) * 0.3 + (spaces / n) * 0.2 + 1e-9, 4
+    )
+
+
 def tx03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring from surface statistics: alpha ratio, space ratio,
     stopword ratio, mean word length — combined into one score. The 100 TB
@@ -142,9 +160,7 @@ def tx03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha / n + 1e-9, 4).alias("alpha_ratio"),
         F.round(spaces / n + 1e-9, 4).alias("space_ratio"),
         F.round(n_stop / n_tok + 1e-9, 4).alias("stopword_ratio"),
-        F.round(
-            (alpha / n) * 0.5 + (n_stop / n_tok) * 0.3 + (spaces / n) * 0.2 + 1e-9, 4
-        ).alias("quality"),
+        quality_expr().alias("quality"),
     )
 
 
