@@ -194,13 +194,20 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
         tx05_hash_sample,
     )
 
+    from hive_lineage_spark.operators.dedup import dd11_incremental_postings
+    from hive_lineage_spark.operators.pipeline import tp06_curriculum_bins
+    from hive_lineage_spark.operators.text import tx09_repetition
+
     sf = "/root/testdata/sf0.001"
     for op in (
         tp02_stratified_sample,
         tp05_stratified_sample_hc,
         tp03_pack_sequences,
+        tp06_curriculum_bins,
         tx05_hash_sample,
+        tx09_repetition,
         dd09_incremental_dedup,
+        dd11_incremental_postings,
     ):
         base = {tuple(r) for r in op(spark, sf).collect()}
         shuffled = {
