@@ -1,0 +1,72 @@
+"""Empirical scaling probe: time selected queries at two scale factors
+and report the measured ratio next to the operator's expected complexity
+— the evidence behind SCALE.md's "would this survive 100×?" table.
+
+Usage: python tools/scaling_probe.py [sf_small] [sf_big]
+(defaults /root/testdata/sf0.01 → /root/testdata/sf0.1, 10× rows).
+
+Warm-path medians (n=3 after one warmup run): session-persisted indexes
+are cleared between scale factors so each sf pays its own index build in
+the warmup, not in the timed runs.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (query, expected scaling at 10× rows)
+PROBE = [
+    ("q04_filter_predicates", "linear scan"),
+    ("q17_q27_shape", "linear fact scan, dims broadcast"),
+    ("dd02_ngram_jaccard", "~linear postings + prefix-filtered pairs"),
+    ("dd03_minhash_lsh", "linear signatures, banded pairs"),
+    ("dd06_embed_cosine_dup", "QUADRATIC pair space (100×) via dgemm tiles"),
+    ("ss02_ann_ivf", "linear assignment map + pruned probe"),
+    ("ss05_ann_bruteforce_arrow", "linear corpus blocks × fixed queries"),
+    ("tx09_repetition", "linear gram multiset"),
+    ("tp05_stratified_sample_hc", "linear two-phase rank"),
+    ("tp06_curriculum_bins", "linear histogram, bounded grid"),
+]
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    import __spark_entry__ as entrymod
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
+    from hive_lineage_spark.session import get_spark
+
+    spark = get_spark("scaling_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    def run(sf_dir: str) -> dict[str, float]:
+        clear_postings_cache()
+        out = {}
+        for name, _ in PROBE:
+            fn = qs[name]
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            out[name] = statistics.median(runs)
+        return out
+
+    a, b = run(small), run(big)
+    print(f"| query | {os.path.basename(small)} s | {os.path.basename(big)} s | ratio | expected |")
+    print("|---|---|---|---|---|")
+    for name, expect in PROBE:
+        print(f"| {name} | {a[name]:.3f} | {b[name]:.3f} | {b[name] / a[name]:.1f}× | {expect} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
