@@ -233,3 +233,65 @@ def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_simhash_dedup(sigs: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: SimHash near-dup pairs over a
+    continuously-arriving corpus. Each arriving (doc_id, simhash) row is
+    exploded into its 4 pigeonhole band buckets (the same banding as the
+    batch ``dedup.dd05_simhash_pairs`` — hamming ≤ 3 over 32 bits ⇒ at
+    least one identical byte, 100% recall); per-bucket GroupState holds
+    every signature seen in that bucket, and an arriving doc emits
+    (lo, hi, hamming) against each stored signature within hamming ≤ 3.
+
+    The union over buckets equals the batch dd05 pair set regardless of
+    arrival order or micro-batch boundaries (pairs normalize to lo/hi;
+    a pair matching in k bands surfaces k times — the consumer dedups,
+    streaming state cannot see other buckets' output). State per bucket
+    is the bucket's doc list — the streaming analog of dd05's banded
+    index, sized by bucket occupancy, never the corpus. Pinned equal to
+    dd05 end-to-end in tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    out_schema = "id_a long, id_b long, hamming int"
+    state_schema = "ids array<long>, sigs array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        ids, stored = state.get if state.exists else ([], [])
+        ids, stored = list(ids), list(stored)
+        rows = []
+        for pdf in pdfs:
+            for doc_id, sig in zip(pdf["doc_id"], pdf["simhash"]):
+                doc_id, sig = int(doc_id), int(sig)
+                for prev_id, prev_sig in zip(ids, stored):
+                    if prev_id == doc_id:
+                        continue
+                    d = (sig ^ prev_sig).bit_count()
+                    if d <= 3:
+                        lo, hi = min(doc_id, prev_id), max(doc_id, prev_id)
+                        rows.append((lo, hi, d))
+                ids.append(doc_id)
+                stored.append(sig)
+        state.update((ids, stored))
+        yield pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -278,3 +278,38 @@ def test_stream_vtable_incremental_dedup_end_to_end(spark, tmp_path):
         got |= {tuple(r) for r in incremental_dedup_frames(arriving, indexed).collect()}
     want = {tuple(r) for r in dd09_incremental_dedup(spark, SF).collect()}
     assert got == want and got
+
+
+def test_streaming_simhash_dedup_equals_batch_dd05(spark, tmp_path):
+    """The stateful streaming near-dup (per-bucket GroupState signature
+    index) must produce, across arbitrary micro-batch boundaries, the
+    exact pair set of the batch dd05 operator."""
+    from hive_lineage_spark.operators.dedup import dd04_simhash, dd05_simhash_pairs
+    from hive_lineage_spark.streaming.events import streaming_simhash_dedup
+
+    # stage the signatures as 3 files → 3 micro-batches through state
+    staging = str(tmp_path / "sigs")
+    sigs = dd04_simhash(spark, SF)
+    sigs.repartition(3).write.parquet(staging)
+    stream = spark.readStream.schema(sigs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(staging)
+
+    q = (
+        streaming_simhash_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sim_pairs")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT DISTINCT id_a, id_b, hamming FROM sim_pairs").collect()
+    }
+    want = {tuple(r) for r in dd05_simhash_pairs(spark, SF).collect()}
+    assert got == want and got
