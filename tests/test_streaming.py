@@ -313,3 +313,25 @@ def test_streaming_simhash_dedup_equals_batch_dd05(spark, tmp_path):
     }
     want = {tuple(r) for r in dd05_simhash_pairs(spark, SF).collect()}
     assert got == want and got
+
+
+def test_streaming_simhash_dedup_definition_lineage(spark, tmp_path):
+    """Definition-time lineage of the stateful operator: the
+    applyInPandasWithState stage is a Python barrier, so columns carry
+    the documented not-mappable sentinel — but capture must not crash,
+    and the stream's file source must resolve as the input."""
+    from hive_lineage_spark.hook import LineageTracker
+    from hive_lineage_spark.lineage import UNKNOWN
+    from hive_lineage_spark.operators.dedup import dd04_simhash
+    from hive_lineage_spark.streaming.events import streaming_simhash_dedup
+
+    staging = str(tmp_path / "sigs")
+    sigs = dd04_simhash(spark, SF)
+    sigs.write.parquet(staging)
+    stream = spark.readStream.schema(sigs.schema).parquet(staging)
+    ql = LineageTracker().track_stream_def(streaming_simhash_dedup(stream), "sd")
+    assert ql.report() and ql.to_json()
+    assert {c.name for c in ql.result.columns} == {"id_a", "id_b", "hamming"}
+    for c in ql.result.columns:
+        assert c.bases == frozenset({UNKNOWN})
+    assert ql.result.input_tables, "stream source must resolve"
