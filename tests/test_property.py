@@ -267,3 +267,32 @@ def test_composed_ngram_hash_equals_char_hash_n5(spark):
         for r in grams.select("doc_id", poly_hash(F.col("g")).alias("gh")).distinct().collect()
     }
     assert got == want
+
+
+def test_frame_level_ops_handle_empty_and_tiny_inputs(spark):
+    """Library-surface hardening: the reusable frame-level cores must not
+    crash (or invent rows) on empty frames, single docs, or docs shorter
+    than the gram width — the shapes a production caller's edge batches
+    actually contain."""
+    from hive_lineage_spark.operators.dedup import (
+        apply_postings_changes,
+        hashed_ngrams_of,
+        incremental_dedup_frames,
+        postings_of,
+    )
+    from hive_lineage_spark.operators.pipeline import connected_components
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    one_doc = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    short_doc = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+
+    assert postings_of(empty_docs).count() == 0
+    assert hashed_ngrams_of(short_doc, 5).count() == 0  # doc shorter than n
+    assert postings_of(one_doc).count() == 2  # "a b c d" → 2 trigrams
+    # maintenance with no changes is the identity
+    po = postings_of(one_doc)
+    assert apply_postings_changes(po).count() == po.count()
+    # an empty arriving batch matches nothing
+    assert incremental_dedup_frames(empty_docs, one_doc).count() == 0
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_edges).count() == 0
