@@ -275,6 +275,44 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def merge_vtable(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Key-based upsert (the MERGE INTO shape: update matching rows,
+    insert the rest) committed as ONE atomic version: the new snapshot
+    is (current snapshot ∖ update keys) ∪ updates. Readers see either
+    the pre- or post-merge snapshot, never a torn state; time travel to
+    pre-merge versions still resolves the old (immutable) files, and
+    the change feed delivers the merge's adds like any commit.
+
+    Scale note, honestly: this rewrites the WHOLE active snapshot in
+    the merge commit. Delta/Iceberg prune untouched files via per-file
+    key stats and rewrite only files that may contain matching keys —
+    with ``stats_cols=[key]`` maintained, the same pruning could reuse
+    ``read_vtable(prune=...)``'s min/max machinery; left full-rewrite
+    here because the commit log's remove unit (the file) is what this
+    vtable models, not a deficiency of the log format."""
+    root = _strip_scheme(root)
+    _, active, _ = _replay(root)
+    cur = read_vtable(spark, root)
+    merged = cur.join(updates.select(key).distinct(), key, "left_anti").unionByName(updates)
+    # commit = add the merged snapshot, remove every prior active file
+    # (compact's mechanism — the log replays removes regardless of op,
+    # so the op label stays an honest "merge" for history/consumers)
+    return write_vtable(
+        merged,
+        root,
+        mode="append",
+        stats_cols=stats_cols,
+        _op="merge",
+        _remove=sorted(active),
+    )
+
+
 def compact(
     spark: SparkSession,
     root: str,

@@ -336,3 +336,33 @@ def test_change_feed_drives_incremental_dedup(spark, root):
     }
     want = {tuple(r) for r in dd09_incremental_dedup(spark, SF).collect()}
     assert got == want and got, "CDC-driven dedup must equal the batch split operator"
+
+
+def test_merge_vtable_upserts_atomically(spark, root):
+    """MERGE shape: update matching keys, insert new ones, one atomic
+    version; time travel still sees the pre-merge snapshot and the
+    change feed delivers the merge like any commit."""
+    from hive_lineage_spark.sources.vtable import merge_vtable
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    write_vtable(n, root, mode="overwrite")
+
+    updates = spark.createDataFrame(
+        [(0, "RENAMED", 9), (999, "BRAND_NEW", 9)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    v = merge_vtable(spark, root, updates, key="n_nationkey")
+    assert v == 1 and history(root)[-1]["op"] == "merge"
+
+    got = {tuple(r) for r in read_vtable(spark, root).collect()}
+    want = {tuple(r) for r in n.filter("n_nationkey <> 0").collect()} | {
+        (0, "RENAMED", 9),
+        (999, "BRAND_NEW", 9),
+    }
+    assert got == want
+    # pre-merge snapshot untouched
+    pre = {tuple(r) for r in read_vtable(spark, root, version=0).collect()}
+    assert pre == {tuple(r) for r in n.collect()}
+    # the merge commit's adds arrive on the change feed
+    ch = read_vtable_changes(spark, root, from_version=1)
+    assert ch.filter("n_nationkey IN (0, 999)").count() == 2
