@@ -19,18 +19,21 @@ from pyspark.sql import DataFrame, SparkSession
 # (b) the LLM-data-pipeline operator set, and (c) the custom operators
 # Spark lacks natively (as-of join, bucketized range join,
 # sessionization).
-# Round-5 rotation: the round-4 additions (q46 view lineage, q47 date
-# spine, dd09 incremental dedup, dd10 decontamination, tx08 PII
-# redaction, tp02-tp04 training-prep) move IN so the driver certifies
-# them; eight ops certified green in CORRECTNESS_r04 whose semantics
-# are covered by in-window siblings rotate OUT (dd04 simhash signatures
-# — exercised by dd05; ss03/ss04 ANN variants — ss01/ss02 stay; tx05/
-# tx06 sampling/mix — tx01-04+tx07 stay; mm03/mm04 stubs — mm01/mm02
-# carry the Arrow plumbing; px01 — px02 keeps the pandas-UDF surface).
+# Round-5 rotation: every query that has NEVER had a driver
+# CORRECTNESS row moves IN — the round-4 additions (q46 view lineage,
+# q47 date spine, dd09 incremental dedup, dd10 decontamination, tx08
+# PII redaction, tp02-tp04 training-prep) AND the round-5 additions
+# (tp05 two-phase sample, tp06 curriculum bins, dd11 incremental
+# postings, tx09 repetition, ss05 Arrow ANN). Thirteen ops certified
+# green in CORRECTNESS_r04 (or earlier) whose semantics are covered by
+# in-window siblings rotate OUT: dd04/dd05 simhash (dd03 banding stays;
+# dd05 remains a bench headline + streaming-equality pin), ss03/ss04
+# ANN variants (ss01/ss02/ss05 stay), tx04-tx06, mm02-mm04 (mm01
+# carries the Arrow plumbing), px01/px02 (ss05/mm01 keep the
+# Arrow-Python surface in-window), q25 sessionization (certified every
+# round since r1; q41 covers the shape locally).
 # Beyond the window (the cap is exactly 50): previously-certified
-# rotated-out ops, tp05 (identical output to in-window tp02 by
-# construction — equality is pinned by a test at two scales),
-# redundant format round-trips (q28-q30), SQL-surface
+# rotated-out ops, redundant format round-trips (q28-q30), SQL-surface
 # variants (q20-q24, q26, q32-q39) whose semantics are covered by
 # in-window queries, and three ops with tolerance/canonical-string or
 # setup-heavy oracles (q40 sketches, q42 array agg, q45 vtable time
@@ -49,22 +52,23 @@ _DRIVER_PRIORITY = [
     "q46_view_lineage", "q47_date_spine",
     # deduplication
     "dd01_exact_dedup", "dd02_ngram_jaccard", "dd03_minhash_lsh",
-    "dd05_simhash_pairs", "dd06_embed_cosine_dup",
+    "dd06_embed_cosine_dup",
     "dd07_near_dedup_apply", "dd08_dup_clusters",
     "dd09_incremental_dedup", "dd10_decontaminate",
+    "dd11_incremental_postings",
     # similarity search
-    "ss01_ann_bruteforce", "ss02_ann_ivf",
+    "ss01_ann_bruteforce", "ss02_ann_ivf", "ss05_ann_bruteforce_arrow",
     # text analysis
     "tx01_token_stats", "tx02_lang_id", "tx03_quality_score",
-    "tx04_fingerprint", "tx07_bpe_pretokenize", "tx08_redact_pii",
+    "tx07_bpe_pretokenize", "tx08_redact_pii", "tx09_repetition",
     # multimodal plumbing
-    "mm01_decode_stub", "mm02_frame_sample",
-    # pandas-UDF ops + composed pipeline + training-prep
-    "px02_grouped_zscore", "tp01_full_pipeline",
+    "mm01_decode_stub",
+    # composed pipeline + training-prep
+    "tp01_full_pipeline",
     "tp02_stratified_sample", "tp03_pack_sequences", "tp04_weighted_mixture",
+    "tp05_stratified_sample_hc", "tp06_curriculum_bins",
     # custom operators Spark lacks natively
     "q27_asof_join", "q43_range_join_bucketized",
-    "q25_sessionization",
 ]
 
 
