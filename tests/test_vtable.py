@@ -366,3 +366,29 @@ def test_merge_vtable_upserts_atomically(spark, root):
     # the merge commit's adds arrive on the change feed
     ch = read_vtable_changes(spark, root, from_version=1)
     assert ch.filter("n_nationkey IN (0, 999)").count() == 2
+
+
+def test_self_referential_vtable_rewrite_stitches_to_base(spark, root):
+    """INSERT OVERWRITE t ... SELECT FROM t — the self-referential
+    rewrite. On plain parquet paths Spark itself fails this (overwrite
+    deletes the files mid-read); through the versioned table it is safe
+    (new files + atomic log swap), and lineage stitching must TERMINATE
+    and resolve through both writer generations to the original base
+    table."""
+    from hive_lineage_spark.hook import LineageTracker
+
+    root_named = os.path.join(os.path.dirname(root), "nation_selfref")
+    n = _nation(spark).select("n_nationkey", "n_name")
+    tr = LineageTracker()
+    tr.track_write_vtable(n, root_named, mode="overwrite", name="w0")
+    cur = read_vtable(spark, root_named).withColumn("n_name", F.upper("n_name"))
+    tr.track_write_vtable(cur, root_named, mode="overwrite", name="w1")
+
+    assert read_vtable(spark, root_named).count() == n.count()
+    back = read_vtable(spark, root_named).groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    back.collect()
+    ql = tr.track(back, name="readback")
+    assert ql.result.input_tables == ["nation"]
+    assert ql.column_map()["n_name"] == {("nation", "n_name")}
