@@ -309,6 +309,20 @@ def _minhash_bands(po: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def _minhash_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash bucket rows, persisted per (session, sf_dir) like
+    the postings and SimHash signatures: the band frame feeds BOTH sides
+    of dd03's self-join (and dd09's split probe), and Spark's exchange
+    reuse does not cover it — unpersisted, the full groupBy-32-mins over
+    the postings would run twice per execution and again every run. In
+    production this is the materialized bands table next to the postings
+    index (the thing dd11 maintains incrementally)."""
+    return _persisted(
+        "mh_bands", spark, sf_dir,
+        lambda s, d: _minhash_bands(_postings_cached(s, d)),
+    )
+
+
 def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs ≥ 0.5 Jaccard.
 
@@ -319,7 +333,7 @@ def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact; LSH only prunes the pair space — at 100 TB the band join
     shuffles O(n·bands) small keys instead of O(n²) comparisons."""
     po = _postings_cached(spark, sf_dir)
-    bands = _minhash_bands(po)
+    bands = _minhash_bands_cached(spark, sf_dir)
     cand = (
         bands.alias("a")
         .join(
@@ -609,7 +623,7 @@ def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = _docs(spark, sf_dir).groupBy().agg(
         F.floor(F.max("doc_id") / 2).cast("long").alias("split_id")
     )
-    bands = _minhash_bands(po).crossJoin(F.broadcast(split))
+    bands = _minhash_bands_cached(spark, sf_dir).crossJoin(F.broadcast(split))
     old = bands.filter(F.col("doc_id") < F.col("split_id"))
     new = bands.filter(F.col("doc_id") >= F.col("split_id"))
     cand = (
