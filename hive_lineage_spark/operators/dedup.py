@@ -212,6 +212,31 @@ def _verify_pairs(cand: DataFrame, po: DataFrame) -> DataFrame:
     )
 
 
+def _prefix_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gh, rk) prefix postings under the global (df, hash)
+    shingle order: each doc keeps only its first n-⌈t·n⌉+1 rarest
+    shingles (the AllPairs prefix — see dd02)."""
+    from pyspark.sql import Window
+
+    po = _postings_cached(spark, sf_dir)
+    dfreq = po.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    sizes = po.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gh"))
+    ranked = po.join(dfreq, "gh").withColumn("rk", F.row_number().over(w)).join(sizes, "doc_id")
+    return ranked.filter(
+        F.col("rk") <= F.col("n_grams") - F.ceil(F.col("n_grams") * JACCARD_T) + 1
+    ).select("doc_id", "gh", "rk")
+
+
+def _prefix_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix postings persisted per (session, sf_dir): the frame feeds
+    BOTH sides of dd02's self-join (exchange reuse does not cover it),
+    and dd07/tp01 re-derive dd02 per run — unpersisted, the df-count +
+    rank-window pipeline would run twice per execution and again every
+    run. Same lifecycle as the postings/signature caches."""
+    return _persisted("pp_prefix", spark, sf_dir, _prefix_postings)
+
+
 def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard pairs ≥ t=0.5 via prefix filtering
     (AllPairs): under a global (document-frequency, hash) shingle order, a
@@ -221,16 +246,9 @@ def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles land in suffixes and never generate candidates, which is what
     turns the Σdf² inverted-index blowup into something that survives a
     100 TB corpus."""
-    from pyspark.sql import Window
-
     po = _postings_cached(spark, sf_dir)
-    dfreq = po.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     sizes = po.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gh"))
-    ranked = po.join(dfreq, "gh").withColumn("rk", F.row_number().over(w)).join(sizes, "doc_id")
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("n_grams") - F.ceil(F.col("n_grams") * JACCARD_T) + 1
-    ).select("doc_id", "gh", "rk")
+    prefix = _prefix_postings_cached(spark, sf_dir)
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter: under the global order, every shared
     # element other than the first shared prefix gram is ordered after it,
