@@ -626,36 +626,83 @@ class LineageTracker:
 
     # -- stitching ------------------------------------------------------------
 
+    def _resolve_cache_doc(self, doc: dict):
+        """Analyze one captured cache doc, recursing into caches built over
+        caches (``nested``), so a multi-level persisted index pipeline
+        still resolves to base tables. Returns
+        (column_map, ordered output names, input tables, indirect cells) —
+        with every nested-cache marker already rewritten away."""
+        from .plans.jsonplan import expr_trees, parse_tree
+
+        sub_plan = parse_tree(doc["raw"])
+        sub_leaves = [p for p in sub_plan.walk() if not p.children]
+        nested = {int(k): v for k, v in (doc.get("nested") or {}).items()}
+        sub_tables: list[str] = []
+        for j, paths in enumerate(doc.get("leafPaths", [])):
+            name = None
+            for p in paths:
+                name = self.table_resolver(_norm_path(p))
+                if name:
+                    break
+            if name is None and paths:
+                name = _norm_path(paths[0])
+            if name is None and j in nested:
+                name = f"<nestedcache{j}>"
+            sub_tables.append(name or f"<cacheleaf{j}>")
+        sub_res = analyze(sub_plan, sub_tables)
+        colmap = {k: set(v) for k, v in sub_res.column_map().items()}
+        ordered = [c.name for c in sub_res.columns]
+        inputs = list(sub_res.input_tables)
+        indirect: set[Cell] = set(sub_res.indirect)
+        for j, ndoc in nested.items():
+            marker = f"<nestedcache{j}>"
+            nmap, nordered, ninputs, nindirect = self._resolve_cache_doc(ndoc)
+            # positional mapping, same rationale as the top level: the
+            # InMemoryTableScan's output attr names may be re-aliased
+            # copies of the nested cached plan's outputs
+            leaf_names = []
+            if j < len(sub_leaves):
+                trees = (
+                    expr_trees(sub_leaves[j], "output")
+                    or expr_trees(sub_leaves[j], "attributes")
+                )
+                leaf_names = [t[0].get("name", "?") for t in trees]
+            positional = {
+                ln: nmap.get(sn, {UNKNOWN}) for ln, sn in zip(leaf_names, nordered)
+            }
+            lut = {**nmap, **positional}
+
+            def rw(cells: set[Cell]) -> set[Cell]:
+                out: set[Cell] = set()
+                for t, c in cells:
+                    if t == marker:  # noqa: B023 — consumed before next iteration
+                        out.update(lut.get(c, {UNKNOWN}))  # noqa: B023
+                    else:
+                        out.add((t, c))
+                return out
+
+            colmap = {k: rw(v) for k, v in colmap.items()}
+            indirect = rw(indirect) | set(nindirect)
+            inputs = [t for t in inputs if t != marker] + list(ninputs)
+        return colmap, ordered, sorted(set(inputs)), frozenset(indirect)
+
     def _stitch_caches(self, result: LineageResult, leaf_tables: list[str], cap: Captured) -> LineageResult:
         """Replace ``cache:<i>`` base cells with the lineage of the cached
         physical subplan (captured at plan-capture time) — the analog of
         resolving through the reference's intermediate TempFileDef scans."""
         if not cap.cached_plans:
             return result
-        from .plans.jsonplan import expr_trees, parse_tree
+        from .plans.jsonplan import expr_trees
 
         leaves = [p for p in cap.logical.walk() if not p.children]
         sub_maps: dict[str, dict[str, set[Cell]]] = {}
         sub_inputs: dict[str, list[str]] = {}
         for idx, doc in cap.cached_plans.items():
-            sub_plan = parse_tree(doc["raw"])
-            sub_tables: list[str] = []
-            for j, paths in enumerate(doc.get("leafPaths", [])):
-                name = None
-                for p in paths:
-                    name = self.table_resolver(_norm_path(p))
-                    if name:
-                        break
-                if name is None and paths:
-                    name = _norm_path(paths[0])
-                sub_tables.append(name or f"<cacheleaf{j}>")
-            sub_res = analyze(sub_plan, sub_tables)
+            by_name, sub_cols, sub_in, sub_indirect = self._resolve_cache_doc(doc)
             # map by POSITION: when a cached relation is instantiated twice
             # (self-joins), Spark re-aliases the later occurrence's output
             # attributes, so the leaf names need not match the cached
             # plan's output names — positions always correspond.
-            by_name = sub_res.column_map()
-            sub_cols = [c.name for c in sub_res.columns]
             leaf_names = [
                 t[0].get("name", "?") for t in expr_trees(leaves[idx], "output")
             ] if idx < len(leaves) else []
@@ -664,8 +711,8 @@ class LineageTracker:
                 for ln, sn in zip(leaf_names, sub_cols)
             }
             sub_maps[f"cache:{idx}"] = {**by_name, **positional}
-            sub_inputs[f"cache:{idx}"] = sub_res.input_tables
-            result.indirect = frozenset(result.indirect | sub_res.indirect)
+            sub_inputs[f"cache:{idx}"] = sub_in
+            result.indirect = frozenset(result.indirect | sub_indirect)
 
         def rewrite(cells: frozenset[Cell]) -> frozenset[Cell]:
             out: set[Cell] = set()

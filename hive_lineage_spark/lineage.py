@@ -137,7 +137,14 @@ class _NodeMap:
 
 def _leaf_output(p: PlanNode) -> list[tuple[str, EId]]:
     out = []
-    for tree in expr_trees(p, "output") or expr_trees(p, "outputAttrs"):
+    trees = (
+        expr_trees(p, "output")
+        or expr_trees(p, "outputAttrs")
+        # physical InMemoryTableScanExec (a nested-cache leaf) carries its
+        # output under "attributes"
+        or expr_trees(p, "attributes")
+    )
+    for tree in trees:
         root = tree[0]
         eid = expr_id(root)
         if eid:

@@ -219,11 +219,57 @@ def leaf_scan_paths(jlogical) -> list[list[str]]:
     return out
 
 
+def _capture_cached_physical(jphys, depth: int = 0) -> dict:
+    """Capture a cached physical plan as {raw, leafPaths, nested}. A
+    persisted frame built ON TOP of another persisted frame (index
+    pipelines do this: prefix postings over the postings cache) shows up
+    as an InMemoryTableScanExec leaf inside the cached plan — recurse
+    into ITS cached plan so lineage still reaches the base tables.
+    Depth-capped defensively; real pipelines nest one or two levels."""
+    if jphys.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        # AQE roots serialize as a single opaque node; the initial
+        # plan is a complete tree with identical exprIds (runtime
+        # re-planning never changes column identity)
+        try:
+            jphys = jphys.initialPlan()
+        except Exception:  # noqa: BLE001
+            jphys = jphys.finalPhysicalPlan()
+    raw = json.loads(jphys.toJSON())
+    sub_paths: list[list[str]] = []
+    nested: dict[int, dict] = {}
+    subleaves = jphys.collectLeaves()
+    for j in range(subleaves.size()):
+        sl = subleaves.apply(j)
+        paths: list[str] = []
+        try:
+            loc = sl.relation().location().rootPaths()
+            paths = [str(loc.apply(k)) for k in range(loc.size())]
+        except Exception:  # noqa: BLE001
+            pass
+        if (
+            not paths
+            and depth < 4
+            and sl.getClass().getSimpleName() == "InMemoryTableScanExec"
+        ):
+            try:
+                nested[j] = _capture_cached_physical(
+                    sl.relation().cacheBuilder().cachedPlan(), depth + 1
+                )
+            except Exception:  # noqa: BLE001 — keep this leaf as a boundary
+                pass
+        sub_paths.append(paths)
+    doc = {"raw": raw, "leafPaths": sub_paths}
+    if nested:
+        doc["nested"] = nested
+    return doc
+
+
 def cached_subplans(jlogical) -> dict[int, dict]:
     """For each InMemoryRelation leaf (a .persist()ed subplan), capture the
     cached PHYSICAL plan — Spark keeps only that — so lineage can resolve
     THROUGH the cache: the relation's output exprIds are identical to the
-    cached plan's output exprIds. Returns {leaf_index: {raw, leafPaths}}."""
+    cached plan's output exprIds. Returns {leaf_index: {raw, leafPaths,
+    nested}} (nested = caches built over caches, resolved recursively)."""
     out: dict[int, dict] = {}
     leaves = jlogical.collectLeaves()
     for i in range(leaves.size()):
@@ -231,28 +277,7 @@ def cached_subplans(jlogical) -> dict[int, dict]:
         if leaf.getClass().getSimpleName() != "InMemoryRelation":
             continue
         try:
-            jphys = leaf.cacheBuilder().cachedPlan()
-            if jphys.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-                # AQE roots serialize as a single opaque node; the initial
-                # plan is a complete tree with identical exprIds (runtime
-                # re-planning never changes column identity)
-                try:
-                    jphys = jphys.initialPlan()
-                except Exception:  # noqa: BLE001
-                    jphys = jphys.finalPhysicalPlan()
-            raw = json.loads(jphys.toJSON())
-            sub_paths: list[list[str]] = []
-            subleaves = jphys.collectLeaves()
-            for j in range(subleaves.size()):
-                sl = subleaves.apply(j)
-                paths: list[str] = []
-                try:
-                    loc = sl.relation().location().rootPaths()
-                    paths = [str(loc.apply(k)) for k in range(loc.size())]
-                except Exception:  # noqa: BLE001
-                    pass
-                sub_paths.append(paths)
-            out[i] = {"raw": raw, "leafPaths": sub_paths}
+            out[i] = _capture_cached_physical(leaf.cacheBuilder().cachedPlan())
         except Exception:  # noqa: BLE001 — keep the cache as a boundary
             continue
     return out

@@ -384,6 +384,32 @@ def test_lineage_resolves_through_persist_cache(spark):
     cached.unpersist()
 
 
+def test_lineage_resolves_nested_caches(spark):
+    """A persisted frame built on top of another persisted frame (index
+    pipelines: prefix postings over the postings cache) — lineage must
+    recurse through BOTH InMemoryRelation boundaries to the base table."""
+    li = _t(spark, "lineitem")
+    inner = li.select("l_orderkey", (F.col("l_quantity") * 2).alias("dq")).persist()
+    inner.count()
+    outer = inner.groupBy("l_orderkey").agg(F.sum("dq").alias("sdq")).persist()
+    outer.count()
+    df = outer.filter(F.col("sdq") > 10).select("l_orderkey", "sdq")
+    df.collect()
+    ql = LineageTracker().track(df, name="nested_cache")
+    try:
+        assert ql.result.input_tables == ["lineitem"]
+        cmap = ql.column_map()
+        assert cmap["sdq"] == {("lineitem", "l_quantity")}
+        assert cmap["l_orderkey"] == {("lineitem", "l_orderkey")}
+        from hive_lineage_spark.lineage import UNKNOWN
+
+        for c in ql.result.columns:
+            assert UNKNOWN not in c.bases
+    finally:
+        outer.unpersist()
+        inner.unpersist()
+
+
 def test_dedup_lineage_reaches_documents(spark):
     """The flagship dedup operator's lineage reaches the base table even
     though its shingle index is persisted."""
