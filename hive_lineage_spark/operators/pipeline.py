@@ -525,6 +525,62 @@ TP06_SQL = f"""
 """
 
 
+SHUFFLE_SHARDS = 8
+SHUFFLE_SALT = "ep0"  # new salt per epoch → a fresh permutation
+
+
+def tp07_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle WITHOUT a global sort: every
+    document gets a pseudo-random but reproducible (shard, position) in
+    the training order — the step that turns a curated corpus into
+    shuffled training shards.
+
+    The naive plan (``ORDER BY rand()``) is a global range sort whose
+    sampling + full exchange dominate at corpus scale and whose output
+    isn't reproducible. Instead the md5 of (salt, doc_id) drives both
+    decisions: two hex chars pick the shard (one hash exchange), and the
+    remaining digest orders documents INSIDE each shard (per-shard
+    window — parallelism = #shards, each partition sorts corpus/S rows).
+    Readers consume shards round-robin, so the interleaved stream is
+    uniformly shuffled; a new salt re-permutes everything for the next
+    epoch. At 100 TB, S is chosen so a shard ≈ one training file
+    (1–4 GB), making the per-shard sort the file-write unit of work."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SALT), F.lit(":"), F.col("doc_id").cast("string")))
+    # portable hex→int: two ascii codes of the first md5 chars (both
+    # engines agree on ascii/substr; avoids conv/from_hex divergence)
+    shard = F.pmod(
+        F.ascii(F.substring(key, 1, 1)) * 256 + F.ascii(F.substring(key, 2, 1)),
+        F.lit(SHUFFLE_SHARDS),
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        d.select("doc_id", key.alias("key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+TP07_SQL = f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)) AS key
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((ascii(substr(key, 1, 1)) * 256 + ascii(substr(key, 2, 1)))
+                % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY (ascii(substr(key, 1, 1)) * 256 + ascii(substr(key, 2, 1)))
+                            % {SHUFFLE_SHARDS}
+               ORDER BY key, doc_id
+           ) AS BIGINT) AS pos
+    FROM k
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
@@ -532,6 +588,7 @@ QUERIES = {
     "tp03_pack_sequences": tp03_pack_sequences,
     "tp04_weighted_mixture": tp04_weighted_mixture,
     "tp06_curriculum_bins": tp06_curriculum_bins,
+    "tp07_shuffle_shards": tp07_shuffle_shards,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -546,6 +603,7 @@ ORACLES = {
     "tp03_pack_sequences": TP03_SQL,
     "tp04_weighted_mixture": TP04_SQL,
     "tp06_curriculum_bins": TP06_SQL,
+    "tp07_shuffle_shards": TP07_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,

@@ -394,6 +394,87 @@ TX09_SQL = f"""
 """
 
 
+TFIDF_TOP = 3
+
+
+def tx10_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document characteristic terms by TF-IDF — the standard
+    keyword/topic signal a corpus profiler attaches to every document:
+    score(w, d) = (tf/|d|) · ln(N/df), keep each doc's top
+    ``TFIDF_TOP`` terms.
+
+    Scale shape: term frequencies are one partial-agg groupBy on
+    (doc_id, word) — map-side combine absorbs within-partition repeats;
+    document frequencies aggregate the SAME tokenized frame by word
+    (vocabulary-sized output, sublinear in the corpus per Heaps' law).
+    The tf⋈df equi-join on word carries 3 small columns — no broadcast
+    hint, AQE picks broadcast while the vocabulary fits and degrades to
+    shuffle join when it doesn't. Top-K per doc is a rank window that
+    Spark executes with WindowGroupLimit (per-partition top-K before the
+    exchange), never a per-doc full sort. Ranking compares the ROUNDED
+    score so both engines rank identical doubles; ties break on the
+    word."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "w")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                (F.col("tf") / F.col("dlen"))
+                * F.log(F.col("n_docs") / F.col("df"))
+                + F.lit(1e-9),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", F.col("w").alias("term"), "tfidf", "rank")
+    )
+
+
+TX10_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+    ),
+    dlen AS (
+        SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id
+    ),
+    df AS (
+        SELECT w, count(*) AS df FROM tf GROUP BY w
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w,
+               round((tf.tf * 1.0 / dlen.dlen) * ln(n.n_docs * 1.0 / df.df)
+                     + 1e-9, 6) AS tfidf
+        FROM tf JOIN df USING (w) JOIN dlen USING (doc_id) CROSS JOIN n
+    )
+    SELECT doc_id, w AS term, tfidf, rank FROM (
+        SELECT doc_id, w, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, w ASC
+               ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {TFIDF_TOP}
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -402,6 +483,7 @@ QUERIES = {
     "tx07_bpe_pretokenize": tx07_bpe_pretokenize,
     "tx08_redact_pii": tx08_redact_pii,
     "tx09_repetition": tx09_repetition,
+    "tx10_tfidf_terms": tx10_tfidf_terms,
 }
 
 ORACLES = {
@@ -412,4 +494,5 @@ ORACLES = {
     "tx07_bpe_pretokenize": TX07_SQL,
     "tx08_redact_pii": TX08_SQL,
     "tx09_repetition": TX09_SQL,
+    "tx10_tfidf_terms": TX10_SQL,
 }

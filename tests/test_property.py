@@ -195,8 +195,11 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
     )
 
     from hive_lineage_spark.operators.dedup import dd11_incremental_postings
-    from hive_lineage_spark.operators.pipeline import tp06_curriculum_bins
-    from hive_lineage_spark.operators.text import tx09_repetition
+    from hive_lineage_spark.operators.pipeline import (
+        tp06_curriculum_bins,
+        tp07_shuffle_shards,
+    )
+    from hive_lineage_spark.operators.text import tx09_repetition, tx10_tfidf_terms
 
     sf = "/root/testdata/sf0.001"
     for op in (
@@ -204,8 +207,10 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
         tp05_stratified_sample_hc,
         tp03_pack_sequences,
         tp06_curriculum_bins,
+        tp07_shuffle_shards,
         tx05_hash_sample,
         tx09_repetition,
+        tx10_tfidf_terms,
         dd09_incremental_dedup,
         dd11_incremental_postings,
     ):
