@@ -22,6 +22,15 @@ GOLDENS = sorted(f[:-5] for f in os.listdir(GOLDEN_DIR) if f.endswith(".json"))
 
 @pytest.mark.parametrize("name", GOLDENS)
 def test_lineage_matches_golden(spark, name):
+    # Goldens pin the COLD canonical plan. Earlier tests may have warmed
+    # the session-level persisted index frames (dd02 postings / dd03
+    # bands / dd05 signatures); lineage then resolves through the
+    # InMemoryRelation and prints the equivalent-but-different cached
+    # tree. Cache-aware lineage has its own tests (test_lineage.py);
+    # here we drop the caches so the capture is order-independent.
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
+
+    clear_postings_cache()
     qs = entrymod.queries()
     df = qs[name](spark, SF)
     df.collect()
