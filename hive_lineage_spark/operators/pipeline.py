@@ -581,6 +581,89 @@ TP07_SQL = f"""
 """
 
 
+MIX_TEMP_ALPHA = 0.7  # temperature exponent (UNIMAX/mT5-style flattening)
+MIX_TEMP_TOTAL = 200  # documents in the temperature-mixed sample
+
+
+def tp08_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture — quotas DERIVED from corpus
+    statistics instead of tp04's hand-written recipe: each source's
+    share ∝ n_docs^α (α < 1 flattens the natural distribution so small
+    sources are upsampled relative to their size — the multilingual
+    sampling rule of mT5/UNIMAX, Xue et al. 2021 §3.1). Slots are then
+    filled by the same deterministic md5 rank as tp02/tp04, so the mix
+    is reproducible under any parallelism.
+
+    Scale shape: per-source counts are one partial-agg groupBy — the
+    frame is source-vocabulary-sized (sublinear), and its pow-sum is a
+    single-row aggregate of THAT small frame, never a second corpus
+    pass. Quotas join back on the source key unpinned (AQE broadcasts
+    while the source list fits). Shares round at 6 dp with the
+    repo-standard +1e-9 nudge before the floor, so both engines floor
+    identical doubles; quota is capped at n_docs so an over-allocated
+    small source yields what it has (visible, like tp04's shortfall)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    powsum = counts.groupBy().agg(
+        F.sum(F.pow("n_docs", F.lit(MIX_TEMP_ALPHA))).alias("psum")
+    )
+    quota = counts.crossJoin(F.broadcast(powsum)).select(
+        "source",
+        "n_docs",
+        F.round(F.pow("n_docs", F.lit(MIX_TEMP_ALPHA)) / F.col("psum") + 1e-9, 6).alias("share"),
+        F.least(
+            F.col("n_docs"),
+            F.floor(
+                MIX_TEMP_TOTAL
+                * F.round(F.pow("n_docs", F.lit(MIX_TEMP_ALPHA)) / F.col("psum") + 1e-9, 6)
+            ),
+        ).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("source", "doc_id").withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(quota, "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .groupBy("source", "n_docs", "share", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select("source", "n_docs", "share", "quota", "n_taken", "first_doc")
+    )
+
+
+TP08_SQL = f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), ps AS (
+        SELECT sum(pow(n_docs, {MIX_TEMP_ALPHA})) AS psum FROM counts
+    ), quota AS (
+        SELECT source, n_docs,
+               round(pow(n_docs, {MIX_TEMP_ALPHA}) / psum + 1e-9, 6) AS share,
+               CAST(least(n_docs,
+                    floor({MIX_TEMP_TOTAL}
+                          * round(pow(n_docs, {MIX_TEMP_ALPHA}) / psum + 1e-9, 6)))
+                    AS BIGINT) AS quota
+        FROM counts CROSS JOIN ps
+    ), ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT q.source, q.n_docs, q.share, q.quota,
+           count(*) AS n_taken, min(r.doc_id) AS first_doc
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rk <= q.quota
+    GROUP BY q.source, q.n_docs, q.share, q.quota
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
@@ -589,6 +672,7 @@ QUERIES = {
     "tp04_weighted_mixture": tp04_weighted_mixture,
     "tp06_curriculum_bins": tp06_curriculum_bins,
     "tp07_shuffle_shards": tp07_shuffle_shards,
+    "tp08_temperature_mixture": tp08_temperature_mixture,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -604,6 +688,7 @@ ORACLES = {
     "tp04_weighted_mixture": TP04_SQL,
     "tp06_curriculum_bins": TP06_SQL,
     "tp07_shuffle_shards": TP07_SQL,
+    "tp08_temperature_mixture": TP08_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,

@@ -475,6 +475,88 @@ TX10_SQL = f"""
 """
 
 
+SEG_W = 8  # words per span — the "line" unit of the cross-doc span dedup
+
+
+def tx11_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup (Raffel et al. 2020 §2.2
+    deduplicate "any three-sentence span occurring more than once"):
+    every document is cut into consecutive ``SEG_W``-word spans, each
+    span is kept only at its FIRST corpus occurrence (lowest (doc_id,
+    seg_no)), and the surviving spans are reassembled into the cleaned
+    document. Documents whose every span is a repeat drop out — exactly
+    C4's behavior. The synthetic corpus has no sentence boundaries, so
+    the span unit is fixed-width words; the dataflow is the operator.
+
+    Scale shape: span rows (doc_id, seg_no, span) are ranked by a
+    row_number window partitioned on ``xxhash64(span)`` — Spark executes
+    the rank-1 filter as WindowGroupLimit, so each map partition keeps
+    only its best candidate per span hash BEFORE the exchange: a corpus
+    that is 50% boilerplate sheds that 50% map-side. Partitioning on the
+    64-bit hash keeps the sort keys fixed-width (the span string rides
+    along only as payload); the oracle partitions on the span string
+    itself, so a 64-bit collision could diverge — ~n²/2⁶⁵, negligible
+    (the repo-standard hashed-gram argument, cf. tx09). Reassembly is
+    one partial-agg groupBy(doc_id) collecting the kept spans; no
+    broadcast, no driver collect, two exchanges total."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split("text", " ")
+    nseg = F.ceil(F.size(words) / float(SEG_W)).cast("int")
+    segs = d.select(
+        "doc_id",
+        nseg.alias("n_segs"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice(words, i * SEG_W + 1, SEG_W), " "),
+            )
+        ).alias("seg_no", "seg"),
+    )
+    w = Window.partitionBy(F.xxhash64("seg")).orderBy("doc_id", "seg_no")
+    kept = segs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        kept.groupBy("doc_id", "n_segs")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_segs", "n_kept", "clean_text")
+    )
+
+
+TX11_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+        SELECT doc_id,
+               CAST(ceil(len(w) / {SEG_W}.0) AS INT) AS n_segs,
+               CAST(i AS INT) AS seg_no,
+               array_to_string(
+                   w[(CAST(i AS INT)*{SEG_W}+1):(CAST(i AS INT)*{SEG_W}+{SEG_W})], ' '
+               ) AS seg
+        FROM base, UNNEST(range(CAST(ceil(len(w)/{SEG_W}.0) AS BIGINT))) AS t(i)
+    ),
+    kept AS (
+        SELECT doc_id, n_segs, seg_no, seg FROM (
+            SELECT doc_id, n_segs, seg_no, seg,
+                   row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rk
+            FROM segs) WHERE rk = 1
+    )
+    SELECT doc_id, n_segs, CAST(count(*) AS INT) AS n_kept,
+           string_agg(seg, ' ' ORDER BY seg_no) AS clean_text
+    FROM kept GROUP BY doc_id, n_segs
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -484,6 +566,7 @@ QUERIES = {
     "tx08_redact_pii": tx08_redact_pii,
     "tx09_repetition": tx09_repetition,
     "tx10_tfidf_terms": tx10_tfidf_terms,
+    "tx11_span_dedup": tx11_span_dedup,
 }
 
 ORACLES = {
@@ -495,4 +578,5 @@ ORACLES = {
     "tx08_redact_pii": TX08_SQL,
     "tx09_repetition": TX09_SQL,
     "tx10_tfidf_terms": TX10_SQL,
+    "tx11_span_dedup": TX11_SQL,
 }

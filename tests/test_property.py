@@ -198,8 +198,13 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
     from hive_lineage_spark.operators.pipeline import (
         tp06_curriculum_bins,
         tp07_shuffle_shards,
+        tp08_temperature_mixture,
     )
-    from hive_lineage_spark.operators.text import tx09_repetition, tx10_tfidf_terms
+    from hive_lineage_spark.operators.text import (
+        tx09_repetition,
+        tx10_tfidf_terms,
+        tx11_span_dedup,
+    )
 
     sf = "/root/testdata/sf0.001"
     for op in (
@@ -209,8 +214,10 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
         tp06_curriculum_bins,
         tp07_shuffle_shards,
         tx05_hash_sample,
+        tp08_temperature_mixture,
         tx09_repetition,
         tx10_tfidf_terms,
+        tx11_span_dedup,
         dd09_incremental_dedup,
         dd11_incremental_postings,
     ):
