@@ -24,14 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 # q47 date spine, dd09 incremental dedup, dd10 decontamination, tx08
 # PII redaction, tp02-tp04 training-prep) AND the round-5 additions
 # (tp05 two-phase sample, tp06 curriculum bins, dd11 incremental
-# postings, tx09 repetition, ss05 Arrow ANN). Thirteen ops certified
-# green in CORRECTNESS_r04 (or earlier) whose semantics are covered by
-# in-window siblings rotate OUT: dd04/dd05 simhash (dd03 banding stays;
-# dd05 remains a bench headline + streaming-equality pin), ss03/ss04
-# ANN variants (ss01/ss02/ss05 stay), tx04-tx06, mm02-mm04 (mm01
-# carries the Arrow plumbing), px01/px02 (ss05/mm01 keep the
-# Arrow-Python surface in-window), q25 sessionization (certified every
-# round since r1; q41 covers the shape locally).
+# postings, tx09 repetition, ss05 Arrow ANN, tp07 shuffle shards,
+# tx10 TF-IDF terms, tx11 span dedup, tp08 temperature mixture).
+# Seventeen ops certified green in CORRECTNESS_r04 (or earlier) whose
+# semantics are covered by in-window siblings rotate OUT: dd04/dd05
+# simhash (dd03 banding stays; dd05 remains a bench headline +
+# streaming-equality pin), ss03/ss04 ANN variants (ss01/ss02/ss05
+# stay), tx04-tx06, mm02-mm04 (mm01 carries the Arrow plumbing),
+# px01/px02 (ss05/mm01 keep the Arrow-Python surface in-window), q25
+# sessionization (certified every round since r1; q41 covers the shape
+# locally), dd01 exact dedup (certified r4; the tp01 pipeline keeps an
+# exact-dedup stage in-window), tx01 token stats (certified r4; tx09/
+# tx10 keep the tokenization path in-window), and q27 as-of join + q43
+# bucketized range join (both certified r4, unchanged since).
 # Beyond the window (the cap is exactly 50): previously-certified
 # rotated-out ops, redundant format round-trips (q28-q30), SQL-surface
 # variants (q20-q24, q26, q32-q39) whose semantics are covered by
@@ -51,7 +56,7 @@ _DRIVER_PRIORITY = [
     # lineage/SQL round-4 additions (never driver-certified before r5)
     "q46_view_lineage", "q47_date_spine",
     # deduplication
-    "dd01_exact_dedup", "dd02_ngram_jaccard", "dd03_minhash_lsh",
+    "dd02_ngram_jaccard", "dd03_minhash_lsh",
     "dd06_embed_cosine_dup",
     "dd07_near_dedup_apply", "dd08_dup_clusters",
     "dd09_incremental_dedup", "dd10_decontaminate",
@@ -59,16 +64,16 @@ _DRIVER_PRIORITY = [
     # similarity search
     "ss01_ann_bruteforce", "ss02_ann_ivf", "ss05_ann_bruteforce_arrow",
     # text analysis
-    "tx01_token_stats", "tx02_lang_id", "tx03_quality_score",
+    "tx02_lang_id", "tx03_quality_score",
     "tx07_bpe_pretokenize", "tx08_redact_pii", "tx09_repetition",
+    "tx10_tfidf_terms", "tx11_span_dedup",
     # multimodal plumbing
     "mm01_decode_stub",
     # composed pipeline + training-prep
     "tp01_full_pipeline",
     "tp02_stratified_sample", "tp03_pack_sequences", "tp04_weighted_mixture",
     "tp05_stratified_sample_hc", "tp06_curriculum_bins",
-    # custom operators Spark lacks natively
-    "q27_asof_join", "q43_range_join_bucketized",
+    "tp07_shuffle_shards", "tp08_temperature_mixture",
 ]
 
 
