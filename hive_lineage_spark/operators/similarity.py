@@ -140,9 +140,23 @@ def ss02_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # corpus-side argmax: array_min over the same (neg, cell) structs picks
+    # the identical winner as sort-then-first (struct ordering is the same
+    # lexicographic comparison) in O(C) per vector without materializing a
+    # sorted C-element array — the assignment touches EVERY corpus vector,
+    # so the constant factor matters; the query-side probe list below still
+    # sorts (it needs the top N_PROBE, and runs on N_QUERIES rows only).
     assign = vec.crossJoin(F.broadcast(cent_arr)).select(
         "vec_id", "v", "nrm",
-        F.element_at(cell_ranking(F.col("v"), F.col("nrm")), 1)["cell"].alias("cell"),
+        F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (-_cosine(F.col("v"), c["cv"], F.col("nrm"), c["cn"])).alias("neg"),
+                    c["cent_id"].alias("cell"),
+                ),
+            )
+        )["cell"].alias("cell"),
     )
     # probe list: top-N_PROBE cells per query — same per-row ranking
     probes = (
