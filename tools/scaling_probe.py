@@ -31,6 +31,8 @@ PROBE = [
     ("tx09_repetition", "linear gram multiset"),
     ("tp05_stratified_sample_hc", "linear two-phase rank"),
     ("tp06_curriculum_bins", "linear histogram, bounded grid"),
+    ("tx11_span_dedup", "linear span rows; WindowGroupLimit sheds repeats map-side"),
+    ("tx10_tfidf_terms", "linear tf; vocabulary-sized df"),
 ]
 
 
