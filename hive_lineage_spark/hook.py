@@ -337,38 +337,49 @@ class LineageTracker:
         map so later tracked reads stitch through it — the automatic
         analog of ``track_write`` (reference parity: PostExecHook gets
         WriteEntity outputs in its HookContext, ``PostExecHook.scala:18-27``).
-        Covers ``df.write.save`` to a path, ``saveAsTable`` (CTAS) and
-        ``INSERT INTO`` — the latter two also snapshot the TARGET
-        catalog table (name + schema + warehouse location) as a
-        TableDef, the WriteEntity→Def conversion of the reference.
-        None if the execution isn't a write command."""
-        from .plans.capture import capture_write_command
+        Covers ``df.write.save`` to a path, ``saveAsTable`` (CTAS),
+        ``INSERT INTO``, and Hive-style multi-insert (``FROM src INSERT
+        INTO t1 ... INSERT INTO t2 ...`` — one shared scan, several
+        sinks, the reference's multi-terminal DAG where ``terminalOps``
+        yields several FileSinks). The latter cases also snapshot each
+        TARGET catalog table (name + schema + warehouse location) as a
+        TableDef, the WriteEntity→Def conversion of the reference. A
+        multi-insert tracks one QueryLineage per sink, suffixed
+        ``:sink<i>``; the first is returned. None if the execution isn't
+        a write command."""
+        from .plans.capture import capture_write_commands
 
-        got = capture_write_command(jqe)
-        if got is None:
+        sinks = capture_write_commands(jqe)
+        if not sinks:
             return None
-        ql = self.track_captured(got["cap"], name)
-        ql.command_type = "INSERT"
-        ql.output_path = _norm_path(got["path"]) if got["path"] else None
-        if ql.output_path:
-            self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
-            self.location_map[ql.output_path] = ql
-        if got["table"] is not None:
-            from dataclasses import replace
+        first: QueryLineage | None = None
+        for i, got in enumerate(sinks):
+            ql = self.track_captured(
+                got["cap"], name if len(sinks) == 1 else f"{name}:sink{i}"
+            )
+            ql.command_type = "INSERT"
+            ql.output_path = _norm_path(got["path"]) if got["path"] else None
+            if ql.output_path:
+                self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
+                self.location_map[ql.output_path] = ql
+            if got["table"] is not None:
+                from dataclasses import replace
 
-            db, tname = got["table"]
-            target = got.get("target") or {}
-            # the target's own CatalogTable is authoritative: INSERT INTO
-            # resolves by position (source aliases may differ from the
-            # declared columns) and the source schema drops the partition
-            # spec; the catalog also carries the resolved location.
-            loc = _norm_path(target["location"]) if target.get("location") else (ql.output_path or "")
-            cols = target.get("columns") or got["columns"]
-            t = table_from_columns(tname, loc, cols, db=db)
-            if target.get("partition_cols"):
-                t = replace(t, partition_columns=tuple(target["partition_cols"]))
-            self.model.add(t)
-        return ql
+                db, tname = got["table"]
+                target = got.get("target") or {}
+                # the target's own CatalogTable is authoritative: INSERT
+                # INTO resolves by position (source aliases may differ
+                # from the declared columns) and the source schema drops
+                # the partition spec; the catalog also carries the
+                # resolved location.
+                loc = _norm_path(target["location"]) if target.get("location") else (ql.output_path or "")
+                cols = target.get("columns") or got["columns"]
+                t = table_from_columns(tname, loc, cols, db=db)
+                if target.get("partition_cols"):
+                    t = replace(t, partition_columns=tuple(target["partition_cols"]))
+                self.model.add(t)
+            first = first or ql
+        return first
 
     def track_stream_write_def(
         self, df: DataFrame, root: str, name: str = "stream-writer"

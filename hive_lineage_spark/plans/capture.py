@@ -342,34 +342,87 @@ def capture_write_command(qe) -> dict | None:
     declared columns, and the source schema also drops the partition
     spec.
     """
-    def _ident_pair(ident) -> tuple[str, str]:
-        db = str(ident.database().get()) if ident.database().isDefined() else "default"
-        return (db, str(ident.table()))
+    got = capture_write_commands(qe)
+    return got[0] if len(got) == 1 else None
 
-    def _catalog_table_info(jtbl) -> dict:
-        info: dict = {"columns": [], "partition_cols": [], "location": ""}
-        try:
-            jschema = jtbl.schema()
-            for i in range(jschema.size()):
-                f = jschema.apply(i)
-                info["columns"].append((str(f.name()), str(f.dataType().simpleString())))
-        except Exception:  # noqa: BLE001
-            pass
-        try:
-            jp = jtbl.partitionColumnNames()
-            info["partition_cols"] = [str(jp.apply(i)) for i in range(jp.size())]
-        except Exception:  # noqa: BLE001
-            pass
-        try:
-            jloc = jtbl.storage().locationUri()
-            if jloc.isDefined():
-                info["location"] = str(jloc.get().toString())
-        except Exception:  # noqa: BLE001
-            pass
-        return info
 
+def capture_write_commands(qe) -> list[dict]:
+    """All file-writing commands of this execution. A plain INSERT/CTAS
+    yields one entry; a Hive-style multi-insert statement
+    (``FROM src INSERT INTO t1 ... INSERT INTO t2 ...``) optimizes to a
+    ``Union`` of InsertIntoHadoopFsRelationCommand children — the Spark
+    analog of the reference's multi-terminal operator DAG, where
+    ``terminalOps`` finds several FileSinks fed by one shared scan
+    (``OperatorGraphBuilder.scala:30-140``) — and yields one entry per
+    sink. Empty list for non-write executions."""
     try:
-        jcmd = qe.optimizedPlan()
+        jroot = qe.optimizedPlan()
+        if jroot.getClass().getSimpleName() == "Union":
+            # analyzed plan mirrors the Union shape; pair children by
+            # position so each sink's views come from ITS analyzed child
+            jan = None
+            try:
+                cand = qe.analyzed()
+                if (
+                    cand.getClass().getSimpleName() == "Union"
+                    and cand.children().size() == jroot.children().size()
+                ):
+                    jan = cand
+            except Exception:  # noqa: BLE001
+                pass
+            out = []
+            for i in range(jroot.children().size()):
+                got = _capture_one_write(
+                    jroot.children().apply(i),
+                    jan.children().apply(i) if jan is not None else None,
+                    qe,
+                )
+                if got is not None:
+                    out.append(got)
+            return out
+        janalyzed = None
+        try:
+            janalyzed = qe.analyzed()
+        except Exception:  # noqa: BLE001
+            pass
+        got = _capture_one_write(jroot, janalyzed, qe)
+        return [got] if got is not None else []
+    except Exception:  # noqa: BLE001 — a hook must never break queries
+        return []
+
+
+def _ident_pair(ident) -> tuple[str, str]:
+    db = str(ident.database().get()) if ident.database().isDefined() else "default"
+    return (db, str(ident.table()))
+
+
+def _catalog_table_info(jtbl) -> dict:
+    info: dict = {"columns": [], "partition_cols": [], "location": ""}
+    try:
+        jschema = jtbl.schema()
+        for i in range(jschema.size()):
+            f = jschema.apply(i)
+            info["columns"].append((str(f.name()), str(f.dataType().simpleString())))
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        jp = jtbl.partitionColumnNames()
+        info["partition_cols"] = [str(jp.apply(i)) for i in range(jp.size())]
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        jloc = jtbl.storage().locationUri()
+        if jloc.isDefined():
+            info["location"] = str(jloc.get().toString())
+    except Exception:  # noqa: BLE001
+        pass
+    return info
+
+
+def _capture_one_write(jcmd, janalyzed, qe) -> dict | None:
+    """Capture a single write-command node (see capture_write_commands).
+    ``janalyzed`` is the command's analyzed counterpart (or None)."""
+    try:
         cls = jcmd.getClass().getSimpleName()
         table: tuple[str, str] | None = None
         target: dict | None = None
@@ -405,7 +458,7 @@ def capture_write_command(qe) -> dict | None:
         jquery = jcmd.query()
         raw_logical = json.loads(jquery.toJSON())
         try:
-            views = view_descriptors(json.loads(qe.analyzed().query().toJSON()))
+            views = view_descriptors(json.loads(janalyzed.query().toJSON()))
         except Exception:  # noqa: BLE001
             views = []
         columns: list[tuple[str, str]] = []

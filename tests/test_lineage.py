@@ -646,6 +646,69 @@ def test_insert_into_existing_table_snapshots_target_schema(spark):
         spark.sql("DROP TABLE IF EXISTS nation_part_t")
 
 
+def test_listener_captures_multi_insert_both_sinks(spark):
+    """Hive-style multi-insert (FROM src INSERT INTO t1 ... INSERT INTO
+    t2 ...) — one shared scan, several FileSinks: the reference's
+    multi-terminal DAG (``terminalOps`` finds every sink,
+    ``OperatorGraphBuilder.scala:30-140``). The listener must capture
+    BOTH sinks (per-sink QueryLineage with its own source-plan lineage),
+    snapshot both target tables, and stitch a later read of each target
+    back to the base table."""
+    import time
+
+    from hive_lineage_spark.metadata import TableDef
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS mi_t1")
+    spark.sql("DROP TABLE IF EXISTS mi_t2")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("mi_t1", "mi_t2"):  # a crashed prior run can leave the dir
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    spark.sql("CREATE TABLE mi_t1 (nname STRING, nkey BIGINT) USING parquet")
+    spark.sql("CREATE TABLE mi_t2 (nname STRING) USING parquet")
+    _t(spark, "nation").createOrReplaceTempView("mi_nation_v")
+    tr = LineageTracker()
+    tr.install(spark)
+    try:
+        spark.sql(
+            """FROM mi_nation_v
+               INSERT OVERWRITE TABLE mi_t1 SELECT n_name, n_nationkey WHERE n_regionkey = 0
+               INSERT OVERWRITE TABLE mi_t2 SELECT n_name WHERE n_regionkey = 1"""
+        )
+        for _ in range(240):  # listener bus is async and the box is shared
+            inserts = [q for q in tr.queries if q.command_type == "INSERT"]
+            if len(inserts) >= 2:
+                break
+            time.sleep(0.25)
+        assert len(inserts) == 2, f"expected 2 sinks, saw {len(inserts)}"
+        by_path = {os.path.basename(q.output_path or ""): q for q in inserts}
+        assert set(by_path) == {"mi_t1", "mi_t2"}
+        # each sink's lineage is the SOURCE plan of that branch; the
+        # by-position cast projects onto the TARGET's declared names
+        assert by_path["mi_t1"].result.input_tables == ["nation"]
+        assert by_path["mi_t1"].column_map()["nname"] == {("nation", "n_name")}
+        assert by_path["mi_t1"].column_map()["nkey"] == {("nation", "n_nationkey")}
+        assert by_path["mi_t2"].result.input_tables == ["nation"]
+        assert by_path["mi_t2"].column_map()["nname"] == {("nation", "n_name")}
+        # both targets snapshotted with their declared schemas
+        t1 = tr.model.get("default@mi_t1", TableDef)
+        t2 = tr.model.get("default@mi_t2", TableDef)
+        assert t1 is not None and [c.name for c in t1.columns] == ["nname", "nkey"]
+        assert t2 is not None and [c.name for c in t2.columns] == ["nname"]
+        # a later read of either target stitches through to the base table
+        back = spark.table("mi_t1").select("nname")
+        back.collect()
+        ql = tr.track(back, name="readback")
+        assert ql.result.input_tables == ["nation"]
+        assert ql.column_map()["nname"] == {("nation", "n_name")}
+    finally:
+        tr.uninstall(spark)
+        spark.sql("DROP TABLE IF EXISTS mi_t1")
+        spark.sql("DROP TABLE IF EXISTS mi_t2")
+        spark.catalog.dropTempView("mi_nation_v")
+
+
 def test_nested_view_lineage_snapshots_both_views(spark):
     """A view defined over another view: lineage resolves through BOTH
     inlined bodies to the base table, and the tracker snapshots each
