@@ -93,6 +93,10 @@ def _replay(root: str, version: int | None = None, timestamp: float | None = Non
     for fname in files:
         with open(os.path.join(_log_dir(root), fname)) as f:
             commits.append(json.load(f))
+    # expired snapshots are unreadable: their data files may be deleted
+    # (expire_snapshots), so resolving below the horizon must fail
+    # loudly, never return a partial file set
+    horizon = max((c.get("expire_before", 0) for c in commits), default=0)
     if timestamp is not None:
         commits = [c for c in commits if c["ts"] <= timestamp]
         if not commits:
@@ -101,6 +105,11 @@ def _replay(root: str, version: int | None = None, timestamp: float | None = Non
         if version >= len(commits):
             raise ValueError(f"version {version} does not exist (latest: {len(commits) - 1})")
         commits = commits[: version + 1]
+    if commits[-1]["version"] < horizon:
+        raise ValueError(
+            f"version {commits[-1]['version']} has been expired "
+            f"(retention horizon: {horizon}); expire_snapshots removed its files"
+        )
     active: dict[str, dict | None] = {}
     for c in commits:
         if c["op"] == "overwrite":
@@ -215,6 +224,15 @@ def read_vtable_changes(
     files = _commit_files(root)
     if not files:
         raise FileNotFoundError(f"not a vtable (no {LOG_DIR}/ commits): {root}")
+    horizon = 0
+    for fname in files:
+        with open(os.path.join(_log_dir(root), fname)) as f:
+            horizon = max(horizon, json.load(f).get("expire_before", 0))
+    if from_version < horizon:
+        raise ValueError(
+            f"change feed from version {from_version} is below the retention "
+            f"horizon {horizon}: expire_snapshots removed those commits' files"
+        )
     out = None
     for fname in files:
         with open(os.path.join(_log_dir(root), fname)) as f:
@@ -335,3 +353,76 @@ def compact(
         _op="compact",
         _remove=sorted(active),
     )
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> dict:
+    """Retention: keep time travel for the last ``keep_last`` versions
+    and physically delete data files no retained snapshot references —
+    Iceberg's ``expireSnapshots`` + Delta's ``VACUUM`` in one atomic
+    commit. Without it, every overwrite/compact/merge leaves its removed
+    files on disk forever (time travel needs them); with it, storage is
+    bounded by the retained window.
+
+    Mechanics: the retention horizon (first retained version) is
+    recorded in an ``expire`` commit (``expire_before``); files that
+    appear in the log but in NO retained snapshot's active set are
+    deleted from disk. Replay refuses to resolve snapshots below the
+    horizon (loud error, never a partial file set), and the change feed
+    refuses ``from_version`` below it. The commit JSONs themselves stay
+    (tiny, and the log must replay from 0); the expire commit lists the
+    deleted files for audit. Horizons are monotone: a later expire can
+    only raise one. Returns {"version", "expire_before", "n_deleted"}.
+
+    Scale note: referenced-set computation replays O(keep_last)
+    snapshots of an O(commits) log — manifest work, data never read.
+    Deletion is O(#doomed files) driver-side unlinks, the same shape as
+    every table format's vacuum; an object-store port would batch
+    deletes. The one-commit-ahead race Delta documents (a reader that
+    resolved an expiring snapshot mid-vacuum) is out of scope exactly
+    as it is there: retention windows are chosen >> reader lifetimes."""
+    root = _strip_scheme(root)
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    files = _commit_files(root)
+    if not files:
+        raise FileNotFoundError(f"not a vtable (no {LOG_DIR}/ commits): {root}")
+    commits = []
+    for fname in files:
+        with open(os.path.join(_log_dir(root), fname)) as f:
+            commits.append(json.load(f))
+    latest = commits[-1]["version"]
+    prior_horizon = max((c.get("expire_before", 0) for c in commits), default=0)
+    horizon = max(latest - keep_last + 1, prior_horizon, 0)
+    referenced: set[str] = set()
+    for v in range(horizon, latest + 1):
+        _, active, _ = _replay(root, v)
+        referenced.update(active)
+    ever_added = {a["path"] for c in commits for a in c["add"]}
+    deleted = []
+    for rel in sorted(ever_added - referenced):
+        p = os.path.join(root, rel)
+        if os.path.exists(p):
+            os.remove(p)
+            deleted.append(rel)
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        for d in sorted(os.listdir(data_dir)):
+            full = os.path.join(data_dir, d)
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+    version = len(files)
+    _write_commit(
+        root,
+        version,
+        {
+            "version": version,
+            "ts": time.time(),
+            "op": "expire",
+            "schema": commits[-1]["schema"],
+            "add": [],
+            "remove": [],
+            "expire_before": horizon,
+            "deleted": deleted,
+        },
+    )
+    return {"version": version, "expire_before": horizon, "n_deleted": len(deleted)}

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from hive_lineage_spark.sources.vtable import (
     compact,
+    expire_snapshots,
     history,
     is_vtable,
     read_vtable,
@@ -392,3 +393,60 @@ def test_self_referential_vtable_rewrite_stitches_to_base(spark, root):
     ql = tr.track(back, name="readback")
     assert ql.result.input_tables == ["nation"]
     assert ql.column_map()["n_name"] == {("nation", "n_name")}
+
+
+def test_expire_snapshots_vacuums_unreferenced_files(spark, root):
+    """expire_snapshots keeps the retained window readable, deletes data
+    files no retained snapshot references, and makes expired versions
+    fail loudly (replay + change feed) instead of returning partial
+    data."""
+    n = _nation(spark)
+    write_vtable(n.filter("n_regionkey = 0"), root, mode="append")   # v0
+    write_vtable(n.filter("n_regionkey = 1"), root, mode="overwrite")  # v1 — v0 files inactive
+    write_vtable(n.filter("n_regionkey = 2"), root, mode="append")   # v2
+
+    def disk_files():
+        out = []
+        for dirpath, _, names in os.walk(os.path.join(root, "data")):
+            out += [os.path.join(dirpath, f) for f in names if f.endswith(".parquet")]
+        return set(out)
+
+    before = disk_files()
+    want_latest = read_vtable(spark, root).count()
+    got = expire_snapshots(root, keep_last=2)  # retain v1, v2
+    assert got["expire_before"] == 1 and got["n_deleted"] >= 1
+    after = disk_files()
+    assert after < before  # v0's overwritten files are physically gone
+    # retained window still reads, latest content unchanged
+    assert read_vtable(spark, root).count() == want_latest
+    assert read_vtable(spark, root, version=1).count() == n.filter("n_regionkey = 1").count()
+    # expired version fails loudly
+    with pytest.raises(ValueError, match="expired"):
+        read_vtable(spark, root, version=0)
+    with pytest.raises(ValueError, match="horizon"):
+        read_vtable_changes(spark, root, from_version=0)
+    # the change feed from the horizon still works
+    assert set(
+        r["_commit_version"]
+        for r in read_vtable_changes(spark, root, from_version=1).select("_commit_version").distinct().collect()
+    ) == {1, 2}
+    # history shows the audit commit; horizons are monotone
+    assert history(root)[-1]["op"] == "expire"
+    again = expire_snapshots(root, keep_last=10)
+    assert again["expire_before"] == 1 and again["n_deleted"] == 0
+
+
+def test_expire_after_compact_bounds_storage(spark, root):
+    """The compaction + expire pair is the storage-bounding loop of a
+    continuously ingesting table: compact rewrites the active set,
+    expire deletes the pre-compaction generation."""
+    n = _nation(spark)
+    for rk in range(3):
+        write_vtable(n.filter(F.col("n_regionkey") == rk), root, mode="append")
+    total = read_vtable(spark, root).count()
+    compact(spark, root, num_files=1)  # v3
+    got = expire_snapshots(root, keep_last=1)
+    assert got["n_deleted"] >= 3  # all three pre-compaction commits' files
+    assert read_vtable(spark, root).count() == total
+    with pytest.raises(ValueError, match="expired"):
+        read_vtable(spark, root, version=2)
