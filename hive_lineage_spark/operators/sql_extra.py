@@ -310,6 +310,73 @@ Q47_SQL = """
 """
 
 
+def q48_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt): per-returnflag money totals unpivoted
+    into (measure, amount) rows — the inverse of q32's PIVOT, closing
+    the reshape pair. The melt itself is a zero-shuffle Expand over the
+    already-aggregated (classes × measures) frame; the only exchange is
+    the partial/final groupBy that produced it. Sums round at 4 dp (the
+    money grid) BEFORE the melt so both engines emit identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("extendedprice"),
+        F.round(F.sum("l_tax"), 4).alias("tax"),
+        F.round(F.sum("l_discount"), 4).alias("discount"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["extendedprice", "tax", "discount"], "measure", "amount"
+    )
+
+
+Q48_SQL = """
+    WITH agg AS (
+        SELECT l_returnflag, round(sum(l_extendedprice), 4) AS extendedprice,
+               round(sum(l_tax), 4) AS tax, round(sum(l_discount), 4) AS discount
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, amount
+    FROM agg UNPIVOT (amount FOR measure IN (extendedprice, tax, discount))
+"""
+
+
+def q49_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue via a RANGE window frame (value-based, not
+    row-based: silent days widen the frame correctly where ROWS 6
+    PRECEDING would not). The window runs over the per-DAY aggregate —
+    a calendar-bounded histogram (tp06's argument), never the raw
+    orders — so the partition-less ordered frame is ~2400 rows at any
+    corpus size; the corpus-sized work is the one partial/final groupBy
+    producing it. Day revenue rounds at 4 dp before the rolling sum so
+    both engines fold identical doubles."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"), "o_totalprice"
+    )
+    day = o.groupBy("d").agg(F.round(F.sum("o_totalprice"), 4).alias("day_rev"))
+    idx = F.datediff(F.col("d"), F.to_date(F.lit("1992-01-01")))
+    w = Window.orderBy(idx).rangeBetween(-6, 0)
+    return day.select(
+        F.col("d").cast("string").alias("day"),
+        "day_rev",
+        F.round(F.sum("day_rev").over(w), 4).alias("rev_7d"),
+    )
+
+
+Q49_SQL = """
+    WITH day AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               round(sum(o_totalprice), 4) AS day_rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(d AS VARCHAR) AS day, day_rev,
+           round(sum(day_rev) OVER (
+               ORDER BY date_diff('day', DATE '1992-01-01', d)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rev_7d
+    FROM day
+"""
+
+
 QUERIES = {
     "q31_q27_sql_text": q31_q27_sql_text,
     "q46_view_lineage": q46_view_lineage,
@@ -326,10 +393,14 @@ QUERIES = {
     "q38_scalar_functions": q38_scalar_functions,
     "q39_percentiles": q39_percentiles,
     "q40_approx_sketches": q40_approx_sketches,
+    "q48_unpivot": q48_unpivot,
+    "q49_rolling_range": q49_rolling_range,
 }
 
 ORACLES = {
     "q47_date_spine": Q47_SQL,
+    "q48_unpivot": Q48_SQL,
+    "q49_rolling_range": Q49_SQL,
     "q46_view_lineage": """
         WITH nation_region_v AS (
             SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
