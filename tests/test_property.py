@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import string
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -308,3 +309,102 @@ def test_frame_level_ops_handle_empty_and_tiny_inputs(spark):
     assert incremental_dedup_frames(empty_docs, one_doc).count() == 0
     empty_edges = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty_edges).count() == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(1, 3)),
+            st.tuples(st.just("overwrite"), st.integers(1, 3)),
+            st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("expire"), st.integers(1, 4)),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_vtable_log_protocol_matches_model(tmp_path_factory, ops):
+    """The commit-log protocol (replay, overwrite/compact removes,
+    expire horizon) against a brute-force in-memory model, over random
+    commit sequences — no Spark, pure manifest logic: time travel to
+    every retained version yields exactly the model's active file set,
+    expired versions raise, and no file referenced by a retained
+    snapshot is ever deleted from disk."""
+    import json as _json
+    import os as _os
+
+    from hive_lineage_spark.sources.vtable import (
+        _replay,
+        _write_commit,
+        expire_snapshots,
+    )
+
+    root = str(tmp_path_factory.mktemp("vt_model"))
+    _os.makedirs(_os.path.join(root, "_vlog"))
+    _os.makedirs(_os.path.join(root, "data"))
+
+    model_versions: list[set[str]] = []  # active rel-paths per version
+    horizon = 0
+    fileno = 0
+
+    def _touch(rels):
+        for rel in rels:
+            p = _os.path.join(root, rel)
+            _os.makedirs(_os.path.dirname(p), exist_ok=True)
+            open(p, "w").write("x")
+
+    for op, arg in ops:
+        version = len(model_versions)
+        prev = model_versions[-1] if model_versions else set()
+        if op == "expire":
+            if not model_versions:
+                continue
+            got = expire_snapshots(root, keep_last=arg)
+            horizon = max(horizon, got["expire_before"])
+            model_versions.append(set(prev))
+            continue
+        if op in ("append", "overwrite"):
+            adds = [f"data/v{version:08d}/f{fileno + i}.parquet" for i in range(arg)]
+            fileno += arg
+            _touch(adds)
+            remove = [] if op == "append" else sorted(prev)
+            active = (set() if op == "overwrite" else set(prev)) | set(adds)
+        else:  # compact: rewrite current actives into one file
+            adds = [f"data/v{version:08d}/f{fileno}.parquet"]
+            fileno += 1
+            _touch(adds)
+            remove = sorted(prev)
+            active = set(adds)
+        _write_commit(
+            root,
+            version,
+            {
+                "version": version,
+                "ts": float(version),
+                "op": op if op != "compact" else "compact",
+                "schema": "{}",
+                "add": [{"path": p, "stats": None} for p in adds],
+                "remove": remove,
+            },
+        )
+        model_versions.append(active)
+
+    if not model_versions:
+        return
+    latest = len(model_versions) - 1
+    for v, want in enumerate(model_versions):
+        if v < horizon:
+            with pytest.raises(ValueError, match="expired"):
+                _replay(root, version=v)
+            continue
+        _, active, _ = _replay(root, version=v)
+        assert set(active) == want, f"v{v}"
+        # every file a retained snapshot references must exist on disk
+        for rel in want:
+            assert _os.path.exists(_os.path.join(root, rel)), f"v{v} lost {rel}"
+    # unreferenced-by-any-retained-version files are exactly the
+    # vacuum candidates; one more expire(keep_last=huge) deletes none
+    from hive_lineage_spark.sources.vtable import expire_snapshots as _exp
+
+    assert _exp(root, keep_last=10_000)["n_deleted"] == 0
