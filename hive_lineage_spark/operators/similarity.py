@@ -485,12 +485,141 @@ def ss05_ann_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_K = 8
+KM_ITERS = 2
+
+
+def _sqdist(va, vb):
+    """Squared euclidean as the same sequential left-fold DuckDB's
+    list_reduce performs — bit-identical across engines (cf. _cosine)."""
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def ss06_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (``KM_ITERS`` update rounds, then the
+    final assignment) — the iterative-algorithm pattern Spark runs as a
+    sequence of broadcast-joined map stages: centroids live in ONE
+    broadcast row (K·dim doubles regardless of corpus size), every
+    vector picks its nearest cell map-side (``array_min``, cf. ss02),
+    and the update is a partial-agg mean over (cell, dim) — corpus rows
+    explode to dim-slim (cell, i, x) triples that combine map-side, so
+    the only full exchange per round carries C·dim aggregates. No
+    driver-side collect between rounds; the unrolled plan is what an
+    MLlib-free DataFrame k-means looks like.
+
+    Determinism contract: init = the first K vectors (no RNG), per-round
+    means round at 6 dp with the +1e-9 nudge in BOTH engines, and the
+    assignment distance is the sequential fold both engines share, so
+    every round's centroids — and therefore the final assignment — are
+    cross-engine identical. Empty cells simply drop out of the centroid
+    set (both engines build it from surviving groups)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def carr_of(c: DataFrame):
+        return c.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("cents")
+        )
+
+    def assign(carr) -> DataFrame:
+        best = F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    _sqdist(F.col("v"), c["cv"]).alias("d"),
+                    c["cent_id"].alias("cell"),
+                ),
+            )
+        )
+        return (
+            e.crossJoin(F.broadcast(carr))
+            .select("vec_id", "v", best.alias("best"))
+            .select(
+                "vec_id", "v", F.col("best.cell").alias("cell"), F.col("best.d").alias("d")
+            )
+        )
+
+    for _ in range(KM_ITERS):
+        assigned = assign(carr_of(cent))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.round(F.avg("x") + 1e-9, 6).alias("m"))
+        )
+        cent = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        ).select(F.col("cell").alias("cent_id"), "cv")
+    return assign(carr_of(cent)).select(
+        "vec_id", "cell", F.round("d", 6).alias("dist")
+    )
+
+
+def _km_round_sql(prev_cent: str, tag: str) -> str:
+    """One unrolled Lloyd round: assignment vs ``prev_cent``, then
+    6-dp-rounded per-(cell, dim) means re-assembled into centroids."""
+    d = (
+        "list_reduce(list_transform(range(1, len(e.v) + 1),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y)"
+    )
+    return f"""
+    a{tag} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {d}, c.cent_id
+                   ) AS rk
+            FROM e CROSS JOIN {prev_cent} c
+        ) WHERE rk = 1
+    ),
+    m{tag} AS (
+        SELECT cell, i, round(avg(v[i]) + 1e-9, 6) AS m
+        FROM a{tag}, UNNEST(range(1, len(v) + 1)) t(i)
+        GROUP BY cell, i
+    ),
+    c{tag} AS (
+        SELECT cell AS cent_id, list(m ORDER BY i) AS cv FROM m{tag} GROUP BY cell
+    )"""
+
+
+SS06_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cinit AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {KM_K}),
+    {_km_round_sql('cinit', '0')},
+    {_km_round_sql('c0', '1')}
+    SELECT vec_id, cell, round(dist, 6) AS dist FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               list_reduce(list_transform(range(1, len(e.v) + 1),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y) AS dist,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_reduce(list_transform(range(1, len(e.v) + 1),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y),
+                   c.cent_id
+               ) AS rk
+        FROM e CROSS JOIN c1 c
+    ) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
     "ss03_ann_lsh": ss03_ann_lsh,
     "ss04_ann_sq8": ss04_ann_sq8,
     "ss05_ann_bruteforce_arrow": ss05_ann_bruteforce_arrow,
+    "ss06_kmeans": ss06_kmeans,
 }
 
 ORACLES = {
@@ -500,4 +629,5 @@ ORACLES = {
     "ss04_ann_sq8": SS04_SQL,
     # ss05 is ss01 on the Arrow/BLAS kernel — identical output contract
     "ss05_ann_bruteforce_arrow": SS01_SQL,
+    "ss06_kmeans": SS06_SQL,
 }
