@@ -520,35 +520,46 @@ def ss06_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    return _km_assign(e, _km_centroids(e)).select(
+        "vec_id", "cell", F.round("d", 6).alias("dist")
+    )
+
+
+def _km_carr(cent: DataFrame):
+    return cent.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("cents")
+    )
+
+
+def _km_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Map-side nearest-centroid assignment (see ss06)."""
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                _sqdist(F.col("v"), c["cv"]).alias("d"),
+                c["cent_id"].alias("cell"),
+            ),
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(_km_carr(cent)))
+        .select("*", best.alias("best"))
+        .drop("cents")
+        .withColumn("cell", F.col("best.cell"))
+        .withColumn("d", F.col("best.d"))
+        .drop("best")
+    )
+
+
+def _km_centroids(e: DataFrame) -> DataFrame:
+    """The trained coarse quantizer: first-K init + ``KM_ITERS`` Lloyd
+    rounds (see ss06 for the determinism contract). (cent_id, cv)."""
     cent = e.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-
-    def carr_of(c: DataFrame):
-        return c.groupBy().agg(
-            F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("cents")
-        )
-
-    def assign(carr) -> DataFrame:
-        best = F.array_min(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    _sqdist(F.col("v"), c["cv"]).alias("d"),
-                    c["cent_id"].alias("cell"),
-                ),
-            )
-        )
-        return (
-            e.crossJoin(F.broadcast(carr))
-            .select("vec_id", "v", best.alias("best"))
-            .select(
-                "vec_id", "v", F.col("best.cell").alias("cell"), F.col("best.d").alias("d")
-            )
-        )
-
     for _ in range(KM_ITERS):
-        assigned = assign(carr_of(cent))
+        assigned = _km_assign(e.select("vec_id", "v"), cent)
         means = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
@@ -559,8 +570,67 @@ def ss06_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
             ).alias("cv")
         ).select(F.col("cell").alias("cent_id"), "cv")
-    return assign(carr_of(cent)).select(
-        "vec_id", "cell", F.round("d", 6).alias("dist")
+    return cent
+
+
+def ss07_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-K with a TRAINED coarse quantizer — ss06's k-means
+    centroids feeding ss02's probe dataflow, i.e. the production IVF
+    pipeline (train the quantizer, partition the corpus by cell, probe
+    a handful of cells per query) end-to-end. Assignment and probe
+    ranking use the training metric (squared euclidean); final candidate
+    scoring keeps the cosine contract of the ANN surface. Everything
+    structural is inherited: one broadcast row of centroids, map-side
+    array_min assignment, equi-join probe over nprobe/K of the space,
+    rank window over the pruned candidate set only."""
+    from .similarity import _vectors  # same norms as ss01/ss02
+
+    vec = _vectors(spark, sf_dir)
+    e = vec.select("vec_id", "v")
+    cent = _km_centroids(e)
+    assign = _km_assign(e, cent).join(vec.select("vec_id", "nrm"), "vec_id").select(
+        "vec_id", "v", "nrm", "cell"
+    )
+    # probe list: N_PROBE nearest cells per query under the train metric
+    carr = _km_carr(cent)
+    probes = (
+        vec.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(carr))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.transform(
+                                "cents",
+                                lambda c: F.struct(
+                                    _sqdist(F.col("v"), c["cv"]).alias("d"),
+                                    c["cent_id"].alias("cell"),
+                                ),
+                            )
+                        ),
+                        1,
+                        N_PROBE,
+                    ),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+    )
+    cands = (
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"), "rank",
+        )
     )
 
 
@@ -613,6 +683,50 @@ SS06_SQL = f"""
 """
 
 
+_KM_DIST_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+SS07_SQL = f"""
+    WITH {_vectors_sql()},
+    cinit AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {KM_K}),
+    {_km_round_sql('cinit', '0')},
+    {_km_round_sql('c0', '1')},
+    assign AS (
+        SELECT vec_id, v, nrm, cell FROM (
+            SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_KM_DIST_SQL.format(a='e.v', b='c.cv')}, c.cent_id
+                   ) AS rk
+            FROM e CROSS JOIN c1 c
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cent_id AS cell
+        FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q CROSS JOIN c1 c
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_KM_DIST_SQL.format(a='q.v', b='c.cv')}, c.cent_id
+        ) <= {N_PROBE}
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='p.qv', b='a.v')} / (p.qn * a.nrm) AS cosine
+        FROM probes p JOIN assign a USING (cell)
+        WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM cands
+    ) WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -620,6 +734,7 @@ QUERIES = {
     "ss04_ann_sq8": ss04_ann_sq8,
     "ss05_ann_bruteforce_arrow": ss05_ann_bruteforce_arrow,
     "ss06_kmeans": ss06_kmeans,
+    "ss07_ann_ivf_trained": ss07_ann_ivf_trained,
 }
 
 ORACLES = {
@@ -630,4 +745,5 @@ ORACLES = {
     # ss05 is ss01 on the Arrow/BLAS kernel — identical output contract
     "ss05_ann_bruteforce_arrow": SS01_SQL,
     "ss06_kmeans": SS06_SQL,
+    "ss07_ann_ivf_trained": SS07_SQL,
 }
