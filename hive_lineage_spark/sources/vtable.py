@@ -336,17 +336,33 @@ def compact(
     root: str,
     num_files: int = 1,
     stats_cols: list[str] | None = None,
+    cluster_by: str | None = None,
 ) -> int:
     """Rewrite the current active file set into ``num_files`` files
     (small-file compaction, ≈ Delta OPTIMIZE): one commit that adds the
     rewritten files and removes every prior active file. Content is
     bit-identical; time travel to pre-compaction versions still resolves
-    the old (immutable) files."""
+    the old (immutable) files.
+
+    ``cluster_by`` range-partitions the rewrite on that column (the 1-D
+    analog of OPTIMIZE ZORDER BY): each output file covers a disjoint
+    key range, so the per-file min/max stats recorded via ``stats_cols``
+    become maximally selective — a post-compaction ``read_vtable(...,
+    prune=(col, lo, hi))`` touches ~1 file per range instead of all of
+    them. Appends interleave key ranges over time; the compact+cluster
+    pass is what restores skipping selectivity, exactly as in
+    Delta/Iceberg maintenance. Implies recording stats for the cluster
+    key (added to ``stats_cols`` if absent)."""
     root = _strip_scheme(root)
     _, active, _ = _replay(root)
     current = read_vtable(spark, root)
+    if cluster_by is not None:
+        rewritten = current.repartitionByRange(num_files, cluster_by)
+        stats_cols = sorted(set(stats_cols or []) | {cluster_by})
+    else:
+        rewritten = current.coalesce(num_files)
     return write_vtable(
-        current.coalesce(num_files),
+        rewritten,
         root,
         mode="append",
         stats_cols=stats_cols,

@@ -450,3 +450,29 @@ def test_expire_after_compact_bounds_storage(spark, root):
     assert read_vtable(spark, root).count() == total
     with pytest.raises(ValueError, match="expired"):
         read_vtable(spark, root, version=2)
+
+
+def test_clustered_compaction_restores_skipping(spark, root):
+    """Appends interleave key ranges, so per-file min/max stats stop
+    pruning; compact(cluster_by=...) range-partitions the rewrite and a
+    pruned read touches strictly fewer files again — Delta OPTIMIZE
+    ZORDER's 1-D analog."""
+    c = spark.read.parquet(os.path.join(SF, "customer.parquet")).select(
+        "c_custkey", "c_acctbal"
+    )
+    # three appends, each spanning the WHOLE key range (interleaved)
+    for m in range(3):
+        write_vtable(
+            c.filter(F.col("c_custkey") % 3 == m), root,
+            mode="append", stats_cols=["c_custkey"],
+        )
+    before = read_vtable(spark, root, prune=("c_custkey", 1, 10))
+    assert len(before.inputFiles()) == len(read_vtable(spark, root).inputFiles())
+    want = {tuple(r) for r in read_vtable(spark, root).filter("c_custkey BETWEEN 1 AND 10").collect()}
+
+    compact(spark, root, num_files=4, cluster_by="c_custkey")
+    full = read_vtable(spark, root)
+    pruned = read_vtable(spark, root, prune=("c_custkey", 1, 10))
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {tuple(r) for r in pruned.filter("c_custkey BETWEEN 1 AND 10").collect()}
+    assert got == want
