@@ -295,3 +295,58 @@ def streaming_simhash_dedup(sigs: DataFrame) -> DataFrame:
     return banded.groupBy("band", "key").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_span_dedup(docs: DataFrame, seg_w: int = 8) -> DataFrame:
+    """Stateful streaming counterpart of the batch C4-style span dedup
+    (``text.tx11_span_dedup``): documents arrive continuously, each is
+    cut into ``seg_w``-word spans, and per-span-hash GroupState records
+    the FIRST occurrence — the arriving span is kept iff it is (or
+    matches) that owner. Output is the per-span keep/drop decision
+    stream (doc_id, seg_no, kept); reassembly is the consumer's
+    aggregation, exactly as tx11's final groupBy.
+
+    State per group is ONE (owner_doc, owner_seg) pair keyed by the
+    64-bit span hash — the streaming dedup index grows with the number
+    of DISTINCT spans, never with arrivals (re-arrivals of boilerplate
+    hit existing state and emit drops). Within a micro-batch the group
+    processes spans in (doc_id, seg_no) order, so intra-batch ties
+    resolve to the lowest key; across batches first-arrival wins —
+    feed batches in ascending doc order and the kept set equals the
+    batch tx11 winner set (pinned in tests/test_streaming.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    words = F.split("text", " ")
+    nseg = F.ceil(F.size(words) / float(seg_w)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice(words, i * seg_w + 1, seg_w), " "),
+            )
+        ).alias("seg_no", "seg"),
+    ).select("doc_id", "seg_no", F.xxhash64("seg").alias("gh"))
+
+    out_schema = "doc_id long, seg_no int, kept boolean"
+    state_schema = "owner_doc long, owner_seg int"
+
+    def fn(key, pdfs, state: GroupState):
+        owner = tuple(state.get) if state.exists else None
+        arrivals = []
+        for pdf in pdfs:
+            arrivals += [
+                (int(d), int(s)) for d, s in zip(pdf["doc_id"], pdf["seg_no"])
+            ]
+        rows = []
+        for doc_id, seg_no in sorted(arrivals):
+            if owner is None:
+                owner = (doc_id, seg_no)
+            rows.append((doc_id, seg_no, (doc_id, seg_no) == owner))
+        state.update(owner)
+        yield pd.DataFrame(rows, columns=["doc_id", "seg_no", "kept"])
+
+    return segs.groupBy("gh").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -335,3 +335,79 @@ def test_streaming_simhash_dedup_definition_lineage(spark, tmp_path):
     for c in ql.result.columns:
         assert c.bases == frozenset({UNKNOWN})
     assert ql.result.input_tables, "stream source must resolve"
+
+
+def test_streaming_span_dedup_equals_batch_winner_set(spark, tmp_path):
+    """The stateful streaming span dedup, fed micro-batches in ascending
+    doc order, must keep exactly the batch tx11 winner set (first corpus
+    occurrence of every span) across micro-batch boundaries."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from hive_lineage_spark.operators.text import SEG_W
+    from hive_lineage_spark.streaming.events import streaming_span_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+    # batch winner set: rank-1 per span hash, the tx11 window
+    words = F.split("text", " ")
+    nseg = F.ceil(F.size(words) / float(SEG_W)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice(words, i * SEG_W + 1, SEG_W), " "),
+            )
+        ).alias("seg_no", "seg"),
+    )
+    w = Window.partitionBy(F.xxhash64("seg")).orderBy("doc_id", "seg_no")
+    want = {
+        (r["doc_id"], r["seg_no"])
+        for r in segs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "seg_no")
+        .collect()
+    }
+
+    # stage 3 doc-ordered micro-batches: range-split, path-named, mtimes
+    # strictly increasing so the file source delivers them in order
+    staging = tmp_path / "docs_stream"
+    staging.mkdir()
+    split = [170, 340]
+    parts = [
+        docs.filter(F.col("doc_id") < split[0]),
+        docs.filter((F.col("doc_id") >= split[0]) & (F.col("doc_id") < split[1])),
+        docs.filter(F.col("doc_id") >= split[1]),
+    ]
+    for i, part in enumerate(parts):
+        tmp_out = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        src = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        dst = staging / f"{i:02d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(staging))
+    q = (
+        streaming_span_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("span_keep")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    res = spark.sql("SELECT doc_id, seg_no, kept FROM span_keep").collect()
+    got_kept = {(r["doc_id"], r["seg_no"]) for r in res if r["kept"]}
+    # every span got a decision, and the kept set is the batch winner set
+    assert len(res) == segs.count()
+    assert got_kept == want and got_kept
