@@ -606,6 +606,7 @@ class LineageTracker:
         root: str,
         mode: str = "append",
         stats_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
         name: str = "vtable-commit",
     ) -> QueryLineage:
         """Commit ``df`` to a versioned table (sources/vtable.py) and
@@ -618,7 +619,9 @@ class LineageTracker:
         time."""
         from .sources.vtable import write_vtable
 
-        version = write_vtable(df, root, mode=mode, stats_cols=stats_cols)
+        version = write_vtable(
+            df, root, mode=mode, stats_cols=stats_cols, partition_by=partition_by
+        )
         ql = self.track(df, name=f"{name}:v{version}")
         ql.command_type = "INSERT"
         ql.output_path = _norm_path(root)
@@ -633,6 +636,32 @@ class LineageTracker:
             ql if len(writers) == 1 else _MergedWriter(list(writers))
         )
         self.model.add(DirectoryDef(fqn=dir_fqn(ql.output_path), path=ql.output_path))
+        if partition_by:
+            # reference parity: every partition becomes a PartitionDef
+            # (ConvertHelper's table→partition cascade). vtable partitions
+            # span commit directories, so the def is logical (values, no
+            # single location) — the manifest is the location authority.
+            from .metadata import PartitionDef, partition_fqn
+            from .sources.vtable import _replay
+
+            _, active, _ = _replay(ql.output_path)
+            seen: set[str] = set()
+            for meta in active.values():
+                pv = meta.get("partition")
+                if not pv:
+                    continue
+                part_name = "/".join(f"{k}={pv[k]}" for k in partition_by if k in pv)
+                if part_name in seen:
+                    continue
+                seen.add(part_name)
+                self.model.add(
+                    PartitionDef(
+                        fqn=partition_fqn("default", key, part_name),
+                        table_fqn=f"default@{key}",
+                        values=tuple(pv[k] for k in partition_by if k in pv),
+                        location="",
+                    )
+                )
         return ql
 
     # -- stitching ------------------------------------------------------------

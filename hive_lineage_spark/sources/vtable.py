@@ -85,7 +85,7 @@ def _write_commit(root: str, version: int, entry: dict) -> None:
 
 def _replay(root: str, version: int | None = None, timestamp: float | None = None):
     """Replay the log to the requested snapshot. Returns
-    (schema_json, {rel_path: stats|None}, effective_version)."""
+    (schema_json, {rel_path: {"stats", "partition"}}, effective_version)."""
     files = _commit_files(root)
     if not files:
         raise FileNotFoundError(f"not a vtable (no {LOG_DIR}/ commits): {root}")
@@ -110,32 +110,38 @@ def _replay(root: str, version: int | None = None, timestamp: float | None = Non
             f"version {commits[-1]['version']} has been expired "
             f"(retention horizon: {horizon}); expire_snapshots removed its files"
         )
-    active: dict[str, dict | None] = {}
+    active: dict[str, dict] = {}
     for c in commits:
         if c["op"] == "overwrite":
             active = {}
         for rel in c.get("remove", []):
             active.pop(rel, None)
         for add in c["add"]:
-            active[add["path"]] = add.get("stats")
+            active[add["path"]] = {
+                "stats": add.get("stats"),
+                "partition": add.get("partition"),
+            }
     return commits[-1]["schema"], active, commits[-1]["version"]
 
 
 def _collect_stats(spark: SparkSession, data_dir: str, stats_cols: list[str]) -> dict:
     """Per-file min/max for the given columns — one aggregation over the
     freshly written files, O(#files) result rows (not data) at the
-    driver. ``_metadata.file_path`` is the engine-provided file identity."""
+    driver. ``_metadata.file_path`` is the engine-provided file identity;
+    keys are paths RELATIVE to ``data_dir`` (a partitioned write reuses
+    basenames across partition directories, so basenames don't identify)."""
     df = spark.read.parquet(data_dir).select(
         F.col("_metadata.file_path").alias("__file"), *stats_cols
     )
     aggs = []
     for c in stats_cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    prefix = "file:" + os.path.abspath(data_dir) + "/"
     out = {}
     for r in df.groupBy("__file").agg(*aggs).collect():
-        out[os.path.basename(r["__file"])] = {
-            c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
-        }
+        key = r["__file"]
+        key = key[len(prefix):] if key.startswith(prefix) else os.path.basename(key)
+        out[key] = {c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols}
     return out
 
 
@@ -144,12 +150,22 @@ def write_vtable(
     root: str,
     mode: str = "append",
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
     _op: str | None = None,
     _remove: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
     ``mode`` is ``append`` or ``overwrite``; ``stats_cols`` opts columns
-    into per-file min/max stats for read-time data skipping."""
+    into per-file min/max stats for read-time data skipping.
+
+    ``partition_by`` writes the commit hive-partitioned (``k=v``
+    directories) and records each file's partition VALUES in the
+    manifest — the Iceberg-partition-spec analog: ``read_vtable(...,
+    partitions={...})`` then prunes at the manifest, so a partition-
+    restricted scan never lists or plans the other partitions' files.
+    The spec is per-commit metadata; all commits of a table are expected
+    to share it (first commit fixes the convention, as in every table
+    format)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     root = _strip_scheme(root)
@@ -157,19 +173,43 @@ def write_vtable(
     version = len(_commit_files(root))
     data_rel = os.path.join("data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
     data_dir = os.path.join(root, data_rel)
-    df.write.mode("error").parquet(data_dir)
-    part_files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+    if partition_by:
+        df.write.mode("error").partitionBy(*partition_by).parquet(data_dir)
+    else:
+        df.write.mode("error").parquet(data_dir)
+    part_files = []  # rel-to-data_dir paths, partition dirs included
+    for dirpath, _dirs, names in sorted(os.walk(data_dir)):
+        rel_dir = os.path.relpath(dirpath, data_dir)
+        for f in sorted(n for n in names if n.endswith(".parquet")):
+            part_files.append(f if rel_dir == "." else os.path.join(rel_dir, f))
     stats = (
         _collect_stats(df.sparkSession, data_dir, stats_cols) if stats_cols and part_files else {}
     )
+
+    def _pvals(rel: str) -> dict | None:
+        vals = {}
+        for seg in rel.split(os.sep)[:-1]:
+            k, _, v = seg.partition("=")
+            vals[k] = v
+        return vals or None
+
     entry = {
         "version": version,
         "ts": time.time(),
         "op": _op or mode,
         "schema": df.schema.json(),
-        "add": [{"path": f"{data_rel}/{f}", "stats": stats.get(f)} for f in part_files],
+        "add": [
+            {
+                "path": f"{data_rel}/{f}",
+                "stats": stats.get(f),
+                **({"partition": _pvals(f)} if partition_by else {}),
+            }
+            for f in part_files
+        ],
         "remove": _remove or [],
     }
+    if partition_by:
+        entry["partition_by"] = list(partition_by)
     _write_commit(root, version, entry)
     return version
 
@@ -180,21 +220,40 @@ def read_vtable(
     version: int | None = None,
     timestamp: float | None = None,
     prune: tuple[str, object, object] | None = None,
+    partitions: dict[str, str] | None = None,
 ) -> DataFrame:
     """Snapshot read. ``version``/``timestamp`` time-travel; ``prune``
     = (col, lo, hi) drops files whose recorded [min, max] cannot
     intersect [lo, hi] before Spark ever plans the scan (files without
-    stats are conservatively kept). The pruning is an optimization only —
-    apply the real filter on the returned DataFrame as usual."""
+    stats are conservatively kept). ``partitions`` = {col: value}
+    restricts a hive-partitioned table (``write_vtable(partition_by=...)``)
+    to matching partitions — pruned at the MANIFEST, so the scan's file
+    index never sees the other partitions (files without recorded
+    partition values are conservatively kept). Both prunings are
+    optimizations only — apply the real filter on the returned DataFrame
+    as usual.
+
+    Partition columns live in directory names, not the files, so the
+    read re-attaches them as per-group literals: one scan per distinct
+    partition tuple, unioned. #groups = #selected partitions (a
+    partition spec is low-cardinality by design; a production source
+    would hand Spark basePath-style discovery instead)."""
     root = _strip_scheme(root)
     schema_json, active, _ = _replay(root, version, timestamp)
     schema = StructType.fromJson(json.loads(schema_json))
     rels = sorted(active)
+    if partitions:
+        rels = [
+            rel
+            for rel in rels
+            if (pv := active[rel].get("partition")) is None
+            or all(pv.get(k) == str(v) for k, v in partitions.items())
+        ]
     if prune is not None:
         col, lo, hi = prune
         kept = []
         for rel in rels:
-            st = active[rel]
+            st = active[rel].get("stats")
             if st is None or col not in st or st[col][0] is None:
                 kept.append(rel)
                 continue
@@ -204,7 +263,26 @@ def read_vtable(
         rels = kept
     if not rels:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*[os.path.join(root, r) for r in rels])
+    # group by partition tuple; non-partitioned tables form one group
+    groups: dict[tuple, list[str]] = {}
+    for rel in rels:
+        pv = active[rel].get("partition") or {}
+        groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
+    parts_out = []
+    for pv_items, grp in sorted(groups.items()):
+        pv = dict(pv_items)
+        data_schema = StructType([f for f in schema.fields if f.name not in pv])
+        part = spark.read.schema(data_schema).parquet(
+            *[os.path.join(root, r) for r in grp]
+        )
+        for f in schema.fields:
+            if f.name in pv:
+                part = part.withColumn(f.name, F.lit(pv[f.name]).cast(f.dataType))
+        parts_out.append(part.select(*[f.name for f in schema.fields]))
+    out = parts_out[0]
+    for p in parts_out[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_vtable_changes(

@@ -476,3 +476,58 @@ def test_clustered_compaction_restores_skipping(spark, root):
     assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
     got = {tuple(r) for r in pruned.filter("c_custkey BETWEEN 1 AND 10").collect()}
     assert got == want
+
+
+def test_partitioned_vtable_write_read_and_prune(spark, root):
+    """write_vtable(partition_by=...): hive-layout commit with partition
+    values in the manifest; full read round-trips (partition columns
+    re-attached), partitions={...} prunes at the manifest, and stats +
+    partition pruning compose."""
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    write_vtable(n, root, mode="overwrite",
+                 partition_by=["n_regionkey"], stats_cols=["n_nationkey"])
+    # round trip: same rows, partition column restored with its type
+    got = read_vtable(spark, root)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in n.collect()}
+    assert dict(got.dtypes)["n_regionkey"] == dict(n.dtypes)["n_regionkey"]
+    # manifest-level partition pruning: only that partition's files
+    one = read_vtable(spark, root, partitions={"n_regionkey": "2"})
+    assert len(one.inputFiles()) < len(got.inputFiles())
+    assert {r["n_nationkey"] for r in one.collect()} == {
+        r["n_nationkey"] for r in n.filter("n_regionkey = 2").collect()
+    }
+    # appends extend partitions; time travel still resolves v0 only
+    write_vtable(n.withColumn("n_nationkey", F.col("n_nationkey") + 100),
+                 root, mode="append", partition_by=["n_regionkey"])
+    assert read_vtable(spark, root).count() == 2 * n.count()
+    assert read_vtable(spark, root, version=0).count() == n.count()
+    both = read_vtable(spark, root, partitions={"n_regionkey": "2"},
+                       prune=("n_nationkey", 0, 99))
+    assert {r["n_nationkey"] for r in both.filter("n_nationkey < 100").collect()} == {
+        r["n_nationkey"] for r in n.filter("n_regionkey = 2").collect()
+    }
+
+
+def test_partitioned_vtable_registers_partition_defs(spark, root):
+    """track_write_vtable(partition_by=...) registers one PartitionDef
+    per partition value (ConvertHelper's table->partition cascade on the
+    lakehouse path) and write->read lineage still stitches."""
+    from hive_lineage_spark.hook import LineageTracker
+    from hive_lineage_spark.metadata import PartitionDef
+
+    root_named = os.path.join(os.path.dirname(root), "nation_part_vt")
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    tr = LineageTracker()
+    tr.track_write_vtable(n, root_named, mode="overwrite",
+                          partition_by=["n_regionkey"], name="w")
+    parts = [p for p in tr.model.of_type(PartitionDef)
+             if p.table_fqn == "default@nation_part_vt"]
+    assert len(parts) == n.select("n_regionkey").distinct().count()
+    assert {p.values for p in parts} == {
+        (str(r["n_regionkey"]),) for r in n.select("n_regionkey").distinct().collect()
+    }
+    back = read_vtable(spark, root_named).groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    back.collect()
+    ql = tr.track(back, name="rb")
+    assert ql.result.input_tables == ["nation"]
