@@ -369,13 +369,14 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
             return _NodeMap(output=first.output, bases=bases)
 
         if kind == "Expand":
-            # rollup/cube/distinct-agg: output attr i ← union over
-            # projections of the refs of expression i.
+            # rollup/cube/distinct-agg/unpivot: output attr i ← union
+            # over projections of the refs of expression i.
             child = children[0]
             out_attrs = _leaf_output(p)
             projections = p.fields.get("projections")
             bases = dict(child.bases)
             per_pos: list[set[Cell]] = [set() for _ in out_attrs]
+            got_any = False
             if isinstance(projections, list):
                 for proj in projections:
                     if not isinstance(proj, list):
@@ -383,7 +384,35 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
                     for i, tree in enumerate(proj):
                         if i < len(per_pos) and isinstance(tree, list):
                             for eid, _ in attr_refs(tree):
+                                got_any = True
                                 per_pos[i].update(child.bases.get(eid, frozenset({UNKNOWN})))
+            if not got_any:
+                # Spark's TreeNode.toJSON emits Seq[Seq[Expression]]
+                # fields as null, so Expand's projections are not
+                # recoverable from the plan JSON. Fallback, most→least
+                # specific: passthrough by exprId; passthrough by NAME
+                # (rollup/cube re-alias grouping columns under fresh
+                # exprIds but keep names); any remaining synthetic output
+                # (unpivot's name/value columns, grouping ids) derives
+                # from the child columns that no output name-matches —
+                # exactly the melted set for unpivot — or the
+                # not-mappable sentinel when the child contributes
+                # nothing distinguishable.
+                out_names = {n for n, _ in out_attrs}
+                consumed: set[Cell] = set()
+                for cn, ceid in child.output:
+                    if cn not in out_names and ceid in child.bases:
+                        consumed |= set(child.bases.get(ceid) or ())
+                child_by_name = {n: e for n, e in child.output}
+                for i, (name, eid) in enumerate(out_attrs):
+                    if eid in child.bases:
+                        per_pos[i] = set(child.bases[eid])
+                    elif name in child_by_name and child_by_name[name] in child.bases:
+                        per_pos[i] = set(child.bases[child_by_name[name]])
+                    elif consumed:
+                        per_pos[i] = set(consumed)
+                    else:
+                        per_pos[i] = {UNKNOWN}
             for (name, eid), cells in zip(out_attrs, per_pos):
                 bases[eid] = frozenset(cells)
             return _NodeMap(output=[(n, e) for n, e in out_attrs], bases=bases)
