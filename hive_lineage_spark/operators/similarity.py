@@ -634,6 +634,48 @@ def ss07_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_T = 0.4  # within-cell near-duplicate threshold (data's tail starts ~0.38)
+
+
+def dd12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pairs searched ONLY within k-means cells — the paper's
+    core trick for web-scale corpora: cluster first, then pairwise-
+    compare inside each cluster, because semantic duplicates land in the
+    same cell with overwhelming probability. Pair space drops from n²/2
+    to Σ|cell|²/2 (≈ n²/2C for balanced cells); the per-cell compare
+    here is the exact HOF cosine (cells are corpus/C-sized; at larger
+    cells swap in dd06's tiled dgemm kernel per cell — same contract).
+
+    Scale shape: assignment is ss06's broadcast map; the self-join
+    shuffles on the cell id once, and the pair filter runs inside the
+    join's whole-stage codegen. Output: (keep_id, drop_id, cosine) with
+    keep = lower vec_id, the paper's keep-one-representative rule."""
+    vec = _vectors(spark, sf_dir)
+    cent = _km_centroids(vec.select("vec_id", "v"))
+    assigned = _km_assign(vec.select("vec_id", "v"), cent).join(
+        vec.select("vec_id", "nrm"), "vec_id"
+    ).select("vec_id", "v", "nrm", "cell")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cosine",
+            _cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")),
+        )
+        .filter(F.col("cosine") >= SEM_T)
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("keep_id"),
+        F.col("b.vec_id").alias("drop_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def _km_round_sql(prev_cent: str, tag: str) -> str:
     """One unrolled Lloyd round: assignment vs ``prev_cent``, then
     6-dp-rounded per-(cell, dim) means re-assembled into centroids."""
@@ -727,6 +769,29 @@ SS07_SQL = f"""
 """
 
 
+DD12_SQL = f"""
+    WITH {_vectors_sql()},
+    cinit AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {KM_K}),
+    {_km_round_sql('cinit', '0')},
+    {_km_round_sql('c0', '1')},
+    assign AS (
+        SELECT vec_id, v, nrm, cell FROM (
+            SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_KM_DIST_SQL.format(a='e.v', b='c.cv')}, c.cent_id
+                   ) AS rk
+            FROM e CROSS JOIN c1 c
+        ) WHERE rk = 1
+    )
+    SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+           round({_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cosine
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= {SEM_T}
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -735,6 +800,7 @@ QUERIES = {
     "ss05_ann_bruteforce_arrow": ss05_ann_bruteforce_arrow,
     "ss06_kmeans": ss06_kmeans,
     "ss07_ann_ivf_trained": ss07_ann_ivf_trained,
+    "dd12_semdedup": dd12_semdedup,
 }
 
 ORACLES = {
@@ -746,4 +812,5 @@ ORACLES = {
     "ss05_ann_bruteforce_arrow": SS01_SQL,
     "ss06_kmeans": SS06_SQL,
     "ss07_ann_ivf_trained": SS07_SQL,
+    "dd12_semdedup": DD12_SQL,
 }
