@@ -525,6 +525,85 @@ TP06_SQL = f"""
 """
 
 
+def tp09_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tiered epoch upsampling — the data-mix rule that trains
+    multiple epochs over the highest-quality tier and one epoch over the
+    rest (the Llama-style "books get N passes, web gets 1" recipe), made
+    deterministic: each doc's quality decile comes from tp06's
+    value-histogram binning (no global sort), and the epoch count is a
+    pure function of the bin (3 passes for deciles 9–10, 2 for 7–8,
+    1 otherwise). The doc explodes into its epoch copies — the manifest
+    a training reader consumes.
+
+    Scale shape: the value→bin map is grid-bounded (≤ 10⁴+1 rows at ANY
+    corpus size, cf. tp06), so the per-doc bin lookup is a broadcast
+    join, and the explode is a map-side sequence — zero corpus-sized
+    exchanges in the whole operator."""
+    from pyspark.sql import Window
+
+    from .text import quality_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_expr().alias("q")
+    )
+    hist = d.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    total = hist.groupBy().agg(F.sum("c").alias("total"))
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    bins = (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("cum", F.sum("c").over(w))
+        .select(
+            "q",
+            F.ceil(F.lit(N_BINS) * F.col("cum") / F.col("total")).cast("bigint").alias("bin"),
+        )
+    )
+    per_doc = d.join(F.broadcast(bins), "q")
+    epochs = (
+        F.lit(1)
+        + (F.col("bin") > 6).cast("int")
+        + (F.col("bin") > 8).cast("int")
+    ).cast("bigint")
+    return per_doc.select(
+        "doc_id",
+        "bin",
+        epochs.alias("epochs"),
+        F.explode(F.sequence(F.lit(1).cast("bigint"), epochs)).alias("epoch_no"),
+    )
+
+
+_TP09_Q_SQL = """
+        SELECT doc_id,
+               round((CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)) * 0.5
+                     + (CAST(len(list_filter(string_split(text, ' '),
+                                             w -> list_contains(['the', 'a', 'of', 'and'], w))) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+                     + (CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE)) * 0.2 + 1e-9, 4) AS q
+        FROM documents
+"""
+
+TP09_SQL = f"""
+    WITH s AS ({_TP09_Q_SQL}),
+    hist AS (SELECT q, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY q),
+    bins AS (
+        SELECT q,
+               CAST(ceil({N_BINS} * (sum(c) OVER (ORDER BY q
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                         * 1.0 / (SELECT sum(c) FROM hist)) AS BIGINT) AS bin
+        FROM hist
+    ),
+    per_doc AS (
+        SELECT s.doc_id, bins.bin,
+               CAST(1 + CASE WHEN bins.bin > 6 THEN 1 ELSE 0 END
+                      + CASE WHEN bins.bin > 8 THEN 1 ELSE 0 END AS BIGINT) AS epochs
+        FROM s JOIN bins USING (q)
+    )
+    SELECT doc_id, bin, epochs, CAST(i AS BIGINT) AS epoch_no
+    FROM per_doc, UNNEST(range(1, epochs + 1)) t(i)
+"""
+
+
 SHUFFLE_SHARDS = 8
 SHUFFLE_SALT = "ep0"  # new salt per epoch → a fresh permutation
 
@@ -673,6 +752,7 @@ QUERIES = {
     "tp06_curriculum_bins": tp06_curriculum_bins,
     "tp07_shuffle_shards": tp07_shuffle_shards,
     "tp08_temperature_mixture": tp08_temperature_mixture,
+    "tp09_epoch_upsample": tp09_epoch_upsample,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -689,6 +769,7 @@ ORACLES = {
     "tp06_curriculum_bins": TP06_SQL,
     "tp07_shuffle_shards": TP07_SQL,
     "tp08_temperature_mixture": TP08_SQL,
+    "tp09_epoch_upsample": TP09_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,

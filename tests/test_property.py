@@ -200,6 +200,7 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
         tp06_curriculum_bins,
         tp07_shuffle_shards,
         tp08_temperature_mixture,
+        tp09_epoch_upsample,
     )
     from hive_lineage_spark.operators.text import (
         tx09_repetition,
@@ -216,6 +217,7 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
         tp07_shuffle_shards,
         tx05_hash_sample,
         tp08_temperature_mixture,
+        tp09_epoch_upsample,
         tx09_repetition,
         tx10_tfidf_terms,
         tx11_span_dedup,
