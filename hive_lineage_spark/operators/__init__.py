@@ -78,10 +78,13 @@ _DRIVER_PRIORITY = [
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import dedup, multimodal, pandas_ops, pipeline, relational, similarity, sql_extra, text
+    from . import (
+        dedup, multimodal, pandas_ops, pipeline, quality, relational,
+        similarity, sql_extra, text,
+    )
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops):
+    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops, quality):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
@@ -95,9 +98,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    from . import dedup, multimodal, pandas_ops, pipeline, relational, similarity, sql_extra, text
+    from . import (
+        dedup, multimodal, pandas_ops, pipeline, quality, relational,
+        similarity, sql_extra, text,
+    )
 
     merged: dict[str, str] = {}
-    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops):
+    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops, quality):
         merged.update(mod.ORACLES)
     return merged
