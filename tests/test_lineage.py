@@ -709,6 +709,34 @@ def test_listener_captures_multi_insert_both_sinks(spark):
         spark.catalog.dropTempView("mi_nation_v")
 
 
+def test_grouping_sets_lineage_through_expand(spark):
+    """Expand's projections are nulled by TreeNode.toJSON, so lineage
+    uses the name-passthrough fallback: grouping-set output columns must
+    still resolve to their base columns (fresh exprIds, same names), and
+    the aggregate through the Expand keeps its input lineage."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    df = qs["q34_grouping_sets"](spark, SF)
+    df.collect()
+    ql = LineageTracker().track(df, name="q34")
+    cmap = ql.column_map()
+    assert cmap["l_returnflag"] == {("lineitem", "l_returnflag")}
+    assert cmap["l_linestatus"] == {("lineitem", "l_linestatus")}
+    assert cmap["sum_qty"] == {("lineitem", "l_quantity")}
+    # unpivot: synthetic melt columns derive from the melted set
+    df48 = qs["q48_unpivot"](spark, SF)
+    df48.collect()
+    cmap48 = LineageTracker().track(df48, name="q48").column_map()
+    melted = {
+        ("lineitem", "l_discount"),
+        ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_tax"),
+    }
+    assert cmap48["amount"] == melted and cmap48["measure"] == melted
+    assert cmap48["l_returnflag"] == {("lineitem", "l_returnflag")}
+
+
 def test_nested_view_lineage_snapshots_both_views(spark):
     """A view defined over another view: lineage resolves through BOTH
     inlined bodies to the base table, and the tracker snapshots each

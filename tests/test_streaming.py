@@ -411,3 +411,24 @@ def test_streaming_span_dedup_equals_batch_winner_set(spark, tmp_path):
     # every span got a decision, and the kept set is the batch winner set
     assert len(res) == segs.count()
     assert got_kept == want and got_kept
+
+
+def test_streaming_span_dedup_definition_lineage(spark, tmp_path):
+    """Definition-time lineage of the streaming span dedup: the
+    applyInPandasWithState stage is a Python barrier (documented
+    sentinel), capture must not crash, and the stream's file source
+    resolves as the input."""
+    from hive_lineage_spark.hook import LineageTracker
+    from hive_lineage_spark.lineage import UNKNOWN
+    from hive_lineage_spark.streaming.events import streaming_span_dedup
+
+    staging = str(tmp_path / "docs")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    docs.write.parquet(staging)
+    stream = spark.readStream.schema(docs.schema).parquet(staging)
+    ql = LineageTracker().track_stream_def(streaming_span_dedup(stream), "spand")
+    assert ql.report() and ql.to_json()
+    assert {c.name for c in ql.result.columns} == {"doc_id", "seg_no", "kept"}
+    for c in ql.result.columns:
+        assert c.bases == frozenset({UNKNOWN})
+    assert ql.result.input_tables, "stream source must resolve"
