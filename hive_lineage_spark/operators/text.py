@@ -557,6 +557,81 @@ TX11_SQL = f"""
 """
 
 
+DUP_WIDTHS = (4, 8, 16)  # 16 is the lead-chain ceiling: w-1 window leads
+# per width — at w=32 the analyzer's fixed-point pass exceeds its
+# iteration budget on the 31-deep lead chain, and a span that wide is
+# better served by composing two w/2 hashes (not needed for the signal)
+
+
+def tx12_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span profile at multiple widths — the
+    dup-n-gram family of corpus diagnostics (RefinedWeb/Dolma-style
+    "fraction of text in spans duplicated elsewhere"): per document and
+    width w ∈ {4, 8, 16} words, the fraction of its SLIDING w-word
+    spans whose hash occurs more than once corpus-wide. Wider widths
+    catch verbatim boilerplate; the per-width trend separates template
+    pages (high at all widths) from phrase reuse (high only at w=4).
+
+    Scale shape: per width, sliding span hashes reuse the Horner
+    word-compose path (``hashed_ngrams_of`` — vocabulary-only broadcast,
+    codegen leads, no span strings); corpus span frequencies are one
+    partial-agg groupBy on the 8-byte hash, and the frequency join is
+    hash-to-hash (3 longs wide). Docs shorter than w words drop for
+    that width in both engines (empty gram range)."""
+    from .dedup import hashed_ngrams_of
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    outs = []
+    for w in DUP_WIDTHS:
+        g = hashed_ngrams_of(d, w, distinct=False)
+        cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("cf"))
+        per = (
+            g.join(cnt, "gh")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum((F.col("cf") > 1).cast("long")).alias("n_dup_spans"),
+            )
+        )
+        outs.append(
+            per.select(
+                "doc_id",
+                F.lit(w).cast("int").alias("w"),
+                "n_spans",
+                "n_dup_spans",
+                F.round(F.col("n_dup_spans") / F.col("n_spans") + 1e-9, 4).alias("dup_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _tx12_width_sql(w: int) -> str:
+    return f"""
+        SELECT doc_id, {w} AS w, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+               round(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 4) AS dup_frac
+        FROM (
+            SELECT g.doc_id, c.cf FROM g{w} g
+            JOIN (SELECT gh, count(*) AS cf FROM g{w} GROUP BY gh) c USING (gh)
+        ) GROUP BY doc_id
+    """
+
+
+TX12_SQL = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    {", ".join(
+        f'''g{w} AS (
+            SELECT doc_id, {poly_hash_sql('gram')} AS gh
+            FROM (SELECT doc_id, unnest({word_ngrams_sql('ws', w, distinct=False)}) AS gram FROM d)
+        )''' for w in DUP_WIDTHS
+    )}
+    {" UNION ALL ".join(_tx12_width_sql(w) for w in DUP_WIDTHS)}
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -567,6 +642,7 @@ QUERIES = {
     "tx09_repetition": tx09_repetition,
     "tx10_tfidf_terms": tx10_tfidf_terms,
     "tx11_span_dedup": tx11_span_dedup,
+    "tx12_dup_span_profile": tx12_dup_span_profile,
 }
 
 ORACLES = {
@@ -579,4 +655,5 @@ ORACLES = {
     "tx09_repetition": TX09_SQL,
     "tx10_tfidf_terms": TX10_SQL,
     "tx11_span_dedup": TX11_SQL,
+    "tx12_dup_span_profile": TX12_SQL,
 }
