@@ -33,6 +33,9 @@ PROBE = [
     ("tp06_curriculum_bins", "linear histogram, bounded grid"),
     ("tx11_span_dedup", "linear span rows; WindowGroupLimit sheds repeats map-side"),
     ("tx10_tfidf_terms", "linear tf; vocabulary-sized df"),
+    ("tx12_dup_span_profile", "3 linear gram passes; hash-to-hash joins"),
+    ("ss06_kmeans", "linear per round: broadcast assign + C*dim update agg"),
+    ("dd12_semdedup", "pair space bounded to within-cell; one cell shuffle"),
 ]
 
 
