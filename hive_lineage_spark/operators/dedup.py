@@ -189,9 +189,12 @@ def clear_postings_cache() -> None:
     _POSTINGS_CACHE.clear()
 
 
-def _verify_pairs(cand: DataFrame, po: DataFrame) -> DataFrame:
+def _verify_pairs(cand: DataFrame, po: DataFrame, sizes: DataFrame | None = None) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the full
-    postings index (shared by the prefix-filter and LSH paths)."""
+    postings index (shared by the prefix-filter and LSH paths).
+    ``sizes`` (doc_id, n_grams) may be supplied by the caller — the
+    TESTDATA paths pass the session-persisted frame so per-doc gram
+    counts aggregate once per session instead of once per query."""
     pa = po.select(F.col("doc_id").alias("id_a"), "gh")
     pb = po.select(F.col("doc_id").alias("pb_id"), F.col("gh").alias("gh_b"))
     inter = (
@@ -200,7 +203,8 @@ def _verify_pairs(cand: DataFrame, po: DataFrame) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = po.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    if sizes is None:
+        sizes = po.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
     return (
@@ -228,6 +232,21 @@ def _prefix_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "gh", "rk")
 
 
+def _sizes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams) per-doc gram counts, persisted per (session,
+    sf_dir): consumed by dd02's positional filter AND every
+    verification's Jaccard denominator — one corpus-count-sized frame
+    instead of a fresh aggregation of the postings per query."""
+    return _persisted(
+        "sizes",
+        spark,
+        sf_dir,
+        lambda s, d: _postings_cached(s, d)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams")),
+    )
+
+
 def _prefix_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix postings persisted per (session, sf_dir): the frame feeds
     BOTH sides of dd02's self-join (exchange reuse does not cover it),
@@ -247,7 +266,7 @@ def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns the Σdf² inverted-index blowup into something that survives a
     100 TB corpus."""
     po = _postings_cached(spark, sf_dir)
-    sizes = po.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    sizes = _sizes_cached(spark, sf_dir)
     prefix = _prefix_postings_cached(spark, sf_dir)
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter: under the global order, every shared
@@ -273,7 +292,7 @@ def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
-    return _verify_pairs(cand, po)
+    return _verify_pairs(cand, po, sizes=sizes)
 
 
 DD02_SQL = f"""
@@ -364,7 +383,7 @@ def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact verification of candidates via the shared postings verifier
-    return _verify_pairs(cand, po)
+    return _verify_pairs(cand, po, sizes=_sizes_cached(spark, sf_dir))
 
 
 def _poly_hash_expr(g):
