@@ -284,6 +284,38 @@ def test_composed_ngram_hash_equals_char_hash_n5(spark):
     assert got == want
 
 
+def test_composed_ngram_hash_equals_char_hash_n16(spark):
+    """tx12 runs the fold at width 16 — the deepest lead chain in the
+    repo — so pin the n=16 composition against char-hashing the joined
+    16-gram too (multiset, distinct=False, as tx12 consumes it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hive_lineage_spark.functions.hashing import poly_hash
+    from hive_lineage_spark.operators.dedup import hashed_ngrams_of
+
+    texts = [
+        " ".join(f"w{i % 7}" for i in range(40)),   # repeats → multiset matters
+        " ".join(f"t{i}" for i in range(16)),        # exactly n words → 1 gram
+        "too short for sixteen",
+        "a  b " * 12,                                  # empty tokens inside
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = sorted(tuple(r) for r in hashed_ngrams_of(df, 16, distinct=False).collect())
+
+    tok = df.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "w", *[F.lead("w", i).over(win) for i in range(1, 16)]).alias("g"),
+        F.lead("w", 15).over(win).alias("_wl"),
+    ).filter(F.col("_wl").isNotNull())
+    want = sorted(
+        tuple(r) for r in grams.select("doc_id", poly_hash(F.col("g")).alias("gh")).collect()
+    )
+    assert got == want
+
+
 def test_frame_level_ops_handle_empty_and_tiny_inputs(spark):
     """Library-surface hardening: the reusable frame-level cores must not
     crash (or invent rows) on empty frames, single docs, or docs shorter
