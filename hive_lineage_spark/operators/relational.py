@@ -593,6 +593,46 @@ def q45_vtable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_vtable_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned versioned table: customer committed hive-partitioned
+    on a derived segment key (partition values recorded in the
+    manifest), then a partition-restricted read — pruned at the MANIFEST
+    before Spark builds a file index — aggregated per nation. The
+    oracle computes the same restriction as a WHERE; the partition read
+    must also re-attach the partition column with its declared type."""
+    import shutil
+
+    from ..sources.vtable import history, read_vtable, write_vtable
+
+    root = _scratch(sf_dir, "customer_part_vtable")
+    ops = [c["op"] for c in (history(root) if os.path.isdir(os.path.join(root, "_vlog")) else [])]
+    if ops != ["overwrite"]:
+        shutil.rmtree(root, ignore_errors=True)
+        c = _t(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.col("c_mktsegment").alias("segment"),
+        )
+        write_vtable(c, root, mode="overwrite", partition_by=["segment"])
+    part = read_vtable(spark, root, partitions={"segment": "BUILDING"})
+    return part.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        F.min("segment").alias("segment"),
+    )
+
+
+Q50_SQL = """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c_acctbal), 4) AS sum_bal,
+           min(c_mktsegment) AS segment
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -629,6 +669,7 @@ QUERIES = {
     "q29_csv_roundtrip": q29_csv_roundtrip,
     "q30_json_roundtrip": q30_json_roundtrip,
     "q45_vtable_time_travel": q45_vtable_time_travel,
+    "q50_vtable_partitioned": q50_vtable_partitioned,
 }
 
 
@@ -660,6 +701,7 @@ ORACLES = {
                COALESCE(latest.n_latest, 0) AS n_latest
         FROM v1 LEFT JOIN latest USING (n_regionkey)
     """,
+    "q50_vtable_partitioned": Q50_SQL,
     "q02_project_alias": """
         SELECT l_orderkey AS okey, l_linenumber AS lineno,
                round(l_extendedprice * (1 - l_discount), 4) AS net_price,
