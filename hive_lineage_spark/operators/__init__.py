@@ -47,9 +47,9 @@ from pyspark.sql import DataFrame, SparkSession
 # ROUND-6 ROTATION CANDIDATES (added late in round 5, never
 # driver-certified): q48_unpivot, q49_rolling_range, ss06_kmeans,
 # ss07_ann_ivf_trained, dd12_semdedup, tp09_epoch_upsample,
-# dq01_profile, dq02_constraints, tx12_dup_span_profile. Rotate them IN
-# next round against round-5-certified ops whose semantics in-window
-# siblings cover.
+# dq01_profile, dq02_constraints, tx12_dup_span_profile,
+# q50_vtable_partitioned. Rotate them IN next round against
+# round-5-certified ops whose semantics in-window siblings cover.
 _DRIVER_PRIORITY = [
     # §2.4 reference parity
     "q01_full_scan", "q02_project_alias", "q03_virtual_rowid",
