@@ -83,9 +83,10 @@ def _write_commit(root: str, version: int, entry: dict) -> None:
         json.dump(entry, f)
 
 
-def _replay(root: str, version: int | None = None, timestamp: float | None = None):
-    """Replay the log to the requested snapshot. Returns
-    (schema_json, {rel_path: {"stats", "partition"}}, effective_version)."""
+def _load_commits(root: str) -> list[dict]:
+    """Parse the whole commit log ONCE (each commit is one small JSON;
+    on an object store every read is a GET, so callers reuse this list
+    rather than re-reading per snapshot)."""
     files = _commit_files(root)
     if not files:
         raise FileNotFoundError(f"not a vtable (no {LOG_DIR}/ commits): {root}")
@@ -93,6 +94,18 @@ def _replay(root: str, version: int | None = None, timestamp: float | None = Non
     for fname in files:
         with open(os.path.join(_log_dir(root), fname)) as f:
             commits.append(json.load(f))
+    return commits
+
+
+def _replay(root: str, version: int | None = None, timestamp: float | None = None):
+    """Replay the log to the requested snapshot. Returns
+    (schema_json, {rel_path: {"stats", "partition"}}, effective_version)."""
+    return _replay_commits(_load_commits(root), version, timestamp)
+
+
+def _replay_commits(
+    commits: list[dict], version: int | None = None, timestamp: float | None = None
+):
     # expired snapshots are unreadable: their data files may be deleted
     # (expire_snapshots), so resolving below the horizon must fail
     # loudly, never return a partial file set
@@ -145,6 +158,18 @@ def _collect_stats(spark: SparkSession, data_dir: str, stats_cols: list[str]) ->
     return out
 
 
+def _unescape_partition_value(v: str) -> str | None:
+    """Hive directory names percent-encode special chars ('=', '/', ':',
+    '%', ...) and spell NULL as a sentinel; the MANIFEST records the
+    logical value, so matching and re-attachment use real data values,
+    not path tokens."""
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    from urllib.parse import unquote
+
+    return unquote(v)
+
+
 def write_vtable(
     df: DataFrame,
     root: str,
@@ -190,7 +215,7 @@ def write_vtable(
         vals = {}
         for seg in rel.split(os.sep)[:-1]:
             k, _, v = seg.partition("=")
-            vals[k] = v
+            vals[k] = _unescape_partition_value(v)
         return vals or None
 
     entry = {
@@ -225,13 +250,18 @@ def read_vtable(
     """Snapshot read. ``version``/``timestamp`` time-travel; ``prune``
     = (col, lo, hi) drops files whose recorded [min, max] cannot
     intersect [lo, hi] before Spark ever plans the scan (files without
-    stats are conservatively kept). ``partitions`` = {col: value}
-    restricts a hive-partitioned table (``write_vtable(partition_by=...)``)
-    to matching partitions — pruned at the MANIFEST, so the scan's file
-    index never sees the other partitions (files without recorded
-    partition values are conservatively kept). Both prunings are
-    optimizations only — apply the real filter on the returned DataFrame
-    as usual.
+    stats are conservatively kept) — an optimization only; apply the
+    real filter on the returned DataFrame as usual.
+
+    ``partitions`` = {col: value} restricts a hive-partitioned table
+    (``write_vtable(partition_by=...)``) to matching partitions and IS a
+    semantic filter: manifest pruning drops the other partitions' files
+    before Spark ever builds a file index, and a residual equality
+    filter covers any conservatively-kept file whose manifest entry
+    lacks partition values (e.g. a commit written without the spec) —
+    the result equals a WHERE on the partition columns regardless of
+    manifest completeness. Unknown partition keys raise (a typo would
+    otherwise read as an empty partition).
 
     Partition columns live in directory names, not the files, so the
     read re-attaches them as per-group literals: one scan per distinct
@@ -239,10 +269,20 @@ def read_vtable(
     partition spec is low-cardinality by design; a production source
     would hand Spark basePath-style discovery instead)."""
     root = _strip_scheme(root)
-    schema_json, active, _ = _replay(root, version, timestamp)
+    commits = _load_commits(root)
+    schema_json, active, _ = _replay_commits(commits, version, timestamp)
     schema = StructType.fromJson(json.loads(schema_json))
     rels = sorted(active)
     if partitions:
+        known: set[str] = set()
+        for c in commits:
+            known.update(c.get("partition_by") or [])
+        unknown = set(partitions) - known
+        if unknown:
+            raise ValueError(
+                f"unknown partition column(s) {sorted(unknown)}; "
+                f"this table is partitioned by {sorted(known) or 'nothing'}"
+            )
         rels = [
             rel
             for rel in rels
@@ -263,13 +303,26 @@ def read_vtable(
         rels = kept
     if not rels:
         return spark.createDataFrame([], schema)
-    # group by partition tuple; non-partitioned tables form one group
+    out = _read_with_partitions(spark, root, rels, active, schema)
+    if partitions:
+        # residual semantic filter (see docstring): a no-op on files the
+        # manifest already pruned, the real predicate on conservative keeps
+        for k, v in partitions.items():
+            out = out.filter(F.col(k).cast("string") == F.lit(str(v)))
+    return out
+
+
+def _read_with_partitions(spark, root, rels, active, schema) -> DataFrame:
+    """Read manifest files re-attaching partition columns (recorded in
+    the manifest, absent from the files) as typed per-group literals.
+    Non-partitioned tables form one group."""
     groups: dict[tuple, list[str]] = {}
     for rel in rels:
         pv = active[rel].get("partition") or {}
         groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
     parts_out = []
-    for pv_items, grp in sorted(groups.items()):
+    # key=str: a NULL partition value (None) is not orderable against str
+    for pv_items, grp in sorted(groups.items(), key=lambda kv: str(kv[0])):
         pv = dict(pv_items)
         data_schema = StructType([f for f in schema.fields if f.name not in pv])
         part = spark.read.schema(data_schema).parquet(
@@ -297,39 +350,38 @@ def read_vtable_changes(
     append pipelines. Compaction commits are skipped (their adds are
     rewrites of already-delivered rows, not new data); an overwrite
     commit's adds are delivered as inserts (removals are not replayed —
-    this is the insert feed, not a full row-level diff)."""
+    this is the insert feed, not a full row-level diff). Partitioned
+    commits re-attach their manifest partition values exactly as
+    ``read_vtable`` does — the feed delivers real column values, never
+    NULLs for partition columns."""
     root = _strip_scheme(root)
-    files = _commit_files(root)
-    if not files:
-        raise FileNotFoundError(f"not a vtable (no {LOG_DIR}/ commits): {root}")
-    horizon = 0
-    for fname in files:
-        with open(os.path.join(_log_dir(root), fname)) as f:
-            horizon = max(horizon, json.load(f).get("expire_before", 0))
+    commits = _load_commits(root)
+    horizon = max((c.get("expire_before", 0) for c in commits), default=0)
     if from_version < horizon:
         raise ValueError(
             f"change feed from version {from_version} is below the retention "
             f"horizon {horizon}: expire_snapshots removed those commits' files"
         )
     out = None
-    for fname in files:
-        with open(os.path.join(_log_dir(root), fname)) as f:
-            c = json.load(f)
+    for c in commits:
         v = c["version"]
         if v < from_version or (to_version is not None and v > to_version):
             continue
         if c["op"] == "compact" or not c["add"]:
             continue
         schema = StructType.fromJson(json.loads(c["schema"]))
-        part = (
-            spark.read.schema(schema)
-            .parquet(*[os.path.join(root, a["path"]) for a in c["add"]])
-            .withColumn("_commit_version", F.lit(v))
-        )
+        adds = {
+            a["path"]: {"stats": a.get("stats"), "partition": a.get("partition")}
+            for a in c["add"]
+        }
+        part = _read_with_partitions(
+            spark, root, sorted(adds), adds, schema
+        ).withColumn("_commit_version", F.lit(v))
         out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     if out is None:
-        schema_json, _, _ = _replay(root)
-        schema = StructType.fromJson(json.loads(schema_json)).add("_commit_version", "int")
+        schema = StructType.fromJson(json.loads(commits[-1]["schema"])).add(
+            "_commit_version", "int"
+        )
         return spark.createDataFrame([], schema)
     return out
 
@@ -342,8 +394,17 @@ def read_vtable_stream(spark: SparkSession, root: str) -> DataFrame:
     APPEND-ONLY tables: file sources cannot subtract, so overwrite or
     compaction commits would re-deliver rewritten rows (Delta's streaming
     source has the same restriction unless rewrites are explicitly
-    ignored)."""
-    schema_json, _, _ = _replay(root)  # also validates the table exists
+    ignored). Partitioned tables are refused: the file stream cannot
+    re-attach manifest partition values, so those columns would stream
+    as NULLs — use ``read_vtable_changes`` per commit instead."""
+    commits = _load_commits(_strip_scheme(root))
+    if any(c.get("partition_by") for c in commits):
+        raise ValueError(
+            "read_vtable_stream cannot stream a partitioned vtable "
+            "(partition columns live in the manifest, not the files); "
+            "consume read_vtable_changes per commit instead"
+        )
+    schema_json, _, _ = _replay_commits(commits)
     schema = StructType.fromJson(json.loads(schema_json))
     return (
         spark.readStream.schema(schema)
@@ -393,17 +454,22 @@ def merge_vtable(
     here because the commit log's remove unit (the file) is what this
     vtable models, not a deficiency of the log format."""
     root = _strip_scheme(root)
-    _, active, _ = _replay(root)
+    commits = _load_commits(root)
+    _, active, _ = _replay_commits(commits)
     cur = read_vtable(spark, root)
     merged = cur.join(updates.select(key).distinct(), key, "left_anti").unionByName(updates)
     # commit = add the merged snapshot, remove every prior active file
     # (compact's mechanism — the log replays removes regardless of op,
-    # so the op label stays an honest "merge" for history/consumers)
+    # so the op label stays an honest "merge" for history/consumers).
+    # The rewrite PRESERVES the table's partition spec: dropping it
+    # would strip manifest partition values and break partition-
+    # restricted reads of everything the merge rewrote.
     return write_vtable(
         merged,
         root,
         mode="append",
         stats_cols=stats_cols,
+        partition_by=_latest_partition_by(commits),
         _op="merge",
         _remove=sorted(active),
     )
@@ -430,9 +496,15 @@ def compact(
     them. Appends interleave key ranges over time; the compact+cluster
     pass is what restores skipping selectivity, exactly as in
     Delta/Iceberg maintenance. Implies recording stats for the cluster
-    key (added to ``stats_cols`` if absent)."""
+    key (added to ``stats_cols`` if absent).
+
+    A partitioned table keeps its partition spec through compaction
+    (``num_files`` then applies per partition via the partitioned write)
+    — dropping the spec would strip manifest partition values and make
+    partition-restricted reads return other partitions' rows."""
     root = _strip_scheme(root)
-    _, active, _ = _replay(root)
+    commits = _load_commits(root)
+    _, active, _ = _replay_commits(commits)
     current = read_vtable(spark, root)
     if cluster_by is not None:
         rewritten = current.repartitionByRange(num_files, cluster_by)
@@ -444,9 +516,20 @@ def compact(
         root,
         mode="append",
         stats_cols=stats_cols,
+        partition_by=_latest_partition_by(commits),
         _op="compact",
         _remove=sorted(active),
     )
+
+
+def _latest_partition_by(commits: list[dict]) -> list[str] | None:
+    """The table's partition spec: the most recent commit that recorded
+    one (rewrites carry it forward, so in a well-formed log this is also
+    the first one)."""
+    for c in reversed(commits):
+        if c.get("partition_by"):
+            return list(c["partition_by"])
+    return None
 
 
 def expire_snapshots(root: str, keep_last: int = 1) -> dict:
@@ -477,19 +560,13 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
     root = _strip_scheme(root)
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-    files = _commit_files(root)
-    if not files:
-        raise FileNotFoundError(f"not a vtable (no {LOG_DIR}/ commits): {root}")
-    commits = []
-    for fname in files:
-        with open(os.path.join(_log_dir(root), fname)) as f:
-            commits.append(json.load(f))
+    commits = _load_commits(root)
     latest = commits[-1]["version"]
     prior_horizon = max((c.get("expire_before", 0) for c in commits), default=0)
     horizon = max(latest - keep_last + 1, prior_horizon, 0)
     referenced: set[str] = set()
     for v in range(horizon, latest + 1):
-        _, active, _ = _replay(root, v)
+        _, active, _ = _replay_commits(commits, v)
         referenced.update(active)
     ever_added = {a["path"] for c in commits for a in c["add"]}
     deleted = []
@@ -500,11 +577,22 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
             deleted.append(rel)
     data_dir = os.path.join(root, "data")
     if os.path.isdir(data_dir):
-        for d in sorted(os.listdir(data_dir)):
-            full = os.path.join(data_dir, d)
-            if os.path.isdir(full) and not os.listdir(full):
-                os.rmdir(full)
-    version = len(files)
+        # bottom-up so a vacuumed PARTITIONED commit dir (k=v subdirs
+        # emptied first) is removed too, not just single-level dirs
+        for dirpath, dirnames, filenames in os.walk(data_dir, topdown=False):
+            if dirpath != data_dir and not dirnames and not filenames:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass  # concurrently repopulated — leave it
+            elif dirpath != data_dir and not filenames:
+                # children may have just been removed in this walk
+                if not os.listdir(dirpath):
+                    try:
+                        os.rmdir(dirpath)
+                    except OSError:
+                        pass
+    version = len(commits)
     _write_commit(
         root,
         version,

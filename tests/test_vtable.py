@@ -531,3 +531,60 @@ def test_partitioned_vtable_registers_partition_defs(spark, root):
     back.collect()
     ql = tr.track(back, name="rb")
     assert ql.result.input_tables == ["nation"]
+
+
+def test_partitioned_maintenance_and_change_feed(spark, root):
+    """The review-found corruption vectors, pinned: (a) the change feed
+    must deliver REAL partition values (not NULLs); (b) compact and
+    merge must preserve the partition spec so partition-restricted
+    reads stay correct after routine maintenance; (c) expire must
+    remove the emptied partitioned commit dirs; (d) streaming a
+    partitioned table refuses loudly; (e) unknown partition keys raise;
+    (f) escaped partition values round-trip."""
+    from hive_lineage_spark.sources.vtable import expire_snapshots, merge_vtable
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    write_vtable(n, root, mode="overwrite", partition_by=["n_regionkey"])
+    # (a) change feed with real partition values
+    ch = read_vtable_changes(spark, root, from_version=0)
+    assert ch.filter(F.col("n_regionkey").isNull()).count() == 0
+    assert {r["n_regionkey"] for r in ch.collect()} == {0, 1, 2, 3, 4}
+    # (b) compact keeps the spec; restricted read stays exact
+    compact(spark, root, num_files=1)
+    one = read_vtable(spark, root, partitions={"n_regionkey": "2"})
+    assert {r["n_nationkey"] for r in one.collect()} == {
+        r["n_nationkey"] for r in n.filter("n_regionkey = 2").collect()
+    }
+    # merge keeps the spec too
+    upd = n.filter("n_nationkey = 3").withColumn("n_name", F.lit("X"))
+    merge_vtable(spark, root, upd, key="n_nationkey")
+    after = read_vtable(spark, root, partitions={"n_regionkey": "3"})
+    assert after.filter("n_nationkey = 3").collect()[0]["n_name"] == "X"
+    assert {r["n_regionkey"] for r in after.collect()} == {3}
+    # (c) expire removes the emptied pre-compaction partition dirs
+    got = expire_snapshots(root, keep_last=1)
+    assert got["n_deleted"] >= 1
+    vdirs = [d for d in os.listdir(os.path.join(root, "data"))]
+    for d in vdirs:
+        full = os.path.join(root, "data", d)
+        assert os.listdir(full), f"empty commit dir left behind: {d}"
+    # (d) streaming refuses partitioned tables
+    with pytest.raises(ValueError, match="partitioned"):
+        read_vtable_stream(spark, root)
+    # (e) unknown partition key raises instead of silent-empty
+    with pytest.raises(ValueError, match="unknown partition"):
+        read_vtable(spark, root, partitions={"n_regionky": "2"})
+
+
+def test_partitioned_escaped_values_roundtrip(spark, root):
+    """Partition values containing hive-escaped characters ('=', ':')
+    must round-trip through the directory encoding: the manifest holds
+    the LOGICAL value, matching and re-attachment use it."""
+    df = spark.createDataFrame(
+        [(1, "a=b"), (2, "c:d"), (3, "plain")], "id long, seg string"
+    )
+    write_vtable(df, root, mode="overwrite", partition_by=["seg"])
+    full = read_vtable(spark, root)
+    assert {r["seg"] for r in full.collect()} == {"a=b", "c:d", "plain"}
+    one = read_vtable(spark, root, partitions={"seg": "a=b"})
+    assert [r["id"] for r in one.collect()] == [1]
