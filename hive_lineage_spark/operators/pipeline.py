@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import poly_hash, poly_hash_sql
 from ..sources.registry import load_table
+from .text import QUALITY_SQL
 from .dedup import dd02_ngram_jaccard
 
 
@@ -497,14 +498,7 @@ def tp06_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TP06_SQL = f"""
     WITH s AS (
-        SELECT doc_id, n_chars,
-               round((CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE)) * 0.5
-                     + (CAST(len(list_filter(string_split(text, ' '),
-                                             w -> list_contains(['the', 'a', 'of', 'and'], w))) AS DOUBLE)
-                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-                     + (CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
-                        / CAST(length(text) AS DOUBLE)) * 0.2 + 1e-9, 4) AS q
+        SELECT doc_id, n_chars, {QUALITY_SQL} AS q
         FROM documents
     ),
     hist AS (
@@ -571,15 +565,8 @@ def tp09_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TP09_Q_SQL = """
-        SELECT doc_id,
-               round((CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE)) * 0.5
-                     + (CAST(len(list_filter(string_split(text, ' '),
-                                             w -> list_contains(['the', 'a', 'of', 'and'], w))) AS DOUBLE)
-                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-                     + (CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
-                        / CAST(length(text) AS DOUBLE)) * 0.2 + 1e-9, 4) AS q
+_TP09_Q_SQL = f"""
+        SELECT doc_id, {QUALITY_SQL} AS q
         FROM documents
 """
 

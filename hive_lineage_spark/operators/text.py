@@ -142,6 +142,21 @@ def quality_expr():
     )
 
 
+# DuckDB emission of quality_expr() — THE one copy every oracle that
+# scores quality composes (tp06 binning, tp09 upsampling); TX03_SQL
+# decomposes the same formula into its CTE components for the per-ratio
+# columns, asserted equal by the tx03 oracle itself.
+QUALITY_SQL = (
+    "round((CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE)) * 0.5"
+    " + (CAST(len(list_filter(string_split(text, ' '),"
+    " w -> list_contains(['the', 'a', 'of', 'and'], w))) AS DOUBLE)"
+    " / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3"
+    " + (CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE)) * 0.2 + 1e-9, 4)"
+)
+
+
 def tx03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring from surface statistics: alpha ratio, space ratio,
     stopword ratio, mean word length — combined into one score. The 100 TB
@@ -478,6 +493,26 @@ TX10_SQL = f"""
 SEG_W = 8  # words per span — the "line" unit of the cross-doc span dedup
 
 
+def span_segments(d: DataFrame, seg_w: int = SEG_W) -> DataFrame:
+    """(doc_id, n_segs, seg_no, seg): every document cut into consecutive
+    ``seg_w``-word spans — THE segmentation shared by the batch span
+    dedup (tx11), its streaming counterpart, and their equality pin
+    (one definition, so width/boundary changes cannot silently diverge
+    the batch↔stream contract)."""
+    words = F.split("text", " ")
+    nseg = F.ceil(F.size(words) / float(seg_w)).cast("int")
+    return d.select(
+        "doc_id",
+        nseg.alias("n_segs"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice(words, i * seg_w + 1, seg_w), " "),
+            )
+        ).alias("seg_no", "seg"),
+    )
+
+
 def tx11_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-document span dedup (Raffel et al. 2020 §2.2
     deduplicate "any three-sentence span occurring more than once"):
@@ -501,19 +536,7 @@ def tx11_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, no driver collect, two exchanges total."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    words = F.split("text", " ")
-    nseg = F.ceil(F.size(words) / float(SEG_W)).cast("int")
-    segs = d.select(
-        "doc_id",
-        nseg.alias("n_segs"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(F.slice(words, i * SEG_W + 1, SEG_W), " "),
-            )
-        ).alias("seg_no", "seg"),
-    )
+    segs = span_segments(_docs(spark, sf_dir).select("doc_id", "text"))
     w = Window.partitionBy(F.xxhash64("seg")).orderBy("doc_id", "seg_no")
     kept = segs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     return (

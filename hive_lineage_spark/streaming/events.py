@@ -317,17 +317,11 @@ def streaming_span_dedup(docs: DataFrame, seg_w: int = 8) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    words = F.split("text", " ")
-    nseg = F.ceil(F.size(words) / float(seg_w)).cast("int")
-    segs = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(F.slice(words, i * seg_w + 1, seg_w), " "),
-            )
-        ).alias("seg_no", "seg"),
-    ).select("doc_id", "seg_no", F.xxhash64("seg").alias("gh"))
+    from ..operators.text import span_segments
+
+    segs = span_segments(docs.select("doc_id", "text"), seg_w).select(
+        "doc_id", "seg_no", F.xxhash64("seg").alias("gh")
+    )
 
     out_schema = "doc_id long, seg_no int, kept boolean"
     state_schema = "owner_doc long, owner_seg int"

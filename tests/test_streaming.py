@@ -347,23 +347,14 @@ def test_streaming_span_dedup_equals_batch_winner_set(spark, tmp_path):
 
     from pyspark.sql import Window
 
-    from hive_lineage_spark.operators.text import SEG_W
+    from hive_lineage_spark.operators.text import span_segments
     from hive_lineage_spark.streaming.events import streaming_span_dedup
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
 
-    # batch winner set: rank-1 per span hash, the tx11 window
-    words = F.split("text", " ")
-    nseg = F.ceil(F.size(words) / float(SEG_W)).cast("int")
-    segs = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(F.slice(words, i * SEG_W + 1, SEG_W), " "),
-            )
-        ).alias("seg_no", "seg"),
-    )
+    # batch winner set: rank-1 per span hash, the tx11 window (same
+    # shared segmentation the operator itself uses)
+    segs = span_segments(docs)
     w = Window.partitionBy(F.xxhash64("seg")).orderBy("doc_id", "seg_no")
     want = {
         (r["doc_id"], r["seg_no"])
