@@ -124,13 +124,16 @@ class QueryLineage:
         }
         return json.dumps(doc, indent=2)
 
-    def to_openlineage(self, namespace: str = "spark") -> dict:
+    def to_openlineage(self, namespace: str = "spark", model=None) -> dict:
         """Emit the lineage as an OpenLineage-shaped RunEvent dict (the
         open spec at openlineage.io: job + inputs/outputs datasets +
         columnLineage facet), so the analyzer plugs into OL-compatible
         catalogs without translation. Facets carried: column lineage per
         output field (inputFields = this engine's base cells) and the
-        unknown-source sentinel dropped (OL has no '?' convention)."""
+        unknown-source sentinel dropped (OL has no '?' convention).
+        Pass the tracker's ``model`` to also attach each input dataset's
+        OL schema facet from its snapshotted TableDef (name + dataType
+        per field — the catalog half of the event)."""
         fields = {}
         for c in self.result.columns:
             ins = [
@@ -142,9 +145,23 @@ class QueryLineage:
                 "inputFields": ins,
                 "transformationType": c.role.upper(),
             }
-        inputs = [
-            {"namespace": namespace, "name": t} for t in self.result.input_tables
-        ]
+        inputs = []
+        for t in self.result.input_tables:
+            ds: dict = {"namespace": namespace, "name": t}
+            if model is not None:
+                from .metadata import TableDef
+
+                td = model.get(f"default@{t}", TableDef)
+                if td is not None and td.columns:
+                    ds["facets"] = {
+                        "schema": {
+                            "fields": [
+                                {"name": c.name, "type": c.data_type}
+                                for c in td.columns
+                            ]
+                        }
+                    }
+            inputs.append(ds)
         outputs = []
         if self.output_path:
             out_facets: dict = {"columnLineage": {"fields": fields}}

@@ -471,6 +471,15 @@ def test_openlineage_emit_shape(spark):
     ]
     assert f["sum_qty"]["transformationType"] == "AGGREGATED"
     assert f["l_returnflag"]["inputFields"][0]["field"] == "l_returnflag"
+    # with the tracker's catalog model, inputs carry the OL schema facet
+    tr = LineageTracker()
+    df.collect()
+    ql2 = tr.track(df, name="ol_schema")
+    ev2 = ql2.to_openlineage(model=tr.model)
+    sch = ev2["inputs"][0]["facets"]["schema"]["fields"]
+    names = {fld["name"]: fld["type"] for fld in sch}
+    assert names.get("l_quantity") == "double"
+    assert "l_returnflag" in names
 
 
 def test_openlineage_vtable_commit_carries_version_facets(spark, tmp_path):
