@@ -591,6 +591,62 @@ TP09_SQL = f"""
 """
 
 
+SPLIT_SALT = "split0"
+SPLIT_BOUNDS = (900, 950)  # ‰ boundaries: train < 900 ≤ val < 950 ≤ test
+
+
+def tp10_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the assignment every corpus
+    needs exactly once, done the reproducible way: the doc's salted md5
+    picks its bucket in ‰ (train 90% / val 5% / test 5%), so membership
+    is stable across runs, engines, partitionings and corpus growth
+    (new docs never move old ones — rand()-based splits reshuffle
+    everything on every change). Output is per-split stats with a
+    bit_xor membership checksum: two engines (or two runs) agreeing on
+    (n_docs, xor of ids) agree on the exact member SET, not just sizes.
+
+    The two-hex-char hash (cf. tp07) mod 1000 carries a <2% modulo
+    bias across buckets — irrelevant for split QUALITY (boundaries are
+    conventions, membership determinism is the contract) and noted so
+    nobody mistakes the ‰ bounds for exact percentages."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SPLIT_SALT), F.lit(":"), F.col("doc_id").cast("string")))
+    h = F.pmod(
+        F.ascii(F.substring(key, 1, 1)) * 256 + F.ascii(F.substring(key, 2, 1)),
+        F.lit(1000),
+    )
+    lo, hi = SPLIT_BOUNDS
+    split = (
+        F.when(h < lo, F.lit("train")).when(h < hi, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("bit_xor(doc_id)").alias("xor_ids"),
+        )
+    )
+
+
+TP10_SQL = f"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               (ascii(substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                + ascii(substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 2, 1))) % 1000 AS h
+        FROM documents
+    )
+    SELECT CASE WHEN h < {SPLIT_BOUNDS[0]} THEN 'train'
+                WHEN h < {SPLIT_BOUNDS[1]} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(bit_xor(doc_id) AS BIGINT) AS xor_ids
+    FROM s GROUP BY 1
+"""
+
+
 SHUFFLE_SHARDS = 8
 SHUFFLE_SALT = "ep0"  # new salt per epoch → a fresh permutation
 
@@ -740,6 +796,7 @@ QUERIES = {
     "tp07_shuffle_shards": tp07_shuffle_shards,
     "tp08_temperature_mixture": tp08_temperature_mixture,
     "tp09_epoch_upsample": tp09_epoch_upsample,
+    "tp10_three_way_split": tp10_three_way_split,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -757,6 +814,7 @@ ORACLES = {
     "tp07_shuffle_shards": TP07_SQL,
     "tp08_temperature_mixture": TP08_SQL,
     "tp09_epoch_upsample": TP09_SQL,
+    "tp10_three_way_split": TP10_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,

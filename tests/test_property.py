@@ -201,6 +201,7 @@ def test_deterministic_ops_invariant_under_repartitioning(spark):
         tp07_shuffle_shards,
         tp08_temperature_mixture,
         tp09_epoch_upsample,
+        tp10_three_way_split,
     )
     from hive_lineage_spark.operators.text import (
         tx09_repetition,
