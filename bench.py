@@ -48,6 +48,18 @@ HEADLINE = [
     "mm01_decode_stub",        # Arrow mapInPandas path
 ]
 
+# Round-5 additions, timed separately (median of 3) so the HEADLINE
+# total stays comparable across rounds while new-op perf is visible.
+EXTRA = [
+    "tx11_span_dedup",         # C4 span dedup (WindowGroupLimit)
+    "tx12_dup_span_profile",   # 3-width sliding gram passes
+    "ss06_kmeans",             # 2 Lloyd rounds + assignment
+    "ss07_ann_ivf_trained",    # trained-quantizer IVF probe
+    "dd12_semdedup",           # within-cell semantic pairs
+    "tp09_epoch_upsample",     # histogram bin + epoch explode
+    "tp10_three_way_split",    # hash split + checksum agg
+]
+
 
 def execute(df) -> int:
     try:
@@ -88,6 +100,15 @@ def main() -> None:
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         cold[name] = round(runs[0], 3)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            execute(qs[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        extra[name] = round(statistics.median(runs), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -100,6 +121,7 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "spread": spread,
                 "cold": cold,
+                "extra": extra,
             }
         )
     )

@@ -35,3 +35,16 @@ def test_query_matches_oracle(spark, duck, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_return_rows(spark, name):
     assert QUERIES[name](spark, SF_SMOKE).count() > 0
+
+
+def test_driver_window_invariants():
+    """The external contract: exactly 50 priority entries, every one
+    oracle-backed, ordering preserved by all_queries() — a rotation
+    mistake here silently costs driver certification rows."""
+    from hive_lineage_spark.operators import _DRIVER_PRIORITY
+
+    assert len(_DRIVER_PRIORITY) == 50
+    assert len(set(_DRIVER_PRIORITY)) == 50
+    assert list(QUERIES)[:50] == _DRIVER_PRIORITY
+    missing = [q for q in _DRIVER_PRIORITY if q not in ORACLES]
+    assert not missing, f"in-window queries without oracles: {missing}"
