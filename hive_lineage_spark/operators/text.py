@@ -595,40 +595,86 @@ def tx12_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     catch verbatim boilerplate; the per-width trend separates template
     pages (high at all widths) from phrase reuse (high only at w=4).
 
-    Scale shape: per width, sliding span hashes reuse the Horner
-    word-compose path (``hashed_ngrams_of`` — vocabulary-only broadcast,
-    codegen leads, no span strings); corpus span frequencies are one
-    partial-agg groupBy on the 8-byte hash, and the frequency join is
-    hash-to-hash (3 longs wide). Docs shorter than w words drop for
-    that width in both engines (empty gram range)."""
-    from .dedup import hashed_ngrams_of
-
+    Scale shape: ONE tokenize + vocabulary join + window pass computes
+    ALL widths — the Horner fold to w=16 passes through the w=4 and w=8
+    accumulators, so the per-width hashes are intermediate expressions
+    of the same lead chain (``_multi_width_gram_hashes``), not three
+    re-executions of the corpus pipeline (the naive per-width loop was
+    measured ~3× this cost). Per width, frequencies are one partial-agg
+    groupBy on the 8-byte hash and the frequency join is hash-to-hash
+    (3 longs wide). Docs shorter than w words drop for that width in
+    both engines (empty gram range)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    outs = []
-    for w in DUP_WIDTHS:
-        g = hashed_ngrams_of(d, w, distinct=False)
-        cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("cf"))
-        per = (
-            g.join(cnt, "gh")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_spans"),
-                F.sum((F.col("cf") > 1).cast("long")).alias("n_dup_spans"),
-            )
+    # one explicit exchange on the join/agg key: the frequency count and
+    # the frequency join both consume it, so the tokenize+window pipeline
+    # upstream executes ONCE (ReusedExchange) instead of once per branch
+    g_all = _multi_width_gram_hashes(d, DUP_WIDTHS).repartition("w", "gh")
+    cnt = g_all.groupBy("w", "gh").agg(F.count(F.lit(1)).alias("cf"))
+    per = (
+        g_all.join(cnt, ["w", "gh"])
+        .groupBy("doc_id", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("cf") > 1).cast("long")).alias("n_dup_spans"),
         )
-        outs.append(
-            per.select(
-                "doc_id",
-                F.lit(w).cast("int").alias("w"),
-                "n_spans",
-                "n_dup_spans",
-                F.round(F.col("n_dup_spans") / F.col("n_spans") + 1e-9, 4).alias("dup_frac"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("w").cast("int").alias("w"),
+        "n_spans",
+        "n_dup_spans",
+        F.round(F.col("n_dup_spans") / F.col("n_spans") + 1e-9, 4).alias("dup_frac"),
+    )
+
+
+def _multi_width_gram_hashes(d: DataFrame, widths: tuple[int, ...]) -> DataFrame:
+    """(doc_id, w, gh) sliding gram hashes for every width in ONE
+    tokenize/vocab/window pass: the Horner fold to max(widths) yields
+    each smaller width's hash as an intermediate accumulator
+    (bit-identical to per-width ``hashed_ngrams_of(distinct=False)`` —
+    pinned in tests/test_property.py)."""
+    from pyspark.sql import Window
+
+    from .dedup import MOD, MULT, _poly_hash_expr, _word_powers
+
+    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w_"))
+    vocab = tok.select("w_").distinct().select(
+        "w_", _poly_hash_expr(F.col("w_")).alias("h"), _word_powers(F.col("w_")).alias("p")
+    )
+    tk = tok.join(F.broadcast(vocab), "w_").select("doc_id", "pos", "h", "p")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    acc = F.col("h")
+    per_width = []
+    for i in range(1, max(widths)):
+        hi, pi = F.lead("h", i).over(win), F.lead("p", i).over(win)
+        acc = (((acc * MULT + 32) % MOD) * pi % MOD + hi) % MOD
+        if (i + 1) in widths:
+            # the width-(i+1) gram exists iff the last lead is non-null
+            per_width.append(
+                F.when(
+                    pi.isNotNull(),
+                    F.struct(F.lit(i + 1).alias("w"), acc.alias("gh")),
+                )
             )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    if 1 in widths:
+        per_width.insert(0, F.struct(F.lit(1).alias("w"), F.col("h").alias("gh")))
+    # window expressions must be materialized by a Project before the
+    # Generate — an explode's child cannot contain window functions
+    staged = tk.select(
+        "doc_id", *[e.alias(f"_wg{i}") for i, e in enumerate(per_width)]
+    )
+    exploded = staged.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(*[F.col(f"_wg{i}") for i in range(len(per_width))]),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("wg"),
+    )
+    return exploded.select(
+        "doc_id", F.col("wg.w").alias("w"), F.col("wg.gh").alias("gh")
+    )
 
 
 def _tx12_width_sql(w: int) -> str:
