@@ -432,6 +432,34 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def schema_history(root: str) -> list[dict]:
+    """Schema drift across commits (pure manifest work): for every
+    commit whose schema differs from its predecessor's, the added /
+    removed / retyped columns — the audit a pipeline consults before
+    trusting ``allowMissingColumns`` unions of old and new data."""
+    commits = _load_commits(_strip_scheme(root))
+    out = []
+    prev: dict[str, str] = {}
+    for c in commits:
+        fields = {
+            f["name"]: str(f["type"])
+            for f in json.loads(c["schema"]).get("fields", [])
+        }
+        if fields != prev:
+            out.append(
+                {
+                    "version": c["version"],
+                    "added": sorted(set(fields) - set(prev)),
+                    "removed": sorted(set(prev) - set(fields)),
+                    "retyped": sorted(
+                        n for n in set(fields) & set(prev) if fields[n] != prev[n]
+                    ),
+                }
+            )
+        prev = fields
+    return out
+
+
 def merge_vtable(
     spark: SparkSession,
     root: str,

@@ -588,3 +588,24 @@ def test_partitioned_escaped_values_roundtrip(spark, root):
     assert {r["seg"] for r in full.collect()} == {"a=b", "c:d", "plain"}
     one = read_vtable(spark, root, partitions={"seg": "a=b"})
     assert [r["id"] for r in one.collect()] == [1]
+
+
+def test_schema_history_reports_drift(spark, root):
+    """schema_history: only drifting commits appear, with the exact
+    added/removed/retyped column sets."""
+    from hive_lineage_spark.sources.vtable import schema_history
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    write_vtable(n, root, mode="overwrite")                      # v0: base
+    write_vtable(n, root, mode="append")                         # v1: same schema
+    write_vtable(                                                # v2: +col
+        n.withColumn("extra", F.lit(1)), root, mode="append"
+    )
+    write_vtable(                                                # v3: retype+drop
+        n.withColumn("n_nationkey", F.col("n_nationkey").cast("long")),
+        root, mode="overwrite",
+    )
+    h = schema_history(root)
+    assert [e["version"] for e in h] == [0, 2, 3]
+    assert h[1]["added"] == ["extra"] and not h[1]["removed"]
+    assert h[2]["removed"] == ["extra"] and h[2]["retyped"] == ["n_nationkey"]
