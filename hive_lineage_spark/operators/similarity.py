@@ -676,6 +676,63 @@ def dd12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd13_semdedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd12 on the production math path: cell assignment stays the
+    HOF/broadcast map (cells must equal dd12's), but the within-cell
+    pairwise search runs as a blocked numpy dgemm inside one
+    ``applyInPandas`` per cell — the ss01↔ss05 relationship, on the
+    SemDeDup surface. Shares dd12's oracle: the output contract is
+    identical, and the dgemm's different summation order cannot flip the
+    ≥``SEM_T`` threshold (the corpus's nearest pair sits ≥1e-5 from the
+    threshold at every test scale; dgemm-vs-fold differences are
+    ~1e-15 relative).
+
+    Memory shape: each task holds ONE cell's normalized matrix
+    (corpus/C · dim doubles) and multiplies 2048-row chunks against it —
+    work O(|cell|²) but peak memory bounded by the chunk plus the cell
+    matrix. A cell that outgrows a task (pathological quantizer) needs
+    dd06's two-level tile join instead; at that point the quantizer
+    itself is wrong (retrain with more cells), which is the operational
+    answer SemDeDup assumes."""
+    import pandas as pd
+
+    vec = _vectors(spark, sf_dir)
+    cent = _km_centroids(vec.select("vec_id", "v"))
+    assigned = _km_assign(vec.select("vec_id", "v"), cent).join(
+        vec.select("vec_id", "nrm"), "vec_id"
+    ).select("cell", "vec_id", "v", "nrm")
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        Vn = V / pdf["nrm"].to_numpy()[:, None]
+        rows_a, rows_b, cos = [], [], []
+        chunk = 2048
+        for s in range(0, len(ids), chunk):
+            sims = Vn[s : s + chunk] @ Vn.T
+            ia, ib = np.where(sims >= SEM_T)
+            ga = ia + s
+            keep = ids[ga] < ids[ib]
+            rows_a.append(ids[ga][keep])
+            rows_b.append(ids[ib][keep])
+            cos.append(np.round(sims[ia[keep], ib[keep]], 6))
+        import numpy as _np
+
+        return pd.DataFrame(
+            {
+                "keep_id": _np.concatenate(rows_a) if rows_a else _np.array([], dtype="int64"),
+                "drop_id": _np.concatenate(rows_b) if rows_b else _np.array([], dtype="int64"),
+                "cosine": _np.concatenate(cos) if cos else _np.array([], dtype="float64"),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, "keep_id long, drop_id long, cosine double"
+    )
+
+
 def _km_round_sql(prev_cent: str, tag: str) -> str:
     """One unrolled Lloyd round: assignment vs ``prev_cent``, then
     6-dp-rounded per-(cell, dim) means re-assembled into centroids."""
@@ -801,6 +858,7 @@ QUERIES = {
     "ss06_kmeans": ss06_kmeans,
     "ss07_ann_ivf_trained": ss07_ann_ivf_trained,
     "dd12_semdedup": dd12_semdedup,
+    "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
 
 ORACLES = {
@@ -813,4 +871,6 @@ ORACLES = {
     "ss06_kmeans": SS06_SQL,
     "ss07_ann_ivf_trained": SS07_SQL,
     "dd12_semdedup": DD12_SQL,
+    # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
+    "dd13_semdedup_arrow": DD12_SQL,
 }
