@@ -81,6 +81,7 @@ def stream_to_vtable(
     root: str,
     tracker=None,
     name: str = "stream_sink",
+    partition_by: list[str] | None = None,
 ):
     """Streaming sink into a versioned table via ``foreachBatch``: each
     micro-batch becomes one atomic vtable commit, so downstream batch
@@ -97,6 +98,11 @@ def stream_to_vtable(
     Exactly-once caveat: foreachBatch is at-least-once on retry; a
     production deployment would record the batch id in the commit entry
     and skip an already-committed id (the Delta idempotent-sink recipe).
+
+    ``partition_by`` commits each micro-batch hive-partitioned with
+    partition values in the manifest, so partition-restricted batch
+    reads of the streaming table prune before planning — the streamed
+    analog of the partitioned write path.
     """
     from ..sources.vtable import write_vtable
 
@@ -104,7 +110,7 @@ def stream_to_vtable(
         tracker.track_stream_write_def(stream_df, root, name=f"{name}:definition")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_vtable(batch_df, root, mode="append")
+        write_vtable(batch_df, root, mode="append", partition_by=partition_by)
 
     return stream_df.writeStream.foreachBatch(sink).outputMode("append").start()
 

@@ -609,3 +609,35 @@ def test_schema_history_reports_drift(spark, root):
     assert [e["version"] for e in h] == [0, 2, 3]
     assert h[1]["added"] == ["extra"] and not h[1]["removed"]
     assert h[2]["removed"] == ["extra"] and h[2]["retyped"] == ["n_nationkey"]
+
+
+def test_stream_to_partitioned_vtable(spark, root, tmp_path):
+    """Streaming micro-batches committed hive-partitioned: partition-
+    restricted batch reads of the streamed table prune at the manifest
+    and return exactly that partition across all commits; the change
+    feed delivers real partition values per batch."""
+    from hive_lineage_spark.streaming.events import stream_to_vtable
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    staging = str(tmp_path / "arriving")
+    docs.repartition(3).write.parquet(staging)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(staging)
+    q = stream_to_vtable(stream, root, partition_by=["lang"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    want = docs.filter(F.col("lang") == langs[0]).count()
+    got = read_vtable(spark, root, partitions={"lang": langs[0]})
+    assert got.count() == want
+    assert {r["lang"] for r in got.collect()} == {langs[0]}
+    full = read_vtable(spark, root)
+    assert len(got.inputFiles()) < len(full.inputFiles())
+    ch = read_vtable_changes(spark, root, from_version=0)
+    assert ch.filter(F.col("lang").isNull()).count() == 0
