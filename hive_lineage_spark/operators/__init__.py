@@ -48,8 +48,9 @@ from pyspark.sql import DataFrame, SparkSession
 # driver-certified): q48_unpivot, q49_rolling_range, ss06_kmeans,
 # ss07_ann_ivf_trained, dd12_semdedup, tp09_epoch_upsample,
 # dq01_profile, dq02_constraints, tx12_dup_span_profile,
-# q50_vtable_partitioned. Rotate them IN next round against
-# round-5-certified ops whose semantics in-window siblings cover.
+# q50_vtable_partitioned, tp10_three_way_split, dd13_semdedup_arrow.
+# Rotate them IN next round against round-5-certified ops whose
+# semantics in-window siblings cover.
 _DRIVER_PRIORITY = [
     # §2.4 reference parity
     "q01_full_scan", "q02_project_alias", "q03_virtual_rowid",
