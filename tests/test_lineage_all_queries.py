@@ -25,6 +25,7 @@ PYTHON_BARRIER = {
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
+    "dd13_semdedup_arrow",
 }
 
 
