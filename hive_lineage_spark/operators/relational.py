@@ -480,24 +480,62 @@ def q26_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark lacks a native one — SURVEY §2.1 'not implemented'
-    extensions): for each event, the most recent order of the same customer
-    at-or-before the event timestamp. Composed from an equi-join on the key
-    + windowed argmax, which scales: the equi-join shuffles on user_id and
-    the window stays within the join partitioning (no extra shuffle). For
-    100 TB, pre-bucket both sides on the key."""
+    extensions): for each purchase event, the most recent order of the same
+    customer at-or-before the event timestamp.
+
+    Union-merge formulation: tag both streams, union them, and run ONE
+    window over ``user_id`` ordered by time with ``last(..., ignorenulls)``
+    carrying the latest order's attributes forward onto each event row.
+    Cost is a single user-keyed shuffle and a sort, linear in
+    |events| + |orders| — the inequality-join + per-event window it
+    replaces materialized every (event x earlier-order) pair (quadratic on
+    a hot user: 1e5 events x 1e4 orders = 1e9 rows for one key) and then
+    re-shuffled that inflated intermediate on event_id. Tie semantics
+    match the oracle's argmax (max o_orderdate, then max o_orderkey):
+    at equal timestamps orders sort before events (an order ON the event
+    date is visible to it) and ascending o_orderkey makes ``last`` pick
+    the largest key. For 100 TB, pre-bucket both sides on the key; a
+    residual hot user costs one in-partition sort, not a pair explosion.
+    Merge granularity is whole seconds (``naive_epoch_seconds``) — exact
+    here because order timestamps are midnight-aligned; sub-second as-of
+    would switch ``t`` to a microsecond epoch."""
     from pyspark.sql import Window as W
 
-    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    o = _t(spark, sf_dir, "orders")
-    j = (
-        e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "inner")
-        .select("event_id", "user_id", "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("price"))
+    from ..functions import naive_epoch_seconds
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            naive_epoch_seconds("ts").alias("t"),
+            F.lit(1).alias("kind"),
+            "event_id",
+            F.lit(None).cast("long").alias("ok"),
+            F.lit(None).cast("double").alias("opx"),
+        )
     )
-    w = W.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("u"),
+        naive_epoch_seconds("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("ok"),
+        F.round("o_totalprice", 2).alias("opx"),
+    )
+    w = (
+        W.partitionBy("u")
+        .orderBy("t", "kind", "ok")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = e.unionByName(o).select(
+        "u", "kind", "event_id",
+        F.last("ok", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last("opx", ignorenulls=True).over(w).alias("price"),
+    )
     return (
-        j.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("event_id", "user_id", "o_orderkey", "price")
+        merged.filter((F.col("kind") == 1) & F.col("o_orderkey").isNotNull())
+        .select("event_id", F.col("u").alias("user_id"), "o_orderkey", "price")
     )
 
 

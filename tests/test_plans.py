@@ -156,6 +156,25 @@ def test_embed_cosine_has_no_driver_collect(spark, monkeypatch):
     assert n == 920  # exact pair count from the DuckDB oracle at t=0.3
 
 
+def test_asof_join_single_user_shuffle_no_inflation(spark):
+    """q27's union-merge as-of must cost exactly ONE exchange, keyed on the
+    user column, feeding one window — the old inequality-join design
+    materialized every (event x earlier-order) pair and re-shuffled the
+    inflated intermediate on event_id (quadratic on a hot user)."""
+    df = R.q27_asof_join(spark, SF)
+    df.collect()  # AQE final plan
+    # toString includes the pre-AQE "Initial Plan" section too — the
+    # executed plan is the part before it
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+),", plan)
+    assert len(exchanges) == 1, exchanges
+    assert exchanges[0].startswith("u#"), exchanges
+    assert "windowspecdefinition(event_id" not in plan
+
+
 def test_embed_cosine_multi_tile_matches_single_tile(spark, monkeypatch):
     """Shrinking the tile size (500 rows → 4 blocks → 10 tiles) must not
     change the pair set: every unordered pair lands in exactly one tile."""

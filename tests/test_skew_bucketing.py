@@ -56,3 +56,100 @@ def test_bucketed_aggregation_avoids_exchange(spark):
     agg.collect()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Skew-hardened fixture: one pathological hot user (20k events, 2k orders)
+# among normal users. The union-merge as-of (q27) and sessionization (q25)
+# must stay linear on it — the old inequality-join as-of would have built
+# 20k x 2k = 4e7 intermediate rows for the hot key alone.
+# ---------------------------------------------------------------------------
+
+import os
+
+HOT_EVENTS, HOT_ORDERS = 20_000, 2_000
+
+
+def _skew_dir() -> str:
+    """Generate a deterministic skewed events/orders fixture once, laid out
+    like an sf_dir so the production queries run on it unchanged."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = os.path.join(repo, ".scratch", "skewfix")
+    if os.path.exists(os.path.join(d, "orders.parquet")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(42)
+
+    def events_rows(user, n, base):
+        ts = base + np.sort(rng.integers(0, 90 * 86400, n))
+        return user * np.ones(n, dtype=np.int64), ts
+    hot_u, hot_ts = events_rows(1, HOT_EVENTS, 0)
+    cold = [events_rows(u, 10, 0) for u in range(2, 52)]
+    user_id = np.concatenate([hot_u] + [c[0] for c in cold])
+    ts_sec = np.concatenate([hot_ts] + [c[1] for c in cold])
+    n = len(user_id)
+    ev = pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+        "ts": pa.array((np.int64(1704067200) + ts_sec) * 1_000_000, pa.timestamp("us")),
+        "user_id": pa.array(user_id, pa.int64()),
+        "event_type": pa.array(np.where(np.arange(n) % 2 == 0, "purchase", "view")),
+        "value": pa.array(rng.uniform(0, 100, n).round(2), pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(ev, os.path.join(d, "events.parquet"))
+
+    m = HOT_ORDERS + 50 * 5
+    cust = np.concatenate([np.ones(HOT_ORDERS, dtype=np.int64),
+                           np.repeat(np.arange(2, 52), 5)])
+    odays = rng.integers(0, 90, m)
+    od = pa.table({
+        "o_orderkey": pa.array(np.arange(1, m + 1), pa.int64()),
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * m),
+        "o_totalprice": pa.array(rng.uniform(100, 9999, m).round(2), pa.float64()),
+        "o_orderdate": pa.array((np.int64(1704067200) + odays * 86400) * 1_000_000,
+                                 pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * m),
+    })
+    pq.write_table(od, os.path.join(d, "orders.parquet"))
+    return d
+
+
+def _duck(sql: str, d: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def test_asof_join_survives_hot_user(spark):
+    """q27 on the skewed fixture: oracle-identical AND still the single
+    user-keyed exchange — no pair explosion on the 20k x 2k hot key."""
+    from hive_lineage_spark.operators import relational as R
+
+    d = _skew_dir()
+    df = R.q27_asof_join(spark, d)
+    got = sorted(map(tuple, df.collect()))
+    want = _duck(R.ORACLES["q27_asof_join"], d)
+    assert got == want and len(got) > HOT_EVENTS // 2 - 100
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_sessionization_survives_hot_user(spark):
+    from hive_lineage_spark.operators import relational as R
+
+    d = _skew_dir()
+    got = sorted(map(tuple, R.q25_sessionization(spark, d).collect()))
+    want = _duck(R.ORACLES["q25_sessionization"], d)
+    assert got == want
+    hot = [r for r in got if r[0] == 1]
+    assert hot and hot[0][2] == HOT_EVENTS
