@@ -556,7 +556,6 @@ def dd06_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF variant ``similarity.ss02`` over the same kernel.)"""
     import math
 
-    import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -590,29 +589,19 @@ def dd06_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(min(n_tiles, 2 * par))
     )
 
-    def unpack(rows):
-        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        mat = np.array([r["v"] for r in rows], dtype=np.float64)
-        return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    from ..functions.dgemm import threshold_pairs, unpack_block
 
     def tile(batches):
         for pdf in batches:
             for blk_a, blk_b, rows_a, rows_b in zip(
                 pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]
             ):
-                ida, mata = unpack(rows_a)
-                idb, matb = unpack(rows_b)
-                sims = mata @ matb.T
-                ia, ib = np.where(sims >= COSINE_T)
-                if blk_a == blk_b:
-                    # diagonal tile: both orientations present — keep the
-                    # upper triangle only
-                    keep = ida[ia] < idb[ib]
-                    ia, ib = ia[keep], ib[keep]
-                lo, hi = np.minimum(ida[ia], idb[ib]), np.maximum(ida[ia], idb[ib])
-                yield pd.DataFrame(
-                    {"id_a": lo, "id_b": hi, "cosine": np.round(sims[ia, ib], 6)}
+                ida, mata = unpack_block(rows_a)
+                idb, matb = unpack_block(rows_b)
+                lo, hi, cos = threshold_pairs(
+                    ida, mata, idb, matb, COSINE_T, same_block=blk_a == blk_b
                 )
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
 
     return tiles.mapInPandas(tile, schema="id_a long, id_b long, cosine double")
 

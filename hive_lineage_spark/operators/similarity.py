@@ -451,26 +451,19 @@ def ss05_ann_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = corpus.crossJoin(F.broadcast(qblock))
 
-    def unpack(rows):
-        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        mat = np.array([r["v"] for r in rows], dtype=np.float64)
-        return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    from ..functions.dgemm import partial_topk, unpack_block
 
     def tile(batches):
         for pdf in batches:
             for rows_c, rows_q in zip(pdf["rows_c"], pdf["rows_q"]):
-                idc, matc = unpack(rows_c)
-                idq, matq = unpack(rows_q)
-                sims = matq @ matc.T  # n_q × block dgemm
-                for qi in range(len(idq)):
-                    mask = idc != idq[qi]
-                    s, ids = sims[qi][mask], idc[mask]
-                    order = np.lexsort((ids, -s))[:K]  # cosine desc, id asc
+                idc, matc = unpack_block(rows_c)
+                idq, matq = unpack_block(rows_q)
+                for qid, ids, s in partial_topk(idq, matq, idc, matc, K):
                     yield pd.DataFrame(
                         {
-                            "query_id": np.full(len(order), idq[qi]),
-                            "neighbor_id": ids[order],
-                            "cosine": s[order],
+                            "query_id": np.full(len(ids), qid),
+                            "neighbor_id": ids,
+                            "cosine": s,
                         }
                     )
 
@@ -721,28 +714,17 @@ def dd13_semdedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        from ..functions.dgemm import threshold_pairs
+
         ids = pdf["vec_id"].to_numpy()
         V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        # engine-side nrm (not np.linalg.norm) so cosines stay
+        # bit-identical to the HOF twin dd12
         Vn = V / pdf["nrm"].to_numpy()[:, None]
-        rows_a, rows_b, cos = [], [], []
-        chunk = 2048
-        for s in range(0, len(ids), chunk):
-            sims = Vn[s : s + chunk] @ Vn.T
-            ia, ib = np.where(sims >= SEM_T)
-            ga = ia + s
-            keep = ids[ga] < ids[ib]
-            rows_a.append(ids[ga][keep])
-            rows_b.append(ids[ib][keep])
-            cos.append(np.round(sims[ia[keep], ib[keep]], 6))
-        import numpy as _np
-
-        return pd.DataFrame(
-            {
-                "keep_id": _np.concatenate(rows_a) if rows_a else _np.array([], dtype="int64"),
-                "drop_id": _np.concatenate(rows_b) if rows_b else _np.array([], dtype="int64"),
-                "cosine": _np.concatenate(cos) if cos else _np.array([], dtype="float64"),
-            }
+        keep_id, drop_id, cos = threshold_pairs(
+            ids, Vn, ids, Vn, SEM_T, same_block=True, chunk=2048
         )
+        return pd.DataFrame({"keep_id": keep_id, "drop_id": drop_id, "cosine": cos})
 
     return assigned.groupBy("cell").applyInPandas(
         per_cell, "keep_id long, drop_id long, cosine double"
