@@ -64,8 +64,10 @@ _DRIVER_PRIORITY = [
     "tx02_lang_id", "tx03_quality_score",
     "tx07_bpe_pretokenize", "tx09_repetition",
     "tx10_tfidf_terms", "tx12_dup_span_profile",
-    # multimodal plumbing
-    "mm01_decode_stub",
+    # multimodal: real decode (mm05 supersedes the mm01 stub, rotated
+    # out r7 — mm01 was certified r2-r4 and r6; mm05 is the flagship
+    # round-6 addition that has never had a driver row)
+    "mm05_decode_image",
     # composed pipeline + training-prep
     "tp01_full_pipeline",
     "tp03_pack_sequences", "tp06_curriculum_bins",

@@ -22,6 +22,7 @@ QUERIES = entrymod.queries()
 PYTHON_BARRIER = {
     "mm01_decode_stub",
     "mm04_resize_stub",
+    "mm05_decode_image",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
