@@ -46,17 +46,22 @@ HEADLINE = [
     "ss02_ann_ivf",            # pruned (IVF) top-k
     "tx03_quality_score",      # regex/array codegen pipeline
     "mm01_decode_stub",        # Arrow mapInPandas path
-]
-
-# Round-5 additions, timed separately (median of 3) so the HEADLINE
-# total stays comparable across rounds while new-op perf is visible.
-EXTRA = [
-    "tx11_span_dedup",         # C4 span dedup (WindowGroupLimit)
+    # Promoted from EXTRA in round 7 (judge ask: heavies must be in the
+    # tracked round-over-round set). Reference medians from BENCH_r06:
+    # tx12 5.47, dd12 3.17, dd13 0.96, ss07 1.25. Cross-round totals are
+    # comparable from r7 onward; vs r5/r6 compare per-query medians.
     "tx12_dup_span_profile",   # 3-width sliding gram passes
-    "ss06_kmeans",             # 2 Lloyd rounds + assignment
-    "ss07_ann_ivf_trained",    # trained-quantizer IVF probe
     "dd12_semdedup",           # within-cell semantic pairs (HOF cosine)
     "dd13_semdedup_arrow",     # same, blocked-dgemm kernel per cell
+    "ss07_ann_ivf_trained",    # trained-quantizer IVF probe
+    "mm05_decode_image",       # real BMP/PPM decode (mapInPandas)
+]
+
+# Newer/secondary ops, timed separately (median of 3) so new-op perf is
+# visible without growing the headline total every round.
+EXTRA = [
+    "tx11_span_dedup",         # C4 span dedup (WindowGroupLimit)
+    "ss06_kmeans",             # 2 Lloyd rounds + assignment
     "tp09_epoch_upsample",     # histogram bin + epoch explode
     "tp10_three_way_split",    # hash split + checksum agg
 ]
@@ -109,6 +114,21 @@ def main() -> None:
             execute(qs[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         extra[name] = round(statistics.median(runs), 3)
+
+    # hot-key wall time: q25/q27 on the 20k-event/2k-order hot-user
+    # fixture (tools/skewfix.py) — a skew regression (e.g. the as-of
+    # join reverting to a pair-inflating plan) shows up here long
+    # before it would at uniform sf0.1.
+    from tools.skewfix import skew_dir
+
+    skew = skew_dir()
+    for name in ("q25_sessionization", "q27_asof_join"):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            execute(qs[name](spark, skew))
+            runs.append(time.perf_counter() - t0)
+        extra[f"skew_{name}"] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

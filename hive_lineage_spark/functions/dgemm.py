@@ -57,6 +57,19 @@ def threshold_pairs(
     unordered pair is emitted exactly once. Off-diagonal tiles keep
     everything and order each pair as (min, max). The A side is chunked
     so the score slab never exceeds ``chunk x len(idb)`` doubles."""
+    if len(ida) <= chunk:
+        # single-chunk fast path (dd06's TILE_ROWS == default chunk):
+        # one matmul, no per-chunk list/concatenate copies
+        sims = mata @ matb.T
+        ia, ib = np.where(sims >= threshold)
+        if same_block:
+            keep = ida[ia] < idb[ib]
+            ia, ib = ia[keep], ib[keep]
+            lo, hi = ida[ia], idb[ib]
+        else:
+            lo = np.minimum(ida[ia], idb[ib])
+            hi = np.maximum(ida[ia], idb[ib])
+        return lo, hi, np.round(sims[ia, ib], 6)
     los, his, cs = [], [], []
     for s in range(0, len(ida), chunk):
         sims = mata[s : s + chunk] @ matb.T

@@ -325,9 +325,10 @@ def _image_fixture(sf_dir: str) -> str:
 
     from ..sources.registry import table_path
 
+    from ..sources.registry import scratch_key
+
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out_dir = os.path.join(repo, ".scratch", key, "images")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "images")
     out_file = os.path.join(out_dir, "images.parquet")
     if not os.path.exists(out_file):
         doc_ids = (

@@ -45,8 +45,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _scratch(sf_dir: str, tag: str) -> str:
-    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(SCRATCH, key, tag)
+    from ..sources.registry import scratch_key
+
+    return os.path.join(SCRATCH, scratch_key(sf_dir), tag)
 
 
 # ---------------------------------------------------------------------------
@@ -503,9 +504,12 @@ def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions import naive_epoch_seconds
 
+    # NULL keys never match in the oracle's inner equi-join, but
+    # Window.partitionBy groups them into one partition — reject them
+    # up front so NULL user_id/o_custkey rows can't see each other.
     e = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
         .select(
             F.col("user_id").alias("u"),
             naive_epoch_seconds("ts").alias("t"),
@@ -515,7 +519,7 @@ def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("opx"),
         )
     )
-    o = _t(spark, sf_dir, "orders").select(
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull()).select(
         F.col("o_custkey").alias("u"),
         naive_epoch_seconds("o_orderdate").alias("t"),
         F.lit(0).alias("kind"),

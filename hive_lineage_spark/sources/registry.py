@@ -36,6 +36,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def scratch_key(sf_dir: str) -> str:
+    """Per-sf_dir key for derived caches under ``.scratch/``: readable
+    basename + an abs-path hash, so two distinct dirs sharing a basename
+    (/a/sf0.01 vs /b/sf0.01) never reuse each other's derived data."""
+    import hashlib
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    return (os.path.basename(norm) or "sf") + "-" + hashlib.sha1(norm.encode()).hexdigest()[:8]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -56,8 +66,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out_dir = os.path.join(repo, ".scratch", key, "events_us")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "events_us")
     out_file = os.path.join(out_dir, "events.parquet")
     if not os.path.exists(out_file):
         import pyarrow as pa
