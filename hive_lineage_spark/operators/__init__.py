@@ -62,12 +62,13 @@ _DRIVER_PRIORITY = [
     "ss06_kmeans", "ss07_ann_ivf_trained",
     # text analysis
     "tx02_lang_id", "tx03_quality_score",
-    "tx07_bpe_pretokenize", "tx09_repetition",
+    "tx07_bpe_pretokenize",
     "tx10_tfidf_terms", "tx12_dup_span_profile",
-    # multimodal: real decode (mm05 supersedes the mm01 stub, rotated
-    # out r7 — mm01 was certified r2-r4 and r6; mm05 is the flagship
-    # round-6 addition that has never had a driver row)
-    "mm05_decode_image",
+    # multimodal: real decode + decode→resize chain (round-7 rotation:
+    # mm01 stub out — certified r2-r4 and r6, superseded by mm05's real
+    # decode; tx09 out — certified r6, span shape covered by tx12 —
+    # making room for mm06, the new real-pixel resize chain)
+    "mm05_decode_image", "mm06_decode_resize",
     # composed pipeline + training-prep
     "tp01_full_pipeline",
     "tp03_pack_sequences", "tp06_curriculum_bins",

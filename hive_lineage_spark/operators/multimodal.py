@@ -3,15 +3,16 @@ columns with typed metadata, processed by Arrow-batched Pandas functions
 (``mapInPandas``) — the pattern a 100 TB multimodal pipeline uses for
 decode / feature-extract / resize / frame-sample.
 
-The container has no image/audio *libraries*, but uncompressed container
+The container has no image/audio *libraries*, but stdlib-decodable
 formats need none: ``decode_image_real`` is a real pure-Python decoder
-for 24-bit BMP (bottom-up padded BGR rows) and binary PPM (P6), exercised
+for 24-bit BMP (bottom-up padded BGR rows), binary PPM (P6), and 8-bit
+truecolor PNG (zlib inflate + all five scanline unfilters), exercised
 end-to-end by ``mm05_decode_image`` over generated fixture images whose
 pixel bytes follow a closed form the DuckDB oracle recomputes — the
-oracle never sees the encoded bytes, so padding/row-order/channel-order
-bugs fail the value-hash. Compressed codecs (JPEG/PNG) keep the honest
-NotImplementedError path. ``decode_image_fake`` remains the byte-level
-stand-in used by mm01/mm04 to pin the Arrow plumbing contract.
+oracle never sees the encoded bytes, so padding/row-order/channel-order/
+unfilter bugs fail the value-hash. JPEG (DCT entropy coding) keeps the
+honest NotImplementedError path. ``decode_image_fake`` remains the
+byte-level stand-in used by mm01/mm04 to pin the Arrow plumbing contract.
 """
 
 from __future__ import annotations
@@ -29,20 +30,23 @@ DECODE_SCHEMA = "doc_id long, n_bytes long, sha16 string, width int, height int"
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real image decode for the uncompressed formats a pure-Python
-    decoder can handle: 24-bit uncompressed BMP and binary PPM (P6).
-    Returns ``{"fmt", "width", "height", "pixels"}`` with ``pixels`` the
-    top-down row-major RGB bytes. Compressed formats (JPEG/PNG/...)
-    need a codec library that is NOT available in this container — they
-    keep the honest NotImplementedError path; with PIL present the
-    fallthrough becomes ``PIL.Image.open(io.BytesIO(payload))`` and the
-    Spark plumbing around it does not change."""
+    """Real image decode for the formats a pure-Python/stdlib decoder
+    can handle: 24-bit uncompressed BMP, binary PPM (P6), and 8-bit
+    truecolor PNG (``zlib`` is stdlib; PNG is inflate + per-row
+    unfilter). Returns ``{"fmt", "width", "height", "pixels"}`` with
+    ``pixels`` the top-down row-major RGB bytes. JPEG needs a DCT codec
+    library that is NOT available in this container — it keeps the
+    honest NotImplementedError path; with PIL present the fallthrough
+    becomes ``PIL.Image.open(io.BytesIO(payload))`` and the Spark
+    plumbing around it does not change."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "no pure-Python decoder for this format (JPEG/PNG need a codec "
+        "no pure-Python decoder for this format (JPEG needs a DCT codec "
         "library not present in this container)"
     )
 
@@ -100,6 +104,90 @@ def _decode_ppm(payload: bytes) -> dict:
     if maxval != 255:
         raise NotImplementedError("only 8-bit PPM")
     return {"fmt": "ppm", "width": w, "height": h, "pixels": payload[pos : pos + w * h * 3]}
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left (a),
+    above (b), upper-left (c) is closest to a + b - c, ties a > b > c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode for 8-bit truecolor (color type 2), no
+    interlace: chunk walk with CRC verification, zlib inflate of the
+    concatenated IDAT stream, then per-scanline unfilter — all five
+    filter types (None/Sub/Up/Average/Paeth) reconstructed against the
+    raw (already-reconstructed) neighbors, per the spec."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h = 8, bytearray(), None, None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    f"only 8-bit truecolor non-interlaced PNG "
+                    f"(got depth={depth} ctype={ctype} interlace={inter})"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(h * stride)
+    prior = bytes(stride)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        line = raw[p + 1 : p + 1 + stride]
+        p += 1 + stride
+        recon = bytearray(stride)
+        if ft == 0:
+            recon[:] = line
+        elif ft == 1:  # Sub
+            for x in range(stride):
+                recon[x] = (line[x] + (recon[x - bpp] if x >= bpp else 0)) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                recon[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                c = prior[x - bpp] if x >= bpp else 0
+                recon[x] = (line[x] + _paeth(a, prior[x], c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y * stride : (y + 1) * stride] = recon
+        prior = bytes(recon)
+    return {"fmt": "png", "width": w, "height": h, "pixels": bytes(out)}
 
 
 def decode_image_fake(payload: bytes) -> dict:
@@ -315,20 +403,79 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return b"P6\n# fixture\n%d %d\n255\n" % (width, height) + rgb
 
 
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Stdlib PNG writer (8-bit truecolor, non-interlaced). Each
+    scanline is filtered with type ``row % 5`` — cycling None, Sub, Up,
+    Average, Paeth — so fixture PNGs exercise every unfilter path in the
+    decoder, not just the trivial None case."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    bpp, stride = 3, width * 3
+    filtered = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = rgb[y * stride : (y + 1) * stride]
+        ft = y % 5
+        filtered.append(ft)
+        if ft == 0:
+            filtered += row
+        elif ft == 1:  # Sub
+            filtered += bytes(
+                (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF for x in range(stride)
+            )
+        elif ft == 2:  # Up
+            filtered += bytes((row[x] - prior[x]) & 0xFF for x in range(stride))
+        elif ft == 3:  # Average
+            filtered += bytes(
+                (row[x] - (((row[x - bpp] if x >= bpp else 0) + prior[x]) >> 1)) & 0xFF
+                for x in range(stride)
+            )
+        else:  # Paeth
+            filtered += bytes(
+                (
+                    row[x]
+                    - _paeth(
+                        row[x - bpp] if x >= bpp else 0,
+                        prior[x],
+                        prior[x - bpp] if x >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _image_fixture(sf_dir: str) -> str:
     """Generate the image fixture parquet once per sf_dir (same one-time
     driver-side pattern as ``sources.registry.load_events``): one image
-    per document — even doc_ids as BMP, odd as PPM, dimensions varying
-    with doc_id so BMP row padding takes multiple values."""
+    per document — doc_id % 3 selects BMP / PPM / PNG, dimensions varying
+    with doc_id so BMP row padding and PNG filter cycling take multiple
+    values. The dir is versioned: a layout change bumps the suffix so a
+    stale cache from an older layout can never satisfy the new oracle."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ..sources.registry import table_path
-
-    from ..sources.registry import scratch_key
+    from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "images")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "images_v2")
     out_file = os.path.join(out_dir, "images.parquet")
     if not os.path.exists(out_file):
         doc_ids = (
@@ -336,11 +483,11 @@ def _image_fixture(sf_dir: str) -> str:
             .column("doc_id")
             .to_pylist()
         )
+        encoders = {0: encode_bmp, 1: encode_ppm, 2: encode_png}
         payloads = []
         for d in doc_ids:
             w, h = (d % 13) + 4, (d % 7) + 4
-            rgb = _pixel_bytes(d, w, h)
-            payloads.append(encode_bmp(w, h, rgb) if d % 2 == 0 else encode_ppm(w, h, rgb))
+            payloads.append(encoders[d % 3](w, h, _pixel_bytes(d, w, h)))
         tbl = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})
         os.makedirs(out_dir, exist_ok=True)
         tmp = out_file + ".tmp"
@@ -406,10 +553,117 @@ MM05_SQL = """
         FROM m, unnest(range(0, w * h * 3)) t(i)
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
            CAST(any_value(w) AS INT) AS width,
            CAST(any_value(h) AS INT) AS height,
            CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+           CAST(sum((i + 1) * v) AS BIGINT) AS checksum,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# mm06: the multimodal pipeline end-to-end on REAL pixels — decode (BMP/
+# PPM/PNG via decode_image_real) → aspect-preserving nearest-neighbor
+# resize with integer-only index math → pixel stats on the RESIZED image.
+# The oracle recomputes everything from the closed form: resized pixel
+# (y, x, c) is source pixel (y*h//th, x*w//tw, c), and source byte j is
+# (doc_id*31 + j*7) % 256 — so a resampler that rounds instead of
+# flooring, swaps axes, or resizes before BGR→RGB fails the value-hash.
+# ---------------------------------------------------------------------------
+
+MM06_MAX_DIM = 8  # fixture dims run 4..16 x 4..10, so most images resize
+
+RESIZE_REAL_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, tgt_w int, tgt_h int, "
+    "resized boolean, checksum long, sum_r long, sum_g long, sum_b long"
+)
+
+
+def fit_box(w: int, h: int, max_dim: int) -> tuple[int, int, bool]:
+    """Aspect-preserving fit into a max_dim box with integer-only math
+    (mm04's formula, shared with the mm06 real resize)."""
+    if max(w, h) <= max_dim:
+        return w, h, False
+    if w >= h:
+        return max_dim, max(1, (h * max_dim) // w), True
+    return max(1, (w * max_dim) // h), max_dim, True
+
+
+def _resize_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real decode, nearest-neighbor resize via
+    integer floor index maps (src = dst * src_dim // tgt_dim), then the
+    same position-weighted checksum as mm05 over the RESIZED pixels."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_image_real(bytes(payload))
+            w, h = m["width"], m["height"]
+            tw, th, resized = fit_box(w, h, MM06_MAX_DIM)
+            px = np.frombuffer(m["pixels"], dtype=np.uint8).reshape(h, w, 3)
+            sy = (np.arange(th) * h) // th
+            sx = (np.arange(tw) * w) // tw
+            out = px[sy][:, sx].astype(np.int64).ravel()
+            checksum = int(((np.arange(len(out)) + 1) * out).sum())
+            rows.append(
+                (
+                    doc_id, m["fmt"], w, h, tw, th, resized,
+                    checksum, int(out[0::3].sum()), int(out[1::3].sum()), int(out[2::3].sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "fmt", "width", "height", "tgt_w", "tgt_h",
+                "resized", "checksum", "sum_r", "sum_g", "sum_b",
+            ],
+        )
+
+
+def mm06_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → resize → stats on real pixels, one narrow Python stage
+    over the image fixture — the shape a 100 TB image-preprocessing job
+    takes (no shuffle; scale by adding input splits)."""
+    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    return imgs.mapInPandas(_resize_real_batches, schema=RESIZE_REAL_SCHEMA)
+
+
+MM06_SQL = f"""
+    WITH m AS (
+        SELECT doc_id,
+               (doc_id % 13) + 4 AS w,
+               (doc_id % 7) + 4 AS h
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, w, h,
+               CASE WHEN greatest(w, h) <= {MM06_MAX_DIM} THEN w
+                    WHEN w >= h THEN {MM06_MAX_DIM}
+                    ELSE greatest(1, (w * {MM06_MAX_DIM}) // h) END AS tw,
+               CASE WHEN greatest(w, h) <= {MM06_MAX_DIM} THEN h
+                    WHEN w >= h THEN greatest(1, (h * {MM06_MAX_DIM}) // w)
+                    ELSE {MM06_MAX_DIM} END AS th
+        FROM m
+    ),
+    px AS (
+        SELECT doc_id, w, h, tw, th, t.i AS i,
+               (doc_id * 31
+                + (((((t.i // 3) // tw) * h // th) * w
+                    + (((t.i // 3) % tw) * w // tw)) * 3 + t.i % 3) * 7) % 256 AS v
+        FROM dims, unnest(range(0, tw * th * 3)) t(i)
+    )
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(any_value(tw) AS INT) AS tgt_w,
+           CAST(any_value(th) AS INT) AS tgt_h,
+           greatest(any_value(w), any_value(h)) > {MM06_MAX_DIM} AS resized,
            CAST(sum((i + 1) * v) AS BIGINT) AS checksum,
            CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
            CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
@@ -424,6 +678,7 @@ QUERIES = {
     "mm03_audio_window_stub": mm03_audio_window_stub,
     "mm04_resize_stub": mm04_resize_stub,
     "mm05_decode_image": mm05_decode_image,
+    "mm06_decode_resize": mm06_decode_resize,
 }
 
 ORACLES = {
@@ -432,4 +687,5 @@ ORACLES = {
     "mm03_audio_window_stub": MM03_SQL,
     "mm04_resize_stub": MM04_SQL,
     "mm05_decode_image": MM05_SQL,
+    "mm06_decode_resize": MM06_SQL,
 }

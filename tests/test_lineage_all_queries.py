@@ -23,6 +23,7 @@ PYTHON_BARRIER = {
     "mm01_decode_stub",
     "mm04_resize_stub",
     "mm05_decode_image",
+    "mm06_decode_resize",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
