@@ -50,8 +50,9 @@ _DRIVER_PRIORITY = [
     "q13_join_nullsafe", "q44_unique_join", "q14_agg_tpch_q1",
     "q15_agg_distinct", "q16_topk", "q17_q27_shape",
     "q18_partition_pruning", "q19_insert_readback", "q31_q27_sql_text",
-    # SQL-surface round-5 additions (never driver-certified)
-    "q48_unpivot", "q49_rolling_range", "q50_vtable_partitioned",
+    # SQL-surface round-5 additions (q48 certified r6, rotated out r7
+    # to make room for dq03 — unpivot semantics stay covered locally)
+    "q49_rolling_range", "q50_vtable_partitioned",
     # deduplication
     "dd02_ngram_jaccard", "dd03_minhash_lsh",
     "dd06_embed_cosine_dup",
@@ -74,8 +75,8 @@ _DRIVER_PRIORITY = [
     "tp03_pack_sequences", "tp06_curriculum_bins",
     "tp08_temperature_mixture", "tp09_epoch_upsample",
     "tp10_three_way_split",
-    # data-quality gates
-    "dq01_profile", "dq02_constraints",
+    # data-quality gates (dq03: new round-7 snapshot-drift gate)
+    "dq01_profile", "dq02_constraints", "dq03_snapshot_drift",
 ]
 
 

@@ -27,15 +27,7 @@ def dq01_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the scan (all metrics partial-agg'd together), then a map-side
     melt of the single metrics row into per-column report rows."""
     li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in PROFILE_COLS:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
-            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
-            F.round(F.min(c), 4).alias(f"min_{c}"),
-            F.round(F.max(c), 4).alias(f"max_{c}"),
-        ]
-    one = li.groupBy().agg(*aggs)
+    one = _one_pass_profile(li, PROFILE_COLS)
     melted = one.select(
         "n_rows",
         F.explode(
@@ -149,12 +141,154 @@ DQ02_SQL = """
 """
 
 
+def _one_pass_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """dq01's single-aggregation profile over ``cols``, as one wide row
+    (suffix-free) — callers rename per side before joining snapshots."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+            F.round(F.min(c), 4).alias(f"min_{c}"),
+            F.round(F.max(c), 4).alias(f"max_{c}"),
+        ]
+    return df.groupBy().agg(*aggs)
+
+
+def dq03_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift gate: profile deltas between two versions of a
+    versioned table — the check a training pipeline runs before
+    promoting a new corpus snapshot (did row counts jump? did a value
+    range shift? did nulls appear?).
+
+    Setup (idempotent, closed-form so the oracle can reproduce both
+    snapshots from the source table): v0 = lineitem rows with
+    l_linenumber <= 3, v1 appends the rest AND adds a derived
+    ship_bucket column — real schema drift. ``schema_history`` drives the gate: it
+    reports the added column, and only columns present in BOTH
+    snapshots' schemas are profiled (profiling a column one side lacks
+    would fabricate 100% nulls as 'drift'). Each snapshot is ONE
+    partial-agg pass (dq01's shape); the report is column-count-sized.
+    At 100 TB both passes are scans with map-side combine and a
+    single-row exchange — and the v0 pass reads only v0's files via the
+    manifest, not a full-table time-travel copy."""
+    import shutil
+
+    from ..sources.vtable import history, is_vtable, read_vtable, schema_history, write_vtable
+
+    from .relational import _scratch
+
+    root = _scratch(sf_dir, "lineitem_drift_vtable")
+    ops = [c["op"] for c in (history(root) if is_vtable(root) else [])]
+    if ops != ["overwrite", "append"]:
+        shutil.rmtree(root, ignore_errors=True)
+        li = load_table(spark, sf_dir, "lineitem")
+        v0 = li.filter(F.col("l_linenumber") <= 3).select(*PROFILE_COLS)
+        v1 = li.filter(F.col("l_linenumber") > 3).select(
+            *PROFILE_COLS, (F.col("l_orderkey") % 8).alias("ship_bucket")
+        )
+        write_vtable(v0, root, mode="overwrite")
+        write_vtable(v1, root, mode="append")
+
+    # columns present in both snapshots (manifest-only work): the full
+    # schema timeline, replayed into the v0 and latest column sets
+    drift = schema_history(root)
+    cols_v0: set[str] = set()
+    cols_latest: set[str] = set()
+    for d in drift:
+        delta = (set(d["added"]), set(d["removed"]))
+        if d["version"] == 0:
+            cols_v0 = (cols_v0 | delta[0]) - delta[1]
+        cols_latest = (cols_latest | delta[0]) - delta[1]
+    common = [c for c in PROFILE_COLS if c in cols_v0 and c in cols_latest]
+
+    a = _one_pass_profile(read_vtable(spark, root, version=0), common)
+    b = _one_pass_profile(read_vtable(spark, root), common)
+    both = a.select([F.col(c).alias(f"a_{c}") for c in a.columns]).crossJoin(
+        b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
+    )
+    melted = both.select(
+        "a_n_rows",
+        "b_n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"a_null_{c}").alias("null_a"),
+                        F.col(f"b_null_{c}").alias("null_b"),
+                        F.col(f"a_dist_{c}").alias("dist_a"),
+                        F.col(f"b_dist_{c}").alias("dist_b"),
+                        F.col(f"a_min_{c}").alias("vmin_a"),
+                        F.col(f"b_min_{c}").alias("vmin_b"),
+                        F.col(f"a_max_{c}").alias("vmax_a"),
+                        F.col(f"b_max_{c}").alias("vmax_b"),
+                    )
+                    for c in common
+                ]
+            )
+        ).alias("m"),
+    )
+    return melted.select(
+        F.col("m.column").alias("column"),
+        F.col("a_n_rows").alias("n_rows_a"),
+        F.col("b_n_rows").alias("n_rows_b"),
+        F.col("m.null_a").alias("n_null_a"),
+        F.col("m.null_b").alias("n_null_b"),
+        F.col("m.dist_a").alias("n_distinct_a"),
+        F.col("m.dist_b").alias("n_distinct_b"),
+        F.col("m.vmin_a").alias("vmin_a"),
+        F.col("m.vmin_b").alias("vmin_b"),
+        F.col("m.vmax_a").alias("vmax_a"),
+        F.col("m.vmax_b").alias("vmax_b"),
+        (F.col("m.dist_b") - F.col("m.dist_a")).alias("distinct_delta"),
+        F.round(F.col("m.vmax_b") - F.col("m.vmax_a"), 4).alias("vmax_delta"),
+    )
+
+
+DQ03_SQL = f"""
+    WITH pa AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               {", ".join(
+                   f"CAST(count(*) - count({c}) AS BIGINT) AS null_{c}, "
+                   f"CAST(count(DISTINCT {c}) AS BIGINT) AS dist_{c}, "
+                   f"round(min({c}), 4) AS min_{c}, round(max({c}), 4) AS max_{c}"
+                   for c in PROFILE_COLS
+               )}
+        FROM lineitem WHERE l_linenumber <= 3
+    ),
+    pb AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               {", ".join(
+                   f"CAST(count(*) - count({c}) AS BIGINT) AS null_{c}, "
+                   f"CAST(count(DISTINCT {c}) AS BIGINT) AS dist_{c}, "
+                   f"round(min({c}), 4) AS min_{c}, round(max({c}), 4) AS max_{c}"
+                   for c in PROFILE_COLS
+               )}
+        FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{c}' AS column, pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b, "
+        f"pa.null_{c} AS n_null_a, pb.null_{c} AS n_null_b, "
+        f"pa.dist_{c} AS n_distinct_a, pb.dist_{c} AS n_distinct_b, "
+        f"pa.min_{c} AS vmin_a, pb.min_{c} AS vmin_b, "
+        f"pa.max_{c} AS vmax_a, pb.max_{c} AS vmax_b, "
+        f"pb.dist_{c} - pa.dist_{c} AS distinct_delta, "
+        f"round(pb.max_{c} - pa.max_{c}, 4) AS vmax_delta "
+        f"FROM pa, pb"
+        for c in PROFILE_COLS
+    )}
+"""
+
+
 QUERIES = {
     "dq01_profile": dq01_profile,
     "dq02_constraints": dq02_constraints,
+    "dq03_snapshot_drift": dq03_snapshot_drift,
 }
 
 ORACLES = {
     "dq01_profile": DQ01_SQL,
     "dq02_constraints": DQ02_SQL,
+    "dq03_snapshot_drift": DQ03_SQL,
 }

@@ -641,3 +641,30 @@ def test_stream_to_partitioned_vtable(spark, root, tmp_path):
     assert len(got.inputFiles()) < len(full.inputFiles())
     ch = read_vtable_changes(spark, root, from_version=0)
     assert ch.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_dq03_drift_gate_time_travel(spark):
+    """dq03's setup is a real two-version vtable: schema_history reports
+    the ship_bucket addition at v1, version-0 time travel returns only
+    the l_linenumber <= 3 rows, and the drift frame's row counts equal
+    the two snapshots' counts."""
+    from hive_lineage_spark.operators.quality import dq03_snapshot_drift
+    from hive_lineage_spark.operators.relational import _scratch
+    from hive_lineage_spark.sources.vtable import read_vtable, schema_history
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["column"]: r for r in (r.asDict() for r in dq03_snapshot_drift(spark, sf).collect())}
+    root = _scratch(sf, "lineitem_drift_vtable")
+
+    drift = schema_history(root)
+    assert [d["version"] for d in drift] == [0, 1]
+    assert drift[1]["added"] == ["ship_bucket"] and not drift[1]["removed"]
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    n_v0 = li.filter("l_linenumber <= 3").count()
+    assert read_vtable(spark, root, version=0).count() == n_v0
+    assert read_vtable(spark, root).count() == li.count()
+    assert rows["l_quantity"]["n_rows_a"] == n_v0
+    assert rows["l_quantity"]["n_rows_b"] == li.count()
+    # schema drift never fabricates null-drift: only common columns profiled
+    assert "ship_bucket" not in rows
