@@ -115,6 +115,32 @@ def stream_to_vtable(
     return stream_df.writeStream.foreachBatch(sink).outputMode("append").start()
 
 
+def postings_maintenance_stream(docs_stream: DataFrame, postings_root: str):
+    """Streaming maintenance of the dedup postings index: each arriving
+    micro-batch of documents contributes ``postings_of(batch)`` as one
+    atomic commit to a postings vtable — the insert path of
+    ``dedup.apply_postings_changes`` driven by a stream, where the
+    index ∪ batch union is realized by the vtable's append commit
+    instead of a DataFrame union. Maintenance cost per batch is
+    O(batch) (the batch's own shingles; no corpus rescan), and the
+    index is snapshot-isolated for concurrent batch readers (dd02/dd03/
+    dd09 probe a consistent version while the stream appends).
+
+    Deletions cannot flow through a file stream (file sources only add);
+    retire-lists apply on read via ``apply_postings_changes(read_vtable(
+    root), deleted_ids=...)`` — or compact periodically with the anti-
+    join materialized. Pinned stream ≡ batch-rebuild (dd11's count +
+    bit_xor fingerprint) in tests/test_streaming.py. Returns the
+    StreamingQuery; caller drives/stops it."""
+    from ..operators.dedup import postings_of
+    from ..sources.vtable import write_vtable
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_vtable(postings_of(batch_df), postings_root, mode="append")
+
+    return docs_stream.writeStream.foreachBatch(sink).outputMode("append").start()
+
+
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup — the streaming half of the batch dedup
     surface (operators/dedup.dd01): ``dropDuplicatesWithinWatermark`` on

@@ -423,3 +423,58 @@ def test_streaming_span_dedup_definition_lineage(spark, tmp_path):
     for c in ql.result.columns:
         assert c.bases == frozenset({UNKNOWN})
     assert ql.result.input_tables, "stream source must resolve"
+
+
+def test_streaming_postings_maintenance_equals_batch_rebuild(spark, tmp_path):
+    """Round-5 ask #6: the postings index maintained by a STREAM (each
+    arriving micro-batch appended as one postings-vtable commit via
+    postings_maintenance_stream) plus the batch-side retire-list
+    application must fingerprint identically to dd11's incrementally
+    maintained index — which the DuckDB oracle already pins equal to a
+    full batch rebuild of the final snapshot. Chain closed:
+    stream-maintained ≡ dd11 ≡ batch rebuild."""
+    from hive_lineage_spark.operators.dedup import (
+        DEL_MOD,
+        DEL_REM,
+        LATE_MOD,
+        LATE_REM,
+        apply_postings_changes,
+        dd11_incremental_postings,
+    )
+    from hive_lineage_spark.sources.vtable import history, read_vtable, write_vtable
+    from hive_lineage_spark.streaming.events import postings_maintenance_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    late = F.pmod(F.col("doc_id"), F.lit(LATE_MOD)) == LATE_REM
+    docs_root = str(tmp_path / "docs_vt")
+    # commit 0: the base corpus; commits 1..3: the arriving batch in thirds
+    write_vtable(docs.filter(~late), docs_root, mode="overwrite")
+    arriving = docs.filter(late).withColumn("third", F.pmod("doc_id", F.lit(3)))
+    for t in range(3):
+        write_vtable(
+            arriving.filter(F.col("third") == t).drop("third"), docs_root, mode="append"
+        )
+
+    from hive_lineage_spark.sources.vtable import read_vtable_stream
+
+    postings_root = str(tmp_path / "postings_vt")
+    stream = read_vtable_stream(spark, docs_root)
+    q = postings_maintenance_stream(stream, postings_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(history(postings_root)) >= 1  # at least one streamed commit
+
+    deletes = docs.filter(~late).filter(F.pmod(F.col("doc_id"), F.lit(DEL_MOD)) == DEL_REM)
+    maintained = apply_postings_changes(
+        read_vtable(spark, postings_root), deleted_ids=deletes
+    )
+    got = {
+        tuple(r)
+        for r in maintained.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.expr("bit_xor(gh)").alias("gh_xor"))
+        .collect()
+    }
+    want = {tuple(r) for r in dd11_incremental_postings(spark, SF).collect()}
+    assert got == want and got
