@@ -64,6 +64,8 @@ EXTRA = [
     "ss06_kmeans",             # 2 Lloyd rounds + assignment
     "tp09_epoch_upsample",     # histogram bin + epoch explode
     "tp10_three_way_split",    # hash split + checksum agg
+    "mm06_decode_resize",      # real decode→resize chain (round 7)
+    "dq03_snapshot_drift",     # two-snapshot profile drift (round 7)
 ]
 
 
