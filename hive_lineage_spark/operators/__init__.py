@@ -69,11 +69,13 @@ _DRIVER_PRIORITY = [
     # mm01 stub out — certified r2-r4 and r6, superseded by mm05's real
     # decode; tx09 out — certified r6, span shape covered by tx12 —
     # making room for mm06, the new real-pixel resize chain)
-    "mm05_decode_image", "mm06_decode_resize",
+    "mm05_decode_image", "mm06_decode_resize", "mm07_decode_audio",
     # composed pipeline + training-prep
     "tp01_full_pipeline",
     "tp03_pack_sequences", "tp06_curriculum_bins",
-    "tp08_temperature_mixture", "tp09_epoch_upsample",
+    # (tp09 certified r6, rotated out r7 for mm07 — tp06 keeps the
+    # histogram-decile machinery tp09 builds on in-window)
+    "tp08_temperature_mixture",
     "tp10_three_way_split",
     # data-quality gates (dq03: new round-7 snapshot-drift gate)
     "dq01_profile", "dq02_constraints", "dq03_snapshot_drift",

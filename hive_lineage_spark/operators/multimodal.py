@@ -672,6 +672,181 @@ MM06_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# mm07: REAL audio decode — RIFF/WAVE PCM needs no codec library (it is
+# struct unpacking), so like BMP/PPM/PNG it gets a genuine pure-Python
+# parser: a proper chunk walk (odd-size pad bytes, unknown chunks such
+# as LIST skipped), fmt validation, and interleaved int16 frames. The
+# fixture writes mono and stereo WAVs whose samples follow a closed
+# form the DuckDB oracle recomputes — an interleaving, endianness, or
+# chunk-walk bug fails the value-hash.
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 8000
+
+
+def _sample_vals(doc_id: int, n_vals: int) -> list[int]:
+    """Closed-form int16 sample stream: value j = ((doc_id*37 + j*11)
+    % 4001) - 2000 over the FLATTENED interleaved stream."""
+    return [((doc_id * 37 + j * 11) % 4001) - 2000 for j in range(n_vals)]
+
+
+def encode_wav(n_channels: int, rate: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM fmt chunk + a LIST (INFO) chunk —
+    present so decoders must actually walk chunks, not seek to a fixed
+    offset — + the interleaved little-endian int16 data chunk."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    info = b"INFOISFT" + struct.pack("<I", 8) + b"fixture\x00"
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, rate, rate * n_channels * 2, n_channels * 2, 16
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_audio_real(payload: bytes) -> dict:
+    """Pure-stdlib WAV decode (16-bit PCM): walk the RIFF chunk list —
+    chunks are word-aligned, so odd sizes carry a pad byte — validate
+    the fmt chunk (PCM, 16-bit), and unpack the data chunk's
+    little-endian int16 interleaved stream. Compressed audio (MP3/AAC/
+    FLAC) needs codec libraries not present in this container and keeps
+    the honest NotImplementedError path."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "no pure-Python decoder for this audio format (MP3/AAC/FLAC "
+            "need codec libraries not present in this container)"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # word alignment: odd sizes pad
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"only 16-bit PCM WAV (got format={audio_format}, bits={bits})")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
+    return {
+        "fmt": "wav",
+        "n_channels": n_channels,
+        "rate": rate,
+        "samples": samples,  # flattened interleaved stream
+    }
+
+
+def _audio_fixture(sf_dir: str) -> str:
+    """One WAV per document: even doc_ids mono, odd stereo; frame count
+    varies with doc_id so chunk sizes (and the odd-size pad path) take
+    multiple values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.registry import scratch_key, table_path
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "audio_v1")
+    out_file = os.path.join(out_dir, "audio.parquet")
+    if not os.path.exists(out_file):
+        doc_ids = (
+            pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        payloads = []
+        for d in doc_ids:
+            ch = 1 + (d % 2)
+            n_frames = (d % 50) + 20
+            payloads.append(encode_wav(ch, AUDIO_RATE, _sample_vals(d, n_frames * ch)))
+        tbl = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = out_file + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, out_file)
+    return out_file
+
+
+DECODE_AUDIO_SCHEMA = (
+    "doc_id long, n_channels int, rate int, n_frames long, "
+    "peak int, sum_sq long, checksum long, sum_ch0 long"
+)
+
+
+def _decode_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: parse the WAV container, then integer-exact
+    stats via numpy — the position-weighted checksum runs over the
+    interleaved stream (channel-order-sensitive), sum_ch0 de-interleaves
+    channel 0, and sum_sq is the energy (exact in int64)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_audio_real(bytes(payload))
+            s = np.asarray(m["samples"], dtype=np.int64)
+            ch = m["n_channels"]
+            rows.append(
+                (
+                    doc_id, ch, m["rate"], len(s) // ch,
+                    int(np.abs(s).max(initial=0)), int((s * s).sum()),
+                    int(((np.arange(len(s)) + 1) * s).sum()), int(s[0::ch].sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_channels", "rate", "n_frames",
+                "peak", "sum_sq", "checksum", "sum_ch0",
+            ],
+        )
+
+
+def mm07_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: binary WAV payloads → Arrow
+    ``mapInPandas`` → pure-stdlib RIFF parsing → typed sample stats.
+    Same scale shape as mm05: one narrow Python stage, no shuffle."""
+    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    return wavs.mapInPandas(_decode_audio_batches, schema=DECODE_AUDIO_SCHEMA)
+
+
+MM07_SQL = f"""
+    WITH m AS (
+        SELECT doc_id,
+               1 + (doc_id % 2) AS ch,
+               (doc_id % 50) + 20 AS n_frames
+        FROM documents
+    ),
+    sv AS (
+        SELECT doc_id, ch, n_frames, t.j AS j,
+               ((doc_id * 37 + t.j * 11) % 4001) - 2000 AS v
+        FROM m, unnest(range(0, n_frames * ch)) t(j)
+    )
+    SELECT doc_id,
+           CAST(ch AS INT) AS n_channels,
+           CAST({AUDIO_RATE} AS INT) AS rate,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(max(abs(v)) AS INT) AS peak,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(sum((j + 1) * v) AS BIGINT) AS checksum,
+           CAST(sum(CASE WHEN j % ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_ch0
+    FROM sv GROUP BY doc_id, ch, n_frames
+"""
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -679,6 +854,7 @@ QUERIES = {
     "mm04_resize_stub": mm04_resize_stub,
     "mm05_decode_image": mm05_decode_image,
     "mm06_decode_resize": mm06_decode_resize,
+    "mm07_decode_audio": mm07_decode_audio,
 }
 
 ORACLES = {
@@ -688,4 +864,5 @@ ORACLES = {
     "mm04_resize_stub": MM04_SQL,
     "mm05_decode_image": MM05_SQL,
     "mm06_decode_resize": MM06_SQL,
+    "mm07_decode_audio": MM07_SQL,
 }

@@ -24,6 +24,7 @@ PYTHON_BARRIER = {
     "mm04_resize_stub",
     "mm05_decode_image",
     "mm06_decode_resize",
+    "mm07_decode_audio",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",

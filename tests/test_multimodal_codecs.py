@@ -38,3 +38,27 @@ def test_png_bad_crc_rejected():
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\xff\xd8\xff\xe0 not decodable jpeg")
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from hive_lineage_spark.operators.multimodal import (
+        AUDIO_RATE,
+        _sample_vals,
+        decode_audio_real,
+        encode_wav,
+    )
+
+    for d in range(40):
+        ch = 1 + (d % 2)
+        n_frames = (d % 50) + 20
+        vals = _sample_vals(d, n_frames * ch)
+        m = decode_audio_real(encode_wav(ch, AUDIO_RATE, vals))
+        assert (m["fmt"], m["n_channels"], m["rate"]) == ("wav", ch, AUDIO_RATE)
+        assert m["samples"] == vals
+
+
+def test_wav_unknown_format_raises():
+    from hive_lineage_spark.operators.multimodal import decode_audio_real
+
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"ID3\x04 not decodable mp3 bytes")
