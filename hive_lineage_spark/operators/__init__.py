@@ -58,9 +58,10 @@ _DRIVER_PRIORITY = [
     "dd06_embed_cosine_dup",
     "dd07_near_dedup_apply", "dd08_dup_clusters",
     "dd12_semdedup", "dd13_semdedup_arrow",
-    # similarity search
+    # similarity search (ss06 certified r6, rotated out r7 for ss08 —
+    # its k-means math stays exercised in-window via ss07's oracle)
     "ss01_ann_bruteforce", "ss02_ann_ivf",
-    "ss06_kmeans", "ss07_ann_ivf_trained",
+    "ss07_ann_ivf_trained", "ss08_ann_pq",
     # text analysis
     "tx02_lang_id", "tx03_quality_score",
     "tx07_bpe_pretokenize",

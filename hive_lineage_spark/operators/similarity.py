@@ -847,6 +847,153 @@ DD12_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# ss08: product-quantized ANN (Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search") — the memory-scale path: each corpus
+# vector is stored as M subspace code ids (M small ints instead of dim
+# doubles, a ~dim·8/M compression), and a query scores candidates by
+# ADC (asymmetric distance computation): it precomputes, per subspace,
+# the distance from its own sub-vector to every codeword, then a
+# candidate's approximate distance is just M table lookups summed. At
+# 100 TB the codes table is the only corpus-sized artifact (bytes per
+# vector), the per-query tables are M·KPQ doubles broadcast with the
+# query, and scoring is whole-stage-codegen arithmetic — no Python, no
+# full-vector reads. Codebook here = the sub-vectors of the first KPQ
+# corpus vectors (deterministic, no training — ss02's documented
+# quantizer stand-in precedent); swap in per-subspace k-means (ss06's
+# machinery) on a real corpus without changing the dataflow.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codewords per subspace
+
+
+def _sub(v, m):
+    """Sub-vector of subspace ``m`` (dimension-agnostic: len(v)/PQ_M)."""
+    sub = (F.size(v) / PQ_M).cast("int")
+    return F.slice(v, m * sub + 1, sub)
+
+
+def ss08_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-K: encode the corpus once (argmin codeword per
+    subspace, ties to the lowest code id), broadcast each query's M×KPQ
+    distance table, score candidates by summed table lookups, rank
+    ascending on the ROUNDED approximate distance (both engines compare
+    identical doubles — the tx10 lesson) with neighbor-id ties."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # codebook: one broadcast row — per subspace, the KPQ codewords in
+    # code-id order
+    cb_rows = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code_id"),
+        F.array(*[_sub(F.col("v"), m) for m in range(PQ_M)]).alias("subs"),
+    )
+    cb = cb_rows.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("code_id", "subs"))).alias("cw")
+    )
+
+    def argmin_code(vcol, m):
+        # nearest codeword of subspace m: array_min over (dist, code_id)
+        return F.array_min(
+            F.transform(
+                "cw",
+                lambda c: F.struct(
+                    _sqdist(_sub(vcol, m), c["subs"][m]).alias("d"),
+                    c["code_id"].alias("code"),
+                ),
+            )
+        )["code"]
+
+    codes = (
+        e.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            F.array(*[argmin_code(F.col("v"), m) for m in range(PQ_M)]).alias("codes"),
+        )
+    )
+    # per-query ADC tables: dtab[m][j] = sqdist(q_sub_m, codeword[m][j]).
+    # NOTE: the lambda must be single-arg — a two-arg lambda makes
+    # F.transform pass (element, array_index) and the subspace number
+    # would silently become the codeword index.
+    def sub_table(m):
+        return F.transform("cw", lambda c: _sqdist(_sub(F.col("v"), m), c["subs"][m]))
+
+    dtab = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.array(*[sub_table(m) for m in range(PQ_M)]).alias("dtab"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "adist",
+            F.round(
+                F.aggregate(
+                    F.zip_with("dtab", "codes", lambda t, c: F.element_at(t, c.cast("int") + 1)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adist", "rank")
+    )
+
+
+_PQ_SUBDIST = (
+    "list_reduce(list_transform("
+    "range(m.m * (len({a}) // {M}) + 1, (m.m + 1) * (len({a}) // {M}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+SS08_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ms AS (SELECT CAST(t.m AS INT) AS m FROM unnest(range(0, {PQ_M})) t(m)),
+    cb AS (SELECT vec_id AS code_id, v FROM e WHERE vec_id < {PQ_K}),
+    enc AS (
+        SELECT vec_id, m, code_id FROM (
+            SELECT e.vec_id, m.m, cb.code_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, m.m
+                       ORDER BY {_PQ_SUBDIST.format(a='e.v', b='cb.v', M=PQ_M)}, cb.code_id
+                   ) AS rk
+            FROM e CROSS JOIN ms m CROSS JOIN cb
+        ) WHERE rk = 1
+    ),
+    qd AS (
+        SELECT q.vec_id AS query_id, m.m, cb.code_id,
+               {_PQ_SUBDIST.format(a='q.v', b='cb.v', M=PQ_M)} AS d
+        FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN ms m CROSS JOIN cb
+    ),
+    scored AS (
+        SELECT qd.query_id, enc.vec_id AS neighbor_id,
+               round(list_reduce(list(qd.d ORDER BY qd.m), (x, y) -> x + y), 6) AS adist
+        FROM enc JOIN qd ON enc.m = qd.m AND enc.code_id = qd.code_id
+        WHERE qd.query_id <> enc.vec_id
+        GROUP BY qd.query_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+        SELECT query_id, neighbor_id, adist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -855,6 +1002,7 @@ QUERIES = {
     "ss05_ann_bruteforce_arrow": ss05_ann_bruteforce_arrow,
     "ss06_kmeans": ss06_kmeans,
     "ss07_ann_ivf_trained": ss07_ann_ivf_trained,
+    "ss08_ann_pq": ss08_ann_pq,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -868,6 +1016,7 @@ ORACLES = {
     "ss05_ann_bruteforce_arrow": SS01_SQL,
     "ss06_kmeans": SS06_SQL,
     "ss07_ann_ivf_trained": SS07_SQL,
+    "ss08_ann_pq": SS08_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,
