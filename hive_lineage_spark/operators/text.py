@@ -701,6 +701,69 @@ TX12_SQL = f"""
 """
 
 
+def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with a unigram model trained on
+    the corpus itself: per document, the average token cross-entropy
+    ``H(d) = ln(T) - (1/n_d) Σ_w tf(w,d)·ln(cnt(w))`` where cnt is the
+    corpus unigram count and T the corpus token total — low H means the
+    doc is made of common tokens (boilerplate-ish), high H means rare
+    ones; pipelines bucket on this exactly as CCNet buckets on KenLM
+    perplexity, and a real LM drops in by replacing the cnt table.
+
+    Scale shape: tf is one partial-agg pass (map-side combine), the
+    unigram table is vocabulary-sized (sublinear per Heaps' law) and
+    joins tf on word with AQE free to broadcast it, the corpus total is
+    one broadcast row. Cross-engine FP contract: the per-doc sum is a
+    fold over the (word-sorted) contribution list in BOTH engines, so
+    float association order is pinned; the result rounds at 6 dp with
+    the midpoint nudge."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    per_doc = (
+        tf.join(cnt, "w")
+        .select("doc_id", "tf", F.struct("w", (F.col("tf") * F.log("cnt")).alias("c")).alias("wc"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(F.collect_list("wc")), F.lit(0.0), lambda a, s: a + s["c"]
+            ).alias("s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.log("t") - F.col("s") / F.col("n_tokens") + 1e-9, 6).alias("xent"),
+    )
+
+
+TX13_SQL = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    cnt AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS t FROM tok),
+    per_doc AS (
+        SELECT doc_id,
+               sum(tf) AS n_tokens,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(tf * ln(cnt) ORDER BY w)),
+                   (a, c) -> a + c
+               ) AS s
+        FROM tf JOIN cnt USING (w)
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(ln(t) - s / n_tokens + 1e-9, 6) AS xent
+    FROM per_doc, tot
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -712,6 +775,7 @@ QUERIES = {
     "tx10_tfidf_terms": tx10_tfidf_terms,
     "tx11_span_dedup": tx11_span_dedup,
     "tx12_dup_span_profile": tx12_dup_span_profile,
+    "tx13_unigram_logprob": tx13_unigram_logprob,
 }
 
 ORACLES = {
@@ -725,4 +789,5 @@ ORACLES = {
     "tx10_tfidf_terms": TX10_SQL,
     "tx11_span_dedup": TX11_SQL,
     "tx12_dup_span_profile": TX12_SQL,
+    "tx13_unigram_logprob": TX13_SQL,
 }
