@@ -189,3 +189,48 @@ def test_embed_cosine_multi_tile_matches_single_tile(spark, monkeypatch):
     monkeypatch.setattr(dd, "TILE_ROWS", 128)
     multi = rows(dd.dd06_embed_cosine_dup(spark, SF))
     assert single == multi and len(single) == 920
+
+
+def test_pq_ann_broadcasts_codebook_and_queries(spark):
+    """ss08's joins must ALL be broadcast (1-row codebook, n_queries-row
+    distance tables) with exactly one hash exchange — the final rank
+    window on query_id. A shuffle of the corpus codes, or a cartesian
+    product, would break the PQ scale story (corpus-sized artifact is
+    the codes table only)."""
+    import re
+
+    import hive_lineage_spark.operators.similarity as ss
+
+    df = ss.ss08_ann_pq(spark, SF)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+),", plan)
+    assert len(exchanges) == 1 and exchanges[0].startswith("query_id"), exchanges
+
+
+def test_real_decode_ops_are_single_python_stage(spark):
+    """mm05/mm06/mm07 are one narrow mapInPandas stage over the fixture
+    scan: no exchange, no join — the shape that scales by adding input
+    splits."""
+    from hive_lineage_spark.operators import multimodal as mm
+
+    for q in (mm.mm05_decode_image, mm.mm06_decode_resize, mm.mm07_decode_audio):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, (q.__name__, plan)
+        assert "MapInPandas" in plan, (q.__name__, plan)
+
+
+def test_unigram_logprob_has_partial_agg_and_no_pinned_join(spark):
+    """tx13: the tf pass must map-side combine, and the tf⋈cnt join must
+    carry no user hint (vocabulary is sublinear but corpus-proportional
+    in the limit — AQE decides)."""
+    from hive_lineage_spark.operators import text as tx
+
+    df = tx.tx13_unigram_logprob(spark, SF)
+    plan = _plan(df)
+    assert "partial_" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1  # the 1-row corpus total only
