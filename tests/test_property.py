@@ -443,3 +443,77 @@ def test_vtable_log_protocol_matches_model(tmp_path_factory, ops):
     from hive_lineage_spark.sources.vtable import expire_snapshots as _exp
 
     assert _exp(root, keep_last=10_000)["n_deleted"] == 0
+
+
+# ---------------------------------------------------------------------------
+# codec round-trips on ARBITRARY pixel/sample content — the fixture's
+# closed-form bytes only cover one byte pattern per (w, h); these drive
+# random content through every encoder/decoder pair.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def images(draw):
+    w = draw(st.integers(min_value=1, max_value=24))
+    h = draw(st.integers(min_value=1, max_value=12))
+    rgb = draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+    return w, h, rgb
+
+
+@given(images())
+@settings(max_examples=80, deadline=None)
+def test_png_roundtrip_random_pixels(img):
+    from hive_lineage_spark.operators.multimodal import _decode_png, encode_png
+
+    w, h, rgb = img
+    m = _decode_png(encode_png(w, h, rgb))
+    assert (m["width"], m["height"], m["pixels"]) == (w, h, rgb)
+
+
+@given(images())
+@settings(max_examples=80, deadline=None)
+def test_bmp_ppm_roundtrip_random_pixels(img):
+    from hive_lineage_spark.operators.multimodal import (
+        decode_image_real,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    w, h, rgb = img
+    assert decode_image_real(encode_bmp(w, h, rgb))["pixels"] == rgb
+    # PPM's header tokenizer treats a leading '#' comment char in data
+    # fine (data follows exactly one whitespace byte) — random bytes
+    # exercise that boundary
+    assert decode_image_real(encode_ppm(w, h, rgb))["pixels"] == rgb
+
+
+@given(
+    st.integers(min_value=1, max_value=2),
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=300),
+)
+@settings(max_examples=80, deadline=None)
+def test_wav_roundtrip_random_samples(ch, vals):
+    from hive_lineage_spark.operators.multimodal import decode_audio_real, encode_wav
+
+    if len(vals) % ch:
+        vals = vals[: len(vals) - (len(vals) % ch)] or vals * ch
+    m = decode_audio_real(encode_wav(ch, 8000, vals))
+    assert m["n_channels"] == ch and m["samples"] == list(vals)
+
+
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=16))
+@settings(max_examples=120, deadline=None)
+def test_fit_box_invariants(w, h, box):
+    """fit_box never upsizes, preserves which side dominates, respects
+    the box, and is the identity when the image already fits."""
+    from hive_lineage_spark.operators.multimodal import fit_box
+
+    tw, th, resized = fit_box(w, h, box)
+    assert 1 <= tw and 1 <= th
+    if max(w, h) <= box:
+        assert (tw, th, resized) == (w, h, False)
+    else:
+        assert resized and max(tw, th) == box and tw <= w and th <= h
+        if w >= h:
+            assert tw >= th or th == 1
