@@ -338,9 +338,18 @@ class LineageTracker:
 
     # -- steps 1,3-6 ---------------------------------------------------------
 
-    def track(self, df: DataFrame, name: str = "query", sql_text: str | None = None) -> QueryLineage:
-        """Capture lineage of an executed DataFrame query."""
-        ql = self.track_captured(capture(df), name)
+    def track(
+        self,
+        df: DataFrame,
+        name: str = "query",
+        sql_text: str | None = None,
+        declared: dict[str, list[str]] | None = None,
+    ) -> QueryLineage:
+        """Capture lineage of an executed DataFrame query. ``declared``
+        upgrades Python-UDF barrier outputs with operator-authored
+        column mappings (see ``lineage.analyze``) — provenance is marked
+        ``declared``, never conflated with engine-proven edges."""
+        ql = self.track_captured(capture(df), name, declared=declared)
         ql.sql_text = sql_text
         return ql
 
@@ -572,13 +581,18 @@ class LineageTracker:
 
         return self.track_captured(load_captured(path), name)
 
-    def track_captured(self, cap: Captured, name: str = "query") -> QueryLineage:
+    def track_captured(
+        self,
+        cap: Captured,
+        name: str = "query",
+        declared: dict[str, list[str]] | None = None,
+    ) -> QueryLineage:
         leaf_tables = self._leaf_tables(cap)
         self._snapshot(cap, leaf_tables)
         views = self._snapshot_views(cap)
 
         logical = logical_graph(cap.logical, leaf_tables)
-        result = analyze(cap.logical, leaf_tables)
+        result = analyze(cap.logical, leaf_tables, declared=declared)
         if views:
             result.notes.append("through views: " + ", ".join(sorted(views)))
         normalized = normalize(cap.physical) if cap.physical is not None else None

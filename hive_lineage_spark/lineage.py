@@ -152,10 +152,24 @@ def _leaf_output(p: PlanNode) -> list[tuple[str, EId]]:
     return out
 
 
-def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
+def analyze(
+    plan: PlanNode,
+    leaf_tables: list[str],
+    declared: dict[str, list[str]] | None = None,
+) -> LineageResult:
     """Resolve column lineage of the whole plan (≈ QueryNode._initialize
     pass 3 forcing every operator's schemaMapping,
-    ``lineage/OperatorNode.scala:67-100``, but in one bottom-up pass)."""
+    ``lineage/OperatorNode.scala:67-100``, but in one bottom-up pass).
+
+    ``declared`` upgrades Python-UDF barriers (mapInPandas & friends,
+    where exprIds genuinely do not flow): a mapping of barrier OUTPUT
+    column name → the barrier's INPUT column names it derives from, as
+    asserted by the operator author (Spark's plan cannot prove it). A
+    declared output resolves through the barrier child's lineage with
+    role ``"declared"`` — honest provenance: engine-proven edges stay
+    ``direct``/``udf``, authored edges are visibly weaker. Undeclared
+    fresh outputs keep the not-mappable sentinel, the reference's
+    Column(null,null) (``SchemaMapping.scala:128-130``)."""
     leaf_iter = iter(leaf_tables)
     tables: list[str] = []
     loop_anchors: dict[str, _NodeMap] = {}  # UnionLoop id → anchor map
@@ -467,12 +481,31 @@ def analyze(plan: PlanNode, leaf_tables: list[str]) -> LineageResult:
             if fresh:
                 child = children[0]
                 bases = dict(child.bases)
+                child_by_name = {n: e for n, e in child.output if e}
                 out: list[tuple[str, EId | None]] = []
+                n_declared = 0
                 for name, eid in fresh:
                     if eid not in bases:
-                        bases[eid] = frozenset({UNKNOWN})
+                        srcs = (declared or {}).get(name)
+                        if srcs:
+                            cells: set[Cell] = set()
+                            for s in srcs:
+                                se = child_by_name.get(s)
+                                cells.update(
+                                    child.bases.get(se, frozenset({UNKNOWN}))
+                                    if se
+                                    else frozenset({UNKNOWN})
+                                )
+                            bases[eid] = frozenset(cells)
+                            roles[eid] = "declared"
+                            n_declared += 1
+                        else:
+                            bases[eid] = frozenset({UNKNOWN})
                     out.append((name, eid))
-                notes.append(f"opaque schema barrier {kind}")
+                notes.append(
+                    f"opaque schema barrier {kind}"
+                    + (f" ({n_declared} declared column(s))" if n_declared else "")
+                )
                 return _NodeMap(output=out, bases=bases)
             # unknown unary op without own output: inherit
             # (≈ SchemaMapping default, :132)

@@ -105,6 +105,19 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
+def all_declared() -> dict[str, dict[str, list[str]]]:
+    """Operator-authored barrier lineage declarations, merged: query
+    name → {output column → input columns of the Python barrier}.
+    Consumed by ``LineageTracker.track(df, declared=...)``; provenance
+    of these edges is marked ``declared`` (engine-unprovable)."""
+    from . import dedup, multimodal, pandas_ops, similarity
+
+    merged: dict[str, dict[str, list[str]]] = {}
+    for mod in (dedup, similarity, multimodal, pandas_ops):
+        merged.update(getattr(mod, "DECLARED", {}))
+    return merged
+
+
 def all_oracles() -> dict[str, str]:
     from . import (
         dedup, multimodal, pandas_ops, pipeline, quality, relational,

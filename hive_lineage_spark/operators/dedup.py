@@ -882,6 +882,16 @@ QUERIES = {
     "dd11_incremental_postings": dd11_incremental_postings,
 }
 
+# Operator-authored lineage through dd06's tile barrier (lineage.analyze
+# ``declared``): ids and scores all derive from the packed block columns.
+DECLARED = {
+    "dd06_embed_cosine_dup": {
+        "id_a": ["rows_a", "rows_b"],
+        "id_b": ["rows_a", "rows_b"],
+        "cosine": ["rows_a", "rows_b"],
+    },
+}
+
 ORACLES = {
     "dd10_decontaminate": DD10_SQL,
     "dd01_exact_dedup": DD01_SQL,

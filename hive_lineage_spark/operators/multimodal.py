@@ -857,6 +857,39 @@ QUERIES = {
     "mm07_decode_audio": mm07_decode_audio,
 }
 
+# Operator-authored lineage through the mapInPandas barrier (see
+# lineage.analyze ``declared``): every decode op carries doc_id through
+# unchanged and derives its stats from payload.
+DECLARED = {
+    "mm01_decode_stub": {
+        "doc_id": ["doc_id"], "n_bytes": ["payload"], "sha16": ["payload"],
+        "width": ["payload"], "height": ["payload"],
+    },
+    "mm04_resize_stub": {
+        "doc_id": ["doc_id"], "width": ["payload"], "height": ["payload"],
+        "tgt_w": ["payload"], "tgt_h": ["payload"], "resized": ["payload"],
+    },
+    "mm05_decode_image": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "fmt", "width", "height", "n_pixels", "checksum", "sum_r", "sum_g", "sum_b"
+        )},
+    },
+    "mm06_decode_resize": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "fmt", "width", "height", "tgt_w", "tgt_h", "resized",
+            "checksum", "sum_r", "sum_g", "sum_b"
+        )},
+    },
+    "mm07_decode_audio": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "n_channels", "rate", "n_frames", "peak", "sum_sq", "checksum", "sum_ch0"
+        )},
+    },
+}
+
 ORACLES = {
     "mm01_decode_stub": MM01_SQL,
     "mm02_frame_sample": MM02_SQL,

@@ -79,3 +79,15 @@ ORACLES = {
     "px01_pandas_udf_readability": PX01_SQL,
     "px02_grouped_zscore": PX02_SQL,
 }
+
+# Operator-authored lineage through px02's applyInPandas barrier
+# (lineage.analyze ``declared``): the group key and carried columns pass
+# through; z derives from n_chars.
+DECLARED = {
+    "px02_grouped_zscore": {
+        "source": ["source"],
+        "doc_id": ["doc_id"],
+        "n_chars": ["n_chars"],
+        "z": ["n_chars"],
+    },
+}

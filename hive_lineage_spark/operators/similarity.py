@@ -1007,6 +1007,23 @@ QUERIES = {
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
 
+# Operator-authored lineage through the Python barriers (lineage.analyze
+# ``declared``): ss05's tile worker derives ids/scores from the packed
+# block columns; dd13's per-cell worker carries vec_id through as the
+# pair ids and scores from the vector + engine-side norm.
+DECLARED = {
+    "ss05_ann_bruteforce_arrow": {
+        "query_id": ["rows_q"],
+        "neighbor_id": ["rows_c"],
+        "cosine": ["rows_q", "rows_c"],
+    },
+    "dd13_semdedup_arrow": {
+        "keep_id": ["vec_id"],
+        "drop_id": ["vec_id"],
+        "cosine": ["v", "nrm"],
+    },
+}
+
 ORACLES = {
     "ss01_ann_bruteforce": SS01_SQL,
     "ss02_ann_ivf": SS02_SQL,

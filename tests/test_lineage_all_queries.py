@@ -54,3 +54,30 @@ def test_lineage_capture_on_query(spark, name):
 
         kinds = {n.kind for n in ql.normalized.walk()}
         assert not (kinds & _ARTIFACT_KINDS), kinds & _ARTIFACT_KINDS
+
+
+DECLARED = __import__(
+    "hive_lineage_spark.operators", fromlist=["all_declared"]
+).all_declared()
+
+
+@pytest.mark.parametrize("name", sorted(DECLARED))
+def test_declared_lineage_resolves_barrier_columns(spark, name):
+    """With operator-authored declarations, every barrier output column
+    resolves to real base cells with role 'declared' — the sentinel
+    disappears exactly where (and only where) the author asserted the
+    mapping; engine-proven edges keep their stronger roles."""
+    df = QUERIES[name](spark, SF)
+    df.collect()
+    ql = LineageTracker().track(df, name=name, declared=DECLARED[name])
+    by_name = {c.name: c for c in ql.result.columns}
+    for out_col in DECLARED[name]:
+        c = by_name[out_col]
+        assert UNKNOWN not in c.bases, f"{name}.{out_col} still unmappable"
+        assert c.bases, (name, out_col)
+    # the report must surface the weaker provenance
+    declared_roles = {
+        c.name for c in ql.result.columns if getattr(c, "role", None) == "declared"
+    }
+    assert set(DECLARED[name]) & declared_roles, declared_roles
+    assert ql.result.input_tables, name

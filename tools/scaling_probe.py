@@ -36,6 +36,11 @@ PROBE = [
     ("tx12_dup_span_profile", "3 linear gram passes; hash-to-hash joins"),
     ("ss06_kmeans", "linear per round: broadcast assign + C*dim update agg"),
     ("dd12_semdedup", "pair space bounded to within-cell; one cell shuffle"),
+    ("ss08_ann_pq", "linear encode + ADC scan (fixed queries); codes-only corpus artifact"),
+    ("tx13_unigram_logprob", "linear tf pass; vocabulary-sized unigram join"),
+    ("mm06_decode_resize", "linear single Python stage (per-image constant work)"),
+    ("mm07_decode_audio", "linear single Python stage"),
+    ("dq03_snapshot_drift", "two linear profile passes, 1-row exchanges"),
 ]
 
 
