@@ -50,9 +50,9 @@ _DRIVER_PRIORITY = [
     "q13_join_nullsafe", "q44_unique_join", "q14_agg_tpch_q1",
     "q15_agg_distinct", "q16_topk", "q17_q27_shape",
     "q18_partition_pruning", "q19_insert_readback", "q31_q27_sql_text",
-    # SQL-surface round-5 additions (q48 certified r6, rotated out r7
-    # to make room for dq03 — unpivot semantics stay covered locally)
-    "q49_rolling_range", "q50_vtable_partitioned",
+    # SQL-surface round-5 additions (q48/q49 certified r6, rotated out
+    # r7 for dq03/mm08 — their semantics stay oracle-covered locally)
+    "q50_vtable_partitioned",
     # deduplication
     "dd02_ngram_jaccard", "dd03_minhash_lsh",
     "dd06_embed_cosine_dup",
@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     # decode; tx09 out — certified r6, span shape covered by tx12 —
     # making room for mm06, the new real-pixel resize chain)
     "mm05_decode_image", "mm06_decode_resize", "mm07_decode_audio",
+    "mm08_video_frame_index",
     # composed pipeline + training-prep
     "tp01_full_pipeline",
     "tp03_pack_sequences", "tp06_curriculum_bins",

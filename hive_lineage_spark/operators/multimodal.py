@@ -847,6 +847,213 @@ MM07_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# mm08: REAL video container walk — AVI is RIFF (like WAV), so frame
+# INDEXING needs no codec: walk RIFF('AVI ') → LIST('hdrl') for the
+# main header (frame count, dimensions) → LIST('movi') for the '00dc'
+# frame chunks. The op emits every Nth frame's (offset, size, checksum)
+# — the frame-sampling stage of a video pipeline, with the expensive
+# per-frame pixel decode left to a downstream decoder (MJPEG frames are
+# JPEG — honestly not decodable here). Fixture AVIs carry closed-form
+# frame payloads the oracle recomputes.
+# ---------------------------------------------------------------------------
+
+FRAME_STEP = 3  # emit frames 0, 3, 6, ... (the "every Nth frame" sample)
+
+
+def _frame_bytes(doc_id: int, frame_no: int, size: int) -> bytes:
+    """Closed-form fake frame payload: byte i = (doc_id*13 + frame_no*7
+    + i*3) % 256."""
+    return bytes((doc_id * 13 + frame_no * 7 + i * 3) % 256 for i in range(size))
+
+
+def encode_avi(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Minimal RIFF/AVI writer: avih main header inside LIST('hdrl'),
+    a LIST('INFO') chunk decoders must skip, then LIST('movi') with one
+    '00dc' chunk per frame (odd sizes pad to word alignment, as RIFF
+    requires)."""
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        33333,  # µs per frame (~30 fps)
+        0, 0, 0,
+        len(frames),  # dwTotalFrames
+        0, 1,  # streams
+        0, width, height, 0, 0, 0, 0,
+    )
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih))
+    info = list_chunk(b"INFO", chunk(b"ISFT", b"fixture\x00"))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + info + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_frames(payload: bytes) -> dict:
+    """Pure-stdlib AVI container walk: validate RIFF('AVI '), read the
+    avih main header out of LIST('hdrl'), then index every '00dc' frame
+    chunk inside LIST('movi') — (absolute offset, size) per frame,
+    without touching the frame bytes. Word-aligned chunk stepping, as
+    in the WAV decoder. Frame PIXEL decoding (MJPEG = JPEG) keeps the
+    honest NotImplementedError path downstream."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "no pure-Python parser for this video container (MP4/MKV need "
+            "full demuxers; only RIFF/AVI is supported here)"
+        )
+    n_frames = width = height = None
+    frames: list[tuple[int, int]] = []  # (abs offset of frame bytes, size)
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal n_frames, width, height
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                kind = payload[body_start : body_start + 4]
+                if kind in (b"hdrl", b"movi"):
+                    walk(body_start + 4, body_start + size)
+            elif tag == b"avih":
+                vals = struct.unpack_from("<IIIIIIIIII", payload, body_start)
+                n_frames, width, height = vals[4], vals[8], vals[9]
+            elif tag == b"00dc":
+                frames.append((body_start, size))
+            pos = body_start + size + (size % 2)
+
+    walk(12, len(payload))
+    if n_frames is None:
+        raise ValueError("AVI missing avih header")
+    if n_frames != len(frames):
+        raise ValueError(f"avih declares {n_frames} frames, movi has {len(frames)}")
+    return {"fmt": "avi", "width": width, "height": height, "frames": frames}
+
+
+def _video_fixture(sf_dir: str) -> str:
+    """One AVI per document: frame count and frame size vary with doc_id
+    (odd frame sizes exercise the RIFF pad byte)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.registry import scratch_key, table_path
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "video_v1")
+    out_file = os.path.join(out_dir, "video.parquet")
+    if not os.path.exists(out_file):
+        doc_ids = (
+            pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        payloads = []
+        for d in doc_ids:
+            n_frames = (d % 12) + 3
+            fsize = (d % 9) + 5  # 5..13 bytes — odd sizes hit the pad path
+            w, h = (d % 13) + 4, (d % 7) + 4
+            payloads.append(
+                encode_avi(w, h, [_frame_bytes(d, f, fsize) for f in range(n_frames)])
+            )
+        tbl = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = out_file + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, out_file)
+    return out_file
+
+
+FRAME_SCHEMA = (
+    "doc_id long, n_frames int, width int, height int, "
+    "frame_no int, byte_offset long, n_bytes int, checksum long"
+)
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: walk the container, emit every FRAME_STEPth
+    frame's offset/size plus a position-weighted checksum of the frame
+    BYTES (reading only the sampled frames' slices — the I/O shape of
+    real frame sampling)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            m = parse_avi_frames(payload)
+            for f, (off, size) in enumerate(m["frames"]):
+                if f % FRAME_STEP:
+                    continue
+                b = np.frombuffer(payload[off : off + size], dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    (
+                        doc_id, len(m["frames"]), m["width"], m["height"],
+                        f, off, size, int(((np.arange(size) + 1) * b).sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "width", "height",
+                "frame_no", "byte_offset", "n_bytes", "checksum",
+            ],
+        )
+
+
+def mm08_video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame sampling: AVI payloads → RIFF walk →
+    every Nth frame's (offset, size, byte checksum). Same narrow
+    one-stage shape as mm05/mm07; a production pipeline hands the
+    sampled (offset, size) slices to the frame decoder."""
+    vids = spark.read.parquet(_video_fixture(sf_dir))
+    return vids.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
+
+
+# Oracle: reproduce the container layout arithmetic in closed form.
+# Layout offsets (from encode_avi): RIFF header 12 + hdrl LIST 76
+# (8 + 4 + (8 + 56-byte avih)) + INFO LIST 28 (8 + 4 + (8 + 8-byte
+# ISFT)) + movi LIST header 12 (8 + 'movi') = 128 bytes to the first
+# '00dc' tag; each frame chunk occupies 8 + fsize + (fsize % 2) bytes;
+# frame byte offset = tag offset + 8.
+MM08_SQL = f"""
+    WITH m AS (
+        SELECT doc_id,
+               (doc_id % 12) + 3 AS n_frames,
+               (doc_id % 9) + 5 AS fsize,
+               (doc_id % 13) + 4 AS w,
+               (doc_id % 7) + 4 AS h
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, n_frames, fsize, w, h, CAST(t.f AS INT) AS frame_no,
+               128 + t.f * (8 + fsize + (fsize % 2)) + 8 AS byte_offset
+        FROM m, unnest(range(0, n_frames)) t(f)
+        WHERE t.f % {FRAME_STEP} = 0
+    )
+    SELECT doc_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           frame_no,
+           CAST(byte_offset AS BIGINT) AS byte_offset,
+           CAST(fsize AS INT) AS n_bytes,
+           CAST((
+               SELECT sum((t.i + 1) * ((doc_id * 13 + frame_no * 7 + t.i * 3) % 256))
+               FROM unnest(range(0, fsize)) t(i)
+           ) AS BIGINT) AS checksum
+    FROM fr
+"""
+
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -855,6 +1062,7 @@ QUERIES = {
     "mm05_decode_image": mm05_decode_image,
     "mm06_decode_resize": mm06_decode_resize,
     "mm07_decode_audio": mm07_decode_audio,
+    "mm08_video_frame_index": mm08_video_frame_index,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -888,6 +1096,12 @@ DECLARED = {
             "n_channels", "rate", "n_frames", "peak", "sum_sq", "checksum", "sum_ch0"
         )},
     },
+    "mm08_video_frame_index": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "n_frames", "width", "height", "frame_no", "byte_offset", "n_bytes", "checksum"
+        )},
+    },
 }
 
 ORACLES = {
@@ -898,4 +1112,5 @@ ORACLES = {
     "mm05_decode_image": MM05_SQL,
     "mm06_decode_resize": MM06_SQL,
     "mm07_decode_audio": MM07_SQL,
+    "mm08_video_frame_index": MM08_SQL,
 }

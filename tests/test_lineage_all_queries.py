@@ -25,6 +25,7 @@ PYTHON_BARRIER = {
     "mm05_decode_image",
     "mm06_decode_resize",
     "mm07_decode_audio",
+    "mm08_video_frame_index",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",

@@ -62,3 +62,44 @@ def test_wav_unknown_format_raises():
 
     with pytest.raises(NotImplementedError):
         decode_audio_real(b"ID3\x04 not decodable mp3 bytes")
+
+
+def test_avi_container_walk():
+    from hive_lineage_spark.operators.multimodal import (
+        _frame_bytes,
+        encode_avi,
+        parse_avi_frames,
+    )
+
+    for d in range(24):
+        n_frames, fsize = (d % 12) + 3, (d % 9) + 5
+        frames = [_frame_bytes(d, f, fsize) for f in range(n_frames)]
+        payload = encode_avi((d % 13) + 4, (d % 7) + 4, frames)
+        m = parse_avi_frames(payload)
+        assert m["fmt"] == "avi" and len(m["frames"]) == n_frames
+        for f, (off, size) in enumerate(m["frames"]):
+            assert payload[off : off + size] == frames[f]
+
+
+def test_avi_frame_count_mismatch_rejected():
+    import struct
+
+    from hive_lineage_spark.operators.multimodal import (
+        _frame_bytes,
+        encode_avi,
+        parse_avi_frames,
+    )
+
+    payload = bytearray(encode_avi(4, 4, [_frame_bytes(1, f, 6) for f in range(4)]))
+    # lie about dwTotalFrames (offset: 12 RIFF + 8 LIST + 4 'hdrl' + 8
+    # chunk header + 16 into avih)
+    struct.pack_into("<I", payload, 12 + 8 + 4 + 8 + 16, 99)
+    with pytest.raises(ValueError, match="declares"):
+        parse_avi_frames(bytes(payload))
+
+
+def test_non_avi_video_raises():
+    from hive_lineage_spark.operators.multimodal import parse_avi_frames
+
+    with pytest.raises(NotImplementedError):
+        parse_avi_frames(b"\x00\x00\x00 ftypisom not parseable mp4")
