@@ -77,10 +77,11 @@ _DRIVER_PRIORITY = [
     # composed pipeline + training-prep
     "tp01_full_pipeline",
     "tp03_pack_sequences", "tp06_curriculum_bins",
-    # (tp09 certified r6, rotated out r7 for mm07 — tp06 keeps the
-    # histogram-decile machinery tp09 builds on in-window)
+    # (tp09/tp10 certified r6, rotated out r7 for mm07/tp11 — tp06
+    # keeps the histogram-decile machinery in-window, tp01/tp03/tp08
+    # keep sampling/packing/mixture)
     "tp08_temperature_mixture",
-    "tp10_three_way_split",
+    "tp11_chunk_overlap",
     # data-quality gates (dq03: new round-7 snapshot-drift gate)
     "dq01_profile", "dq02_constraints", "dq03_snapshot_drift",
 ]

@@ -786,6 +786,64 @@ TP08_SQL = f"""
 """
 
 
+CHUNK_W, CHUNK_S = 64, 48  # window words, stride (overlap = W - S = 16)
+
+
+def tp11_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap — the long-document step of
+    a pretraining pipeline (HF tokenizers' return_overflowing_tokens
+    shape): each document yields chunks of ``CHUNK_W`` words starting
+    every ``CHUNK_S`` words, so consecutive chunks share ``W − S`` words
+    of context; the final chunk is the (possibly shorter) tail so no
+    word is dropped. Each chunk carries its md5 (both engines' md5 of
+    the identical substring) so the oracle pins the exact chunk TEXT,
+    not just offsets.
+
+    Scale shape: pure map — tokenize, sequence+posexplode of the chunk
+    starts, slice/join per chunk. No shuffle at all; scales by input
+    splits. Chunk inflation is ~n/S rows per doc, the same factor the
+    real pipeline pays."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n = F.size("ws")
+    last_k = F.ceil(F.greatest(n - CHUNK_W, F.lit(0)) / F.lit(float(CHUNK_S))).cast("int")
+    d2 = d.select(
+        "doc_id", "ws", n.alias("n"),
+        F.posexplode(F.sequence(F.lit(0), last_k)).alias("chunk_no", "k"),
+    )
+    start = F.col("k") * CHUNK_S
+    ln = F.least(F.lit(CHUNK_W), F.col("n") - start)
+    chunk = F.array_join(F.slice("ws", start + 1, ln), " ")
+    return d2.select(
+        "doc_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        start.cast("long").alias("start_word"),
+        ln.cast("long").alias("n_words"),
+        F.md5(F.encode(chunk, "utf-8")).alias("chunk_md5"),
+    )
+
+
+TP11_SQL = f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, ws, n, CAST(t.k AS INT) AS chunk_no,
+               t.k * {CHUNK_S} AS start
+        FROM d, unnest(range(0, 1 + CAST(ceil(greatest(n - {CHUNK_W}, 0)
+                                              / ({CHUNK_S} * 1.0)) AS BIGINT))) t(k)
+    )
+    SELECT doc_id, chunk_no,
+           CAST(start AS BIGINT) AS start_word,
+           CAST(least({CHUNK_W}, n - start) AS BIGINT) AS n_words,
+           md5(array_to_string(ws[start + 1 : start + least({CHUNK_W}, n - start)], ' ')) AS chunk_md5
+    FROM c
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
@@ -797,6 +855,7 @@ QUERIES = {
     "tp08_temperature_mixture": tp08_temperature_mixture,
     "tp09_epoch_upsample": tp09_epoch_upsample,
     "tp10_three_way_split": tp10_three_way_split,
+    "tp11_chunk_overlap": tp11_chunk_overlap,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -815,6 +874,7 @@ ORACLES = {
     "tp08_temperature_mixture": TP08_SQL,
     "tp09_epoch_upsample": TP09_SQL,
     "tp10_three_way_split": TP10_SQL,
+    "tp11_chunk_overlap": TP11_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,
