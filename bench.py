@@ -67,8 +67,10 @@ EXTRA = [
     "mm06_decode_resize",      # real decode→resize chain (round 7)
     "dq03_snapshot_drift",     # two-snapshot profile drift (round 7)
     "mm07_decode_audio",       # real WAV decode (round 7)
+    "mm08_video_frame_index",  # real AVI container walk (round 7)
     "ss08_ann_pq",             # PQ/ADC scoring (round 7)
     "tx13_unigram_logprob",    # unigram cross-entropy scoring (round 7)
+    "tp11_chunk_overlap",      # sliding-window chunking (round 7)
 ]
 
 
