@@ -478,3 +478,31 @@ def test_streaming_postings_maintenance_equals_batch_rebuild(spark, tmp_path):
     }
     want = {tuple(r) for r in dd11_incremental_postings(spark, SF).collect()}
     assert got == want and got
+
+
+def test_streaming_real_decode_equals_batch_mm05(spark):
+    """The real-codec decode stage composes with Structured Streaming
+    unchanged: mm05's mapInPandas worker over a file-source stream of
+    the image fixture produces exactly the batch operator's rows — the
+    shape of a continuously-ingesting multimodal pipeline (decode is a
+    stateless narrow stage, so stream/batch equality is exact)."""
+    import os
+
+    from hive_lineage_spark.operators.multimodal import (
+        DECODE_REAL_SCHEMA,
+        _decode_real_batches,
+        _image_fixture,
+        mm05_decode_image,
+    )
+    from hive_lineage_spark.streaming.events import run_stream_to_memory
+
+    fixture = _image_fixture(SF)
+    batch_df = spark.read.parquet(fixture)
+    stream = spark.readStream.schema(batch_df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(os.path.dirname(fixture))
+    decoded = stream.mapInPandas(_decode_real_batches, schema=DECODE_REAL_SCHEMA)
+    run_stream_to_memory(decoded, "mm05_stream")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM mm05_stream").collect()}
+    want = {tuple(r) for r in mm05_decode_image(spark, SF).collect()}
+    assert got == want and got
