@@ -63,11 +63,12 @@ _DRIVER_PRIORITY = [
     "ss01_ann_bruteforce", "ss02_ann_ivf",
     "ss07_ann_ivf_trained", "ss08_ann_pq",
     # text analysis
-    "tx02_lang_id", "tx03_quality_score",
-    # (tx10 certified r6, rotated out r7 for tx13 — the tf/df machinery
-    # it shares with tx13 stays exercised in-window)
+    "tx02_lang_id",
+    # (tx03/tx10 certified r6, rotated out r7 for tx13/tx14 — tx14
+    # subsumes tx03's surface-stat shape with the full Gopher rule set,
+    # tx13 carries tx10's tf/df machinery)
     "tx07_bpe_pretokenize",
-    "tx12_dup_span_profile", "tx13_unigram_logprob",
+    "tx12_dup_span_profile", "tx13_unigram_logprob", "tx14_gopher_gate",
     # multimodal: real decode + decode→resize chain (round-7 rotation:
     # mm01 stub out — certified r2-r4 and r6, superseded by mm05's real
     # decode; tx09 out — certified r6, span shape covered by tx12 —

@@ -764,6 +764,99 @@ TX13_SQL = """
 """
 
 
+# Gopher-gate thresholds (Rae et al. 2021 §A1.1 shape, bounds tuned so
+# the synthetic corpus exercises BOTH outcomes of every rule)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 25, 90
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 4.0, 4.75
+GOPHER_STOP_MIN = 2
+GOPHER_TOP_SHARE = 0.125
+
+
+def tx14_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: the composite rule filter every
+    pretraining corpus runs (word-count bounds, mean-word-length bounds,
+    minimum stopword evidence, repetition cap via the top word's share;
+    bounds tuned so every rule splits this corpus both ways)
+    — each rule emitted as its own boolean next to the evidence values,
+    plus the final ``keep``, so the gate is auditable per document
+    rather than a silent filter.
+
+    All evidence is computed in ONE pass over the tokenized array with
+    higher-order functions (no explode, no shuffle — the gate fuses
+    into the scan); rule booleans compare the ROUNDED evidence so both
+    engines decide boundaries on identical doubles."""
+    d = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    mwl = F.round(
+        F.aggregate(F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+        / n_words
+        + 1e-9,
+        4,
+    )
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and")])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    # top word share without a (doc, word) explode: per distinct word,
+    # count occurrences inside the array, take the max
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda dw: F.size(F.filter(ws, lambda w: w == dw)),
+        )
+    )
+    top_share = F.round(top_cnt / n_words + 1e-9, 4)
+    staged = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        n_stop.alias("n_stop"),
+        top_share.alias("top_share"),
+    )
+    r_len = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mwl = F.col("mean_word_len").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+    r_stop = F.col("n_stop") >= GOPHER_STOP_MIN
+    r_rep = F.col("top_share") <= GOPHER_TOP_SHARE
+    return staged.select(
+        "doc_id", "n_words", "mean_word_len", "n_stop", "top_share",
+        r_len.alias("ok_len"),
+        r_mwl.alias("ok_mwl"),
+        r_stop.alias("ok_stop"),
+        r_rep.alias("ok_rep"),
+        (r_len & r_mwl & r_stop & r_rep).alias("keep"),
+    )
+
+
+TX14_SQL = f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               round(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+                                                                w -> CAST(length(w) AS INT))),
+                                 (a, x) -> a + x) * 1.0
+                     / len(string_split(text, ' ')) + 1e-9, 4) AS mean_word_len,
+               len(list_filter(string_split(text, ' '),
+                               w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop,
+               round(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                                             dw -> len(list_filter(string_split(text, ' '),
+                                                                   w -> w = dw)))) * 1.0
+                     / len(string_split(text, ' ')) + 1e-9, 4) AS top_share
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words, mean_word_len,
+           CAST(n_stop AS INT) AS n_stop, top_share,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_len,
+           mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL} AS ok_mwl,
+           n_stop >= {GOPHER_STOP_MIN} AS ok_stop,
+           top_share <= {GOPHER_TOP_SHARE} AS ok_rep,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AND (mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+               AND n_stop >= {GOPHER_STOP_MIN}
+               AND top_share <= {GOPHER_TOP_SHARE} AS keep
+    FROM s
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -776,6 +869,7 @@ QUERIES = {
     "tx11_span_dedup": tx11_span_dedup,
     "tx12_dup_span_profile": tx12_dup_span_profile,
     "tx13_unigram_logprob": tx13_unigram_logprob,
+    "tx14_gopher_gate": tx14_gopher_gate,
 }
 
 ORACLES = {
@@ -790,4 +884,5 @@ ORACLES = {
     "tx11_span_dedup": TX11_SQL,
     "tx12_dup_span_profile": TX12_SQL,
     "tx13_unigram_logprob": TX13_SQL,
+    "tx14_gopher_gate": TX14_SQL,
 }
