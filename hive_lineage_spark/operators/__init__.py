@@ -58,10 +58,11 @@ _DRIVER_PRIORITY = [
     "dd06_embed_cosine_dup",
     "dd07_near_dedup_apply", "dd08_dup_clusters",
     "dd12_semdedup", "dd13_semdedup_arrow",
-    # similarity search (ss06 certified r6, rotated out r7 for ss08 —
-    # its k-means math stays exercised in-window via ss07's oracle)
-    "ss01_ann_bruteforce", "ss02_ann_ivf",
-    "ss07_ann_ivf_trained", "ss08_ann_pq",
+    # similarity search (ss02/ss06 certified r6, rotated out r7 for
+    # ss08/ss09 — ss09's recall oracle embeds ss01+ss02+ss08 wholesale,
+    # ss07's oracle keeps the k-means math in-window)
+    "ss01_ann_bruteforce",
+    "ss07_ann_ivf_trained", "ss08_ann_pq", "ss09_ann_recall",
     # text analysis
     "tx02_lang_id",
     # (tx03/tx10 certified r6, rotated out r7 for tx13/tx14 — tx14

@@ -994,6 +994,67 @@ SS08_SQL = f"""
 """
 
 
+def ss09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as an operator: recall@K of the pruned
+    search variants (ss02 IVF, ss08 PQ/ADC) against the exact baseline
+    (ss01), per query — the measurement every ANN deployment runs
+    before trusting a pruning configuration, expressed as the same
+    oracle-checked dataflow as everything else. Per (method, query):
+    hits = |topK_exact ∩ topK_approx|, recall = hits / K.
+
+    Scale shape: the result frames are n_queries·K rows regardless of
+    corpus size, so the intersection joins and the recall agg are
+    trivially small; the cost IS the evaluated searches themselves."""
+    exact = ss01_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    out = None
+    for method, fn in (("ivf", ss02_ann_ivf), ("pq", ss08_ann_pq)):
+        appr = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            exact.join(appr, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        per_q = (
+            exact.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(K)) + 1e-9, 4).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = per_q if out is None else out.unionByName(per_q)
+    return out
+
+
+def _ss09_sql() -> str:
+    # each variant's full oracle SQL (with its own WITH clause) embeds
+    # as a parenthesized subquery — the recall arithmetic then composes
+    # the same three result sets the driver checks individually
+    def leg(method: str, appr_sql: str) -> str:
+        return f"""
+        SELECT '{method}' AS method, q.query_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0) / {float(K)} + 1e-9, 4) AS recall
+        FROM (SELECT DISTINCT query_id FROM ({SS01_SQL})) q
+        LEFT JOIN (
+            SELECT e.query_id, count(*) AS n_hits
+            FROM ({SS01_SQL}) e
+            JOIN ({appr_sql}) a
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY e.query_id
+        ) h USING (query_id)"""
+
+    return leg("ivf", SS02_SQL) + " UNION ALL " + leg("pq", SS08_SQL)
+
+
+SS09_SQL = _ss09_sql()
+
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -1003,6 +1064,7 @@ QUERIES = {
     "ss06_kmeans": ss06_kmeans,
     "ss07_ann_ivf_trained": ss07_ann_ivf_trained,
     "ss08_ann_pq": ss08_ann_pq,
+    "ss09_ann_recall": ss09_ann_recall,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -1034,6 +1096,7 @@ ORACLES = {
     "ss06_kmeans": SS06_SQL,
     "ss07_ann_ivf_trained": SS07_SQL,
     "ss08_ann_pq": SS08_SQL,
+    "ss09_ann_recall": SS09_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,
