@@ -70,7 +70,9 @@ EXTRA = [
     "mm08_video_frame_index",  # real AVI container walk (round 7)
     "ss08_ann_pq",             # PQ/ADC scoring (round 7)
     "tx13_unigram_logprob",    # unigram cross-entropy scoring (round 7)
+    "tx14_gopher_gate",        # Gopher-rules quality gate (round 7)
     "tp11_chunk_overlap",      # sliding-window chunking (round 7)
+    "ss09_ann_recall",         # recall@K of IVF/PQ vs exact (round 7)
 ]
 
 

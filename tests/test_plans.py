@@ -234,3 +234,16 @@ def test_unigram_logprob_has_partial_agg_and_no_pinned_join(spark):
     assert "partial_" in plan
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1  # the 1-row corpus total only
+
+
+def test_gate_and_chunking_are_shuffle_free(spark):
+    """tx14 (Gopher gate) and tp11 (overlap chunking) are pure maps —
+    no Exchange anywhere; they fuse into the scan and scale by input
+    splits alone."""
+    from hive_lineage_spark.operators import pipeline as pl
+    from hive_lineage_spark.operators import text as tx
+
+    for q in (tx.tx14_gopher_gate, pl.tp11_chunk_overlap):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, (q.__name__, plan)
+        assert "FileScan parquet" in plan
