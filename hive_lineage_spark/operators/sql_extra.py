@@ -377,6 +377,86 @@ Q49_SQL = """
 """
 
 
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def q51_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered n-step funnel over the event stream — the conversion
+    analysis every product-analytics engine ships (ClickHouse
+    windowFunnel / Amplitude funnels): per user, the deepest step
+    reached where each step's event occurs strictly AFTER the previous
+    step advanced, reported as users-reaching-step-k.
+
+    The per-user stage is an integer fold over the user's time-ordered
+    event codes — ``stage += (code == stage + 1)`` — so the sequential
+    semantics are exact and engine-identical (ties ordered by
+    (t, event_id) in both). One user-keyed aggregation carries the
+    corpus; the report is |steps| rows. At 100 TB: identical shape to
+    q25's sessionization — one hash exchange on user_id, everything
+    else map-side."""
+    from ..functions import naive_epoch_seconds
+
+    code = None
+    for i, step in enumerate(FUNNEL_STEPS):
+        c = F.when(F.col("event_type") == step, F.lit(i + 1))
+        code = c if code is None else code.when(F.col("event_type") == step, F.lit(i + 1))
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        naive_epoch_seconds("ts").alias("t"),
+        "event_id",
+        code.otherwise(F.lit(0)).alias("code"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "event_id", "code"))),
+                lambda s: s["code"],
+            ),
+            F.lit(0),
+            lambda a, x: a + F.when(x == a + 1, 1).otherwise(0),
+        ).alias("stage")
+    )
+    # report: explode the step list per user row (literal array — no
+    # side table, no join; lineage stays rooted in events)
+    steps = F.array(*[F.lit(i + 1) for i in range(len(FUNNEL_STEPS))])
+    return (
+        per_user.select("stage", F.explode(steps).alias("step_no"))
+        .filter(F.col("stage") >= F.col("step_no"))
+        .groupBy("step_no")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "step_no",
+            F.element_at(
+                F.array(*[F.lit(s) for s in FUNNEL_STEPS]), F.col("step_no")
+            ).alias("step_name"),
+            "n_users",
+        )
+    )
+
+
+Q51_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, epoch(ts) AS t, event_id,
+               CASE event_type {' '.join(f"WHEN '{s}' THEN {i + 1}" for i, s in enumerate(FUNNEL_STEPS))} ELSE 0 END AS code
+        FROM events
+    ),
+    pu AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(0, list(code ORDER BY t, event_id)),
+                   (a, x) -> a + CASE WHEN x = a + 1 THEN 1 ELSE 0 END
+               ) AS stage
+        FROM ev GROUP BY user_id
+    ),
+    steps AS (SELECT CAST(t.s AS INT) AS step_no FROM unnest(range(1, {len(FUNNEL_STEPS) + 1})) t(s))
+    SELECT step_no,
+           (['{"', '".join(FUNNEL_STEPS)}'])[step_no] AS step_name,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM steps JOIN pu ON pu.stage >= steps.step_no
+    GROUP BY step_no
+"""
+
+
 QUERIES = {
     "q31_q27_sql_text": q31_q27_sql_text,
     "q46_view_lineage": q46_view_lineage,
@@ -395,6 +475,7 @@ QUERIES = {
     "q40_approx_sketches": q40_approx_sketches,
     "q48_unpivot": q48_unpivot,
     "q49_rolling_range": q49_rolling_range,
+    "q51_funnel_steps": q51_funnel_steps,
 }
 
 ORACLES = {
@@ -539,4 +620,5 @@ ORACLES = {
                true AS p50_within_5pct
         FROM lineitem GROUP BY l_returnflag
     """,
+    "q51_funnel_steps": Q51_SQL,
 }
