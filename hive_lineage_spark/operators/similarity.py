@@ -874,12 +874,10 @@ def _sub(v, m):
     return F.slice(v, m * sub + 1, sub)
 
 
-def ss08_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC top-K: encode the corpus once (argmin codeword per
-    subspace, ties to the lowest code id), broadcast each query's M×KPQ
-    distance table, score candidates by summed table lookups, rank
-    ascending on the ROUNDED approximate distance (both engines compare
-    identical doubles — the tx10 lesson) with neighbor-id ties."""
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
+    """Shared PQ/ADC core: (query_id, vec_id, adist, rank) for the top
+    ``top`` candidates per query by approximate distance — ss08 emits it
+    at K, ss10 takes a deeper shortlist to re-rank exactly."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -944,8 +942,52 @@ def ss08_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("query_id", "vec_id", "adist", "rank")
+    )
+
+
+def ss08_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-K: encode the corpus once (argmin codeword per
+    subspace, ties to the lowest code id), broadcast each query's M×KPQ
+    distance table, score candidates by summed table lookups, rank
+    ascending on the ROUNDED approximate distance (both engines compare
+    identical doubles — the tx10 lesson) with neighbor-id ties."""
+    return _pq_adc_ranked(spark, sf_dir, K).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "adist", "rank"
+    )
+
+
+PQ_RERANK = 50  # shortlist depth for the exact re-rank stage
+
+
+def ss10_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist + exact re-rank — the standard production fix for
+    raw PQ recall (ss09 measures ss08 at 0.34@5 with the 4×16 codebook):
+    ADC ranks a deeper shortlist of ``PQ_RERANK`` candidates per query
+    using only the byte codes, then ONLY those shortlist rows read their
+    full vectors for an exact cosine re-rank of the final top-K. At
+    100 TB the full-vector reads drop from corpus-sized to
+    n_queries·R rows — the two-stage retrieve-then-rerank shape every
+    vector store ships. Cosine here is the same HOF fold as ss01, so
+    the oracle arithmetic is bit-identical."""
+    vec = _vectors(spark, sf_dir)
+    shortlist = _pq_adc_ranked(spark, sf_dir, PQ_RERANK).select("query_id", "vec_id")
+    q = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = shortlist.join(vec, "vec_id").join(F.broadcast(q), "query_id")
+    scored = cand.withColumn(
+        "cosine", _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adist", "rank")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"), "rank",
+        )
     )
 
 
@@ -955,7 +997,8 @@ _PQ_SUBDIST = (
     " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
 )
 
-SS08_SQL = f"""
+def _pq_ranked_sql(top: int) -> str:
+    return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -990,6 +1033,28 @@ SS08_SQL = f"""
                    PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
                ) AS INT) AS rank
         FROM scored
+    ) WHERE rank <= {top}
+"""
+
+
+SS08_SQL = _pq_ranked_sql(K)
+
+SS10_SQL = f"""
+    WITH {_vectors_sql()},
+    shortlist AS (SELECT query_id, neighbor_id FROM ({_pq_ranked_sql(PQ_RERANK)}) sl),
+    scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cosine
+        FROM shortlist s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM scored
     ) WHERE rank <= {K}
 """
 
@@ -1007,7 +1072,11 @@ def ss09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivially small; the cost IS the evaluated searches themselves."""
     exact = ss01_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     out = None
-    for method, fn in (("ivf", ss02_ann_ivf), ("pq", ss08_ann_pq)):
+    for method, fn in (
+        ("ivf", ss02_ann_ivf),
+        ("pq", ss08_ann_pq),
+        ("pq_rerank", ss10_ann_pq_rerank),
+    ):
         appr = fn(spark, sf_dir).select("query_id", "neighbor_id")
         hits = (
             exact.join(appr, ["query_id", "neighbor_id"])
@@ -1048,7 +1117,13 @@ def _ss09_sql() -> str:
             GROUP BY e.query_id
         ) h USING (query_id)"""
 
-    return leg("ivf", SS02_SQL) + " UNION ALL " + leg("pq", SS08_SQL)
+    return (
+        leg("ivf", SS02_SQL)
+        + " UNION ALL "
+        + leg("pq", SS08_SQL)
+        + " UNION ALL "
+        + leg("pq_rerank", SS10_SQL)
+    )
 
 
 SS09_SQL = _ss09_sql()
@@ -1065,6 +1140,7 @@ QUERIES = {
     "ss07_ann_ivf_trained": ss07_ann_ivf_trained,
     "ss08_ann_pq": ss08_ann_pq,
     "ss09_ann_recall": ss09_ann_recall,
+    "ss10_ann_pq_rerank": ss10_ann_pq_rerank,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -1097,6 +1173,7 @@ ORACLES = {
     "ss07_ann_ivf_trained": SS07_SQL,
     "ss08_ann_pq": SS08_SQL,
     "ss09_ann_recall": SS09_SQL,
+    "ss10_ann_pq_rerank": SS10_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,
