@@ -281,14 +281,72 @@ DQ03_SQL = f"""
 """
 
 
+ANOMALY_PCT = 50.0  # |day-over-day change| beyond this flags the day
+
+
+def dq04_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly gate (Deequ anomaly detection shape): daily
+    event counts with the day-over-day percentage change, flagging days
+    whose volume moved more than ``ANOMALY_PCT`` % against the previous
+    day — the completeness check a pipeline runs before trusting a
+    partition (a half-ingested day shows up as a volume cliff long
+    before any value-level check fires).
+
+    One partial-agg pass to day granularity, then a lag window over the
+    tiny per-day frame (|days| rows, never the corpus). pct compares
+    ROUNDED in both engines; the first day has no baseline and is never
+    flagged."""
+    from pyspark.sql import Window
+
+    from ..sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("day")
+    with_prev = daily.withColumn("prev_events", F.lag("n_events").over(w))
+    pct = F.round(
+        (F.col("n_events") - F.col("prev_events")) * 100.0 / F.col("prev_events") + 1e-9, 4
+    )
+    return with_prev.select(
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        F.coalesce("prev_events", F.lit(0)).alias("prev_events"),
+        F.coalesce(pct, F.lit(0.0)).alias("pct_change"),
+        F.coalesce(F.abs(pct) > ANOMALY_PCT, F.lit(False)).alias("anomalous"),
+    )
+
+
+DQ04_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, n_events,
+               lag(n_events) OVER (ORDER BY day) AS prev_events
+        FROM daily
+    )
+    SELECT day, n_events,
+           coalesce(prev_events, 0) AS prev_events,
+           coalesce(round((n_events - prev_events) * 100.0 / prev_events + 1e-9, 4),
+                    0.0) AS pct_change,
+           coalesce(abs(round((n_events - prev_events) * 100.0 / prev_events + 1e-9, 4))
+                    > {ANOMALY_PCT}, FALSE) AS anomalous
+    FROM lagged
+"""
+
+
 QUERIES = {
     "dq01_profile": dq01_profile,
     "dq02_constraints": dq02_constraints,
     "dq03_snapshot_drift": dq03_snapshot_drift,
+    "dq04_volume_anomaly": dq04_volume_anomaly,
 }
 
 ORACLES = {
     "dq01_profile": DQ01_SQL,
     "dq02_constraints": DQ02_SQL,
     "dq03_snapshot_drift": DQ03_SQL,
+    "dq04_volume_anomaly": DQ04_SQL,
 }
