@@ -561,13 +561,17 @@ def _km_centroids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_centroids(e: DataFrame) -> DataFrame:
-    """The trained coarse quantizer: first-K init + ``KM_ITERS`` Lloyd
-    rounds (see ss06 for the determinism contract). (cent_id, cv)."""
-    cent = e.filter(F.col("vec_id") < KM_K).select(
+def _km_centroids(e: DataFrame, k: int | None = None, iters: int | None = None) -> DataFrame:
+    """The trained quantizer: first-K init + Lloyd rounds (see ss06 for
+    the determinism contract). (cent_id, cv). ``k``/``iters`` default to
+    the coarse-quantizer constants; ss11 trains per-subspace PQ
+    codebooks through the same routine on sliced vectors."""
+    k = KM_K if k is None else k
+    iters = KM_ITERS if iters is None else iters
+    cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    for _ in range(KM_ITERS):
+    for _ in range(iters):
         assigned = _km_assign(e.select("vec_id", "v"), cent)
         means = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
@@ -1059,6 +1063,174 @@ SS10_SQL = f"""
 """
 
 
+def ss11_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with TRAINED per-subspace codebooks — the production PQ:
+    each subspace's 16 codewords come from k-means over that subspace's
+    sliced sub-vectors (ss06's deterministic trainer: first-K init,
+    ``KM_ITERS`` Lloyd rounds, 6-dp rounding — cross-engine identical),
+    instead of ss08's untrained first-K stand-in. Encode/ADC dataflow
+    is ss08's: byte codes corpus-side, per-query distance tables
+    broadcast, summed lookups, rank on the rounded distance. Codeword
+    ids are k-means cell ids (empty cells drop), so the distance tables
+    are ``map<cent_id, dist>`` rather than positional arrays."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    books = []
+    for m in range(PQ_M):
+        em = e.select("vec_id", _sub(F.col("v"), m).alias("v"))
+        books.append(
+            _km_centroids(em, k=PQ_K).select(F.lit(m).alias("m"), "cent_id", "cv")
+        )
+    cb_all = books[0]
+    for b in books[1:]:
+        cb_all = cb_all.unionByName(b)
+    cb = cb_all.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("m", "cent_id", "cv"))).alias("cw")
+    )
+
+    def book(m):
+        return F.filter("cw", lambda s: s["m"] == F.lit(m))
+
+    def argmin_code(vcol, m):
+        return F.array_min(
+            F.transform(
+                book(m),
+                lambda s: F.struct(
+                    _sqdist(_sub(vcol, m), s["cv"]).alias("d"),
+                    s["cent_id"].alias("code"),
+                ),
+            )
+        )["code"]
+
+    codes = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        F.array(*[argmin_code(F.col("v"), m) for m in range(PQ_M)]).alias("codes"),
+    )
+
+    def sub_map(m):
+        return F.map_from_entries(
+            F.transform(
+                book(m),
+                lambda s: F.struct(s["cent_id"], _sqdist(_sub(F.col("v"), m), s["cv"])),
+            )
+        )
+
+    dtab = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.array(*[sub_map(m) for m in range(PQ_M)]).alias("dtab"),
+        )
+    )
+    scored = codes.join(F.broadcast(dtab), F.col("query_id") != F.col("vec_id")).withColumn(
+        "adist",
+        F.round(
+            F.aggregate(
+                F.zip_with("dtab", "codes", lambda t, c: F.element_at(t, c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adist", "rank")
+    )
+
+
+def _km_round_src_sql(src: str, prev_cent: str, tag: str) -> str:
+    """One unrolled Lloyd round over an arbitrary (vec_id, v) source CTE
+    — the per-subspace variant of ``_km_round_sql`` (which is pinned to
+    the full-vector ``e``)."""
+    d = (
+        "list_reduce(list_transform(range(1, len(s.v) + 1),"
+        " i -> (s.v[i] - c.cv[i]) * (s.v[i] - c.cv[i])), (x, y) -> x + y)"
+    )
+    return f"""
+    a{tag} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT s.vec_id, s.v, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id ORDER BY {d}, c.cent_id
+                   ) AS rk
+            FROM {src} s CROSS JOIN {prev_cent} c
+        ) WHERE rk = 1
+    ),
+    m{tag} AS (
+        SELECT cell, i, round(avg(v[i]) + 1e-9, 6) AS m
+        FROM a{tag}, UNNEST(range(1, len(v) + 1)) t(i)
+        GROUP BY cell, i
+    ),
+    c{tag} AS (
+        SELECT cell AS cent_id, list(m ORDER BY i) AS cv FROM m{tag} GROUP BY cell
+    )"""
+
+
+def _ss11_sql() -> str:
+    subs, encs, qds = [], [], []
+    for m in range(PQ_M):
+        src = f"e{m}"
+        subs.append(
+            f"{src} AS (SELECT vec_id, list_slice(v, {m} * (len(v) // {PQ_M}) + 1, "
+            f"({m} + 1) * (len(v) // {PQ_M})) AS v FROM e)"
+        )
+        subs.append(
+            f"ci{m} AS (SELECT vec_id AS cent_id, v AS cv FROM {src} WHERE vec_id < {PQ_K})"
+        )
+        subs.append(_km_round_src_sql(src, f"ci{m}", f"s{m}r0").lstrip())
+        subs.append(_km_round_src_sql(src, f"cs{m}r0", f"s{m}r1").lstrip())
+        d = (
+            "list_reduce(list_transform(range(1, len(s.v) + 1),"
+            " i -> (s.v[i] - c.cv[i]) * (s.v[i] - c.cv[i])), (x, y) -> x + y)"
+        )
+        encs.append(
+            f"""SELECT vec_id, {m} AS m, cent_id, d FROM (
+                SELECT s.vec_id, c.cent_id, {d} AS d,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id ORDER BY {d}, c.cent_id
+                       ) AS rk
+                FROM {src} s CROSS JOIN cs{m}r1 c
+            ) WHERE rk = 1"""
+        )
+        qds.append(
+            f"""SELECT s.vec_id AS query_id, {m} AS m, c.cent_id, {d} AS d
+                FROM (SELECT * FROM {src} WHERE vec_id < {N_QUERIES}) s
+                CROSS JOIN cs{m}r1 c"""
+        )
+    # the per-round generator names its output c{tag}; alias to cs{m}r*
+    body = ",\n    ".join(subs).replace("cs0r0 c", "cs0r0 c")  # no-op, clarity
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {body},
+    enc AS ({" UNION ALL ".join(encs)}),
+    qd AS ({" UNION ALL ".join(qds)}),
+    scored AS (
+        SELECT qd.query_id, enc.vec_id AS neighbor_id,
+               round(list_reduce(list(qd.d ORDER BY qd.m), (x, y) -> x + y), 6) AS adist
+        FROM enc JOIN qd ON enc.m = qd.m AND enc.cent_id = qd.cent_id
+        WHERE qd.query_id <> enc.vec_id
+        GROUP BY qd.query_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+        SELECT query_id, neighbor_id, adist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+"""
+
+
+SS11_SQL = _ss11_sql()
+
+
 def ss09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation as an operator: recall@K of the pruned
     search variants (ss02 IVF, ss08 PQ/ADC) against the exact baseline
@@ -1076,6 +1248,7 @@ def ss09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", ss02_ann_ivf),
         ("pq", ss08_ann_pq),
         ("pq_rerank", ss10_ann_pq_rerank),
+        ("pq_trained", ss11_ann_pq_trained),
     ):
         appr = fn(spark, sf_dir).select("query_id", "neighbor_id")
         hits = (
@@ -1123,6 +1296,8 @@ def _ss09_sql() -> str:
         + leg("pq", SS08_SQL)
         + " UNION ALL "
         + leg("pq_rerank", SS10_SQL)
+        + " UNION ALL "
+        + leg("pq_trained", SS11_SQL)
     )
 
 
@@ -1141,6 +1316,7 @@ QUERIES = {
     "ss08_ann_pq": ss08_ann_pq,
     "ss09_ann_recall": ss09_ann_recall,
     "ss10_ann_pq_rerank": ss10_ann_pq_rerank,
+    "ss11_ann_pq_trained": ss11_ann_pq_trained,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -1174,6 +1350,7 @@ ORACLES = {
     "ss08_ann_pq": SS08_SQL,
     "ss09_ann_recall": SS09_SQL,
     "ss10_ann_pq_rerank": SS10_SQL,
+    "ss11_ann_pq_trained": SS11_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,
