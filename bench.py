@@ -5,6 +5,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
+STDOUT LINE BUDGET (round-8 contract): the driver captures only the
+LAST 2,000 characters of stdout, so the JSON line must stay comfortably
+under that or the head truncates and the parse fails (this silently
+broke BENCH_r07). The stdout line therefore carries ONLY
+metric/value/unit/queries/sf/runs_per_query/detail (per-query values at
+2 dp); the full payload — spread, cold, extra, skew — goes to the
+sidecar file named by "detail" (BENCH_LOCAL.json next to this script).
+tests/test_bench_contract.py pins the serialized line < 1,800 chars.
+
 Each query executes via a noop-format write so timing covers the full
 distributed plan without driver-side collection costs (the realistic
 sink shape at scale).
@@ -140,22 +149,48 @@ def main() -> None:
         extra[f"skew_{name}"] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "runs_per_query": n_runs,
-                "spread": spread,
-                "cold": cold,
-                "extra": extra,
-            }
-        )
-    )
+    line, sidecar = build_payloads(timings, total, sf, n_runs, spread, cold, extra)
+    sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(sidecar_path, "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+    print(json.dumps(line))
     spark.stop()
+
+
+def build_payloads(
+    timings: dict[str, float],
+    total: float,
+    sf: str,
+    n_runs: int,
+    spread: dict[str, list[float]],
+    cold: dict[str, float],
+    extra: dict[str, float],
+) -> tuple[dict, dict]:
+    """Split the bench result into the compact stdout line (must stay
+    under the driver's 2,000-char tail capture — see module docstring)
+    and the full sidecar payload. Pure so the line-length contract is
+    unit-testable without a Spark run."""
+    line = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf),
+        "runs_per_query": n_runs,
+        "detail": "BENCH_LOCAL.json",
+    }
+    sidecar = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "runs_per_query": n_runs,
+        "spread": spread,
+        "cold": cold,
+        "extra": extra,
+    }
+    return line, sidecar
 
 
 if __name__ == "__main__":
