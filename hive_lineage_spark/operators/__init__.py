@@ -41,6 +41,18 @@ from pyspark.sql import DataFrame, SparkSession
 # setup-heavy oracles (q40 sketches, q42 array agg, q45 vtable time
 # travel). Every beyond-window query runs the SAME DuckDB oracle
 # locally via tests/test_queries.py and tools/check_oracle.py.
+# Round-8 rotation: the 4 post-r7-seal additions with zero driver rows
+# (tools/certified.py computes this mechanically from CORRECTNESS_r*)
+# move IN — q51_funnel_steps, ss10_ann_pq_rerank, ss11_ann_pq_trained,
+# dq04_volume_anomaly. Four multiply-certified ops whose semantics stay
+# in-window rotate OUT: q15_agg_distinct + q16_topk (certified r1-r7;
+# q14 keeps the multi-agg group-by shape, q17's top-100 keeps the
+# ordered-limit shape) and dd07_near_dedup_apply + dd08_dup_clusters
+# (certified r6+r7; dd02/dd03 keep the pair-generation path that feeds
+# them, their fixpoint clustering stays pinned by pytest + local
+# oracle). tests/test_queries.py::test_no_silent_rotation_debt now
+# consumes the ledger so a registered query can't sit uncertified
+# outside the window unnoticed.
 _DRIVER_PRIORITY = [
     # §2.4 reference parity
     "q01_full_scan", "q02_project_alias", "q03_virtual_rowid",
@@ -48,21 +60,23 @@ _DRIVER_PRIORITY = [
     "q07_join_broadcast", "q08_join_left_outer", "q09_join_right_outer",
     "q10_join_full_outer", "q11_join_left_semi", "q12_join_left_anti",
     "q13_join_nullsafe", "q44_unique_join", "q14_agg_tpch_q1",
-    "q15_agg_distinct", "q16_topk", "q17_q27_shape",
+    "q17_q27_shape",
     "q18_partition_pruning", "q19_insert_readback", "q31_q27_sql_text",
+    # ordered event funnel (round-7 addition, first certified window r8)
+    "q51_funnel_steps",
     # SQL-surface round-5 additions (q48/q49 certified r6, rotated out
     # r7 for dq03/mm08 — their semantics stay oracle-covered locally)
     "q50_vtable_partitioned",
     # deduplication
     "dd02_ngram_jaccard", "dd03_minhash_lsh",
     "dd06_embed_cosine_dup",
-    "dd07_near_dedup_apply", "dd08_dup_clusters",
     "dd12_semdedup", "dd13_semdedup_arrow",
     # similarity search (ss02/ss06 certified r6, rotated out r7 for
-    # ss08/ss09 — ss09's recall oracle embeds ss01+ss02+ss08 wholesale,
-    # ss07's oracle keeps the k-means math in-window)
+    # ss08/ss09 — ss09's recall oracle embeds ss01+ss02+ss08+ss10+ss11
+    # wholesale, ss07's oracle keeps the k-means math in-window)
     "ss01_ann_bruteforce",
     "ss07_ann_ivf_trained", "ss08_ann_pq", "ss09_ann_recall",
+    "ss10_ann_pq_rerank", "ss11_ann_pq_trained",
     # text analysis
     "tx02_lang_id",
     # (tx03/tx10 certified r6, rotated out r7 for tx13/tx14 — tx14
@@ -84,8 +98,9 @@ _DRIVER_PRIORITY = [
     # keep sampling/packing/mixture)
     "tp08_temperature_mixture",
     "tp11_chunk_overlap",
-    # data-quality gates (dq03: new round-7 snapshot-drift gate)
+    # data-quality gates (dq03/dq04: round-7 drift + volume-anomaly)
     "dq01_profile", "dq02_constraints", "dq03_snapshot_drift",
+    "dq04_volume_anomaly",
 ]
 
 

@@ -48,3 +48,20 @@ def test_driver_window_invariants():
     assert list(QUERIES)[:50] == _DRIVER_PRIORITY
     missing = [q for q in _DRIVER_PRIORITY if q not in ORACLES]
     assert not missing, f"in-window queries without oracles: {missing}"
+
+
+def test_no_silent_rotation_debt():
+    """Every registered query must either have a green driver
+    CORRECTNESS row from some past round (tools/certified.py computes
+    this mechanically from CORRECTNESS_r*.json) or sit in the current
+    50-slot window (queued for certification this round). A query that
+    is neither is rotation debt the hand-written window comments used
+    to track — now it fails here instead of accumulating."""
+    from hive_lineage_spark.operators import _DRIVER_PRIORITY
+    from tools.certified import never_certified
+
+    debt = never_certified(set(QUERIES)) - set(_DRIVER_PRIORITY[:50])
+    assert not debt, (
+        f"registered queries with no driver certification and no window "
+        f"slot: {sorted(debt)} — rotate them into _DRIVER_PRIORITY"
+    )
