@@ -878,22 +878,31 @@ def _sub(v, m):
     return F.slice(v, m * sub + 1, sub)
 
 
-def _pq_adc_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
-    """Shared PQ/ADC core: (query_id, vec_id, adist, rank) for the top
-    ``top`` candidates per query by approximate distance — ss08 emits it
-    at K, ss10 takes a deeper shortlist to re-rank exactly."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+def _pq_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # codebook: one broadcast row — per subspace, the KPQ codewords in
-    # code-id order
+
+
+def _pq_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Untrained codebook: one broadcast row — per subspace, the KPQ
+    codewords (sub-vectors of the first KPQ corpus vectors) in code-id
+    order."""
+    e = _pq_embed(spark, sf_dir)
     cb_rows = e.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("code_id"),
         F.array(*[_sub(F.col("v"), m) for m in range(PQ_M)]).alias("subs"),
     )
-    cb = cb_rows.groupBy().agg(
+    return cb_rows.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("code_id", "subs"))).alias("cw")
     )
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PQ codes (vec_id, codes[M]) under the untrained codebook —
+    the one corpus-sized PQ artifact."""
+    e = _pq_embed(spark, sf_dir)
+    cb = _pq_cb(spark, sf_dir)
 
     def argmin_code(vcol, m):
         # nearest codeword of subspace m: array_min over (dist, code_id)
@@ -907,13 +916,30 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
             )
         )["code"]
 
-    codes = (
-        e.crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            F.array(*[argmin_code(F.col("v"), m) for m in range(PQ_M)]).alias("codes"),
-        )
+    return e.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        F.array(*[argmin_code(F.col("v"), m) for m in range(PQ_M)]).alias("codes"),
     )
+
+
+def _pq_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode pass persisted per (session, sf_dir): ss08, ss10's
+    deeper shortlist, and ss09's evaluation legs all consume the same
+    codes — exactly how a production PQ index is materialized once and
+    probed many times. Registered in dedup's persisted-index registry so
+    ``clear_postings_cache()`` releases it with the rest."""
+    from .dedup import _persisted
+
+    return _persisted("pq_codes", spark, sf_dir, _pq_codes)
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
+    """Shared PQ/ADC core: (query_id, vec_id, adist, rank) for the top
+    ``top`` candidates per query by approximate distance — ss08 emits it
+    at K, ss10 takes a deeper shortlist to re-rank exactly."""
+    e = _pq_embed(spark, sf_dir)
+    cb = _pq_cb(spark, sf_dir)
+    codes = _pq_codes_cached(spark, sf_dir)
     # per-query ADC tables: dtab[m][j] = sqdist(q_sub_m, codeword[m][j]).
     # NOTE: the lambda must be single-arg — a two-arg lambda makes
     # F.transform pass (element, array_index) and the subspace number
@@ -1063,19 +1089,11 @@ SS10_SQL = f"""
 """
 
 
-def ss11_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ with TRAINED per-subspace codebooks — the production PQ:
-    each subspace's 16 codewords come from k-means over that subspace's
-    sliced sub-vectors (ss06's deterministic trainer: first-K init,
-    ``KM_ITERS`` Lloyd rounds, 6-dp rounding — cross-engine identical),
-    instead of ss08's untrained first-K stand-in. Encode/ADC dataflow
-    is ss08's: byte codes corpus-side, per-query distance tables
-    broadcast, summed lookups, rank on the rounded distance. Codeword
-    ids are k-means cell ids (empty cells drop), so the distance tables
-    are ``map<cent_id, dist>`` rather than positional arrays."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+def _pq_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained codebook: per subspace, PQ_K k-means centroids over that
+    subspace's sliced sub-vectors, collapsed to one broadcast row of
+    (m, cent_id, cv) structs."""
+    e = _pq_embed(spark, sf_dir)
     books = []
     for m in range(PQ_M):
         em = e.select("vec_id", _sub(F.col("v"), m).alias("v"))
@@ -1085,9 +1103,25 @@ def ss11_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_all = books[0]
     for b in books[1:]:
         cb_all = cb_all.unionByName(b)
-    cb = cb_all.groupBy().agg(
+    return cb_all.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("m", "cent_id", "cv"))).alias("cw")
     )
+
+
+def _pq_trained_cb_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ_M per-subspace k-means trainings are the expensive half of
+    ss11 (4× two Lloyd rounds over the corpus) producing a ONE-ROW frame
+    — persist per (session, sf_dir) like ss07's coarse quantizer."""
+    from .dedup import _persisted
+
+    return _persisted("pq_trained_cb", spark, sf_dir, _pq_trained_cb)
+
+
+def _pq_trained_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus codes under the TRAINED codebook (vec_id, codes[M]) —
+    codeword ids are k-means cell ids."""
+    e = _pq_embed(spark, sf_dir)
+    cb = _pq_trained_cb_cached(spark, sf_dir)
 
     def book(m):
         return F.filter("cw", lambda s: s["m"] == F.lit(m))
@@ -1103,10 +1137,34 @@ def ss11_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )["code"]
 
-    codes = e.crossJoin(F.broadcast(cb)).select(
+    return e.crossJoin(F.broadcast(cb)).select(
         "vec_id",
         F.array(*[argmin_code(F.col("v"), m) for m in range(PQ_M)]).alias("codes"),
     )
+
+
+def _pq_trained_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _persisted
+
+    return _persisted("pq_trained_codes", spark, sf_dir, _pq_trained_codes)
+
+
+def ss11_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with TRAINED per-subspace codebooks — the production PQ:
+    each subspace's 16 codewords come from k-means over that subspace's
+    sliced sub-vectors (ss06's deterministic trainer: first-K init,
+    ``KM_ITERS`` Lloyd rounds, 6-dp rounding — cross-engine identical),
+    instead of ss08's untrained first-K stand-in. Encode/ADC dataflow
+    is ss08's: byte codes corpus-side, per-query distance tables
+    broadcast, summed lookups, rank on the rounded distance. Codeword
+    ids are k-means cell ids (empty cells drop), so the distance tables
+    are ``map<cent_id, dist>`` rather than positional arrays."""
+    e = _pq_embed(spark, sf_dir)
+    cb = _pq_trained_cb_cached(spark, sf_dir)
+    codes = _pq_trained_codes_cached(spark, sf_dir)
+
+    def book(m):
+        return F.filter("cw", lambda s: s["m"] == F.lit(m))
 
     def sub_map(m):
         return F.map_from_entries(
@@ -1241,8 +1299,22 @@ def ss09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the result frames are n_queries·K rows regardless of
     corpus size, so the intersection joins and the recall agg are
-    trivially small; the cost IS the evaluated searches themselves."""
-    exact = ss01_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    trivially small; the cost IS the evaluated searches themselves.
+
+    The exact baseline (ss01's full corpus scan, n_queries·K rows out)
+    feeds a join AND a distinct in EVERY leg — Spark's exchange reuse
+    does not dedupe across unionByName branches, so without the persist
+    the corpus scan re-ran 8×. Persisted per (session, sf_dir) like the
+    dd02/dd03 index frames; the PQ encode pass is likewise shared by
+    the pq/pq_rerank/pq_trained legs via ``_pq_codes_cached``."""
+    from .dedup import _persisted
+
+    exact = _persisted(
+        "ss09_exact",
+        spark,
+        sf_dir,
+        lambda s, d: ss01_ann_bruteforce(s, d).select("query_id", "neighbor_id"),
+    )
     out = None
     for method, fn in (
         ("ivf", ss02_ann_ivf),

@@ -211,6 +211,26 @@ def test_pq_ann_broadcasts_codebook_and_queries(spark):
     assert len(exchanges) == 1 and exchanges[0].startswith("query_id"), exchanges
 
 
+def test_ss09_exact_leg_and_pq_codes_are_cached(spark):
+    """ss09's four evaluation legs each join + distinct the exact
+    baseline, and the three PQ legs share the encode pass. Exchange
+    reuse does not dedupe across unionByName branches, so both frames
+    must come from the persisted-index registry — the executed plan
+    reads them as InMemoryTableScan instead of recomputing the corpus
+    scan per leg."""
+    import hive_lineage_spark.operators.similarity as ss
+    from hive_lineage_spark.operators.dedup import _POSTINGS_CACHE, clear_postings_cache
+
+    clear_postings_cache()
+    df = ss.ss09_ann_recall(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    tags = {k[2] for k in _POSTINGS_CACHE}
+    assert {"ss09_exact", "pq_codes", "pq_trained_cb", "pq_trained_codes"} <= tags, tags
+    clear_postings_cache()
+
+
 def test_real_decode_ops_are_single_python_stage(spark):
     """mm05/mm06/mm07 are one narrow mapInPandas stage over the fixture
     scan: no exchange, no join — the shape that scales by adding input
