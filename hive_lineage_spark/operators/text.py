@@ -796,13 +796,26 @@ def tx14_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and")])
     n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
-    # top word share without a (doc, word) explode: per distinct word,
-    # count occurrences inside the array, take the max
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda dw: F.size(F.filter(ws, lambda w: w == dw)),
-        )
+    # top word share without a (doc, word) explode AND without the
+    # earlier O(len·distinct) rescans (per distinct word, re-filter the
+    # whole array): sort the tokens once, then ONE run-length fold
+    # carrying (prev word, current run, best run) — O(L log L) per doc,
+    # so a 10k-word document costs ~10^5 comparisons instead of the
+    # ~10^7 the rescan shape hit. Still map-side, still shuffle-free.
+    top_cnt = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            (F.when(w == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1,
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_share = F.round(top_cnt / n_words + 1e-9, 4)
     staged = d.select(
