@@ -82,6 +82,7 @@ EXTRA = [
     "tx14_gopher_gate",        # Gopher-rules quality gate (round 7)
     "tp11_chunk_overlap",      # sliding-window chunking (round 7)
     "ss09_ann_recall",         # recall@K of IVF/PQ vs exact (round 7)
+    "mm09_pair_curation",      # CLIP-score image-text gate (round 8)
 ]
 
 

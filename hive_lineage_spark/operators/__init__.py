@@ -53,6 +53,14 @@ from pyspark.sql import DataFrame, SparkSession
 # oracle). tests/test_queries.py::test_no_silent_rotation_debt now
 # consumes the ledger so a registered query can't sit uncertified
 # outside the window unnoticed.
+# Queries registered after this round's window sealed, DECLARED for the
+# next rotation (tests/test_queries.py::test_no_silent_rotation_debt
+# fails if a never-certified query is in neither the window nor this
+# queue — rotation debt can't accumulate silently).
+ROTATION_QUEUE = [
+    "mm09_pair_curation",  # round-8 addition → rotate into the r9 window
+]
+
 _DRIVER_PRIORITY = [
     # §2.4 reference parity
     "q01_full_scan", "q02_project_alias", "q03_virtual_rowid",

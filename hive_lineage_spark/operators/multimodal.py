@@ -1054,6 +1054,141 @@ MM08_SQL = f"""
 
 
 
+# ---------------------------------------------------------------------------
+# mm09: image-text pair curation gate — the CLIP-score filter every
+# multimodal corpus runs (LAION's curation shape: score each
+# image-caption pair with the cosine of their embeddings, keep pairs
+# above a threshold, report the evidence per pair for auditing).
+# Pair model: embeddings.vec_id is the image embedding of the document
+# with the same id; the caption embedding is a deterministic
+# feature-hashing text encoder (Weinberger et al. 2009: each word hashes
+# to one of DIM buckets with a ±1 sign) so the whole gate is
+# oracle-checkable without a model forward pass — swap the encoder
+# column for real CLIP text embeddings without changing the dataflow.
+# ---------------------------------------------------------------------------
+
+MM09_DIM = 64  # caption feature-hash dimension == image embedding dim
+MM09_THRESHOLD = 0.05  # keeps ~1/3 of the sf0.01 corpus — splits both ways
+
+
+def mm09_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair curation gate: encode captions map-side (feature
+    hashing: bucket = poly_hash(word) % DIM, sign = ±1 from the next
+    hash bit), join each caption vector with its image embedding on the
+    pair id, cosine-score, and gate at ``MM09_THRESHOLD`` — keep/drop
+    plus the per-pair audit evidence (word count, both norms, score).
+
+    Scale shape: the encoder is a pure map fused into the documents
+    scan (O(L + DIM·L) int ops per caption — same order as the DIM-dot
+    product itself for short captions; a real CLIP encoder is a model
+    forward pass here, the plumbing is identical). The ONLY shuffle is
+    the pair-id equi-join of two corpus-sized sides — sort-merge at
+    100 TB, broadcast at test SF — and all arithmetic is JVM
+    higher-order functions, no Python. ``keep`` compares the ROUNDED
+    score (the tx14 lesson) so both engines decide boundaries on
+    identical doubles."""
+    from ..functions.hashing import poly_hash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split("text", " ")
+    # per word: (bucket, sign) from one polynomial hash — sign is bit 6
+    # of the hash ((h // DIM) % 2), expressed integer-only as h % 2DIM
+    bs = F.transform(
+        ws,
+        lambda w: F.struct(
+            (poly_hash(w) % MM09_DIM).cast("int").alias("b"),
+            F.when(poly_hash(w) % (2 * MM09_DIM) < MM09_DIM, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        ),
+    )
+    cv = F.transform(
+        F.sequence(F.lit(0), F.lit(MM09_DIM - 1)),
+        lambda i: F.aggregate(
+            bs,
+            F.lit(0.0),
+            lambda a, e: a + F.when(e["b"] == i, e["s"]).otherwise(F.lit(0.0)),
+        ),
+    )
+    cap = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.size(ws).alias("n_caption_words"),
+        cv.alias("cv"),
+    )
+    img = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").cast("array<double>").alias("iv"),
+    )
+
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+
+    dot = F.aggregate(
+        F.zip_with("cv", "iv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        cap.join(img, "pair_id")
+        .withColumn("cn", _norm("cv"))
+        .withColumn("inm", _norm("iv"))
+        .withColumn(
+            "clip_score",
+            F.round(
+                F.when(F.col("cn") * F.col("inm") == 0, F.lit(0.0)).otherwise(
+                    dot / (F.col("cn") * F.col("inm"))
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.select(
+        "pair_id",
+        "n_caption_words",
+        F.round("cn", 6).alias("caption_norm"),
+        F.round("inm", 6).alias("image_norm"),
+        "clip_score",
+        (F.col("clip_score") >= MM09_THRESHOLD).alias("keep"),
+    )
+
+
+def _mm09_sql() -> str:
+    from ..functions.hashing import poly_hash_sql
+
+    dim = MM09_DIM
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    hv AS (SELECT doc_id, len(ws) AS n_caption_words,
+                  list_transform(ws, w -> {poly_hash_sql('w')}) AS hs FROM d),
+    c AS (SELECT doc_id, n_caption_words,
+                 list_transform(range(0, {dim}), i ->
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(hs, h -> CASE WHEN h % {dim} = i
+                             THEN (CASE WHEN h % {2 * dim} < {dim} THEN 1.0 ELSE -1.0 END)
+                             ELSE 0.0 END)),
+                       (a, x) -> a + x)) AS cv
+          FROM hv),
+    i AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS iv FROM embeddings),
+    s AS (SELECT c.doc_id, n_caption_words,
+                 sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS cn,
+                 sqrt(list_reduce(list_transform(iv, x -> x * x), (a, b) -> a + b)) AS inm,
+                 list_reduce(list_transform(range(1, {dim} + 1), j -> cv[j] * iv[j]),
+                             (x, y) -> x + y) AS dot
+          FROM c JOIN i USING (doc_id))
+    SELECT doc_id AS pair_id,
+           CAST(n_caption_words AS INT) AS n_caption_words,
+           round(cn, 6) AS caption_norm,
+           round(inm, 6) AS image_norm,
+           round(CASE WHEN cn * inm = 0 THEN 0.0 ELSE dot / (cn * inm) END, 6) AS clip_score,
+           round(CASE WHEN cn * inm = 0 THEN 0.0 ELSE dot / (cn * inm) END, 6)
+               >= {MM09_THRESHOLD} AS keep
+    FROM s
+"""
+
+
+MM09_SQL = _mm09_sql()
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -1063,6 +1198,7 @@ QUERIES = {
     "mm06_decode_resize": mm06_decode_resize,
     "mm07_decode_audio": mm07_decode_audio,
     "mm08_video_frame_index": mm08_video_frame_index,
+    "mm09_pair_curation": mm09_pair_curation,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -1113,4 +1249,5 @@ ORACLES = {
     "mm06_decode_resize": MM06_SQL,
     "mm07_decode_audio": MM07_SQL,
     "mm08_video_frame_index": MM08_SQL,
+    "mm09_pair_curation": MM09_SQL,
 }

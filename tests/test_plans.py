@@ -211,6 +211,26 @@ def test_pq_ann_broadcasts_codebook_and_queries(spark):
     assert len(exchanges) == 1 and exchanges[0].startswith("query_id"), exchanges
 
 
+def test_pair_curation_single_join_no_python(spark):
+    """mm09: the caption encoder must fuse into the documents scan (pure
+    map) and the only data movement is the pair-id equi-join of the two
+    corpus-sized sides — no cartesian, no Python stage, and at most the
+    join's own exchanges (broadcast at test SF leaves zero)."""
+    import re
+
+    from hive_lineage_spark.operators import multimodal as mm
+
+    df = mm.mm09_pair_curation(spark, SF)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Join" in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+),", plan)
+    assert len(exchanges) <= 2 and all(e.startswith("pair_id") for e in exchanges), exchanges
+
+
 def test_ss09_exact_leg_and_pq_codes_are_cached(spark):
     """ss09's four evaluation legs each join + distinct the exact
     baseline, and the three PQ legs share the encode pass. Exchange

@@ -56,12 +56,18 @@ def test_no_silent_rotation_debt():
     this mechanically from CORRECTNESS_r*.json) or sit in the current
     50-slot window (queued for certification this round). A query that
     is neither is rotation debt the hand-written window comments used
-    to track — now it fails here instead of accumulating."""
-    from hive_lineage_spark.operators import _DRIVER_PRIORITY
+    to track — now it fails here instead of accumulating. Queries added
+    after a round's window seals go in ROTATION_QUEUE (the declared
+    next-round rotation); the queue must stay honest too — no
+    already-certified or unregistered names."""
+    from hive_lineage_spark.operators import _DRIVER_PRIORITY, ROTATION_QUEUE
     from tools.certified import never_certified
 
-    debt = never_certified(set(QUERIES)) - set(_DRIVER_PRIORITY[:50])
+    never = never_certified(set(QUERIES))
+    debt = never - set(_DRIVER_PRIORITY[:50]) - set(ROTATION_QUEUE)
     assert not debt, (
-        f"registered queries with no driver certification and no window "
-        f"slot: {sorted(debt)} — rotate them into _DRIVER_PRIORITY"
+        f"registered queries with no driver certification, no window "
+        f"slot, and no rotation-queue entry: {sorted(debt)}"
     )
+    stale = [q for q in ROTATION_QUEUE if q not in QUERIES or q not in never]
+    assert not stale, f"ROTATION_QUEUE entries unregistered or already certified: {stale}"
