@@ -83,6 +83,7 @@ EXTRA = [
     "tp11_chunk_overlap",      # sliding-window chunking (round 7)
     "ss09_ann_recall",         # recall@K of IVF/PQ vs exact (round 7)
     "mm09_pair_curation",      # CLIP-score image-text gate (round 8)
+    "mm10_video_frame_pixels", # AVI -> JPEG decode -> pixel stats (round 8)
 ]
 
 

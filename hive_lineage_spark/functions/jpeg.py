@@ -1,0 +1,359 @@
+"""Pure-stdlib/numpy baseline JPEG codec (ITU-T T.81 / ISO 10918-1,
+public spec): a real encoder + decoder pair for 8-bit baseline
+sequential JPEG, 4:4:4 (no chroma subsampling), used by the multimodal
+operators so the AVI→frames→pixels path is real end-to-end.
+
+Scope (honest gates, like the PNG/WAV decoders):
+- baseline DCT sequential (SOF0) only — progressive/lossless raise
+- 3-component YCbCr, h=v=1 sampling for every component (4:4:4)
+- no DRI/restart-interval support (the encoder never emits one)
+
+Everything else is the real thing: marker/segment walk, DQT (two
+tables), DHT canonical Huffman construction from BITS/HUFFVAL, SOS,
+MSB-first entropy decoding with 0xFF00 byte unstuffing, DC difference
+coding with EXTEND sign recovery, AC run/size + EOB + ZRL, de-zigzag,
+dequantization, float 2-D IDCT (orthonormal 8x8 DCT matrix), level
+shift, and YCbCr→RGB with PINNED rounding floor(x + 0.5) so a SQL
+oracle can reproduce the conversion bit-exactly.
+
+The encoder is general (any 8-bit 4:4:4 planes): pad-to-block by edge
+replication, forward DCT, quantize, fixed-length-code Huffman tables
+(all 12 DC categories at 4 bits, all 162 AC symbols at 8 bits — a
+valid, deliberately simple canonical code; the decoder handles ANY
+table the DHT segment declares). Lossy in general — the fixture ops
+get bit-exact closed-form output by encoding images that are UNIFORM
+per 8x8 block (a constant block's DCT is DC-only and survives
+quantize/IDCT exactly), while the round-trip tests exercise the full
+AC path on arbitrary content with a small tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# --- 8x8 orthonormal DCT basis: M[u,x] = C(u)/2 * cos((2x+1)u*pi/16) ---
+_DCT_M = np.array(
+    [
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0) / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+# --- zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient ---
+def _zigzag_order() -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(max(0, s - 7), min(s, 7) + 1)]
+        out.extend(diag if s % 2 else diag[::-1])
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+# --- fixed encoder Huffman tables (decoder reads whatever DHT says) ---
+# DC: the 12 categories, all 4-bit codes; AC: EOB + ZRL + (run,size)
+# for run 0..15 / size 1..10, all 8-bit codes. Canonical codes 0..n-1
+# never hit the reserved all-ones pattern.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+
+
+def _fixed_table(symbols: list[int], length: int) -> tuple[bytes, bytes]:
+    """(BITS, HUFFVAL) for a table giving every symbol the same code
+    length."""
+    bits = bytearray(16)
+    bits[length - 1] = len(symbols)
+    return bytes(bits), bytes(symbols)
+
+
+def _build_codes(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length). Shared by encoder
+    (fixed tables) and decoder (whatever DHT declares)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _category(v: int) -> int:
+    """JPEG magnitude category: bits needed for |v| (0 for v == 0)."""
+    return 0 if v == 0 else int(v if v > 0 else -v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy stream exhausted")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy data")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, decode_map: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = decode_map.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """EXTEND (T.81 F.12): recover the signed value from t magnitude
+    bits."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _pad_to_blocks(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(width: int, height: int, y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> bytes:
+    """Baseline sequential JPEG from full-resolution YCbCr planes
+    (uint8 2-D arrays, shape (height, width)). 4:4:4, two all-ones
+    quant tables (0 for Y, 1 for Cb/Cr), fixed-length Huffman codes."""
+    planes = [
+        _pad_to_blocks(p.astype(np.float64)) - 128.0 for p in (y, cb, cr)
+    ]
+    dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS, 4)
+    ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS, 8)
+    dc_codes = _build_codes(dc_bits, dc_vals)
+    ac_codes = _build_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcu_h, mcu_w = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+    for by in range(mcu_h):
+        for bx in range(mcu_w):
+            for ci, plane in enumerate(planes):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeff = _DCT_M @ block @ _DCT_M.T
+                q = np.rint(coeff).astype(np.int64)  # quant tables are all 1s
+                zz = [int(q[r, c]) for r, c in ZIGZAG]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                t = _category(diff)
+                if t > 11:
+                    raise ValueError("DC difference out of baseline range")
+                bw.write(*dc_codes[t])
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                for ac in zz[1:]:
+                    if ac == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.write(*ac_codes[0xF0])  # ZRL
+                        run -= 16
+                    s = _category(ac)
+                    if s > 10:
+                        raise ValueError("AC coefficient out of baseline range")
+                    bw.write(*ac_codes[(run << 4) | s])
+                    bw.write(ac if ac >= 0 else ac + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    bw.write(*ac_codes[0x00])  # EOB
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ones = bytes([1] * 64)
+    dqt = seg(0xFFDB, b"\x00" + ones) + seg(0xFFDB, b"\x01" + ones)
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = (
+        seg(0xFFC4, b"\x00" + dc_bits + dc_vals)
+        + seg(0xFFC4, b"\x10" + ac_bits + ac_vals)
+        + seg(0xFFC4, b"\x01" + dc_bits + dc_vals)
+        + seg(0xFFC4, b"\x11" + ac_bits + ac_vals)
+    )
+    sos = seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline sequential 4:4:4 JPEG to top-down row-major RGB
+    bytes: ``{"fmt": "jpeg", "width", "height", "pixels"}``.
+
+    YCbCr→RGB uses the T.871 constants with PINNED floor(x+0.5)
+    rounding (then clamp to [0, 255]) so oracles can replicate the
+    conversion bit-exactly."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("only 8-bit quant tables")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = body[b + 1 + k]
+                qt[tq] = tbl
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 3:
+                raise NotImplementedError("only 8-bit 3-component baseline JPEG")
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "only 4:4:4 (no chroma subsampling) is supported"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = body[b + 1 : b + 17]
+                n = sum(bits)
+                vals = body[b + 17 : b + 17 + n]
+                huff[(tc, th)] = {
+                    (code, length): sym
+                    for sym, (code, length) in _build_codes(bits, vals).items()
+                }
+                b += 17 + n
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals (DRI) not supported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                idx = next(k for k, (c, _) in enumerate(comps) if c == cid)
+                scan.append((idx, tabs >> 4, tabs & 0x0F))
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if data_start is None or width is None:
+        raise ValueError("JPEG missing SOS/SOF")
+
+    reader = _BitReader(payload[data_start:])
+    mcu_w, mcu_h = (width + 7) // 8, (height + 7) // 8
+    planes = [np.zeros((mcu_h * 8, mcu_w * 8), dtype=np.float64) for _ in comps]
+    pred = [0] * len(comps)
+    for by in range(mcu_h):
+        for bx in range(mcu_w):
+            for ci, dc_id, ac_id in scan:
+                dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]
+                zz = [0] * 64
+                t = reader.read_symbol(dc_map)
+                diff = _extend(reader.read_bits(t), t) if t else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = reader.read_symbol(ac_map)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, s = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(reader.read_bits(s), s)
+                    k += 1
+                coeff = np.zeros((8, 8), dtype=np.float64)
+                for k, (r, c) in enumerate(ZIGZAG):
+                    coeff[r, c] = zz[k]
+                coeff *= qt[comps[ci][1]]
+                block = _DCT_M.T @ coeff @ _DCT_M
+                sample = np.clip(np.floor(block + 128.0 + 0.5), 0, 255)
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = sample
+
+    y = planes[0][:height, :width]
+    cb = planes[1][:height, :width]
+    cr = planes[2][:height, :width]
+    r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5), 0, 255
+    )
+    b = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return {"fmt": "jpeg", "width": width, "height": height, "pixels": rgb.tobytes()}

@@ -58,7 +58,8 @@ from pyspark.sql import DataFrame, SparkSession
 # fails if a never-certified query is in neither the window nor this
 # queue — rotation debt can't accumulate silently).
 ROTATION_QUEUE = [
-    "mm09_pair_curation",  # round-8 addition → rotate into the r9 window
+    "mm09_pair_curation",       # round-8 addition → rotate into the r9 window
+    "mm10_video_frame_pixels",  # round-8 addition → rotate into the r9 window
 ]
 
 _DRIVER_PRIORITY = [

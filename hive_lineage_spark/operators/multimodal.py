@@ -31,23 +31,29 @@ DECODE_SCHEMA = "doc_id long, n_bytes long, sha16 string, width int, height int"
 
 def decode_image_real(payload: bytes) -> dict:
     """Real image decode for the formats a pure-Python/stdlib decoder
-    can handle: 24-bit uncompressed BMP, binary PPM (P6), and 8-bit
+    can handle: 24-bit uncompressed BMP, binary PPM (P6), 8-bit
     truecolor PNG (``zlib`` is stdlib; PNG is inflate + per-row
-    unfilter). Returns ``{"fmt", "width", "height", "pixels"}`` with
-    ``pixels`` the top-down row-major RGB bytes. JPEG needs a DCT codec
-    library that is NOT available in this container — it keeps the
-    honest NotImplementedError path; with PIL present the fallthrough
-    becomes ``PIL.Image.open(io.BytesIO(payload))`` and the Spark
-    plumbing around it does not change."""
+    unfilter), and — since round 8 — baseline sequential 4:4:4 JPEG
+    (``functions/jpeg.py``: full marker walk, canonical Huffman, AC
+    run/size entropy decode, dequant, float IDCT, pinned YCbCr→RGB).
+    Returns ``{"fmt", "width", "height", "pixels"}`` with ``pixels``
+    the top-down row-major RGB bytes. Progressive JPEG / chroma
+    subsampling keep honest NotImplementedError paths; with PIL present
+    the fallthrough becomes ``PIL.Image.open(io.BytesIO(payload))`` and
+    the Spark plumbing around it does not change."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)  # baseline sequential 4:4:4
     raise NotImplementedError(
-        "no pure-Python decoder for this format (JPEG needs a DCT codec "
-        "library not present in this container)"
+        "no pure-Python decoder for this format (GIF/TIFF/WebP need "
+        "codec libraries not present in this container)"
     )
 
 
@@ -901,8 +907,9 @@ def parse_avi_frames(payload: bytes) -> dict:
     avih main header out of LIST('hdrl'), then index every '00dc' frame
     chunk inside LIST('movi') — (absolute offset, size) per frame,
     without touching the frame bytes. Word-aligned chunk stepping, as
-    in the WAV decoder. Frame PIXEL decoding (MJPEG = JPEG) keeps the
-    honest NotImplementedError path downstream."""
+    in the WAV decoder. Frame PIXEL decoding (MJPEG = a baseline JPEG
+    per '00dc' chunk) is real since round 8 — mm10 feeds the sampled
+    frame slices through ``functions/jpeg.py``."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -1055,6 +1062,170 @@ MM08_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# mm10: the video path REAL end-to-end — AVI (MJPEG) container walk →
+# every-Nth frame sample → baseline JPEG decode of each sampled frame
+# (functions/jpeg.py: Huffman + dequant + IDCT + pinned YCbCr→RGB) →
+# per-frame pixel stats. Retires the last multimodal stub: mm08 indexed
+# frames it could not decode; mm10 decodes them. Fixture frames encode
+# YCbCr planes that are UNIFORM per 8x8 block, which a quant=1 baseline
+# JPEG reproduces bit-exactly (a constant block's DCT is DC-only), so
+# the DuckDB oracle recomputes every output pixel from the closed-form
+# block values + the pinned floor(x+0.5) color conversion — it never
+# sees the encoded bytes, and a Huffman/zigzag/IDCT/crop bug fails the
+# position-weighted value hash. The general (lossy) AC path is pinned
+# by round-trip tests in tests/test_multimodal_codecs.py.
+# ---------------------------------------------------------------------------
+
+MJPEG_STEP = FRAME_STEP  # sample every Nth frame, as mm08
+
+
+def _mjpeg_block_planes(doc_id: int, frame_no: int, w: int, h: int):
+    """Closed-form uniform-per-8x8-block YCbCr planes for fixture frame
+    (doc_id, frame_no) — the formulas the oracle SQL replicates."""
+    import numpy as np
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    by, bx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+    yv = (doc_id * 37 + frame_no * 41 + by * 17 + bx * 29) % 256
+    cb = (doc_id * 19 + frame_no * 31 + by * 7 + bx * 11) % 256
+    cr = (doc_id * 23 + frame_no * 43 + by * 13 + bx * 3) % 256
+    expand = lambda p: np.repeat(np.repeat(p, 8, 0), 8, 1)[:h, :w].astype("uint8")  # noqa: E731
+    return expand(yv), expand(cb), expand(cr)
+
+
+def _mjpeg_fixture(sf_dir: str) -> str:
+    """One MJPEG AVI per document: real baseline JPEG frames inside
+    '00dc' chunks, dimensions NOT multiples of 8 so the decoder's
+    pad-and-crop path is exercised."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.jpeg import encode_jpeg
+    from ..sources.registry import scratch_key, table_path
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg_v1")
+    out_file = os.path.join(out_dir, "mjpeg.parquet")
+    if not os.path.exists(out_file):
+        doc_ids = (
+            pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        payloads = []
+        for d in doc_ids:
+            n_frames = (d % 4) + 2
+            w, h = (d % 9) + 8, (d % 5) + 8
+            frames = [
+                encode_jpeg(w, h, *_mjpeg_block_planes(d, f, w, h))
+                for f in range(n_frames)
+            ]
+            payloads.append(encode_avi(w, h, frames))
+        tbl = pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()), "payload": pa.array(payloads, pa.binary())}
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = out_file + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, out_file)
+    return out_file
+
+
+FRAME_PIXEL_SCHEMA = (
+    "doc_id long, n_frames int, width int, height int, frame_no int, "
+    "n_pixels long, checksum long, sum_r long, sum_g long, sum_b long"
+)
+
+
+def _frame_pixel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: AVI walk, then DECODE every sampled frame's
+    JPEG slice and emit stats on the decoded RGB — the full
+    container→codec→pixels path in one narrow Python stage."""
+    import numpy as np
+
+    from ..functions.jpeg import decode_jpeg
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            m = parse_avi_frames(payload)
+            for f, (off, size) in enumerate(m["frames"]):
+                if f % MJPEG_STEP:
+                    continue
+                img = decode_jpeg(payload[off : off + size])
+                px = np.frombuffer(img["pixels"], dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    (
+                        doc_id, len(m["frames"]), img["width"], img["height"], f,
+                        len(px) // 3, int(((np.arange(len(px)) + 1) * px).sum()),
+                        int(px[0::3].sum()), int(px[1::3].sum()), int(px[2::3].sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "width", "height", "frame_no",
+                "n_pixels", "checksum", "sum_r", "sum_g", "sum_b",
+            ],
+        )
+
+
+def mm10_video_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG video decode end-to-end: AVI container walk → every
+    Nth frame slice → baseline JPEG decode → per-frame pixel stats.
+    Same narrow one-Python-stage shape as mm05/mm08 (no shuffle — the
+    op scales by adding input splits); only the codec work per row grew
+    from byte checksums to a real entropy-decode + IDCT."""
+    vids = spark.read.parquet(_mjpeg_fixture(sf_dir))
+    return vids.mapInPandas(_frame_pixel_batches, schema=FRAME_PIXEL_SCHEMA)
+
+
+# Oracle: recompute each sampled frame's pixels from the closed-form
+# block values (uniform 8x8 blocks survive a quant=1 baseline JPEG
+# bit-exactly) + the decoder's PINNED color conversion floor(x+0.5).
+MM10_SQL = f"""
+    WITH m AS (
+        SELECT doc_id,
+               (doc_id % 4) + 2 AS n_frames,
+               (doc_id % 9) + 8 AS w,
+               (doc_id % 5) + 8 AS h
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, n_frames, w, h, CAST(t.f AS INT) AS frame_no
+        FROM m, unnest(range(0, n_frames)) t(f)
+        WHERE t.f % {FRAME_STEP} = 0
+    ),
+    px AS (
+        SELECT doc_id, n_frames, w, h, frame_no, t.p AS p,
+               (doc_id * 37 + frame_no * 41 + ((t.p // w) // 8) * 17 + ((t.p % w) // 8) * 29) % 256 AS yv,
+               (doc_id * 19 + frame_no * 31 + ((t.p // w) // 8) * 7 + ((t.p % w) // 8) * 11) % 256 AS cbv,
+               (doc_id * 23 + frame_no * 43 + ((t.p // w) // 8) * 13 + ((t.p % w) // 8) * 3) % 256 AS crv
+        FROM fr, unnest(range(0, w * h)) t(p)
+    ),
+    rgb AS (
+        SELECT doc_id, n_frames, w, h, frame_no, p,
+               least(greatest(floor(yv + 1.402 * (crv - 128) + 0.5), 0), 255) AS r,
+               least(greatest(floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5), 0), 255) AS g,
+               least(greatest(floor(yv + 1.772 * (cbv - 128) + 0.5), 0), 255) AS b
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(any_value(n_frames) AS INT) AS n_frames,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           frame_no,
+           CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+           CAST(sum((3 * p + 1) * r + (3 * p + 2) * g + (3 * p + 3) * b) AS BIGINT) AS checksum,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM rgb GROUP BY doc_id, frame_no
+"""
+
+
+# ---------------------------------------------------------------------------
 # mm09: image-text pair curation gate — the CLIP-score filter every
 # multimodal corpus runs (LAION's curation shape: score each
 # image-caption pair with the cosine of their embeddings, keep pairs
@@ -1199,6 +1370,7 @@ QUERIES = {
     "mm07_decode_audio": mm07_decode_audio,
     "mm08_video_frame_index": mm08_video_frame_index,
     "mm09_pair_curation": mm09_pair_curation,
+    "mm10_video_frame_pixels": mm10_video_frame_pixels,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -1238,6 +1410,13 @@ DECLARED = {
             "n_frames", "width", "height", "frame_no", "byte_offset", "n_bytes", "checksum"
         )},
     },
+    "mm10_video_frame_pixels": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "n_frames", "width", "height", "frame_no",
+            "n_pixels", "checksum", "sum_r", "sum_g", "sum_b"
+        )},
+    },
 }
 
 ORACLES = {
@@ -1250,4 +1429,5 @@ ORACLES = {
     "mm07_decode_audio": MM07_SQL,
     "mm08_video_frame_index": MM08_SQL,
     "mm09_pair_curation": MM09_SQL,
+    "mm10_video_frame_pixels": MM10_SQL,
 }

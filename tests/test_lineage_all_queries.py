@@ -26,6 +26,7 @@ PYTHON_BARRIER = {
     "mm06_decode_resize",
     "mm07_decode_audio",
     "mm08_video_frame_index",
+    "mm10_video_frame_pixels",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",

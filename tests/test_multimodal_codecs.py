@@ -37,7 +37,90 @@ def test_png_bad_crc_rejected():
 
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"\xff\xd8\xff\xe0 not decodable jpeg")
+        decode_image_real(b"GIF89a not decodable without a codec library")
+
+
+# --- baseline JPEG codec (functions/jpeg.py) ---------------------------------
+
+
+def _ycc_expected_rgb(y, cb, cr):
+    """The decoder's pinned YCbCr→RGB conversion, applied to the ORIGINAL
+    planes — the closed form the mm10 oracle uses."""
+    import numpy as np
+
+    yf, cbf, crf = (p.astype(np.float64) for p in (y, cb, cr))
+    r = np.clip(np.floor(yf + 1.402 * (crf - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0) + 0.5), 0, 255
+    )
+    b = np.clip(np.floor(yf + 1.772 * (cbf - 128.0) + 0.5), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.int64)
+
+
+def test_jpeg_uniform_block_roundtrip_is_bit_exact():
+    """Uniform-per-8x8-block planes survive a quant=1 baseline JPEG
+    EXACTLY (constant block → DC-only DCT) — the property the mm10
+    closed-form oracle rests on. Covers non-multiple-of-8 dims so the
+    pad-and-crop path is exercised."""
+    import numpy as np
+
+    from hive_lineage_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    for w, h in [(8, 8), (9, 8), (16, 12), (13, 11), (4, 4), (17, 9)]:
+        bh, bw = (h + 7) // 8, (w + 7) // 8
+
+        def plane():
+            bv = rng.randint(0, 256, size=(bh, bw))
+            return np.repeat(np.repeat(bv, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+
+        y, cb, cr = plane(), plane(), plane()
+        m = decode_jpeg(encode_jpeg(w, h, y, cb, cr))
+        assert (m["fmt"], m["width"], m["height"]) == ("jpeg", w, h)
+        px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3).astype(np.int64)
+        assert np.array_equal(px, _ycc_expected_rgb(y, cb, cr))
+
+
+def test_jpeg_arbitrary_content_roundtrip_tolerance():
+    """Arbitrary planes exercise the FULL entropy path — DC diffs across
+    many categories, AC run/size symbols, ZRL, byte stuffing. quant=1
+    keeps the loss to DCT/rounding noise: a zigzag, Huffman, or IDCT bug
+    produces garbage, not a ±few-LSB error."""
+    import numpy as np
+
+    from hive_lineage_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    worst = 0
+    for _ in range(8):
+        w, h = int(rng.randint(8, 30)), int(rng.randint(8, 25))
+        y, cb, cr = (rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(3))
+        m = decode_jpeg(encode_jpeg(w, h, y, cb, cr))
+        px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3).astype(np.int64)
+        worst = max(worst, int(np.abs(px - _ycc_expected_rgb(y, cb, cr)).max()))
+    assert worst <= 4, worst
+
+
+def test_jpeg_unsupported_features_raise():
+    import numpy as np
+
+    from hive_lineage_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    plane = np.zeros((8, 8), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(8, 8, plane, plane, plane))
+    sof = payload.index(b"\xff\xc0")
+    progressive = bytes(payload[:sof + 1]) + b"\xc2" + bytes(payload[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(progressive)
+    subsampled = bytearray(payload)
+    subsampled[sof + 11] = 0x22  # Y component h=v=2 → 4:2:0
+    with pytest.raises(NotImplementedError, match="4:4:4"):
+        decode_jpeg(bytes(subsampled))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+    # JPEG payloads route through the shared dispatch now
+    m = decode_image_real(bytes(payload))
+    assert m["fmt"] == "jpeg"
 
 
 def test_wav_roundtrip_mono_and_stereo():

@@ -257,7 +257,12 @@ def test_real_decode_ops_are_single_python_stage(spark):
     splits."""
     from hive_lineage_spark.operators import multimodal as mm
 
-    for q in (mm.mm05_decode_image, mm.mm06_decode_resize, mm.mm07_decode_audio):
+    for q in (
+        mm.mm05_decode_image,
+        mm.mm06_decode_resize,
+        mm.mm07_decode_audio,
+        mm.mm10_video_frame_pixels,
+    ):
         plan = _plan(q(spark, SF))
         assert "Exchange" not in plan, (q.__name__, plan)
         assert "MapInPandas" in plan, (q.__name__, plan)
