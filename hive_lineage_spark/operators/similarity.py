@@ -977,18 +977,34 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
     )
 
 
+PQ_RERANK = 50  # shortlist depth for the exact re-rank stage
+
+
+def _pq_adc50_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The depth-``PQ_RERANK`` ADC ranking, persisted per (session,
+    sf_dir): the depth-50 ranking SUBSUMES the depth-K one (row_number
+    then ``rank <= K`` yields identical rows and ranks), so ss08, ss10,
+    and both of ss09's PQ legs share ONE scoring pass instead of each
+    re-running the corpus-codes scan + rank window."""
+    from .dedup import _persisted
+
+    return _persisted(
+        "pq_adc50", spark, sf_dir, lambda s, d: _pq_adc_ranked(s, d, PQ_RERANK)
+    )
+
+
 def ss08_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC top-K: encode the corpus once (argmin codeword per
     subspace, ties to the lowest code id), broadcast each query's M×KPQ
     distance table, score candidates by summed table lookups, rank
     ascending on the ROUNDED approximate distance (both engines compare
-    identical doubles — the tx10 lesson) with neighbor-id ties."""
-    return _pq_adc_ranked(spark, sf_dir, K).select(
+    identical doubles — the tx10 lesson) with neighbor-id ties. Served
+    as the top-K slice of the shared depth-PQ_RERANK ranking (plan
+    quality of the scoring core is pinned on ``_pq_adc_ranked``
+    directly in tests/test_plans.py)."""
+    return _pq_adc50_cached(spark, sf_dir).filter(F.col("rank") <= K).select(
         "query_id", F.col("vec_id").alias("neighbor_id"), "adist", "rank"
     )
-
-
-PQ_RERANK = 50  # shortlist depth for the exact re-rank stage
 
 
 def ss10_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,7 +1018,7 @@ def ss10_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector store ships. Cosine here is the same HOF fold as ss01, so
     the oracle arithmetic is bit-identical."""
     vec = _vectors(spark, sf_dir)
-    shortlist = _pq_adc_ranked(spark, sf_dir, PQ_RERANK).select("query_id", "vec_id")
+    shortlist = _pq_adc50_cached(spark, sf_dir).select("query_id", "vec_id")
     q = vec.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )

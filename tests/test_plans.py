@@ -201,7 +201,9 @@ def test_pq_ann_broadcasts_codebook_and_queries(spark):
 
     import hive_lineage_spark.operators.similarity as ss
 
-    df = ss.ss08_ann_pq(spark, SF)
+    # pin the UNCACHED scoring core: ss08/ss10 serve slices of the
+    # persisted depth-PQ_RERANK frame this core builds
+    df = ss._pq_adc_ranked(spark, SF, ss.K)
     df.collect()
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
