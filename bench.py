@@ -84,6 +84,7 @@ EXTRA = [
     "ss09_ann_recall",         # recall@K of IVF/PQ vs exact (round 7)
     "mm09_pair_curation",      # CLIP-score image-text gate (round 8)
     "mm10_video_frame_pixels", # AVI -> JPEG decode -> pixel stats (round 8)
+    "tx15_bpe_train",          # BPE merge learning from word freqs (round 8)
 ]
 
 

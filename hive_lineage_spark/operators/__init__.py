@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 ROTATION_QUEUE = [
     "mm09_pair_curation",       # round-8 addition → rotate into the r9 window
     "mm10_video_frame_pixels",  # round-8 addition → rotate into the r9 window
+    "tx15_bpe_train",           # round-8 addition → rotate into the r9 window
 ]
 
 _DRIVER_PRIORITY = [

@@ -870,6 +870,155 @@ TX14_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# tx15: BPE tokenizer TRAINING (Sennrich et al. 2016) — the missing
+# pillar next to tx07's pre-tokenization: learn the first N merge rules
+# from the corpus. Industrial trainers (HF tokenizers) work from the
+# WORD-FREQUENCY table, not the raw corpus — vocab is sublinear in
+# corpus size — so the dataflow here is the 100 TB shape: ONE
+# corpus-sized shuffle builds (word, count); every Lloyd-like iteration
+# after that touches only vocab-sized frames (map-side adjacent-pair
+# counts with partial aggregation, a 1-row TakeOrdered argmax broadcast
+# back, and a map-side merge application).
+#
+# The merge application is a string trick shared with the oracle: the
+# symbol list renders as chr(1)-delimited text with boundary markers on
+# both ends, and replace(s, SEP+a+SEP+b+SEP, SEP+ab+SEP) applies the
+# merge left-to-right non-overlapping — exactly BPE's rule — with the
+# boundary markers preventing matches inside multi-character symbols.
+# Ties break on (count DESC, left ASC, right ASC) so the learned
+# sequence is deterministic across engines (binary collation both
+# sides). Intermediate symbol tables persist per (session, sf_dir) in
+# the shared index registry: the i-th merge's frame feeds both the
+# (i+1)-th pair count and the final report, and each is the natural
+# checkpoint a production trainer writes between iterations.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6
+_BPE_SEP = "\x01"  # never occurs in the corpus (asserted by the oracle match)
+
+
+def _bpe_stage(spark: SparkSession, sf_dir: str, i: int) -> DataFrame:
+    """Symbol table after ``i`` merges: (syms array<string>, cnt)."""
+    from .dedup import _persisted
+
+    def build(s: SparkSession, d: str) -> DataFrame:
+        if i == 0:
+            wf = (
+                _docs(s, d)
+                .select(F.explode(F.split("text", " ")).alias("w"))
+                .filter(F.col("w") != "")
+                .groupBy("w")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            return wf.select(F.split("w", "").alias("syms"), "cnt")
+        prev = _bpe_stage(s, d, i - 1)
+        best = _bpe_best(s, d, i).select("a", "b")
+        sep = F.lit(_BPE_SEP)
+        s_str = F.concat(sep, F.array_join("syms", _BPE_SEP), sep)
+        merged = F.replace(
+            s_str,
+            F.concat(sep, F.col("a"), sep, F.col("b"), sep),
+            F.concat(sep, F.col("a"), F.col("b"), sep),
+        )
+        return (
+            prev.crossJoin(F.broadcast(best))
+            .select(
+                F.filter(F.split(merged, _BPE_SEP), lambda x: x != "").alias("syms"),
+                "cnt",
+            )
+        )
+
+    return _persisted(f"bpe_s{i}", spark, sf_dir, build)
+
+
+def _bpe_best(spark: SparkSession, sf_dir: str, i: int) -> DataFrame:
+    """The i-th learned merge: argmax adjacent pair of stage i-1 —
+    (a, b, pc), one row, ties on (pc DESC, a, b)."""
+    stage = _bpe_stage(spark, sf_dir, i - 1)
+    pairs = stage.select(
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda j: F.struct(
+                        F.element_at("syms", j + 1).alias("a"),
+                        F.element_at("syms", j + 2).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("pr"),
+        "cnt",
+    )
+    return (
+        pairs.select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"), "cnt")
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("pc"))
+        .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+
+
+def tx15_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first ``BPE_MERGES`` BPE merge rules from the corpus:
+    (iteration, left symbol, right symbol, pair count)."""
+    out = None
+    for i in range(1, BPE_MERGES + 1):
+        row = _bpe_best(spark, sf_dir, i).select(
+            F.lit(i).alias("it"),
+            F.col("a").alias("lhs"),
+            F.col("b").alias("rhs"),
+            F.col("pc").cast("long").alias("pair_cnt"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _tx15_sql() -> str:
+    def iter_sql(i: int) -> str:
+        prev = f"s{i-1}"
+        return f"""
+    p{i} AS (
+        SELECT a, b, sum(cnt) AS pc FROM (
+            SELECT t.pr.a AS a, t.pr.b AS b, cnt
+            FROM {prev}, unnest(list_transform(range(1, len(syms)),
+                 j -> struct_pack(a := syms[j], b := syms[j + 1]))) t(pr)
+        ) GROUP BY a, b
+    ),
+    b{i} AS (SELECT a, b, pc FROM p{i} ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+    s{i} AS (
+        SELECT list_filter(string_split(
+                   replace(chr(1) || array_to_string(syms, chr(1)) || chr(1),
+                           chr(1) || b{i}.a || chr(1) || b{i}.b || chr(1),
+                           chr(1) || b{i}.a || b{i}.b || chr(1)),
+                   chr(1)), x -> x <> '') AS syms,
+               cnt
+        FROM {prev} CROSS JOIN b{i}
+    )"""
+
+    legs = " UNION ALL ".join(
+        f"SELECT {i} AS it, a AS lhs, b AS rhs, CAST(pc AS BIGINT) AS pair_cnt FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return (
+        """
+    WITH wf AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    s0 AS (SELECT string_split(w, '') AS syms, cnt FROM wf),
+"""
+        + ",\n".join(iter_sql(i) for i in range(1, BPE_MERGES + 1))
+        + "\n    "
+        + legs
+    )
+
+
+TX15_SQL = _tx15_sql()
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -883,6 +1032,7 @@ QUERIES = {
     "tx12_dup_span_profile": tx12_dup_span_profile,
     "tx13_unigram_logprob": tx13_unigram_logprob,
     "tx14_gopher_gate": tx14_gopher_gate,
+    "tx15_bpe_train": tx15_bpe_train,
 }
 
 ORACLES = {
@@ -898,4 +1048,5 @@ ORACLES = {
     "tx12_dup_span_profile": TX12_SQL,
     "tx13_unigram_logprob": TX13_SQL,
     "tx14_gopher_gate": TX14_SQL,
+    "tx15_bpe_train": TX15_SQL,
 }

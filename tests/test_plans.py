@@ -213,6 +213,28 @@ def test_pq_ann_broadcasts_codebook_and_queries(spark):
     assert len(exchanges) == 1 and exchanges[0].startswith("query_id"), exchanges
 
 
+def test_bpe_train_vocab_sized_iterations(spark):
+    """tx15: ONE corpus-sized shuffle (the word-frequency groupBy, with
+    map-side combine); each merge iteration's pair count is a
+    partial/final agg over the vocab-sized symbol table, the argmax is
+    TakeOrdered (1 row), and the merge application is a broadcast-join
+    pure map — no SortMergeJoin, no cartesian product anywhere."""
+    import hive_lineage_spark.operators.text as tx
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
+
+    clear_postings_cache()
+    df = tx.tx15_bpe_train(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    best1 = tx._bpe_best(spark, SF, 1)
+    p1 = _plan(best1)
+    assert "partial_sum" in p1 or "partial_" in p1, p1
+    assert "TakeOrderedAndProject" in p1, p1
+    clear_postings_cache()
+
+
 def test_pair_curation_single_join_no_python(spark):
     """mm09: the caption encoder must fuse into the documents scan (pure
     map) and the only data movement is the pair-id equi-join of the two
