@@ -1019,6 +1019,91 @@ def _tx15_sql() -> str:
 TX15_SQL = _tx15_sql()
 
 
+def tx16_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring: per document, the average conditional
+    cross-entropy ``H2(d) = -(1/m_d) Σ_b ln p(w2|w1)`` where
+    ``p(w2|w1) = cnt2(w1,w2) / cnt1(w1)`` is the corpus-trained bigram
+    model (counts over in-doc adjacent pairs). This is the next model
+    order up from tx13's unigram scorer — the same CCNet bucketing
+    applies, but H2 additionally penalizes documents whose word ORDER
+    is unusual, not just their vocabulary (shuffled boilerplate scores
+    high here and low on tx13). Training on the scored corpus itself
+    means every doc bigram is observed, so no smoothing term is needed;
+    a held-out model drops in by replacing the two count tables.
+
+    Scale shape: bigram extraction is a pure map (zip_with over the
+    token array — no shuffle, no posexplode+self-join); cnt2/cnt1 are
+    partial-agg passes (map-side combine) producing vocabulary²-bounded
+    (in practice Heaps-sublinear) model tables that AQE is free to
+    broadcast into the scoring join. Cross-engine FP contract: the
+    per-doc sum folds the (w1,w2)-sorted contribution list in BOTH
+    engines (ln(c2) - ln(c1) per bigram, never ln(c2/c1)), so float
+    association order is pinned; rounds at 6 dp with the midpoint
+    nudge. Reference has no LM ops — LLM-pipeline scope (CCNet,
+    Wenzek et al. 2020)."""
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
+    bg = ws.select(
+        "doc_id",
+        F.expr(
+            "explode(zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+            " (a, b) -> named_struct('w1', a, 'w2', b)))"
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cnt2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    per_doc = (
+        bg.join(cnt2, ["w1", "w2"])
+        .join(cnt1, ["w1"])
+        .select(
+            "doc_id",
+            F.struct("w1", "w2", (F.log("c2") - F.log("c1")).alias("c")).alias("bc"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.array_sort(F.collect_list("bc")), F.lit(0.0), lambda a, s: a + s["c"]
+            ).alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-F.col("s") / F.col("n_bigrams") + 1e-9, 6).alias("xent2"),
+    )
+
+
+TX16_SQL = """
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS b
+        FROM ws WHERE len(ws) >= 2
+    ),
+    bgf AS (
+        SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg
+    ),
+    cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, count(*) AS c1 FROM bgf GROUP BY w1),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                                list(ln(c2) - ln(c1) ORDER BY w1, w2)),
+                   (a, c) -> a + c
+               ) AS s
+        FROM bgf JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(-s / n_bigrams + 1e-9, 6) AS xent2
+    FROM per_doc
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -1033,6 +1118,7 @@ QUERIES = {
     "tx13_unigram_logprob": tx13_unigram_logprob,
     "tx14_gopher_gate": tx14_gopher_gate,
     "tx15_bpe_train": tx15_bpe_train,
+    "tx16_bigram_xent": tx16_bigram_xent,
 }
 
 ORACLES = {
@@ -1049,4 +1135,5 @@ ORACLES = {
     "tx13_unigram_logprob": TX13_SQL,
     "tx14_gopher_gate": TX14_SQL,
     "tx15_bpe_train": TX15_SQL,
+    "tx16_bigram_xent": TX16_SQL,
 }

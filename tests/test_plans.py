@@ -305,6 +305,21 @@ def test_unigram_logprob_has_partial_agg_and_no_pinned_join(spark):
     assert analyzed.count("ResolvedHint") == 1  # the 1-row corpus total only
 
 
+def test_bigram_xent_extraction_is_map_only(spark):
+    """tx16: bigram extraction must be a zip_with map over the token
+    array (no posexplode + self-join — that shape shuffles the whole
+    token stream on (doc_id, pos)), and the count passes must map-side
+    combine like tx13's."""
+    from hive_lineage_spark.operators import text as tx
+
+    df = tx.tx16_bigram_xent(spark, SF)
+    plan = _plan(df)
+    assert "zip_with" in plan and "posexplode" not in plan
+    assert "partial_count" in plan and "partial_collect_list" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # AQE decides the model joins
+
+
 def test_gate_and_chunking_are_shuffle_free(spark):
     """tx14 (Gopher gate) and tp11 (overlap chunking) are pure maps —
     no Exchange anywhere; they fuse into the scan and scale by input
