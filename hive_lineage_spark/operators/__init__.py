@@ -62,6 +62,7 @@ ROTATION_QUEUE = [
     "mm10_video_frame_pixels",  # round-8 addition → rotate into the r9 window
     "tx15_bpe_train",           # round-8 addition → rotate into the r9 window
     "tx16_bigram_xent",         # round-8 addition → rotate into the r9 window
+    "ss12_ann_hamming",         # round-8 addition → rotate into the r9 window
 ]
 
 _DRIVER_PRIORITY = [

@@ -1393,6 +1393,101 @@ SS09_SQL = _ss09_sql()
 
 
 
+def ss12_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-space ANN over the dd04 SimHash sketches: for each query
+    document (doc_id < N_QUERIES), the K nearest corpus documents by
+    Hamming distance between 32-bit signatures, with candidates
+    restricted to documents sharing ≥1 of the 4 signature bytes (the
+    dd05 pigeonhole bands). This is the sketch-side twin of ss01-ss11:
+    those search the embedding space, this searches the token space at
+    4 bytes/doc — the cheap first-pass retrieval a 100 TB dedup or
+    near-match pipeline runs before touching any vector.
+
+    Scale shape: the query side is N_QUERIES·4 band rows — broadcast —
+    so the corpus side is ONE map pass (explode 4 bands, hash-probe the
+    broadcast, codegen hamming filter); the only exchange is the final
+    per-query top-K on the candidate set (|candidates| ≈ 4·n/256 per
+    query, not n). A multi-band match is kept only at its FIRST
+    matching band (dd05's rule) so no distinct() shuffle is needed.
+    The signature frame is the same persisted artifact dd04/dd05 use —
+    computed once per session across all three operators."""
+    from .dedup import _persisted, _simhash
+
+    sim = _persisted("simhash", spark, sf_dir, _simhash)
+
+    def byte(col: str, b: int):
+        return F.shiftright(F.col(col), b * 8).bitwiseAND(F.lit(255))
+
+    def bands(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(f"{prefix}_id"),
+            F.col("simhash").alias(f"{prefix}_sig"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("simhash"), b * 8)
+                            .bitwiseAND(F.lit(255))
+                            .alias("key"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(f"{prefix}_id", f"{prefix}_sig", "bk.band", "bk.key")
+
+    qb = bands(sim.filter(F.col("doc_id") < N_QUERIES), "q")
+    first_match = F.lit(True)
+    for b in range(3):
+        first_match = first_match & (
+            (F.col("band") <= F.lit(b)) | (byte("q_sig", b) != byte("c_sig", b))
+        )
+    cand = (
+        bands(sim, "c")
+        .join(F.broadcast(qb), ["band", "key"])
+        .filter((F.col("q_id") != F.col("c_id")) & first_match)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.bit_count(F.col("q_sig").bitwiseXOR(F.col("c_sig"))).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
+def _ss12_sql() -> str:
+    from .dedup import DD04_SQL
+
+    share_band = " OR ".join(
+        f"((q.qs >> {b * 8}) & 255) = ((s.simhash >> {b * 8}) & 255)" for b in range(4)
+    )
+    return f"""
+    WITH sim AS ({DD04_SQL}),
+    q AS (SELECT doc_id AS query_id, simhash AS qs FROM sim WHERE doc_id < {N_QUERIES}),
+    cand AS (
+        SELECT query_id, s.doc_id AS neighbor_id,
+               bit_count(CAST(xor(q.qs, s.simhash) AS BIGINT)) AS h
+        FROM q JOIN sim s ON s.doc_id != q.query_id AND ({share_band})
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, h,
+               row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(h AS INT) AS hamming, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {K}
+"""
+
+
+SS12_SQL = _ss12_sql()
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -1405,6 +1500,7 @@ QUERIES = {
     "ss09_ann_recall": ss09_ann_recall,
     "ss10_ann_pq_rerank": ss10_ann_pq_rerank,
     "ss11_ann_pq_trained": ss11_ann_pq_trained,
+    "ss12_ann_hamming": ss12_ann_hamming,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -1439,6 +1535,7 @@ ORACLES = {
     "ss09_ann_recall": SS09_SQL,
     "ss10_ann_pq_rerank": SS10_SQL,
     "ss11_ann_pq_trained": SS11_SQL,
+    "ss12_ann_hamming": SS12_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,

@@ -305,6 +305,21 @@ def test_unigram_logprob_has_partial_agg_and_no_pinned_join(spark):
     assert analyzed.count("ResolvedHint") == 1  # the 1-row corpus total only
 
 
+def test_hamming_ann_broadcasts_queries_and_pushes_topk(spark):
+    """ss12: the query-band side must broadcast (corpus side is one map
+    pass — no shuffle of the exploded band stream), the first-match
+    dedup must fuse into the join condition (no distinct()), and the
+    per-query top-K must use WindowGroupLimit partial/final so only K
+    rows per query reach the single query_id exchange."""
+    from hive_lineage_spark.operators import similarity as ss
+
+    plan = _plan(ss.ss12_ann_hamming(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "partial" in plan.lower()
+
+
 def test_bigram_xent_extraction_is_map_only(spark):
     """tx16: bigram extraction must be a zip_with map over the token
     array (no posexplode + self-join — that shape shuffles the whole
