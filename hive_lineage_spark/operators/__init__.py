@@ -63,6 +63,7 @@ ROTATION_QUEUE = [
     "tx15_bpe_train",           # round-8 addition → rotate into the r9 window
     "tx16_bigram_xent",         # round-8 addition → rotate into the r9 window
     "ss12_ann_hamming",         # round-8 addition → rotate into the r9 window
+    "mm11_audio_features",      # round-8 addition → rotate into the r9 window
 ]
 
 _DRIVER_PRIORITY = [

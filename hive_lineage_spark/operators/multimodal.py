@@ -853,6 +853,106 @@ MM07_SQL = f"""
 """
 
 
+AUDIO_WIN = 16  # feature-window length in frames (fixture clips are 20-69 frames)
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_windows int, zcr int, loud_window int, "
+    "loud_energy long, win_checksum long"
+)
+
+
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: WAV container parse, de-interleave channel 0,
+    then vectorized frame-window features — all integer-exact in int64.
+    zcr counts strict sign flips (product of adjacent samples < 0, the
+    standard zero-crossing rule with zeros never counted); loud_window
+    is the FIRST window achieving the max energy (np.argmax contract);
+    win_checksum position-weights every window's energy so the oracle
+    pins the whole energy profile, not just its max."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_audio_real(bytes(payload))
+            s = np.asarray(m["samples"], dtype=np.int64)
+            c0 = s[0 :: m["n_channels"]]
+            zcr = int(((c0[:-1] * c0[1:]) < 0).sum())
+            nw = (len(c0) + AUDIO_WIN - 1) // AUDIO_WIN
+            padded = np.zeros(nw * AUDIO_WIN, dtype=np.int64)
+            padded[: len(c0)] = c0
+            e = (padded * padded).reshape(nw, AUDIO_WIN).sum(axis=1)
+            rows.append(
+                (
+                    doc_id, nw, zcr, int(e.argmax()), int(e.max()),
+                    int(((np.arange(nw) + 1) * e).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_windows", "zcr", "loud_window",
+                "loud_energy", "win_checksum",
+            ],
+        )
+
+
+def mm11_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-window audio features on REAL decoded WAV: per clip, the
+    zero-crossing count of channel 0 plus per-window (AUDIO_WIN frames)
+    energies reduced to (count, argmax, max, position-weighted
+    checksum). This is the speech/music activity-detection front end of
+    an audio curation pipeline (VAD thresholds on window energy, ZCR
+    separating voiced/unvoiced) — the stage after mm07's raw decode and
+    before any model-based scorer.
+
+    Scale shape: identical to mm05/mm07 — ONE narrow Arrow-batched
+    Python stage fused over the scan, no shuffle, no driver collect;
+    features are O(samples) per clip and the output is a fixed 6-column
+    row per clip. The decode and the feature fold share one pass so
+    sample arrays never leave the worker. Reference has no audio ops
+    (hivehook/ is lineage-only) — LLM-pipeline scope."""
+    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    return wavs.mapInPandas(_audio_feature_batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+MM11_SQL = f"""
+    WITH m AS (
+        SELECT doc_id, 1 + (doc_id % 2) AS ch, (doc_id % 50) + 20 AS n_frames
+        FROM documents
+    ),
+    c0 AS (
+        SELECT doc_id, t.f AS f,
+               ((doc_id * 37 + (t.f * ch) * 11) % 4001) - 2000 AS v
+        FROM m, unnest(range(0, n_frames)) t(f)
+    ),
+    zc AS (
+        SELECT doc_id, sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS zcr
+        FROM (SELECT doc_id, v * lag(v) OVER (PARTITION BY doc_id ORDER BY f) AS prod
+              FROM c0)
+        GROUP BY doc_id
+    ),
+    we AS (
+        SELECT doc_id, f // {AUDIO_WIN} AS w, sum(v * v) AS e
+        FROM c0 GROUP BY doc_id, f // {AUDIO_WIN}
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_windows,
+               max(e) AS loud_energy,
+               min(CASE WHEN is_max THEN w END) AS loud_window,
+               sum((w + 1) * e) AS win_checksum
+        FROM (SELECT *, e = max(e) OVER (PARTITION BY doc_id) AS is_max FROM we)
+        GROUP BY doc_id
+    )
+    SELECT a.doc_id, CAST(n_windows AS INT) AS n_windows, CAST(zcr AS INT) AS zcr,
+           CAST(loud_window AS INT) AS loud_window,
+           CAST(loud_energy AS BIGINT) AS loud_energy,
+           CAST(win_checksum AS BIGINT) AS win_checksum
+    FROM agg a JOIN zc USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # mm08: REAL video container walk — AVI is RIFF (like WAV), so frame
 # INDEXING needs no codec: walk RIFF('AVI ') → LIST('hdrl') for the
@@ -1378,6 +1478,7 @@ QUERIES = {
     "mm08_video_frame_index": mm08_video_frame_index,
     "mm09_pair_curation": mm09_pair_curation,
     "mm10_video_frame_pixels": mm10_video_frame_pixels,
+    "mm11_audio_features": mm11_audio_features,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -1411,6 +1512,12 @@ DECLARED = {
             "n_channels", "rate", "n_frames", "peak", "sum_sq", "checksum", "sum_ch0"
         )},
     },
+    "mm11_audio_features": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "n_windows", "zcr", "loud_window", "loud_energy", "win_checksum"
+        )},
+    },
     "mm08_video_frame_index": {
         "doc_id": ["doc_id"],
         **{c: ["payload"] for c in (
@@ -1437,4 +1544,5 @@ ORACLES = {
     "mm08_video_frame_index": MM08_SQL,
     "mm09_pair_curation": MM09_SQL,
     "mm10_video_frame_pixels": MM10_SQL,
+    "mm11_audio_features": MM11_SQL,
 }

@@ -140,6 +140,42 @@ def test_wav_roundtrip_mono_and_stereo():
         assert m["samples"] == vals
 
 
+def test_audio_features_closed_form():
+    """mm11 worker math on a hand-built stereo clip: zcr counts strict
+    sign flips of channel 0 only (zeros never counted), loud_window is
+    the FIRST argmax, and the last partial window zero-pads."""
+    import pandas as pd
+
+    from hive_lineage_spark.operators.multimodal import (
+        AUDIO_RATE,
+        AUDIO_WIN,
+        _audio_feature_batches,
+        encode_wav,
+    )
+
+    assert AUDIO_WIN == 16
+    # channel 0: 15 frames of +1, then (-2, +2, 0, -1) then 16 frames of -3,
+    # then one extra frame (+5) in a final partial window; channel 1 all +9
+    # (flips there must NOT count).
+    c0 = [1] * 15 + [-2, 2, 0, -1] + [-3] * 16 + [5]
+    samples = []
+    for v in c0:
+        samples += [v, 9]
+    m = list(_audio_feature_batches(iter([pd.DataFrame(
+        {"doc_id": [7], "payload": [encode_wav(2, AUDIO_RATE, samples)]}
+    )])))[0].iloc[0]
+    # flips: +1→-2, -2→+2, 0→-1 is NOT a flip (0 ends sign run), -1→-3 no,
+    # -3→+5 yes → 3 total
+    assert int(m["zcr"]) == 3
+    # window energies: w0 = 15·1+4 = 19, w1 = 2·4(part of w1? no —
+    # recompute: c0 indices 0-15 are w0: 15 ones + (-2)² = 15+4 = 19;
+    # w1 = indices 16-31: 2²+0+1 + 13·9 = 122; w2 = [-3,-3,-3,5] zero-pads:
+    # 3·9+25 = 52
+    assert int(m["n_windows"]) == 3
+    assert int(m["loud_energy"]) == 122 and int(m["loud_window"]) == 1
+    assert int(m["win_checksum"]) == 1 * 19 + 2 * 122 + 3 * 52
+
+
 def test_wav_unknown_format_raises():
     from hive_lineage_spark.operators.multimodal import decode_audio_real
 

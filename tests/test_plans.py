@@ -286,6 +286,7 @@ def test_real_decode_ops_are_single_python_stage(spark):
         mm.mm06_decode_resize,
         mm.mm07_decode_audio,
         mm.mm10_video_frame_pixels,
+        mm.mm11_audio_features,
     ):
         plan = _plan(q(spark, SF))
         assert "Exchange" not in plan, (q.__name__, plan)
