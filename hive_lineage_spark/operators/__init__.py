@@ -64,6 +64,7 @@ ROTATION_QUEUE = [
     "tx16_bigram_xent",         # round-8 addition → rotate into the r9 window
     "ss12_ann_hamming",         # round-8 addition → rotate into the r9 window
     "mm11_audio_features",      # round-8 addition → rotate into the r9 window
+    "ss13_ann_ivfpq",           # round-8 addition → rotate into the r9 window
 ]
 
 _DRIVER_PRIORITY = [

@@ -1488,6 +1488,151 @@ def _ss12_sql() -> str:
 SS12_SQL = _ss12_sql()
 
 
+def ss13_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (Jégou et al. 2011 §IV; FAISS ``IVFPQ`` with
+    ``by_residual=False``): the trained coarse quantizer (ss06's
+    k-means cells) prunes the search to N_PROBE cells per query, and
+    within the probed cells candidates are scored by ADC over their PQ
+    codes (ss08's byte-sized artifact) — never touching a full vector.
+    This is THE web-scale ANN shape: at 100 TB the per-query work drops
+    multiplicatively (nprobe/C of the corpus × M byte lookups per
+    candidate), the corpus-sized artifact is (vec_id, cell, codes[M])
+    — a few bytes per vector — and everything after the two broadcasts
+    is whole-stage-codegen arithmetic. Residual encoding (FAISS's
+    default) changes only the codebook build: encode v - centroid[cell]
+    and add the query-to-centroid term per probe; the dataflow below is
+    unchanged, so the untrained shared codebook keeps the operator
+    fully oracle-checkable (ss02's quantizer stand-in precedent).
+
+    Scale shape: ONE corpus encode pass reused from the session PQ
+    cache, cell assignment is the ss06 broadcast map, probe list and
+    distance tables ride one broadcast of N_QUERIES·N_PROBE rows, and
+    the only exchange after the scan is the per-query top-K."""
+    vec = _vectors(spark, sf_dir)
+    cent = _km_centroids_cached(spark, sf_dir)
+    assign = _km_assign(vec.select("vec_id", "v"), cent).select("vec_id", "cell")
+    codes = _pq_codes_cached(spark, sf_dir).join(assign, "vec_id")
+    carr = _km_carr(cent)
+    cb = _pq_cb(spark, sf_dir)
+
+    def sub_table(m):
+        return F.transform("cw", lambda c: _sqdist(_sub(F.col("v"), m), c["subs"][m]))
+
+    qp = (
+        vec.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(carr))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.transform(
+                                "cents",
+                                lambda c: F.struct(
+                                    _sqdist(F.col("v"), c["cv"]).alias("d"),
+                                    c["cent_id"].alias("cell"),
+                                ),
+                            )
+                        ),
+                        1,
+                        N_PROBE,
+                    ),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+            F.array(*[sub_table(m) for m in range(PQ_M)]).alias("dtab"),
+        )
+    )
+    cand = (
+        codes.join(F.broadcast(qp), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "adist",
+            F.round(
+                F.aggregate(
+                    F.zip_with("dtab", "codes", lambda t, c: F.element_at(t, c.cast("int") + 1)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adist", "rank")
+    )
+
+
+def _ss13_sql() -> str:
+    return f"""
+    WITH {_vectors_sql()},
+    cinit AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {KM_K}),
+    {_km_round_sql('cinit', '0')},
+    {_km_round_sql('c0', '1')},
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_KM_DIST_SQL.format(a='e.v', b='c.cv')}, c.cent_id
+                   ) AS rk
+            FROM e CROSS JOIN c1 c
+        ) WHERE rk = 1
+    ),
+    ms AS (SELECT CAST(t.m AS INT) AS m FROM unnest(range(0, {PQ_M})) t(m)),
+    cb AS (SELECT vec_id AS code_id, v FROM e WHERE vec_id < {PQ_K}),
+    enc AS (
+        SELECT vec_id, m, code_id FROM (
+            SELECT e.vec_id, m.m, cb.code_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, m.m
+                       ORDER BY {_PQ_SUBDIST.format(a='e.v', b='cb.v', M=PQ_M)}, cb.code_id
+                   ) AS rk
+            FROM e CROSS JOIN ms m CROSS JOIN cb
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, c.cent_id AS cell
+        FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q CROSS JOIN c1 c
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_KM_DIST_SQL.format(a='q.v', b='c.cv')}, c.cent_id
+        ) <= {N_PROBE}
+    ),
+    qd AS (
+        SELECT q.vec_id AS query_id, m.m, cb.code_id,
+               {_PQ_SUBDIST.format(a='q.v', b='cb.v', M=PQ_M)} AS d
+        FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN ms m CROSS JOIN cb
+    ),
+    scored AS (
+        SELECT qd.query_id, enc.vec_id AS neighbor_id,
+               round(list_reduce(list(qd.d ORDER BY qd.m), (x, y) -> x + y), 6) AS adist
+        FROM enc
+        JOIN cells ON cells.vec_id = enc.vec_id
+        JOIN probes p ON p.cell = cells.cell
+        JOIN qd ON qd.query_id = p.query_id AND qd.m = enc.m AND qd.code_id = enc.code_id
+        WHERE qd.query_id <> enc.vec_id
+        GROUP BY qd.query_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+        SELECT query_id, neighbor_id, adist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+"""
+
+
+SS13_SQL = _ss13_sql()
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -1501,6 +1646,7 @@ QUERIES = {
     "ss10_ann_pq_rerank": ss10_ann_pq_rerank,
     "ss11_ann_pq_trained": ss11_ann_pq_trained,
     "ss12_ann_hamming": ss12_ann_hamming,
+    "ss13_ann_ivfpq": ss13_ann_ivfpq,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -1536,6 +1682,7 @@ ORACLES = {
     "ss10_ann_pq_rerank": SS10_SQL,
     "ss11_ann_pq_trained": SS11_SQL,
     "ss12_ann_hamming": SS12_SQL,
+    "ss13_ann_ivfpq": SS13_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,

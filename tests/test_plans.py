@@ -306,6 +306,20 @@ def test_unigram_logprob_has_partial_agg_and_no_pinned_join(spark):
     assert analyzed.count("ResolvedHint") == 1  # the 1-row corpus total only
 
 
+def test_ivfpq_probe_join_is_broadcast_no_cartesian(spark):
+    """ss13: the probe/distance-table side must broadcast into the
+    codes join (hash join on cell — the corpus side never shuffles its
+    code stream), every crossJoin must be a single-row broadcast (no
+    CartesianProduct), and the per-query top-K must push down."""
+    from hive_lineage_spark.operators import similarity as ss
+
+    plan = _plan(ss.ss13_ann_ivfpq(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_hamming_ann_broadcasts_queries_and_pushes_topk(spark):
     """ss12: the query-band side must broadcast (corpus side is one map
     pass — no shuffle of the exploded band stream), the first-match
