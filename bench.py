@@ -85,6 +85,10 @@ EXTRA = [
     "mm09_pair_curation",      # CLIP-score image-text gate (round 8)
     "mm10_video_frame_pixels", # AVI -> JPEG decode -> pixel stats (round 8)
     "tx15_bpe_train",          # BPE merge learning from word freqs (round 8)
+    "tx16_bigram_xent",        # bigram-LM cross-entropy scoring (round 8)
+    "ss12_ann_hamming",        # SimHash Hamming ANN, banded (round 8)
+    "ss13_ann_ivfpq",          # IVF+PQ composed ANN (round 8)
+    "mm11_audio_features",     # windowed energy/ZCR on real WAV (round 8)
 ]
 
 
