@@ -296,12 +296,20 @@ def dq04_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny per-day frame (|days| rows, never the corpus). pct compares
     ROUNDED in both engines; the first day has no baseline and is never
     flagged."""
-    from pyspark.sql import Window
-
     from ..sources.registry import load_table
 
     ev = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
     daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    return volume_gate(daily)
+
+
+def volume_gate(daily: DataFrame) -> DataFrame:
+    """dq04's finishing stage over a (day, n_events) frame — split out
+    so the streaming twin (streaming.events.daily_volume_stream, whose
+    complete-mode sink table has exactly this shape) runs the IDENTICAL
+    gate; tests/test_streaming.py pins stream-fed ≡ batch dq04."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("day")
     with_prev = daily.withColumn("prev_events", F.lag("n_events").over(w))
     pct = F.round(

@@ -61,6 +61,20 @@ def batch_windowed_counts(events: DataFrame, window: str = "5 minutes") -> DataF
     )
 
 
+def daily_volume_stream(events: DataFrame) -> DataFrame:
+    """Streaming side of the dq04 ingest-volume gate: daily event counts
+    as a complete-mode aggregation (state = |days| rows — bounded by the
+    calendar, not the corpus; no watermark needed because day buckets
+    only ever grow until the source is exhausted). The sink table has
+    the (day, n_events) shape ``operators.quality.volume_gate`` expects,
+    so the anomaly rule itself is shared code with the batch dq04 —
+    run the gate over the sink after each micro-batch (or on demand)
+    for a continuously-updated completeness report."""
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming query to completion over the static file source
     (memory sink + processAllAvailable — the local test harness)."""

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from hive_lineage_spark.sources.registry import load_events
 from hive_lineage_spark.streaming.events import (
     batch_windowed_counts,
+    daily_volume_stream,
     dedup_stream,
     enrich_stream,
     events_stream,
@@ -45,6 +46,22 @@ def test_windowed_agg_stream_equals_batch(spark):
     assert closed <= got  # every watermark-closed window was emitted
     still_open = want - got
     assert all(r[0] + datetime.timedelta(minutes=10) > watermark_cutoff for r in still_open)
+
+
+def test_streaming_volume_anomaly_equals_batch_dq04(spark):
+    """The dq04 ingest-volume gate fed by the STREAM-maintained daily
+    counts must equal the batch operator row-for-row: complete-mode
+    replay of the full source reproduces the batch daily frame, and the
+    gate itself is shared code (operators.quality.volume_gate)."""
+    from hive_lineage_spark.operators.quality import dq04_volume_anomaly, volume_gate
+
+    agg = daily_volume_stream(events_stream(spark, SF))
+    run_stream_to_memory(agg, "daily_volume", output_mode="complete")
+    got = sorted(
+        tuple(r) for r in volume_gate(spark.table("daily_volume")).collect()
+    )
+    want = sorted(tuple(r) for r in dq04_volume_anomaly(spark, SF).collect())
+    assert got == want and len(got) > 0
 
 
 def test_stateful_sessionization_matches_batch(spark):
