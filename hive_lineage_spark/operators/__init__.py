@@ -65,6 +65,7 @@ ROTATION_QUEUE = [
     "ss12_ann_hamming",         # round-8 addition → rotate into the r9 window
     "mm11_audio_features",      # round-8 addition → rotate into the r9 window
     "ss13_ann_ivfpq",           # round-8 addition → rotate into the r9 window
+    "mm12_image_dhash",         # round-8 addition → rotate into the r9 window
 ]
 
 _DRIVER_PRIORITY = [

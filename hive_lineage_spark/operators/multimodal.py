@@ -953,6 +953,92 @@ MM11_SQL = f"""
 """
 
 
+DHASH_W, DHASH_H = 9, 8  # dHash grid: 9×8 luma samples → 8×8 gradient bits
+
+DHASH_SCHEMA = "doc_id long, width int, height int, dhash_hi long, dhash_lo long"
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real decode (BMP/PPM/PNG/JPEG), luma proxy =
+    r+g+b per pixel (monotone in mean luminance, division-free so both
+    engines compare identical integers), nearest-neighbor sample onto
+    the 9×8 dHash grid with mm06's integer floor maps, then the 64
+    horizontal-gradient bits g[x+1,y] > g[x,y]. Emitted as two 32-bit
+    halves (rows 0-3 / rows 4-7) so neither engine touches the int64
+    sign bit."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_image_real(bytes(payload))
+            w, h = m["width"], m["height"]
+            px = np.frombuffer(m["pixels"], dtype=np.uint8).astype(np.int64)
+            luma = px.reshape(h, w, 3).sum(axis=2)
+            xs = (np.arange(DHASH_W) * w) // DHASH_W
+            ys = (np.arange(DHASH_H) * h) // DHASH_H
+            g = luma[ys][:, xs]  # DHASH_H rows × DHASH_W cols
+            bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # 8×8
+            half = DHASH_H // 2
+            shifts = np.arange(half)[:, None] * (DHASH_W - 1) + np.arange(DHASH_W - 1)[None, :]
+            hi = int((bits[:half] << shifts).sum())
+            lo = int((bits[half:] << shifts).sum())
+            rows.append((doc_id, w, h, hi, lo))
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "dhash_hi", "dhash_lo"])
+
+
+def mm12_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprinting (dHash, the LAION-style image
+    near-dup key): decode real pixels, sample a 9×8 luma grid, emit the
+    64 horizontal-gradient bits as two 32-bit halves. Two images whose
+    hashes sit within a small Hamming distance are visual near-dups —
+    downstream pair search is EXACTLY the dd05/ss12 machinery (band the
+    64 bits, pigeonhole-join, `bit_count(xor)` verify), so this operator
+    completes the image half of the sketch-dedup path the text side
+    already has (dd04 SimHash → dd05 pairs).
+
+    Scale shape: one narrow Arrow-batched Python stage fused over the
+    scan (decode + grid sample + 64 comparisons share the pass), fixed
+    5-int output per image, no shuffle — scales by input splits alone.
+    The gradient bits are resolution-invariant by construction (the
+    floor maps always land on the same 9×8 grid), which is what makes
+    the hash a near-dup key rather than a byte checksum."""
+    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    return imgs.mapInPandas(_dhash_batches, schema=DHASH_SCHEMA)
+
+
+def _mm12_sql() -> str:
+    # luma at dHash grid cell (x, y): source pixel (sx, sy) via integer
+    # floor maps; byte i of the fixture image is (doc_id*31 + i*7) % 256
+    g = (
+        "(SELECT sum((doc_id * 31 + (((({y} * h) // {H}) * w + (({x} * w) // {W})) * 3 + c.c) * 7) % 256)"
+        " FROM unnest(range(0, 3)) c(c))"
+    )
+    return f"""
+    WITH m AS (
+        SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 7) + 4 AS h
+        FROM documents
+    ),
+    grid AS (
+        SELECT doc_id, w, h, x.x AS x, y.y AS y,
+               {g.format(x='x.x', y='y.y', W=DHASH_W, H=DHASH_H)} AS g0,
+               {g.format(x='(x.x + 1)', y='y.y', W=DHASH_W, H=DHASH_H)} AS g1
+        FROM m, unnest(range(0, {DHASH_W - 1})) x(x), unnest(range(0, {DHASH_H})) y(y)
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(sum(CASE WHEN y < {DHASH_H // 2} AND g1 > g0
+                         THEN 1 << (y * {DHASH_W - 1} + x) ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(sum(CASE WHEN y >= {DHASH_H // 2} AND g1 > g0
+                         THEN 1 << ((y - {DHASH_H // 2}) * {DHASH_W - 1} + x) ELSE 0 END) AS BIGINT) AS dhash_lo
+    FROM grid GROUP BY doc_id
+"""
+
+
+MM12_SQL = _mm12_sql()
+
+
 # ---------------------------------------------------------------------------
 # mm08: REAL video container walk — AVI is RIFF (like WAV), so frame
 # INDEXING needs no codec: walk RIFF('AVI ') → LIST('hdrl') for the
@@ -1479,6 +1565,7 @@ QUERIES = {
     "mm09_pair_curation": mm09_pair_curation,
     "mm10_video_frame_pixels": mm10_video_frame_pixels,
     "mm11_audio_features": mm11_audio_features,
+    "mm12_image_dhash": mm12_image_dhash,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -1518,6 +1605,10 @@ DECLARED = {
             "n_windows", "zcr", "loud_window", "loud_energy", "win_checksum"
         )},
     },
+    "mm12_image_dhash": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in ("width", "height", "dhash_hi", "dhash_lo")},
+    },
     "mm08_video_frame_index": {
         "doc_id": ["doc_id"],
         **{c: ["payload"] for c in (
@@ -1545,4 +1636,5 @@ ORACLES = {
     "mm09_pair_curation": MM09_SQL,
     "mm10_video_frame_pixels": MM10_SQL,
     "mm11_audio_features": MM11_SQL,
+    "mm12_image_dhash": MM12_SQL,
 }

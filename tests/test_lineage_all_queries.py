@@ -28,6 +28,7 @@ PYTHON_BARRIER = {
     "mm08_video_frame_index",
     "mm10_video_frame_pixels",
     "mm11_audio_features",
+    "mm12_image_dhash",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",

@@ -176,6 +176,33 @@ def test_audio_features_closed_form():
     assert int(m["win_checksum"]) == 1 * 19 + 2 * 122 + 3 * 52
 
 
+def test_image_dhash_closed_form():
+    """mm12 worker on a hand-built 9×8 PPM where each dHash grid cell is
+    exactly one source pixel: luma increases left-to-right in the top
+    half (all gradient bits set) and is constant in the bottom half
+    (none set) — hi = 2^32 - 1, lo = 0. A left-right mirrored image must
+    flip every top-half gradient bit."""
+    import pandas as pd
+
+    from hive_lineage_spark.operators.multimodal import (
+        _dhash_batches,
+        encode_ppm,
+    )
+
+    def img(row_vals):
+        rgb = bytes(v for row in row_vals for v in row for _ in range(3))
+        return encode_ppm(9, 8, rgb)
+
+    inc = [list(range(0, 90, 10))] * 4 + [[5] * 9] * 4
+    dec = [row[::-1] for row in inc]
+    out = list(_dhash_batches(iter([pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [img(inc), img(dec)]}
+    )])))[0]
+    a, b = out.iloc[0], out.iloc[1]
+    assert (int(a["dhash_hi"]), int(a["dhash_lo"])) == (2**32 - 1, 0)
+    assert (int(b["dhash_hi"]), int(b["dhash_lo"])) == (0, 0)
+
+
 def test_wav_unknown_format_raises():
     from hive_lineage_spark.operators.multimodal import decode_audio_real
 

@@ -287,6 +287,7 @@ def test_real_decode_ops_are_single_python_stage(spark):
         mm.mm07_decode_audio,
         mm.mm10_video_frame_pixels,
         mm.mm11_audio_features,
+        mm.mm12_image_dhash,
     ):
         plan = _plan(q(spark, SF))
         assert "Exchange" not in plan, (q.__name__, plan)
