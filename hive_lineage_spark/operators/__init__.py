@@ -53,24 +53,31 @@ from pyspark.sql import DataFrame, SparkSession
 # oracle). tests/test_queries.py::test_no_silent_rotation_debt now
 # consumes the ledger so a registered query can't sit uncertified
 # outside the window unnoticed.
+# Round-10 rotation (executes the round-9 queue): the 8 never-certified
+# round-8 additions move IN — mm09_pair_curation, mm10_video_frame_pixels,
+# mm11_audio_features, mm12_image_dhash, tx15_bpe_train, tx16_bigram_xent,
+# ss12_ann_hamming, ss13_ann_ivfpq. Eight multiply-certified ops whose
+# semantics stay in-window rotate OUT: q01/q02/q03 (scan/project/rowid
+# trivia, certified r1-r9; q04's filtered scan + q18's pruned scan keep
+# TableScan/Select semantics in-window), dd06 (certified r1-r9; dd12/dd13
+# keep embedding-cosine dedup, dd02/dd03 keep pair generation), ss01
+# (certified 8x; ss09's recall oracle embeds the exact brute-force
+# baseline wholesale), tx02 (certified 8x; tx13/tx14 keep text scoring),
+# tx07 (certified 6x; incoming tx15 BPE training exercises the same
+# pretokenizer), tp01 (certified 7x; tp03/tp06/tp08/tp11 keep every
+# pipeline stage in-window).
+#
 # Queries registered after this round's window sealed, DECLARED for the
-# next rotation (tests/test_queries.py::test_no_silent_rotation_debt
-# fails if a never-certified query is in neither the window nor this
-# queue — rotation debt can't accumulate silently).
-ROTATION_QUEUE = [
-    "mm09_pair_curation",       # round-8 addition → rotate into the r9 window
-    "mm10_video_frame_pixels",  # round-8 addition → rotate into the r9 window
-    "tx15_bpe_train",           # round-8 addition → rotate into the r9 window
-    "tx16_bigram_xent",         # round-8 addition → rotate into the r9 window
-    "ss12_ann_hamming",         # round-8 addition → rotate into the r9 window
-    "mm11_audio_features",      # round-8 addition → rotate into the r9 window
-    "ss13_ann_ivfpq",           # round-8 addition → rotate into the r9 window
-    "mm12_image_dhash",         # round-8 addition → rotate into the r9 window
-]
+# next rotation: name -> round number that queued it.
+# tests/test_queries.py::test_no_silent_rotation_debt fails if a
+# never-certified query is in neither the window nor this queue, AND
+# fails if a queue entry survives past one subsequent CORRECTNESS round
+# (self-expiring: a dead round turns the suite red).
+ROTATION_QUEUE: dict[str, int] = {}
 
 _DRIVER_PRIORITY = [
-    # §2.4 reference parity
-    "q01_full_scan", "q02_project_alias", "q03_virtual_rowid",
+    # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified
+    # r1-r9, scan/project semantics kept by q04/q18)
     "q04_filter_predicates", "q05_join_inner", "q06_join_4way",
     "q07_join_broadcast", "q08_join_left_outer", "q09_join_right_outer",
     "q10_join_full_outer", "q11_join_left_semi", "q12_join_left_anti",
@@ -82,31 +89,30 @@ _DRIVER_PRIORITY = [
     # SQL-surface round-5 additions (q48/q49 certified r6, rotated out
     # r7 for dq03/mm08 — their semantics stay oracle-covered locally)
     "q50_vtable_partitioned",
-    # deduplication
+    # deduplication (dd06 rotated out r10 — certified r1-r9, cosine
+    # dedup kept by dd12/dd13)
     "dd02_ngram_jaccard", "dd03_minhash_lsh",
-    "dd06_embed_cosine_dup",
     "dd12_semdedup", "dd13_semdedup_arrow",
-    # similarity search (ss02/ss06 certified r6, rotated out r7 for
-    # ss08/ss09 — ss09's recall oracle embeds ss01+ss02+ss08+ss10+ss11
-    # wholesale, ss07's oracle keeps the k-means math in-window)
-    "ss01_ann_bruteforce",
+    # similarity search (ss01 rotated out r10 — certified 8x, exact
+    # baseline embedded wholesale in ss09's recall oracle; ss12/ss13
+    # rotated in from the r9 queue)
     "ss07_ann_ivf_trained", "ss08_ann_pq", "ss09_ann_recall",
     "ss10_ann_pq_rerank", "ss11_ann_pq_trained",
-    # text analysis
-    "tx02_lang_id",
-    # (tx03/tx10 certified r6, rotated out r7 for tx13/tx14 — tx14
-    # subsumes tx03's surface-stat shape with the full Gopher rule set,
-    # tx13 carries tx10's tf/df machinery)
-    "tx07_bpe_pretokenize",
+    "ss12_ann_hamming", "ss13_ann_ivfpq",
+    # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
+    # incoming tx15 exercises the BPE pretokenizer, tx13/tx14 keep
+    # text scoring; tx15/tx16 rotated in from the r9 queue)
     "tx12_dup_span_profile", "tx13_unigram_logprob", "tx14_gopher_gate",
-    # multimodal: real decode + decode→resize chain (round-7 rotation:
-    # mm01 stub out — certified r2-r4 and r6, superseded by mm05's real
-    # decode; tx09 out — certified r6, span shape covered by tx12 —
-    # making room for mm06, the new real-pixel resize chain)
+    "tx15_bpe_train", "tx16_bigram_xent",
+    # multimodal: real decode + decode→resize chain, plus the four
+    # r9-queue entries (mm09 pair curation, mm10 AVI→JPEG→pixels,
+    # mm11 audio features, mm12 perceptual dHash)
     "mm05_decode_image", "mm06_decode_resize", "mm07_decode_audio",
     "mm08_video_frame_index",
-    # composed pipeline + training-prep
-    "tp01_full_pipeline",
+    "mm09_pair_curation", "mm10_video_frame_pixels",
+    "mm11_audio_features", "mm12_image_dhash",
+    # composed pipeline + training-prep (tp01 rotated out r10 —
+    # certified 7x, every stage kept by tp03/tp06/tp08/tp11)
     "tp03_pack_sequences", "tp06_curriculum_bins",
     # (tp09/tp10 certified r6, rotated out r7 for mm07/tp11 — tp06
     # keeps the histogram-decile machinery in-window, tp01/tp03/tp08

@@ -58,10 +58,14 @@ def test_no_silent_rotation_debt():
     is neither is rotation debt the hand-written window comments used
     to track — now it fails here instead of accumulating. Queries added
     after a round's window seals go in ROTATION_QUEUE (the declared
-    next-round rotation); the queue must stay honest too — no
-    already-certified or unregistered names."""
+    next-round rotation, name -> round that queued it); the queue must
+    stay honest too — no already-certified or unregistered names, and
+    no entry may survive past one subsequent CORRECTNESS round (the
+    round-9 dead round sat on an 8-entry queue for a full round while
+    this test stayed green; queue entries now self-expire so a no-op
+    round turns the suite red)."""
     from hive_lineage_spark.operators import _DRIVER_PRIORITY, ROTATION_QUEUE
-    from tools.certified import never_certified
+    from tools.certified import latest_round, never_certified
 
     never = never_certified(set(QUERIES))
     debt = never - set(_DRIVER_PRIORITY[:50]) - set(ROTATION_QUEUE)
@@ -71,3 +75,12 @@ def test_no_silent_rotation_debt():
     )
     stale = [q for q in ROTATION_QUEUE if q not in QUERIES or q not in never]
     assert not stale, f"ROTATION_QUEUE entries unregistered or already certified: {stale}"
+    current = latest_round()
+    expired = [
+        (q, queued) for q, queued in ROTATION_QUEUE.items() if current > queued
+    ]
+    assert not expired, (
+        f"ROTATION_QUEUE entries queued at round N must rotate into the "
+        f"window before CORRECTNESS_r(N+1) lands; latest driver round is "
+        f"r{current:02d} but these are older: {expired}"
+    )

@@ -58,6 +58,18 @@ def never_certified(registered: set[str], repo_root: str = REPO_ROOT) -> set[str
     return registered - ever_certified(repo_root)
 
 
+def latest_round(repo_root: str = REPO_ROOT) -> int:
+    """Highest round number with a CORRECTNESS_r*.json on disk (0 if
+    none). ROTATION_QUEUE entries stamped with an older round have
+    missed their rotation — test_no_silent_rotation_debt fails them."""
+    rounds = [
+        int(label[1:])
+        for label in certified_by_round(repo_root)
+        if label[1:].isdigit()
+    ]
+    return max(rounds, default=0)
+
+
 def main() -> None:
     import sys
 
