@@ -50,6 +50,21 @@ def test_driver_window_invariants():
     assert not missing, f"in-window queries without oracles: {missing}"
 
 
+def test_readme_query_count_matches_registry():
+    """README advertises the registry size in prose ('All N queries
+    are value-hash oracle-checked'); it went stale at 121 when the
+    122nd query landed. Pin every 'N queries' mention to the registry
+    so the count can only change together with the code."""
+    import os
+    import re
+
+    readme = open(os.path.join(os.path.dirname(__file__), "..", "README.md")).read()
+    counts = {int(n) for n in re.findall(r"\b(\d+) queries\b", readme)}
+    assert counts == {len(QUERIES)}, (
+        f"README mentions query counts {sorted(counts)}; registry has {len(QUERIES)}"
+    )
+
+
 def test_no_silent_rotation_debt():
     """Every registered query must either have a green driver
     CORRECTNESS row from some past round (tools/certified.py computes
