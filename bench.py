@@ -90,6 +90,7 @@ EXTRA = [
     "ss13_ann_ivfpq",          # IVF+PQ composed ANN (round 8)
     "mm11_audio_features",     # windowed energy/ZCR on real WAV (round 8)
     "mm12_image_dhash",        # perceptual dHash on decoded pixels (round 8)
+    "mm13_video_420_pixels",   # 4:2:0 MJPEG decode end-to-end (round 10)
 ]
 
 

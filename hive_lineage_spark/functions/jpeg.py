@@ -1,11 +1,17 @@
 """Pure-stdlib/numpy baseline JPEG codec (ITU-T T.81 / ISO 10918-1,
 public spec): a real encoder + decoder pair for 8-bit baseline
-sequential JPEG, 4:4:4 (no chroma subsampling), used by the multimodal
-operators so the AVI→frames→pixels path is real end-to-end.
+sequential JPEG, used by the multimodal operators so the
+AVI→frames→pixels path is real end-to-end.
 
 Scope (honest gates, like the PNG/WAV decoders):
 - baseline DCT sequential (SOF0) only — progressive/lossless raise
-- 3-component YCbCr, h=v=1 sampling for every component (4:4:4)
+- 3-component YCbCr, 4:4:4 (h=v=1 everywhere) or 4:2:0 (Y h=v=2,
+  chroma h=v=1 — the dominant real-world MJPEG/camera sampling);
+  other factor combinations raise
+- 4:2:0 chroma upsampling is PINNED to 2x2 sample replication
+  (nearest-neighbor, T.871 "box" position) so a SQL oracle can
+  reproduce decoded pixels bit-exactly; libjpeg's smooth upsampling
+  is a quality choice, not part of the interchange format
 - no DRI/restart-interval support (the encoder never emits one)
 
 Everything else is the real thing: marker/segment walk, DQT (two
@@ -165,19 +171,56 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _pad_to_blocks(plane: np.ndarray) -> np.ndarray:
+def _downsample_420(plane: np.ndarray) -> np.ndarray:
+    """2x2 box downsample with PINNED floor(mean + 0.5) rounding; odd
+    dimensions are edge-padded to even first, so a plane that is
+    uniform over each 2x2 cell downsamples exactly."""
     h, w = plane.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    p = np.pad(
+        plane.astype(np.float64), ((0, h % 2), (0, w % 2)), mode="edge"
+    )
+    mean = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+    return np.floor(mean + 0.5)
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg(width: int, height: int, y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> bytes:
+def encode_jpeg(
+    width: int,
+    height: int,
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    subsampling: str = "444",
+) -> bytes:
     """Baseline sequential JPEG from full-resolution YCbCr planes
-    (uint8 2-D arrays, shape (height, width)). 4:4:4, two all-ones
-    quant tables (0 for Y, 1 for Cb/Cr), fixed-length Huffman codes."""
+    (uint8 2-D arrays, shape (height, width)). Two all-ones quant
+    tables (0 for Y, 1 for Cb/Cr), fixed-length Huffman codes.
+
+    ``subsampling="444"`` stores every component at full resolution
+    (h=v=1). ``"420"`` stores Y at full resolution (h=v=2) and chroma
+    2x2-box-downsampled (h=v=1), entropy-coded in the T.81 interleaved
+    MCU order: 4 Y blocks (raster within the 16x16 MCU), then Cb, Cr."""
+    if subsampling == "444":
+        sampling = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    elif subsampling == "420":
+        sampling = [(2, 2), (1, 1), (1, 1)]
+        planes = [y, _downsample_420(cb), _downsample_420(cr)]
+    else:
+        raise NotImplementedError("subsampling must be '444' or '420'")
+    # pad each component so every one spans the same whole-MCU grid
     planes = [
-        _pad_to_blocks(p.astype(np.float64)) - 128.0 for p in (y, cb, cr)
+        _pad_to(p.astype(np.float64), 8 * max(h, v)) - 128.0
+        for p, (h, v) in zip(planes, sampling)
     ]
+    mcus_h = planes[0].shape[0] // (8 * sampling[0][1])
+    mcus_w = planes[0].shape[1] // (8 * sampling[0][0])
+
     dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS, 4)
     ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS, 8)
     dc_codes = _build_codes(dc_bits, dc_vals)
@@ -185,38 +228,41 @@ def encode_jpeg(width: int, height: int, y: np.ndarray, cb: np.ndarray, cr: np.n
 
     bw = _BitWriter()
     pred = [0, 0, 0]
-    mcu_h, mcu_w = planes[0].shape[0] // 8, planes[0].shape[1] // 8
-    for by in range(mcu_h):
-        for bx in range(mcu_w):
-            for ci, plane in enumerate(planes):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coeff = _DCT_M @ block @ _DCT_M.T
-                q = np.rint(coeff).astype(np.int64)  # quant tables are all 1s
-                zz = [int(q[r, c]) for r, c in ZIGZAG]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                t = _category(diff)
-                if t > 11:
-                    raise ValueError("DC difference out of baseline range")
-                bw.write(*dc_codes[t])
-                if t:
-                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                run = 0
-                for ac in zz[1:]:
-                    if ac == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        bw.write(*ac_codes[0xF0])  # ZRL
-                        run -= 16
-                    s = _category(ac)
-                    if s > 10:
-                        raise ValueError("AC coefficient out of baseline range")
-                    bw.write(*ac_codes[(run << 4) | s])
-                    bw.write(ac if ac >= 0 else ac + (1 << s) - 1, s)
-                    run = 0
-                if run:
-                    bw.write(*ac_codes[0x00])  # EOB
+    for by in range(mcus_h):
+        for bx in range(mcus_w):
+            for ci, (plane, (ch, cv)) in enumerate(zip(planes, sampling)):
+                for vy in range(cv):
+                    for vx in range(ch):
+                        r0 = (by * cv + vy) * 8
+                        c0 = (bx * ch + vx) * 8
+                        block = plane[r0 : r0 + 8, c0 : c0 + 8]
+                        coeff = _DCT_M @ block @ _DCT_M.T
+                        q = np.rint(coeff).astype(np.int64)  # quant tables are all 1s
+                        zz = [int(q[r, c]) for r, c in ZIGZAG]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        t = _category(diff)
+                        if t > 11:
+                            raise ValueError("DC difference out of baseline range")
+                        bw.write(*dc_codes[t])
+                        if t:
+                            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                        run = 0
+                        for ac in zz[1:]:
+                            if ac == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                bw.write(*ac_codes[0xF0])  # ZRL
+                                run -= 16
+                            s = _category(ac)
+                            if s > 10:
+                                raise ValueError("AC coefficient out of baseline range")
+                            bw.write(*ac_codes[(run << 4) | s])
+                            bw.write(ac if ac >= 0 else ac + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            bw.write(*ac_codes[0x00])  # EOB
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -226,7 +272,13 @@ def encode_jpeg(width: int, height: int, y: np.ndarray, cb: np.ndarray, cr: np.n
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes(
+            [
+                1, (sampling[0][0] << 4) | sampling[0][1], 0,
+                2, (sampling[1][0] << 4) | sampling[1][1], 1,
+                3, (sampling[2][0] << 4) | sampling[2][1], 1,
+            ]
+        ),
     )
     dht = (
         seg(0xFFC4, b"\x00" + dc_bits + dc_vals)
@@ -239,12 +291,14 @@ def encode_jpeg(width: int, height: int, y: np.ndarray, cb: np.ndarray, cr: np.n
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Decode a baseline sequential 4:4:4 JPEG to top-down row-major RGB
-    bytes: ``{"fmt": "jpeg", "width", "height", "pixels"}``.
+    """Decode a baseline sequential 4:4:4 or 4:2:0 JPEG to top-down
+    row-major RGB bytes: ``{"fmt": "jpeg", "width", "height",
+    "pixels"}``.
 
     YCbCr→RGB uses the T.871 constants with PINNED floor(x+0.5)
-    rounding (then clamp to [0, 255]) so oracles can replicate the
-    conversion bit-exactly."""
+    rounding (then clamp to [0, 255]), and 4:2:0 chroma upsampling is
+    PINNED 2x2 sample replication, so oracles can replicate decoded
+    pixels bit-exactly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -279,11 +333,12 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise NotImplementedError("only 8-bit 3-component baseline JPEG")
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "only 4:4:4 (no chroma subsampling) is supported"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            factors = [(h, v) for _, h, v, _ in comps]
+            if factors not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
+                raise NotImplementedError(
+                    "only 4:4:4 (all 1x1) or 4:2:0 (Y 2x2, chroma 1x1) sampling"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0) JPEG")
         elif marker == 0xC4:  # DHT — possibly several tables per segment
@@ -304,7 +359,7 @@ def decode_jpeg(payload: bytes) -> dict:
             ns = body[0]
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
-                idx = next(k for k, (c, _) in enumerate(comps) if c == cid)
+                idx = next(k for k, c in enumerate(comps) if c[0] == cid)
                 scan.append((idx, tabs >> 4, tabs & 0x0F))
             data_start = pos + 2 + ln
             break
@@ -313,43 +368,59 @@ def decode_jpeg(payload: bytes) -> dict:
         raise ValueError("JPEG missing SOS/SOF")
 
     reader = _BitReader(payload[data_start:])
-    mcu_w, mcu_h = (width + 7) // 8, (height + 7) // 8
-    planes = [np.zeros((mcu_h * 8, mcu_w * 8), dtype=np.float64) for _ in comps]
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_w = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_h = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_h * v * 8, mcus_w * h * 8), dtype=np.float64)
+        for _, h, v, _ in comps
+    ]
     pred = [0] * len(comps)
-    for by in range(mcu_h):
-        for bx in range(mcu_w):
+    for by in range(mcus_h):
+        for bx in range(mcus_w):
             for ci, dc_id, ac_id in scan:
+                _, ch, cv, tq = comps[ci]
                 dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]
-                zz = [0] * 64
-                t = reader.read_symbol(dc_map)
-                diff = _extend(reader.read_bits(t), t) if t else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = reader.read_symbol(ac_map)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, s = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(reader.read_bits(s), s)
-                    k += 1
-                coeff = np.zeros((8, 8), dtype=np.float64)
-                for k, (r, c) in enumerate(ZIGZAG):
-                    coeff[r, c] = zz[k]
-                coeff *= qt[comps[ci][1]]
-                block = _DCT_M.T @ coeff @ _DCT_M
-                sample = np.clip(np.floor(block + 128.0 + 0.5), 0, 255)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = sample
+                for vy in range(cv):
+                    for vx in range(ch):
+                        zz = [0] * 64
+                        t = reader.read_symbol(dc_map)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = reader.read_symbol(ac_map)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, s = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        coeff = np.zeros((8, 8), dtype=np.float64)
+                        for k, (r, c) in enumerate(ZIGZAG):
+                            coeff[r, c] = zz[k]
+                        coeff *= qt[tq]
+                        block = _DCT_M.T @ coeff @ _DCT_M
+                        sample = np.clip(np.floor(block + 128.0 + 0.5), 0, 255)
+                        r0 = (by * cv + vy) * 8
+                        c0 = (bx * ch + vx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = sample
 
-    y = planes[0][:height, :width]
-    cb = planes[1][:height, :width]
-    cr = planes[2][:height, :width]
+    # upsample subsampled components by PINNED sample replication
+    full = [
+        np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        for p, (_, h, v, _) in zip(planes, comps)
+    ]
+    y = full[0][:height, :width]
+    cb = full[1][:height, :width]
+    cr = full[2][:height, :width]
     r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255)
     g = np.clip(
         np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5), 0, 255

@@ -73,7 +73,10 @@ from pyspark.sql import DataFrame, SparkSession
 # never-certified query is in neither the window nor this queue, AND
 # fails if a queue entry survives past one subsequent CORRECTNESS round
 # (self-expiring: a dead round turns the suite red).
-ROTATION_QUEUE: dict[str, int] = {}
+ROTATION_QUEUE: dict[str, int] = {
+    "mm13_video_420_pixels": 10,  # 4:2:0 MJPEG decode, registered r10
+    "tx17_heldout_xent": 10,      # held-out-LM scoring + OOV floor, registered r10
+}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified

@@ -1553,6 +1553,130 @@ def _mm09_sql() -> str:
 MM09_SQL = _mm09_sql()
 
 
+# ---------------------------------------------------------------------------
+# mm13: the mm10 video path on 4:2:0 chroma-subsampled MJPEG — the
+# sampling real-world cameras/MJPEG overwhelmingly emit. Same AVI walk
+# → every-Nth-frame sample → JPEG decode → per-frame pixel stats, but
+# the frames are encoded with Y at 2x2 sampling and 2x2-box-downsampled
+# chroma, so the decode exercises the interleaved 6-blocks-per-MCU
+# entropy order, the half-resolution chroma planes, and the PINNED
+# replication upsample. Fixture frames keep Y uniform per 8x8 block and
+# chroma uniform per 16x16 PIXEL block (uniform per 2x2 cell → the box
+# downsample is exact; uniform per chroma 8x8 block → DC-only survives
+# quant=1; replication upsample reconstructs the original plane
+# bit-exactly), so the DuckDB oracle recomputes every output pixel from
+# the closed-form block values without ever seeing the encoded bytes —
+# an MCU-ordering/upsample/crop bug fails the position-weighted hash.
+# Frame dims are NOT multiples of 16, so MCU padding + odd-dimension
+# chroma edge-padding are exercised on every document.
+# ---------------------------------------------------------------------------
+
+
+def _mjpeg420_block_planes(doc_id: int, frame_no: int, w: int, h: int):
+    """Closed-form planes for 4:2:0 fixture frame (doc_id, frame_no):
+    Y uniform per 8x8 block, Cb/Cr uniform per 16x16 block — the
+    formulas MM13_SQL replicates."""
+    import numpy as np
+
+    by, bx = np.meshgrid(np.arange((h + 7) // 8), np.arange((w + 7) // 8), indexing="ij")
+    yv = (doc_id * 37 + frame_no * 41 + by * 17 + bx * 29) % 256
+    cy, cx = np.meshgrid(np.arange((h + 15) // 16), np.arange((w + 15) // 16), indexing="ij")
+    cb = (doc_id * 19 + frame_no * 31 + cy * 7 + cx * 11) % 256
+    cr = (doc_id * 23 + frame_no * 43 + cy * 13 + cx * 3) % 256
+    ex8 = lambda p: np.repeat(np.repeat(p, 8, 0), 8, 1)[:h, :w].astype("uint8")  # noqa: E731
+    ex16 = lambda p: np.repeat(np.repeat(p, 16, 0), 16, 1)[:h, :w].astype("uint8")  # noqa: E731
+    return ex8(yv), ex16(cb), ex16(cr)
+
+
+def _mjpeg420_fixture(sf_dir: str) -> str:
+    """One 4:2:0 MJPEG AVI per document; dimensions not multiples of
+    16 so MCU padding, odd-dim chroma downsampling, and the replication
+    upsample's crop are all on the decode path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.jpeg import encode_jpeg
+    from ..sources.registry import scratch_key, table_path
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg420_v1")
+    out_file = os.path.join(out_dir, "mjpeg420.parquet")
+    if not os.path.exists(out_file):
+        doc_ids = (
+            pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        payloads = []
+        for d in doc_ids:
+            n_frames = (d % 3) + 2
+            w, h = (d % 11) + 10, (d % 7) + 9
+            frames = [
+                encode_jpeg(w, h, *_mjpeg420_block_planes(d, f, w, h), subsampling="420")
+                for f in range(n_frames)
+            ]
+            payloads.append(encode_avi(w, h, frames))
+        tbl = pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()), "payload": pa.array(payloads, pa.binary())}
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = out_file + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, out_file)
+    return out_file
+
+
+def mm13_video_420_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 MJPEG decode end-to-end: AVI walk → every Nth frame →
+    chroma-subsampled baseline JPEG decode (interleaved MCU order,
+    half-res chroma, pinned replication upsample) → per-frame pixel
+    stats. Same narrow no-shuffle mapInPandas shape as mm10 — scales
+    by input splits."""
+    vids = spark.read.parquet(_mjpeg420_fixture(sf_dir))
+    return vids.mapInPandas(_frame_pixel_batches, schema=FRAME_PIXEL_SCHEMA)
+
+
+MM13_SQL = f"""
+    WITH m AS (
+        SELECT doc_id,
+               (doc_id % 3) + 2 AS n_frames,
+               (doc_id % 11) + 10 AS w,
+               (doc_id % 7) + 9 AS h
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, n_frames, w, h, CAST(t.f AS INT) AS frame_no
+        FROM m, unnest(range(0, n_frames)) t(f)
+        WHERE t.f % {FRAME_STEP} = 0
+    ),
+    px AS (
+        SELECT doc_id, n_frames, w, h, frame_no, t.p AS p,
+               (doc_id * 37 + frame_no * 41 + ((t.p // w) // 8) * 17 + ((t.p % w) // 8) * 29) % 256 AS yv,
+               (doc_id * 19 + frame_no * 31 + ((t.p // w) // 16) * 7 + ((t.p % w) // 16) * 11) % 256 AS cbv,
+               (doc_id * 23 + frame_no * 43 + ((t.p // w) // 16) * 13 + ((t.p % w) // 16) * 3) % 256 AS crv
+        FROM fr, unnest(range(0, w * h)) t(p)
+    ),
+    rgb AS (
+        SELECT doc_id, n_frames, w, h, frame_no, p,
+               least(greatest(floor(yv + 1.402 * (crv - 128) + 0.5), 0), 255) AS r,
+               least(greatest(floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5), 0), 255) AS g,
+               least(greatest(floor(yv + 1.772 * (cbv - 128) + 0.5), 0), 255) AS b
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(any_value(n_frames) AS INT) AS n_frames,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           frame_no,
+           CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+           CAST(sum((3 * p + 1) * r + (3 * p + 2) * g + (3 * p + 3) * b) AS BIGINT) AS checksum,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM rgb GROUP BY doc_id, frame_no
+"""
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -1566,6 +1690,7 @@ QUERIES = {
     "mm10_video_frame_pixels": mm10_video_frame_pixels,
     "mm11_audio_features": mm11_audio_features,
     "mm12_image_dhash": mm12_image_dhash,
+    "mm13_video_420_pixels": mm13_video_420_pixels,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -1622,6 +1747,13 @@ DECLARED = {
             "n_pixels", "checksum", "sum_r", "sum_g", "sum_b"
         )},
     },
+    "mm13_video_420_pixels": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "n_frames", "width", "height", "frame_no",
+            "n_pixels", "checksum", "sum_r", "sum_g", "sum_b"
+        )},
+    },
 }
 
 ORACLES = {
@@ -1637,4 +1769,5 @@ ORACLES = {
     "mm10_video_frame_pixels": MM10_SQL,
     "mm11_audio_features": MM11_SQL,
     "mm12_image_dhash": MM12_SQL,
+    "mm13_video_420_pixels": MM13_SQL,
 }

@@ -1104,6 +1104,119 @@ TX16_SQL = """
 """
 
 
+TX17_VOCAB_CAP = 16  # closed vocabulary: top-V train words; rest is OOV
+
+
+def tx17_heldout_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet DEPLOYMENT shape that tx13/tx16 idealize: score one
+    corpus slice under a unigram model trained on a DIFFERENT slice
+    (train = doc_id % 3 != 0, score = doc_id % 3 == 0) with a CLOSED
+    vocabulary — the model keeps only its ``TX17_VOCAB_CAP`` most
+    frequent train words (ties broken by word, so the cap is
+    deterministic), exactly how deployed LMs map everything outside
+    the tokenizer vocabulary to <unk>. OOV handling is an EXPLICIT
+    pinned floor — an out-of-vocabulary token contributes as count 1
+    (``ln(coalesce(cnt, 1)) - ln(T)``, i.e. probability floor 1/T) —
+    and each document reports its OOV evidence (``n_oov``,
+    ``oov_frac``) next to the score, because a high cross-entropy that
+    is mostly OOV floor means "out of domain", not "low quality"
+    (Wenzek et al. 2020 bucket on exactly this distinction). A real
+    KenLM drops in by replacing the count table; the dataflow —
+    held-out model table LEFT-joined into the scored corpus — is
+    unchanged.
+
+    Scale shape: the model table is vocabulary-capped (V rows after the
+    rank filter — the window runs over the vocab-sized count table, not
+    the corpus) and AQE is free to broadcast it into the scoring join;
+    both corpus passes are single partial-agg scans. Cross-engine FP
+    contract: per-doc sum folds the word-sorted contribution list in
+    BOTH engines; rounds at 6 dp with the midpoint nudge. Reference has
+    no LM ops — LLM-pipeline scope."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    train_tok = tok.filter(F.col("doc_id") % 3 != 0)
+    cnt = (
+        train_tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("w")))
+        )
+        .filter(F.col("rk") <= TX17_VOCAB_CAP)
+        .drop("rk")
+    )
+    tot = train_tok.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    tf = (
+        tok.filter(F.col("doc_id") % 3 == 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_doc = (
+        tf.join(cnt, "w", "left")
+        .select(
+            "doc_id",
+            "tf",
+            F.when(F.col("cnt").isNull(), F.col("tf")).otherwise(F.lit(0)).alias("oov"),
+            F.struct(
+                "w", (F.col("tf") * F.log(F.coalesce(F.col("cnt"), F.lit(1)))).alias("c")
+            ).alias("wc"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+            F.aggregate(
+                F.array_sort(F.collect_list("wc")), F.lit(0.0), lambda a, s: a + s["c"]
+            ).alias("s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov") / F.col("n_tokens") + 1e-9, 4).alias("oov_frac"),
+        F.round(F.log("t") - F.col("s") / F.col("n_tokens") + 1e-9, 6).alias("xent"),
+    )
+
+
+TX17_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (
+        SELECT w, cnt FROM (
+            SELECT w, count(*) AS cnt,
+                   row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+            FROM tok WHERE doc_id % 3 <> 0 GROUP BY w
+        ) WHERE rk <= {TX17_VOCAB_CAP}
+    ),
+    tot AS (SELECT count(*) AS t FROM tok WHERE doc_id % 3 <> 0),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM tok
+        WHERE doc_id % 3 = 0 GROUP BY doc_id, w
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               sum(tf) AS n_tokens,
+               sum(CASE WHEN cnt IS NULL THEN tf ELSE 0 END) AS n_oov,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                                list(tf * ln(coalesce(cnt, 1)) ORDER BY w)),
+                   (a, c) -> a + c
+               ) AS s
+        FROM tf LEFT JOIN cnt USING (w)
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           round(n_oov * 1.0 / n_tokens + 1e-9, 4) AS oov_frac,
+           round(ln(t) - s / n_tokens + 1e-9, 6) AS xent
+    FROM per_doc, tot
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -1119,6 +1232,7 @@ QUERIES = {
     "tx14_gopher_gate": tx14_gopher_gate,
     "tx15_bpe_train": tx15_bpe_train,
     "tx16_bigram_xent": tx16_bigram_xent,
+    "tx17_heldout_xent": tx17_heldout_xent,
 }
 
 ORACLES = {
@@ -1136,4 +1250,5 @@ ORACLES = {
     "tx14_gopher_gate": TX14_SQL,
     "tx15_bpe_train": TX15_SQL,
     "tx16_bigram_xent": TX16_SQL,
+    "tx17_heldout_xent": TX17_SQL,
 }

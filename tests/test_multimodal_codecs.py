@@ -101,6 +101,53 @@ def test_jpeg_arbitrary_content_roundtrip_tolerance():
     assert worst <= 4, worst
 
 
+def test_jpeg_420_uniform_block_is_bit_exact():
+    """4:2:0 fixture contract (mm13): Y uniform per 8x8 block, chroma
+    uniform per 16x16 PIXEL block → box downsample exact, DC-only
+    blocks survive quant=1, and the pinned replication upsample
+    reconstructs the full-res planes bit-exactly. Dims include odd and
+    non-16-multiples so MCU padding + chroma edge-padding are hit."""
+    import numpy as np
+
+    from hive_lineage_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for w, h in [(16, 16), (20, 12), (33, 18), (10, 9), (8, 8)]:
+        by, bx = np.meshgrid(np.arange((h + 7) // 8), np.arange((w + 7) // 8), indexing="ij")
+        y = np.repeat(np.repeat((by * 17 + bx * 29 + 5) % 256, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+        cy, cx = np.meshgrid(np.arange((h + 15) // 16), np.arange((w + 15) // 16), indexing="ij")
+        cb = np.repeat(np.repeat((cy * 7 + cx * 11 + 3) % 256, 16, 0), 16, 1)[:h, :w].astype(np.uint8)
+        cr = np.repeat(np.repeat((cy * 13 + cx * 3 + 9) % 256, 16, 0), 16, 1)[:h, :w].astype(np.uint8)
+        m = decode_jpeg(encode_jpeg(w, h, y, cb, cr, subsampling="420"))
+        assert (m["fmt"], m["width"], m["height"]) == ("jpeg", w, h)
+        px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3).astype(np.int64)
+        assert (px == _ycc_expected_rgb(y, cb, cr)).all()
+
+
+def test_jpeg_420_arbitrary_content_roundtrip_tolerance():
+    """Arbitrary planes through the 4:2:0 path: the interleaved
+    6-blocks-per-MCU entropy order must round-trip Y within DCT noise;
+    chroma additionally carries the (lossy) 2x2 box downsample, so it
+    is compared against the downsample-then-replicate reference, not
+    the original plane."""
+    import numpy as np
+
+    from hive_lineage_spark.functions.jpeg import (
+        _downsample_420, decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    worst = 0
+    for _ in range(6):
+        w, h = int(rng.randint(8, 36)), int(rng.randint(8, 30))
+        y, cb, cr = (rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(3))
+        m = decode_jpeg(encode_jpeg(w, h, y, cb, cr, subsampling="420"))
+        px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3).astype(np.int64)
+        up = lambda p: np.repeat(np.repeat(_downsample_420(p), 2, 0), 2, 1)[:h, :w]  # noqa: E731
+        ref = _ycc_expected_rgb(y, up(cb).astype(np.uint8), up(cr).astype(np.uint8))
+        worst = max(worst, int(np.abs(px - ref).max()))
+    assert worst <= 4, worst
+
+
 def test_jpeg_unsupported_features_raise():
     import numpy as np
 
@@ -113,8 +160,8 @@ def test_jpeg_unsupported_features_raise():
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(progressive)
     subsampled = bytearray(payload)
-    subsampled[sof + 11] = 0x22  # Y component h=v=2 → 4:2:0
-    with pytest.raises(NotImplementedError, match="4:4:4"):
+    subsampled[sof + 11] = 0x21  # Y h=2, v=1 → 4:2:2, outside the gate
+    with pytest.raises(NotImplementedError, match="4:4:4.*4:2:0"):
         decode_jpeg(bytes(subsampled))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
