@@ -29,6 +29,7 @@ PYTHON_BARRIER = {
     "mm10_video_frame_pixels",
     "mm11_audio_features",
     "mm12_image_dhash",
+    "mm13_video_420_pixels",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
