@@ -5,14 +5,16 @@ AVI→frames→pixels path is real end-to-end.
 
 Scope (honest gates, like the PNG/WAV decoders):
 - baseline DCT sequential (SOF0) only — progressive/lossless raise
-- 3-component YCbCr, 4:4:4 (h=v=1 everywhere) or 4:2:0 (Y h=v=2,
-  chroma h=v=1 — the dominant real-world MJPEG/camera sampling);
-  other factor combinations raise
-- 4:2:0 chroma upsampling is PINNED to 2x2 sample replication
+- 3-component YCbCr, 4:4:4 (h=v=1 everywhere), 4:2:2 (Y h=2 v=1), or
+  4:2:0 (Y h=v=2, chroma h=v=1 — the dominant real-world MJPEG/camera
+  sampling); other factor combinations raise
+- subsampled-chroma upsampling is PINNED to sample replication
   (nearest-neighbor, T.871 "box" position) so a SQL oracle can
   reproduce decoded pixels bit-exactly; libjpeg's smooth upsampling
   is a quality choice, not part of the interchange format
-- no DRI/restart-interval support (the encoder never emits one)
+- DRI/restart intervals: supported in both directions (RSTn every Ri
+  MCUs — byte-aligned marker, DC predictors reset; the markers real
+  MJPEG cameras emit so a bit error only corrupts one interval)
 
 Everything else is the real thing: marker/segment walk, DQT (two
 tables), DHT canonical Huffman construction from BITS/HUFFVAL, SOS,
@@ -114,10 +116,19 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
+        """Pad the partial byte with 1s (T.81 B.2.1) so a marker can
+        follow byte-aligned."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, marker: int) -> None:
+        self.pad_to_byte()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -154,6 +165,22 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self, n: int) -> None:
+        """Consume the byte-aligned RSTn marker that ends a restart
+        interval: discard any buffered pad bits, then require
+        0xFFD0+(n mod 8) at the stream position (T.81 E.1.4)."""
+        self.acc = 0
+        self.nbits = 0
+        expected = 0xD0 + (n % 8)
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != expected
+        ):
+            got = self.data[self.pos : self.pos + 2].hex() or "EOF"
+            raise ValueError(f"expected restart marker FF{expected:02X}, got {got}")
+        self.pos += 2
+
     def read_symbol(self, decode_map: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
         while length < 16:
@@ -171,21 +198,28 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _downsample_420(plane: np.ndarray) -> np.ndarray:
-    """2x2 box downsample with PINNED floor(mean + 0.5) rounding; odd
-    dimensions are edge-padded to even first, so a plane that is
-    uniform over each 2x2 cell downsamples exactly."""
+def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """fy x fx box downsample with PINNED floor(mean + 0.5) rounding;
+    odd dimensions are edge-padded to factor multiples first, so a
+    plane that is uniform over each fy x fx cell downsamples exactly."""
     h, w = plane.shape
     p = np.pad(
-        plane.astype(np.float64), ((0, h % 2), (0, w % 2)), mode="edge"
+        plane.astype(np.float64),
+        ((0, -h % fy), (0, -w % fx)),
+        mode="edge",
     )
-    mean = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+    mean = sum(
+        p[dy::fy, dx::fx] for dy in range(fy) for dx in range(fx)
+    ) / float(fy * fx)
     return np.floor(mean + 0.5)
 
 
-def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+def _downsample_420(plane: np.ndarray) -> np.ndarray:
+    return _box_downsample(plane, 2, 2)
+
+
+def _pad_to_shape(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     h, w = plane.shape
-    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
@@ -196,6 +230,7 @@ def encode_jpeg(
     cb: np.ndarray,
     cr: np.ndarray,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JPEG from full-resolution YCbCr planes
     (uint8 2-D arrays, shape (height, width)). Two all-ones quant
@@ -204,22 +239,33 @@ def encode_jpeg(
     ``subsampling="444"`` stores every component at full resolution
     (h=v=1). ``"420"`` stores Y at full resolution (h=v=2) and chroma
     2x2-box-downsampled (h=v=1), entropy-coded in the T.81 interleaved
-    MCU order: 4 Y blocks (raster within the 16x16 MCU), then Cb, Cr."""
+    MCU order: 4 Y blocks (raster within the 16x16 MCU), then Cb, Cr.
+    ``"422"`` downsamples chroma horizontally only (Y h=2 v=1, chroma
+    h=v=1; 2 Y blocks then Cb, Cr per 16x8 MCU).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (cycling D0..D7) after every that-many MCUs, resetting the DC
+    predictors — the error-resilience framing real MJPEG emits."""
     if subsampling == "444":
         sampling = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
     elif subsampling == "420":
         sampling = [(2, 2), (1, 1), (1, 1)]
-        planes = [y, _downsample_420(cb), _downsample_420(cr)]
+        planes = [y, _box_downsample(cb, 2, 2), _box_downsample(cr, 2, 2)]
+    elif subsampling == "422":
+        sampling = [(2, 1), (1, 1), (1, 1)]
+        planes = [y, _box_downsample(cb, 1, 2), _box_downsample(cr, 1, 2)]
     else:
-        raise NotImplementedError("subsampling must be '444' or '420'")
-    # pad each component so every one spans the same whole-MCU grid
+        raise NotImplementedError("subsampling must be '444', '422' or '420'")
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcus_w = -(-width // (8 * hmax))
+    mcus_h = -(-height // (8 * vmax))
+    # pad each component to exactly its share of the whole-MCU grid
     planes = [
-        _pad_to(p.astype(np.float64), 8 * max(h, v)) - 128.0
+        _pad_to_shape(p.astype(np.float64), mcus_h * v * 8, mcus_w * h * 8) - 128.0
         for p, (h, v) in zip(planes, sampling)
     ]
-    mcus_h = planes[0].shape[0] // (8 * sampling[0][1])
-    mcus_w = planes[0].shape[1] // (8 * sampling[0][0])
 
     dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS, 4)
     ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS, 8)
@@ -228,8 +274,13 @@ def encode_jpeg(
 
     bw = _BitWriter()
     pred = [0, 0, 0]
+    mcu_no = 0
     for by in range(mcus_h):
         for bx in range(mcus_w):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                bw.emit_marker(0xD0 + (mcu_no // restart_interval - 1) % 8)
+                pred = [0, 0, 0]
+            mcu_no += 1
             for ci, (plane, (ch, cv)) in enumerate(zip(planes, sampling)):
                 for vy in range(cv):
                     for vx in range(ch):
@@ -287,7 +338,8 @@ def encode_jpeg(
         + seg(0xFFC4, b"\x11" + ac_bits + ac_vals)
     )
     sos = seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -305,8 +357,9 @@ def decode_jpeg(payload: bytes) -> dict:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (component id, h, v, quant table id)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    restart_interval = 0
     data_start = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -335,9 +388,14 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             factors = [(h, v) for _, h, v, _ in comps]
-            if factors not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
+            if factors not in (
+                [(1, 1)] * 3,
+                [(2, 2), (1, 1), (1, 1)],
+                [(2, 1), (1, 1), (1, 1)],
+            ):
                 raise NotImplementedError(
-                    "only 4:4:4 (all 1x1) or 4:2:0 (Y 2x2, chroma 1x1) sampling"
+                    "only 4:4:4 (all 1x1), 4:2:2 (Y 2x1), or 4:2:0 (Y 2x2) "
+                    "chroma sampling"
                 )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0) JPEG")
@@ -353,8 +411,8 @@ def decode_jpeg(payload: bytes) -> dict:
                     for sym, (code, length) in _build_codes(bits, vals).items()
                 }
                 b += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI) not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for i in range(ns):
@@ -377,8 +435,13 @@ def decode_jpeg(payload: bytes) -> dict:
         for _, h, v, _ in comps
     ]
     pred = [0] * len(comps)
+    mcu_no = 0
     for by in range(mcus_h):
         for bx in range(mcus_w):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                reader.restart(mcu_no // restart_interval - 1)
+                pred = [0] * len(comps)
+            mcu_no += 1
             for ci, dc_id, ac_id in scan:
                 _, ch, cv, tq = comps[ci]
                 dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]

@@ -148,6 +148,53 @@ def test_jpeg_420_arbitrary_content_roundtrip_tolerance():
     assert worst <= 4, worst
 
 
+def test_jpeg_422_uniform_block_is_bit_exact():
+    """4:2:2 (horizontal-only chroma subsampling): Y uniform per 8x8,
+    chroma uniform per 8-row x 16-col block → exact through the
+    2-Y-blocks-per-MCU interleave and horizontal replication."""
+    import numpy as np
+
+    from hive_lineage_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for w, h in [(16, 8), (20, 12), (33, 17), (9, 10)]:
+        by, bx = np.meshgrid(np.arange((h + 7) // 8), np.arange((w + 7) // 8), indexing="ij")
+        y = np.repeat(np.repeat((by * 17 + bx * 29 + 5) % 256, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+        cy, cx = np.meshgrid(np.arange((h + 7) // 8), np.arange((w + 15) // 16), indexing="ij")
+        cb = np.repeat(np.repeat((cy * 7 + cx * 11 + 3) % 256, 8, 0), 16, 1)[:h, :w].astype(np.uint8)
+        cr = np.repeat(np.repeat((cy * 13 + cx * 3 + 9) % 256, 8, 0), 16, 1)[:h, :w].astype(np.uint8)
+        m = decode_jpeg(encode_jpeg(w, h, y, cb, cr, subsampling="422"))
+        px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3).astype(np.int64)
+        assert (px == _ycc_expected_rgb(y, cb, cr)).all(), (w, h)
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn framing: restart markers must decode to pixels
+    IDENTICAL to the no-DRI encoding of the same planes (marker
+    placement, byte alignment, and DC-predictor resets are framing,
+    not signal), for every supported subsampling; a wrong restart
+    sequence number is rejected."""
+    import numpy as np
+    import pytest
+
+    from hive_lineage_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(17)
+    w, h = 35, 22
+    y, cb, cr = (rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(3))
+    for sub in ("444", "422", "420"):
+        base = decode_jpeg(encode_jpeg(w, h, y, cb, cr, subsampling=sub))["pixels"]
+        for ri in (1, 3):
+            withdri = decode_jpeg(
+                encode_jpeg(w, h, y, cb, cr, subsampling=sub, restart_interval=ri)
+            )["pixels"]
+            assert withdri == base, (sub, ri)
+    payload = bytearray(encode_jpeg(w, h, y, cb, cr, restart_interval=2))
+    idx = bytes(payload).find(b"\xff\xd0")
+    payload[idx + 1] = 0xD5  # out-of-sequence restart marker
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(payload))
+
+
 def test_jpeg_unsupported_features_raise():
     import numpy as np
 
@@ -160,8 +207,8 @@ def test_jpeg_unsupported_features_raise():
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(progressive)
     subsampled = bytearray(payload)
-    subsampled[sof + 11] = 0x21  # Y h=2, v=1 → 4:2:2, outside the gate
-    with pytest.raises(NotImplementedError, match="4:4:4.*4:2:0"):
+    subsampled[sof + 11] = 0x12  # Y h=1, v=2 → 4:4:0, outside the gate
+    with pytest.raises(NotImplementedError, match="chroma sampling"):
         decode_jpeg(bytes(subsampled))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
