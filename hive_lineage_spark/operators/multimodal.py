@@ -1599,7 +1599,7 @@ def _mjpeg420_fixture(sf_dir: str) -> str:
     from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg420_v1")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg420_v2")
     out_file = os.path.join(out_dir, "mjpeg420.parquet")
     if not os.path.exists(out_file):
         doc_ids = (
@@ -1611,8 +1611,15 @@ def _mjpeg420_fixture(sf_dir: str) -> str:
         for d in doc_ids:
             n_frames = (d % 3) + 2
             w, h = (d % 11) + 10, (d % 7) + 9
+            # restart_interval=2 puts RSTn framing on every fixture
+            # frame — DRI decode is exercised in-pipeline, and the
+            # oracle is unaffected because restart framing decodes to
+            # identical pixels (pinned by the codec tests)
             frames = [
-                encode_jpeg(w, h, *_mjpeg420_block_planes(d, f, w, h), subsampling="420")
+                encode_jpeg(
+                    w, h, *_mjpeg420_block_planes(d, f, w, h),
+                    subsampling="420", restart_interval=2,
+                )
                 for f in range(n_frames)
             ]
             payloads.append(encode_avi(w, h, frames))

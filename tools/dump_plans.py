@@ -50,6 +50,8 @@ SHOW = [
     ("mm09_pair_curation", "caption feature-hash encoder fused into the documents scan; ONLY the pair-id equi-join moves data; cosine/gate all JVM codegen"),
     ("mm10_video_frame_pixels", "AVI walk + JPEG decode + pixel stats in ONE narrow MapInPandas stage — no exchange; scale by adding input splits"),
     ("ss09_ann_recall", "the exact baseline and PQ code tables read from InMemoryTableScan (persisted index registry) instead of recomputing the corpus scan per evaluation leg"),
+    ("mm13_video_420_pixels", "4:2:0 MJPEG decode shares mm10's shape: ONE narrow MapInPandas stage, no exchange — subsampling/DRI cost lives inside the Python batch, not the plan"),
+    ("tx17_heldout_xent", "train-slice model capped to V rows (window over the vocab-sized count table), LEFT-broadcast into the scored slice; both corpus passes partial-agg"),
 ]
 
 
