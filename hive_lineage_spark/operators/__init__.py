@@ -76,6 +76,7 @@ from pyspark.sql import DataFrame, SparkSession
 ROTATION_QUEUE: dict[str, int] = {
     "mm13_video_420_pixels": 10,  # 4:2:0 MJPEG decode, registered r10
     "tx17_heldout_xent": 10,      # held-out-LM scoring + OOV floor, registered r10
+    "tx18_backoff_xent": 10,      # stupid-backoff bigram scoring, registered r10
 }
 
 _DRIVER_PRIORITY = [

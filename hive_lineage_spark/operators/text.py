@@ -9,6 +9,8 @@ identical deterministic function.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1217,6 +1219,182 @@ TX17_SQL = f"""
 """
 
 
+# stupid-backoff discount (Brants et al. 2007 use 0.4); the ln is
+# pinned as a repr'd double literal so BOTH engines parse the identical
+# IEEE value instead of each calling their own libm ln()
+TX18_ALPHA_LN = repr(math.log(0.4))
+TX18_VOCAB_CAP = 16  # closed model vocabulary, as tx17
+
+
+def tx18_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram scoring with STUPID BACKOFF (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the smoothing
+    large-scale deployments actually run): score slice A (doc_id % 3 =
+    0) under bigram/unigram counts from slice B (doc_id % 3 != 0). Per
+    scored bigram, the score is ``c2(w1,w2)/c1(w1)`` when the model saw
+    the bigram, backing off to ``alpha * u(w2)/T`` when it did not, and
+    to the ``alpha * 1/T`` floor when even the unigram is unseen —
+    completing the tx13 (self-trained unigram) → tx16 (self-trained
+    bigram) → tx17 (held-out unigram + OOV floor) ladder with the
+    deployed-LM shape. The model has ONE closed vocabulary (its
+    ``TX18_VOCAB_CAP`` most frequent train unigrams, ties broken by
+    word): the bigram/head tables keep only pairs with BOTH words
+    in-vocab and the unigram table only vocab words — so a bigram
+    touching an out-of-vocab word is unseen by construction (backoff
+    when w2 is in-vocab, floor when it is not), exactly the <unk>
+    semantics of a real tokenizer-bounded LM. Per-doc evidence
+    (``n_backoff``, ``n_floor``) rides next to the score so "out of
+    domain" and "unusual word order" stay distinguishable.
+
+    Scale shape: three model tables (bigram, head, unigram — all
+    vocabulary-capped) LEFT-joined into the scored bigram stream, AQE
+    free to broadcast each; bigram extraction is the same shuffle-free
+    zip_with map as tx16. Cross-engine FP contract: contributions are
+    pure ln-count differences (never a division), the backoff discount
+    is a repr-pinned double literal, the per-doc sum folds the
+    (w1,w2)-sorted list in BOTH engines, rounds at 6 dp with the
+    midpoint nudge. Reference has no LM ops — LLM-pipeline scope."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    bg_all = ws.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.expr(
+            "explode(zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+            " (a, b) -> named_struct('w1', a, 'w2', b)))"
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    train_tok = d.filter(F.col("doc_id") % 3 != 0).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    uni = (
+        train_tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("u").desc(), F.col("w")))
+        )
+        .filter(F.col("rk") <= TX18_VOCAB_CAP)
+        .drop("rk")
+    )
+    vocab = uni.select("w")
+    train_bg = (
+        bg_all.filter(F.col("doc_id") % 3 != 0)
+        .join(vocab.withColumnRenamed("w", "w1"), "w1", "left_semi")
+        .join(vocab.withColumnRenamed("w", "w2"), "w2", "left_semi")
+    )
+    cnt2 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    tot = train_tok.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    alpha_ln = F.lit(float(TX18_ALPHA_LN))
+    scored = (
+        bg_all.filter(F.col("doc_id") % 3 == 0)
+        .join(cnt2, ["w1", "w2"], "left")
+        .join(cnt1, ["w1"], "left")
+        .join(uni.withColumnRenamed("w", "w2"), ["w2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("c2").isNull() & F.col("u").isNotNull(), 1)
+            .otherwise(0)
+            .alias("bk"),
+            F.when(F.col("c2").isNull() & F.col("u").isNull(), 1)
+            .otherwise(0)
+            .alias("fl"),
+            F.struct(
+                "w1",
+                "w2",
+                F.when(F.col("c2").isNotNull(), F.log("c2") - F.log("c1"))
+                .otherwise(
+                    alpha_ln + F.log(F.coalesce(F.col("u"), F.lit(1))) - F.log("t")
+                )
+                .alias("c"),
+            ).alias("bc"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bk").alias("n_backoff"),
+        F.sum("fl").alias("n_floor"),
+        F.aggregate(
+            F.array_sort(F.collect_list("bc")), F.lit(0.0), lambda a, s: a + s["c"]
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("n_backoff").cast("long").alias("n_backoff"),
+        F.col("n_floor").cast("long").alias("n_floor"),
+        F.round(-F.col("s") / F.col("n_bigrams") + 1e-9, 6).alias("xent2"),
+    )
+
+
+TX18_SQL = f"""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, b[1] AS w1, b[2] AS w2
+        FROM (
+            SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS b
+            FROM ws WHERE len(ws) >= 2
+        )
+    ),
+    uni AS (
+        SELECT w, u FROM (
+            SELECT w, count(*) AS u,
+                   row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE doc_id % 3 <> 0 GROUP BY w
+        ) WHERE rk <= {TX18_VOCAB_CAP}
+    ),
+    tbg AS (
+        SELECT w1, w2 FROM bg
+        WHERE doc_id % 3 <> 0
+          AND w1 IN (SELECT w FROM uni) AND w2 IN (SELECT w FROM uni)
+    ),
+    cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
+    tot AS (
+        SELECT count(*) AS t
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE doc_id % 3 <> 0
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN c2 IS NULL AND u IS NOT NULL THEN 1 ELSE 0 END AS bk,
+               CASE WHEN c2 IS NULL AND u IS NULL THEN 1 ELSE 0 END AS fl,
+               bg.w1, bg.w2,
+               CASE WHEN c2 IS NOT NULL THEN ln(c2) - ln(c1)
+                    ELSE {TX18_ALPHA_LN} + ln(coalesce(u, 1)) - ln(t)
+               END AS c
+        FROM bg
+        LEFT JOIN cnt2 USING (w1, w2)
+        LEFT JOIN cnt1 USING (w1)
+        LEFT JOIN uni ON uni.w = bg.w2
+        CROSS JOIN tot
+        WHERE bg.doc_id % 3 = 0
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               sum(bk) AS n_backoff,
+               sum(fl) AS n_floor,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY w1, w2)),
+                   (a, c) -> a + c
+               ) AS s
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_backoff AS BIGINT) AS n_backoff,
+           CAST(n_floor AS BIGINT) AS n_floor,
+           round(-s / n_bigrams + 1e-9, 6) AS xent2
+    FROM per_doc
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -1233,6 +1411,7 @@ QUERIES = {
     "tx15_bpe_train": tx15_bpe_train,
     "tx16_bigram_xent": tx16_bigram_xent,
     "tx17_heldout_xent": tx17_heldout_xent,
+    "tx18_backoff_xent": tx18_backoff_xent,
 }
 
 ORACLES = {
@@ -1251,4 +1430,5 @@ ORACLES = {
     "tx15_bpe_train": TX15_SQL,
     "tx16_bigram_xent": TX16_SQL,
     "tx17_heldout_xent": TX17_SQL,
+    "tx18_backoff_xent": TX18_SQL,
 }
