@@ -91,6 +91,8 @@ EXTRA = [
     "mm11_audio_features",     # windowed energy/ZCR on real WAV (round 8)
     "mm12_image_dhash",        # perceptual dHash on decoded pixels (round 8)
     "mm13_video_420_pixels",   # 4:2:0 MJPEG decode end-to-end (round 10)
+    "mm14_audio_resample",     # mono downmix + boxcar decimation (round 10)
+    "mm15_video_shot_detect",  # consecutive-frame cut detection (round 10)
 ]
 
 

@@ -77,6 +77,8 @@ ROTATION_QUEUE: dict[str, int] = {
     "mm13_video_420_pixels": 10,  # 4:2:0 MJPEG decode, registered r10
     "tx17_heldout_xent": 10,      # held-out-LM scoring + OOV floor, registered r10
     "tx18_backoff_xent": 10,      # stupid-backoff bigram scoring, registered r10
+    "mm14_audio_resample": 10,    # mono downmix + boxcar decimation, registered r10
+    "mm15_video_shot_detect": 10, # shot-boundary detection, registered r10
 }
 
 _DRIVER_PRIORITY = [

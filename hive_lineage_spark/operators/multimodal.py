@@ -1684,6 +1684,211 @@ MM13_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# mm14: audio resample — THE standard speech-corpus preprocessing step
+# (ASR/speech-LM pipelines normalize everything to 16 kHz/8 kHz mono
+# before feature extraction). Real DSP on real decoded PCM: channel
+# downmix (mean across channels) then integer-factor decimation with a
+# boxcar (moving-average) anti-alias filter — out[k] = mean of D
+# consecutive mono frames. All arithmetic is PINNED floor() at each
+# stage so the DuckDB oracle recomputes every output sample exactly
+# from the closed-form fixture stream; the tail partial window is
+# dropped (standard decimator behavior).
+# ---------------------------------------------------------------------------
+
+RESAMPLE_FACTOR = 4  # 8000 Hz fixture -> 2000 Hz output
+
+RESAMPLE_SCHEMA = (
+    "doc_id long, rate_in int, rate_out int, n_in long, n_out long, "
+    "peak_out int, sum_out long, checksum_out long"
+)
+
+
+def _resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: WAV decode → floor-mean mono downmix →
+    boxcar decimation by RESAMPLE_FACTOR → typed output-sample stats
+    (peak / sum / position-weighted checksum)."""
+    import numpy as np
+
+    D = RESAMPLE_FACTOR
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_audio_real(bytes(payload))
+            s = np.asarray(m["samples"], dtype=np.int64)
+            ch = m["n_channels"]
+            mono = np.floor_divide(s.reshape(-1, ch).sum(axis=1), ch)
+            n_out = len(mono) // D
+            out = np.floor_divide(mono[: n_out * D].reshape(-1, D).sum(axis=1), D)
+            rows.append(
+                (
+                    doc_id, m["rate"], m["rate"] // D, len(mono), n_out,
+                    int(np.abs(out).max(initial=0)), int(out.sum()),
+                    int(((np.arange(n_out) + 1) * out).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "rate_in", "rate_out", "n_in", "n_out",
+                "peak_out", "sum_out", "checksum_out",
+            ],
+        )
+
+
+def mm14_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resampling end-to-end: WAV decode → mono downmix →
+    boxcar decimation to rate/4. Same narrow no-shuffle mapInPandas
+    shape as mm07 — the DSP cost rides inside the Python batch and the
+    op scales by input splits; a polyphase/sinc resampler drops in by
+    replacing the kernel, dataflow unchanged."""
+    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    return wavs.mapInPandas(_resample_batches, schema=RESAMPLE_SCHEMA)
+
+
+# Oracle: recompute each output sample from the closed-form interleaved
+# stream — frame mono value = floor(channel sum / ch), output sample =
+# floor(window sum / D) — floor division floors toward -inf in BOTH
+# engines here because we pin floor(x / d) on doubles (exact at these
+# magnitudes).
+MM14_SQL = f"""
+    WITH m AS (
+        SELECT doc_id,
+               1 + (doc_id % 2) AS ch,
+               (doc_id % 50) + 20 AS n_frames
+        FROM documents
+    ),
+    sv AS (
+        SELECT doc_id, ch, n_frames, t.j AS j,
+               ((doc_id * 37 + t.j * 11) % 4001) - 2000 AS v
+        FROM m, unnest(range(0, n_frames * ch)) t(j)
+    ),
+    mono AS (
+        SELECT doc_id, ch, n_frames, j // ch AS i,
+               CAST(floor(sum(v) / ch) AS BIGINT) AS mv
+        FROM sv GROUP BY doc_id, ch, n_frames, j // ch
+    ),
+    outp AS (
+        SELECT doc_id, ch, n_frames, i // {RESAMPLE_FACTOR} AS k,
+               CAST(floor(sum(mv) / {RESAMPLE_FACTOR}) AS BIGINT) AS ov
+        FROM mono
+        WHERE i < (n_frames // {RESAMPLE_FACTOR}) * {RESAMPLE_FACTOR}
+        GROUP BY doc_id, ch, n_frames, i // {RESAMPLE_FACTOR}
+    )
+    SELECT doc_id,
+           CAST({AUDIO_RATE} AS INT) AS rate_in,
+           CAST({AUDIO_RATE} // {RESAMPLE_FACTOR} AS INT) AS rate_out,
+           CAST(any_value(n_frames) AS BIGINT) AS n_in,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(max(abs(ov)) AS INT) AS peak_out,
+           CAST(sum(ov) AS BIGINT) AS sum_out,
+           CAST(sum((k + 1) * ov) AS BIGINT) AS checksum_out
+    FROM outp GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# mm15: video shot-boundary detection — the sampling front end of every
+# video-training pipeline (pick one frame per shot instead of every Nth
+# frame). Real signal path: decode EVERY frame of the MJPEG AVI (the
+# mm10 fixture), compute the mean-free absolute-difference score
+# between consecutive decoded frames (sum |px_f - px_{f-1}| over all
+# RGB values), and flag a cut where the score clears a pinned
+# per-pixel threshold. The oracle recomputes both frames' pixels from
+# the closed-form block values, so a decode or frame-ordering bug
+# flips cut flags.
+# ---------------------------------------------------------------------------
+
+SHOT_THRESHOLD = 66  # mean abs diff per RGB value that counts as a cut (median of the fixture distribution - splits both ways at every SF)
+
+SHOT_SCHEMA = (
+    "doc_id long, frame_no int, abs_diff long, n_vals long, is_cut boolean"
+)
+
+
+def _shot_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: AVI walk → decode every frame → consecutive
+    |diff| sums; is_cut compares the TOTAL against threshold * n_vals
+    (integer compare — no float ratio crosses the engines)."""
+    import numpy as np
+
+    from ..functions.jpeg import decode_jpeg
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            m = parse_avi_frames(payload)
+            prev = None
+            for f, (off, size) in enumerate(m["frames"]):
+                img = decode_jpeg(payload[off : off + size])
+                px = np.frombuffer(img["pixels"], dtype=np.uint8).astype(np.int64)
+                if prev is not None:
+                    diff = int(np.abs(px - prev).sum())
+                    rows.append(
+                        (doc_id, f, diff, len(px), diff > SHOT_THRESHOLD * len(px))
+                    )
+                prev = px
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_no", "abs_diff", "n_vals", "is_cut"]
+        )
+
+
+def mm15_video_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded MJPEG frames: per
+    consecutive frame pair, the absolute-difference score and the cut
+    flag. Narrow no-shuffle mapInPandas over the video scan (mm10's
+    fixture and shape); at 100 TB the op scales by input splits and
+    the per-shot frame sampler consumes is_cut downstream."""
+    vids = spark.read.parquet(_mjpeg_fixture(sf_dir))
+    return vids.mapInPandas(_shot_batches, schema=SHOT_SCHEMA)
+
+
+# Oracle: both frames' pixels recomputed from the closed-form uniform
+# 8x8 block values + the pinned color conversion (as MM10_SQL), joined
+# per pixel position, |diff| summed.
+MM15_SQL = f"""
+    WITH m AS (
+        SELECT doc_id,
+               (doc_id % 4) + 2 AS n_frames,
+               (doc_id % 9) + 8 AS w,
+               (doc_id % 5) + 8 AS h
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, n_frames, w, h, CAST(t.f AS INT) AS frame_no
+        FROM m, unnest(range(0, n_frames)) t(f)
+    ),
+    px AS (
+        SELECT doc_id, w, h, frame_no, t.p AS p,
+               (doc_id * 37 + frame_no * 41 + ((t.p // w) // 8) * 17 + ((t.p % w) // 8) * 29) % 256 AS yv,
+               (doc_id * 19 + frame_no * 31 + ((t.p // w) // 8) * 7 + ((t.p % w) // 8) * 11) % 256 AS cbv,
+               (doc_id * 23 + frame_no * 43 + ((t.p // w) // 8) * 13 + ((t.p % w) // 8) * 3) % 256 AS crv
+        FROM fr, unnest(range(0, w * h)) t(p)
+    ),
+    rgb AS (
+        SELECT doc_id, w, h, frame_no, p,
+               least(greatest(floor(yv + 1.402 * (crv - 128) + 0.5), 0), 255) AS r,
+               least(greatest(floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5), 0), 255) AS g,
+               least(greatest(floor(yv + 1.772 * (cbv - 128) + 0.5), 0), 255) AS b
+        FROM px
+    ),
+    d AS (
+        SELECT a.doc_id, a.frame_no,
+               sum(abs(a.r - b.r) + abs(a.g - b.g) + abs(a.b - b.b)) AS abs_diff,
+               count(*) * 3 AS n_vals
+        FROM rgb a
+        JOIN rgb b ON a.doc_id = b.doc_id AND a.p = b.p AND b.frame_no = a.frame_no - 1
+        GROUP BY a.doc_id, a.frame_no
+    )
+    SELECT doc_id, frame_no,
+           CAST(abs_diff AS BIGINT) AS abs_diff,
+           CAST(n_vals AS BIGINT) AS n_vals,
+           abs_diff > {SHOT_THRESHOLD} * n_vals AS is_cut
+    FROM d
+"""
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -1698,6 +1903,8 @@ QUERIES = {
     "mm11_audio_features": mm11_audio_features,
     "mm12_image_dhash": mm12_image_dhash,
     "mm13_video_420_pixels": mm13_video_420_pixels,
+    "mm14_audio_resample": mm14_audio_resample,
+    "mm15_video_shot_detect": mm15_video_shot_detect,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -1761,6 +1968,17 @@ DECLARED = {
             "n_pixels", "checksum", "sum_r", "sum_g", "sum_b"
         )},
     },
+    "mm14_audio_resample": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "rate_in", "rate_out", "n_in", "n_out",
+            "peak_out", "sum_out", "checksum_out"
+        )},
+    },
+    "mm15_video_shot_detect": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in ("frame_no", "abs_diff", "n_vals", "is_cut")},
+    },
 }
 
 ORACLES = {
@@ -1777,4 +1995,6 @@ ORACLES = {
     "mm11_audio_features": MM11_SQL,
     "mm12_image_dhash": MM12_SQL,
     "mm13_video_420_pixels": MM13_SQL,
+    "mm14_audio_resample": MM14_SQL,
+    "mm15_video_shot_detect": MM15_SQL,
 }

@@ -30,6 +30,8 @@ PYTHON_BARRIER = {
     "mm11_audio_features",
     "mm12_image_dhash",
     "mm13_video_420_pixels",
+    "mm14_audio_resample",
+    "mm15_video_shot_detect",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
