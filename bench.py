@@ -93,6 +93,7 @@ EXTRA = [
     "mm13_video_420_pixels",   # 4:2:0 MJPEG decode end-to-end (round 10)
     "mm14_audio_resample",     # mono downmix + boxcar decimation (round 10)
     "mm15_video_shot_detect",  # consecutive-frame cut detection (round 10)
+    "ss14_ann_random_projection",  # JL sign-matrix projected search (round 10)
 ]
 
 

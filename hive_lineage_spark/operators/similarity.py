@@ -1642,6 +1642,124 @@ SS13_SQL = _ss13_sql()
 SS09_SQL = _ss09_sql()
 
 
+# ---------------------------------------------------------------------------
+# ss14: Johnson-Lindenstrauss random-projection ANN — the embedding
+# COMPRESSION path (project 64-dim vectors to 16 dims with a fixed
+# sign matrix, search in the projected space). JL (1984) bounds the
+# pairwise-distance distortion; sign matrices specifically are
+# Achlioptas 2001, "Database-friendly random projections". The sign
+# matrix here is a deterministic integer hash (quadratic mix mod a
+# prime) so both engines materialize the identical matrix without an
+# RNG; a seeded Gaussian matrix drops in without changing the
+# dataflow.
+# ---------------------------------------------------------------------------
+
+JL_DIM = 16  # projected dimensionality (4x compression of the 64-dim corpus)
+EMBED_DIM = 64
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1: quadratic integer mix mod 101 (odd prime, so
+    parity is unstructured), identical arithmetic in both engines."""
+    return 1 if (i * i * 31 + j * j * 17 + i * j * 7) % 101 % 2 == 0 else -1
+
+
+def ss14_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K cosine neighbors in JL-PROJECTED space: p[j] = Σ_i
+    s(i,j)·v[i] for a fixed ±1 sign matrix, then the ss01 ranking over
+    16-dim vectors. The projection is pure whole-stage codegen fused
+    into the embeddings scan (16 sequential folds over the vector
+    array — no shuffle, no UDF), and every downstream distance costs
+    JL_DIM/EMBED_DIM of the full-width scoring.
+
+    SCALE shape: at 100 TB the projected corpus is the MATERIALIZED
+    artifact (4x smaller than the raw vectors, written once at ingest)
+    and the search pairs projection with IVF cell pruning (ss02/ss07)
+    — projected scoring here is all-pairs only because the op's
+    contract, like ss01's, is the exactness baseline OF the projected
+    space (ss09-style recall vs full-width cosine is the quality
+    metric). Recall honesty: measured 0.14@5 vs exact-64 at sf0.01 —
+    low in absolute terms because the synthetic corpus is near-
+    isotropic (pairwise cosines cluster at 0, so the exact top-5 is
+    barely separated; raw PQ measures 0.34 on the same corpus, ss09),
+    but the matrix itself is healthy (mean sign -0.05, max column
+    coherence 0.28 — the random-sign-matrix range for 64 dims). FP
+    contract: fold order ascending i then ascending j in BOTH engines;
+    cosine rounds at 6 dp."""
+    vec = _vectors(spark, sf_dir)
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(float(_jl_sign(i, j))) for i in range(EMBED_DIM)]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias(f"p{j}")
+        for j in range(JL_DIM)
+    ]
+    p = vec.select("vec_id", F.array(*proj_cols).alias("p")).withColumn(
+        "pn",
+        F.sqrt(F.aggregate(F.transform("p", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    q = p.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp"), F.col("pn").alias("qn")
+    )
+    c = p.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("p").alias("cp"), F.col("pn").alias("cn")
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "proj_cosine", _cosine(F.col("qp"), F.col("cp"), F.col("qn"), F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("proj_cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id", "neighbor_id", F.round("proj_cosine", 6).alias("proj_cosine"), "rank"
+        )
+    )
+
+
+def _ss14_sql() -> str:
+    # one explicit fold per projected dim, ascending i inside each —
+    # the same association order as the Spark aggregate
+    proj_exprs = ", ".join(
+        "list_reduce(list_transform(range(1, {d} + 1), i -> v[i] * "
+        "(CASE WHEN ((i-1)*(i-1)*31 + {j}*{j}*17 + (i-1)*{j}*7) % 101 % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)".format(d=EMBED_DIM, j=j)
+        for j in range(JL_DIM)
+    )
+    return f"""
+    WITH {_vectors_sql()},
+    pr AS (
+        SELECT vec_id, [{proj_exprs}] AS p FROM e
+    ),
+    pn AS (
+        SELECT vec_id, p,
+               sqrt(list_reduce(list_transform(p, x -> x * x), (a, b) -> a + b)) AS pn
+        FROM pr
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='q.p', b='c.p')} / (q.pn * c.pn) AS proj_cosine
+        FROM pn q JOIN pn c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, proj_cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY proj_cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(proj_cosine, 6) AS proj_cosine, rank
+    FROM ranked WHERE rank <= {K}
+"""
+
+
+SS14_SQL = _ss14_sql()
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -1656,6 +1774,7 @@ QUERIES = {
     "ss11_ann_pq_trained": ss11_ann_pq_trained,
     "ss12_ann_hamming": ss12_ann_hamming,
     "ss13_ann_ivfpq": ss13_ann_ivfpq,
+    "ss14_ann_random_projection": ss14_ann_random_projection,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -1692,6 +1811,7 @@ ORACLES = {
     "ss11_ann_pq_trained": SS11_SQL,
     "ss12_ann_hamming": SS12_SQL,
     "ss13_ann_ivfpq": SS13_SQL,
+    "ss14_ann_random_projection": SS14_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,
