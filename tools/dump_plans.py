@@ -52,6 +52,9 @@ SHOW = [
     ("ss09_ann_recall", "the exact baseline and PQ code tables read from InMemoryTableScan (persisted index registry) instead of recomputing the corpus scan per evaluation leg"),
     ("mm13_video_420_pixels", "4:2:0 MJPEG decode shares mm10's shape: ONE narrow MapInPandas stage, no exchange — subsampling/DRI cost lives inside the Python batch, not the plan"),
     ("tx17_heldout_xent", "train-slice model capped to V rows (window over the vocab-sized count table), LEFT-broadcast into the scored slice; both corpus passes partial-agg"),
+    ("tx18_backoff_xent", "three vocabulary-capped model tables (bigram/head/unigram) all BroadcastHashJoin LEFT into the scored bigram stream inside ONE codegen stage"),
+    ("ss14_ann_random_projection", "the 16 projection folds fuse into the embeddings scan as pure whole-stage codegen — no exchange before the rank window, no UDF"),
+    ("mm15_video_shot_detect", "decode-every-frame + consecutive-diff is ONE narrow MapInPandas stage — no exchange; the cut flag is an integer compare, no float ratio"),
 ]
 
 
