@@ -517,3 +517,57 @@ def test_fit_box_invariants(w, h, box):
         assert resized and max(tw, th) == box and tw <= w and th <= h
         if w >= h:
             assert tw >= th or th == 1
+
+
+# --- JPEG codec properties (functions/jpeg.py) -------------------------------
+
+@st.composite
+def _jpeg_cases(draw):
+    w = draw(st.integers(min_value=8, max_value=40))
+    h = draw(st.integers(min_value=8, max_value=32))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    sub = draw(st.sampled_from(["444", "422", "420"]))
+    ri = draw(st.sampled_from([0, 1, 2, 5]))
+    return w, h, seed, sub, ri
+
+
+@given(_jpeg_cases())
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_property(case):
+    """For ANY dims / content / supported subsampling / restart
+    interval: decode(encode(x)) stays within DCT-rounding tolerance of
+    the reference computation (pinned color conversion of the chroma-
+    processed planes), and restart framing never changes a pixel."""
+    import numpy as np
+
+    from hive_lineage_spark.functions.jpeg import (
+        _box_downsample, decode_jpeg, encode_jpeg,
+    )
+
+    w, h, seed, sub, ri = case
+    rng = np.random.RandomState(seed)
+    y, cb, cr = (rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(3))
+
+    m = decode_jpeg(encode_jpeg(w, h, y, cb, cr, subsampling=sub, restart_interval=ri))
+    assert (m["width"], m["height"]) == (w, h)
+    px = np.frombuffer(m["pixels"], np.uint8).reshape(h, w, 3).astype(np.int64)
+
+    # reference: chroma through the same pinned downsample+replicate
+    if sub == "444":
+        rcb, rcr = cb, cr
+    else:
+        fy, fx = (2, 2) if sub == "420" else (1, 2)
+        up = lambda p: np.repeat(  # noqa: E731
+            np.repeat(_box_downsample(p, fy, fx), fy, 0), fx, 1
+        )[:h, :w].astype(np.uint8)
+        rcb, rcr = up(cb), up(cr)
+    yf, cbf, crf = (p.astype(np.float64) for p in (y, rcb, rcr))
+    r = np.clip(np.floor(yf + 1.402 * (crf - 128) + 0.5), 0, 255)
+    g = np.clip(np.floor(yf - 0.344136 * (cbf - 128) - 0.714136 * (crf - 128) + 0.5), 0, 255)
+    b = np.clip(np.floor(yf + 1.772 * (cbf - 128) + 0.5), 0, 255)
+    ref = np.stack([r, g, b], -1).astype(np.int64)
+    assert np.abs(px - ref).max() <= 4
+
+    if ri:  # restart markers are framing, not signal
+        plain = decode_jpeg(encode_jpeg(w, h, y, cb, cr, subsampling=sub))
+        assert m["pixels"] == plain["pixels"]
