@@ -64,6 +64,8 @@ def _zigzag_order() -> list[tuple[int, int]]:
 
 
 ZIGZAG = _zigzag_order()
+# flat destination index of the k-th zigzag coefficient (vectorized de-zigzag)
+_ZZ_FLAT = [r * 8 + c for r, c in ZIGZAG]
 
 # --- fixed encoder Huffman tables (decoder reads whatever DHT says) ---
 # DC: the 12 categories, all 4-bit codes; AC: EOB + ZRL + (run,size)
@@ -133,37 +135,44 @@ class _BitWriter:
 
 
 class _BitReader:
+    """MSB-first entropy reader with a bounded integer accumulator.
+    ``read_symbol`` is table-driven (16-bit peek into a precomputed
+    length/symbol LUT — the classic fast Huffman path) instead of
+    walking the code bit by bit."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("entropy stream exhausted")
-        byte = self.data[self.pos]
-        self.pos += 1
+    def _try_fill(self) -> bool:
+        """Buffer one more entropy byte (0xFF00 unstuffed); False at a
+        marker or end of data — the marker byte is NOT consumed."""
+        pos = self.pos
+        data = self.data
+        if pos >= len(data):
+            return False
+        byte = data[pos]
         if byte == 0xFF:
-            nxt = self.data[self.pos] if self.pos < len(self.data) else None
-            if nxt == 0x00:
-                self.pos += 1  # unstuff
-            else:
-                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy data")
-        self.acc = (self.acc << 8) | byte
+            if pos + 1 >= len(data) or data[pos + 1] != 0x00:
+                return False  # a real marker, not stuffed data
+            self.pos = pos + 2
+        else:
+            self.pos = pos + 1
+        # mask keeps acc at nbits+8 bits — never an unbounded bigint
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | byte
         self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        return True
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            if not self._try_fill():
+                raise ValueError("entropy stream exhausted")
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def restart(self, n: int) -> None:
         """Consume the byte-aligned RSTn marker that ends a restart
@@ -181,15 +190,54 @@ class _BitReader:
             raise ValueError(f"expected restart marker FF{expected:02X}, got {got}")
         self.pos += 2
 
-    def read_symbol(self, decode_map: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = decode_map.get((code, length))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
+    def read_symbol(self, table: tuple[bytes, bytes]) -> int:
+        """Decode one Huffman symbol via the (lens, syms) LUT from
+        ``_fast_huff``: peek 16 bits, look up the code length, consume
+        it. Near stream end the peek is padded with 1s (T.81 pad bits)
+        for the lookup only — a code may never extend into padding."""
+        lens, syms = table
+        while self.nbits < 16 and self._try_fill():
+            pass
+        if self.nbits >= 16:
+            idx = (self.acc >> (self.nbits - 16)) & 0xFFFF
+            ln = lens[idx]
+            if ln == 0:
+                raise ValueError("invalid Huffman code")
+        else:
+            pad = 16 - self.nbits
+            idx = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+            ln = lens[idx]
+            if ln == 0 or ln > self.nbits:
+                raise ValueError("invalid Huffman code")
+        self.nbits -= ln
+        return syms[idx]
+
+
+# fast Huffman LUTs keyed by the DHT segment's BITS+HUFFVAL content —
+# MJPEG streams reuse one table set across every frame, so the 65536-
+# entry expansion happens once per distinct table, not once per frame
+_FAST_HUFF_CACHE: dict[bytes, tuple[bytes, bytes]] = {}
+
+
+def _fast_huff(bits: bytes, vals: bytes) -> tuple[bytes, bytes]:
+    """(lens, syms) arrays of 65536 entries: for every 16-bit window
+    whose prefix is a valid code, the code length and decoded symbol;
+    length 0 marks an invalid prefix."""
+    key = bytes(bits) + bytes(vals)
+    tab = _FAST_HUFF_CACHE.get(key)
+    if tab is None:
+        lens = bytearray(65536)
+        syms = bytearray(65536)
+        for sym, (code, length) in _build_codes(bits, vals).items():
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            lens[base : base + span] = bytes([length]) * span
+            syms[base : base + span] = bytes([sym]) * span
+        if len(_FAST_HUFF_CACHE) >= 16:
+            _FAST_HUFF_CACHE.clear()
+        tab = (bytes(lens), bytes(syms))
+        _FAST_HUFF_CACHE[key] = tab
+    return tab
 
 
 def _extend(v: int, t: int) -> int:
@@ -355,7 +403,7 @@ def decode_jpeg(payload: bytes) -> dict:
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     width = height = None
     comps: list[tuple[int, int, int, int]] = []  # (component id, h, v, quant table id)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
@@ -406,10 +454,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 bits = body[b + 1 : b + 17]
                 n = sum(bits)
                 vals = body[b + 17 : b + 17 + n]
-                huff[(tc, th)] = {
-                    (code, length): sym
-                    for sym, (code, length) in _build_codes(bits, vals).items()
-                }
+                huff[(tc, th)] = _fast_huff(bits, vals)
                 b += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -466,10 +511,9 @@ def decode_jpeg(payload: bytes) -> dict:
                                 raise ValueError("AC run past end of block")
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
-                        coeff = np.zeros((8, 8), dtype=np.float64)
-                        for k, (r, c) in enumerate(ZIGZAG):
-                            coeff[r, c] = zz[k]
-                        coeff *= qt[tq]
+                        coeff = np.empty(64, dtype=np.float64)
+                        coeff[_ZZ_FLAT] = zz
+                        coeff = coeff.reshape(8, 8) * qt[tq]
                         block = _DCT_M.T @ coeff @ _DCT_M
                         sample = np.clip(np.floor(block + 128.0 + 0.5), 0, 255)
                         r0 = (by * cv + vy) * 8
