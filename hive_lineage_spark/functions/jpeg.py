@@ -480,6 +480,13 @@ def decode_jpeg(payload: bytes) -> dict:
         for _, h, v, _ in comps
     ]
     pred = [0] * len(comps)
+    # pass 1: entropy-decode every block's zigzag coefficients (the
+    # inherently sequential part); pass 2 below batches the dequant +
+    # IDCT + level shift across ALL of a component's blocks in three
+    # numpy ops — per-block matmul overhead would dominate on real
+    # frame sizes (a 1080p frame is ~24k blocks)
+    blocks: list[list[list[int]]] = [[] for _ in comps]  # per comp: zz rows
+    positions: list[list[tuple[int, int]]] = [[] for _ in comps]
     mcu_no = 0
     for by in range(mcus_h):
         for bx in range(mcus_w):
@@ -488,7 +495,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 pred = [0] * len(comps)
             mcu_no += 1
             for ci, dc_id, ac_id in scan:
-                _, ch, cv, tq = comps[ci]
+                _, ch, cv, _tq = comps[ci]
                 dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]
                 for vy in range(cv):
                     for vx in range(ch):
@@ -511,14 +518,23 @@ def decode_jpeg(payload: bytes) -> dict:
                                 raise ValueError("AC run past end of block")
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
-                        coeff = np.empty(64, dtype=np.float64)
-                        coeff[_ZZ_FLAT] = zz
-                        coeff = coeff.reshape(8, 8) * qt[tq]
-                        block = _DCT_M.T @ coeff @ _DCT_M
-                        sample = np.clip(np.floor(block + 128.0 + 0.5), 0, 255)
-                        r0 = (by * cv + vy) * 8
-                        c0 = (bx * ch + vx) * 8
-                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = sample
+                        blocks[ci].append(zz)
+                        positions[ci].append(
+                            ((by * cv + vy) * 8, (bx * ch + vx) * 8)
+                        )
+
+    for ci, (_, _, _, tq) in enumerate(comps):
+        if not blocks[ci]:
+            continue
+        n = len(blocks[ci])
+        coeff = np.empty((n, 64), dtype=np.float64)
+        coeff[:, _ZZ_FLAT] = np.asarray(blocks[ci], dtype=np.float64)
+        coeff = coeff.reshape(n, 8, 8) * qt[tq]
+        block = _DCT_M.T @ coeff @ _DCT_M  # broadcast batch matmul
+        samples = np.clip(np.floor(block + 128.0 + 0.5), 0, 255)
+        plane = planes[ci]
+        for i, (r0, c0) in enumerate(positions[ci]):
+            plane[r0 : r0 + 8, c0 : c0 + 8] = samples[i]
 
     # upsample subsampled components by PINNED sample replication
     full = [
