@@ -94,6 +94,8 @@ EXTRA = [
     "mm14_audio_resample",     # mono downmix + boxcar decimation (round 10)
     "mm15_video_shot_detect",  # consecutive-frame cut detection (round 10)
     "ss14_ann_random_projection",  # JL sign-matrix projected search (round 10)
+    "tx17_heldout_xent",       # held-out closed-vocab LM scoring (round 10)
+    "tx18_backoff_xent",       # stupid-backoff bigram scoring (round 10)
 ]
 
 
