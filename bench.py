@@ -96,6 +96,7 @@ EXTRA = [
     "ss14_ann_random_projection",  # JL sign-matrix projected search (round 10)
     "tx17_heldout_xent",       # held-out closed-vocab LM scoring (round 10)
     "tx18_backoff_xent",       # stupid-backoff bigram scoring (round 10)
+    "tx19_bpe_apply",          # corpus encode via trained BPE vocab (round 10)
 ]
 
 

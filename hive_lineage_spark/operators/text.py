@@ -977,7 +977,13 @@ def tx15_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _tx15_sql() -> str:
+def _bpe_chain_sql() -> str:
+    """The shared DuckDB CTE chain for the BPE trainer: word frequencies
+    (wf), char-split symbols (s0), then per-iteration pair counts (p_i),
+    argmax merge (b_i), and merged symbol table (s_i) up to
+    ``BPE_MERGES``. TX15 selects the merges; TX19 selects the final
+    symbol table as the encoding vocabulary."""
+
     def iter_sql(i: int) -> str:
         prev = f"s{i-1}"
         return f"""
@@ -999,10 +1005,6 @@ def _tx15_sql() -> str:
         FROM {prev} CROSS JOIN b{i}
     )"""
 
-    legs = " UNION ALL ".join(
-        f"SELECT {i} AS it, a AS lhs, b AS rhs, CAST(pc AS BIGINT) AS pair_cnt FROM b{i}"
-        for i in range(1, BPE_MERGES + 1)
-    )
     return (
         """
     WITH wf AS (
@@ -1013,12 +1015,92 @@ def _tx15_sql() -> str:
     s0 AS (SELECT string_split(w, '') AS syms, cnt FROM wf),
 """
         + ",\n".join(iter_sql(i) for i in range(1, BPE_MERGES + 1))
-        + "\n    "
-        + legs
     )
 
 
+def _tx15_sql() -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT {i} AS it, a AS lhs, b AS rhs, CAST(pc AS BIGINT) AS pair_cnt FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return _bpe_chain_sql() + "\n    " + legs
+
+
 TX15_SQL = _tx15_sql()
+
+
+def tx19_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the tx15-trained tokenizer to ENCODE the corpus — the pass
+    a pretraining pipeline actually runs over all 100 TB. The dataflow
+    is the industrial one (HF tokenizers' encode cache): the final
+    symbol table after ``BPE_MERGES`` merges IS a word→tokenization map
+    (each stage only regroups a word's characters, so the original word
+    is recoverable as the symbol concatenation) — encode each DISTINCT
+    word once (vocab-sized work, sublinear in the corpus), then map the
+    corpus through one broadcast hash join on the word. Per document:
+    word count, token count, tokens-per-word (the compression ratio
+    quality signal), and the first word's segmentation as direct
+    evidence of the learned merges. One corpus-sized shuffle (the
+    doc_id partial-agg); the vocabulary join is map-side.
+
+    Reference: n/a (LLM-pipeline scope; trainer = tx15, Sennrich et al.
+    2016)."""
+    stage = _bpe_stage(spark, sf_dir, BPE_MERGES)
+    vocab = stage.select(
+        F.array_join("syms", "").alias("w"),
+        F.size("syms").alias("n_tok"),
+        F.array_join("syms", "|").alias("enc"),
+    )
+    words = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "pos", "w"
+        ),
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min_by("enc", "pos").alias("enc_first"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_words") + 1e-9, 4).alias("tpw"),
+            "enc_first",
+        )
+    )
+
+
+TX19_SQL = (
+    _bpe_chain_sql()
+    + f""",
+    vocab AS (
+        SELECT array_to_string(syms, '') AS w,
+               len(syms) AS n_tok,
+               array_to_string(syms, '|') AS enc
+        FROM s{BPE_MERGES}
+    ),
+    wds AS (
+        SELECT doc_id, t.pr.w AS w, t.pr.pos AS pos FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wl
+            FROM documents
+        ), unnest(list_transform(range(1, len(wl) + 1),
+             j -> struct_pack(w := wl[j], pos := j))) t(pr)
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(sum(n_tok) * 1.0 / count(*) + 1e-9, 4) AS tpw,
+           arg_min(enc, pos) AS enc_first
+    FROM wds JOIN vocab USING (w)
+    GROUP BY doc_id
+"""
+)
 
 
 def tx16_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,6 +1494,7 @@ QUERIES = {
     "tx16_bigram_xent": tx16_bigram_xent,
     "tx17_heldout_xent": tx17_heldout_xent,
     "tx18_backoff_xent": tx18_backoff_xent,
+    "tx19_bpe_apply": tx19_bpe_apply,
 }
 
 ORACLES = {
@@ -1431,4 +1514,5 @@ ORACLES = {
     "tx16_bigram_xent": TX16_SQL,
     "tx17_heldout_xent": TX17_SQL,
     "tx18_backoff_xent": TX18_SQL,
+    "tx19_bpe_apply": TX19_SQL,
 }

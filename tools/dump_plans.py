@@ -55,6 +55,7 @@ SHOW = [
     ("tx18_backoff_xent", "three vocabulary-capped model tables (bigram/head/unigram) all BroadcastHashJoin LEFT into the scored bigram stream inside ONE codegen stage"),
     ("ss14_ann_random_projection", "the 16 projection folds fuse into the embeddings scan as pure whole-stage codegen — no exchange before the rank window, no UDF"),
     ("mm15_video_shot_detect", "decode-every-frame + consecutive-diff is ONE narrow MapInPandas stage — no exchange; the cut flag is an integer compare, no float ratio"),
+    ("tx19_bpe_apply", "encode via the trained vocab cache: word-level BroadcastHashJoin onto the posexploded corpus, ONE doc_id exchange for the per-doc partial agg"),
 ]
 
 
