@@ -97,6 +97,7 @@ EXTRA = [
     "tx17_heldout_xent",       # held-out closed-vocab LM scoring (round 10)
     "tx18_backoff_xent",       # stupid-backoff bigram scoring (round 10)
     "tx19_bpe_apply",          # corpus encode via trained BPE vocab (round 10)
+    "dd14_bloom_decontaminate",  # fixed-size bloom membership decon (round 10)
 ]
 
 

@@ -39,6 +39,7 @@ from ..functions.hashing import (
     MOD,
     MULT,
     minhash_perm,
+    minhash_perm_sql,
     poly_hash_sql,
     word_ngrams_sql,
 )
@@ -870,6 +871,132 @@ DD10_SQL = f"""
 """.format(ngrams=word_ngrams_sql("ws", DECON_N), ph=poly_hash_sql("gram"))
 
 
+BLOOM_M = 1 << 16  # bloom bitmap size in bits (fixed regardless of corpus)
+BLOOM_K = 4  # hash functions per gram
+_BLOOM_PERM_BASE = 101  # minhash_perm indices 101..104 — disjoint from LSH's 0..31
+
+
+def _bloom_pos(h, j: int):
+    """j-th bloom bit position of an already-poly-hashed gram."""
+    return minhash_perm(h, _BLOOM_PERM_BASE + j) % BLOOM_M
+
+
+def dd14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the shape the big corpora actually
+    deploy (AI2's ``bff`` for Dolma, RedPajama-v2): the benchmark
+    split's 5-gram hashes are folded into a FIXED-SIZE bit set
+    (m = 2^16 bits, k = 4 positions per gram via the minhash_perm
+    family), and every training gram is probed against it map-side — a
+    gram is bloom-positive iff all k of its positions are set. Per
+    training doc: gram count, bloom-positive count, their ratio, and a
+    contaminated verdict at the Dolma-style 5% threshold (integer
+    compare ``20·n_flagged ≥ n_grams`` — no FP in the gate). Unlike
+    dd10's exact join this admits false positives (a clean gram whose k
+    positions are all set by different benchmark grams) — the price of
+    a membership structure whose size is INDEPENDENT of the eval set;
+    the verdict column is the filter's real output, the counts are its
+    diagnostics.
+
+    Scale shape: the bit set is ≤ m rows no matter how large benchmark
+    or corpus get, so each of the k probes is a broadcast LEFT join
+    that stays inside the training grams' map stage — the only shuffle
+    in the whole operator is the final per-doc aggregation (dd10's
+    broadcast needs the fixed-size-eval assumption; the bloom makes it
+    unconditional). Arithmetic is integer-only (poly-hash →
+    (a·h+b) mod p → mod m), bit-exact across engines.
+
+    Reference: n/a (LLM-pipeline scope; Bloom 1970, Soldaini et al.
+    2024 Dolma §2)."""
+    grams = hashed_ngrams_of(_docs(spark, sf_dir).select("doc_id", "text"), DECON_N)
+    # Persisted: each of the k probe joins broadcasts this frame — without
+    # the persist, Spark re-derives the benchmark gram pipeline per join.
+    bits = _persisted(
+        "bloom_bits",
+        spark,
+        sf_dir,
+        lambda s, d: hashed_ngrams_of(
+            _docs(s, d).select("doc_id", "text"), DECON_N
+        )
+        .filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("gh"), j) for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct(),
+    )
+    probe = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    for j in range(BLOOM_K):
+        bj = bits.select(F.col("pos").alias(f"bp{j}"))
+        probe = probe.join(
+            F.broadcast(bj), _bloom_pos(F.col("gh"), j) == F.col(f"bp{j}"), "left"
+        )
+    flagged = F.lit(True)
+    for j in range(BLOOM_K):
+        flagged = flagged & F.col(f"bp{j}").isNotNull()
+    return (
+        probe.select("doc_id", flagged.cast("int").alias("flagged"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_flagged",
+            F.round(F.col("n_flagged") / F.col("n_grams") + 1e-9, 4).alias("flag_frac"),
+            (F.col("n_flagged") * 20 >= F.col("n_grams")).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def _bloom_pos_sql(expr: str, j: int) -> str:
+    return f"({minhash_perm_sql(expr, _BLOOM_PERM_BASE + j)}) % {BLOOM_M}"
+
+
+DD14_SQL = (
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, {{ngrams}} AS grams FROM d),
+    po AS (
+        SELECT DISTINCT doc_id, {{ph}} AS gh
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+"""
+    + "\n            UNION ALL\n".join(
+        f"            SELECT {_bloom_pos_sql('gh', j)} AS pos FROM po WHERE doc_id % {BENCH_MOD} = 0"
+        for j in range(BLOOM_K)
+    )
+    + f"""
+        )
+    ),
+    probe AS (
+        SELECT t.doc_id,
+               CASE WHEN """
+    + " AND ".join(f"h{j}.pos IS NOT NULL" for j in range(BLOOM_K))
+    + f""" THEN 1 ELSE 0 END AS flagged
+        FROM (SELECT doc_id, gh FROM po WHERE doc_id % {BENCH_MOD} <> 0) t
+"""
+    + "\n".join(
+        f"        LEFT JOIN bits h{j} ON {_bloom_pos_sql('t.gh', j)} = h{j}.pos"
+        for j in range(BLOOM_K)
+    )
+    + """
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           round(sum(flagged) * 1.0 / count(*) + 1e-9, 4) AS flag_frac,
+           CAST(sum(flagged) * 20 >= count(*) AS INT) AS contaminated
+    FROM probe
+    GROUP BY doc_id
+"""
+).format(ngrams=word_ngrams_sql("ws", DECON_N), ph=poly_hash_sql("gram"))
+
+
 QUERIES = {
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
@@ -880,6 +1007,7 @@ QUERIES = {
     "dd09_incremental_dedup": dd09_incremental_dedup,
     "dd10_decontaminate": dd10_decontaminate,
     "dd11_incremental_postings": dd11_incremental_postings,
+    "dd14_bloom_decontaminate": dd14_bloom_decontaminate,
 }
 
 # Operator-authored lineage through dd06's tile barrier (lineage.analyze
@@ -902,4 +1030,5 @@ ORACLES = {
     "dd06_embed_cosine_dup": DD06_SQL,
     "dd09_incremental_dedup": DD09_SQL,
     "dd11_incremental_postings": DD11_SQL,
+    "dd14_bloom_decontaminate": DD14_SQL,
 }

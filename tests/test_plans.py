@@ -362,3 +362,25 @@ def test_gate_and_chunking_are_shuffle_free(spark):
         plan = _plan(q(spark, SF))
         assert "Exchange" not in plan, (q.__name__, plan)
         assert "FileScan parquet" in plan
+
+
+def test_bloom_decontaminate_probes_stay_map_side(spark):
+    """dd14: the k bloom probes must each be a broadcast LEFT join (the
+    bit set is ≤ 2^16 rows by construction — never a shuffle side), and
+    the training gram stream must meet them without SortMergeJoin or
+    CartesianProduct. The final per-doc aggregate rides the gram
+    window's doc_id partitioning — Catalyst must not insert a fresh
+    exchange between the last probe join and the count."""
+    from hive_lineage_spark.operators import dedup as dd
+
+    df = dd.dd14_bloom_decontaminate(spark, SF)
+    plan = _plan(df)
+    assert plan.count("], LeftOuter, BuildRight") == dd.BLOOM_K
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # probe path: vocab distinct + doc window only; the doc_id agg must
+    # reuse the window exchange (probe side of the first LeftOuter join
+    # up to the output contains no further hashpartitioning exchange)
+    head = plan.split(", LeftOuter, BuildRight")[0]
+    assert "Exchange hashpartitioning" not in head
