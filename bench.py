@@ -98,6 +98,7 @@ EXTRA = [
     "tx18_backoff_xent",       # stupid-backoff bigram scoring (round 10)
     "tx19_bpe_apply",          # corpus encode via trained BPE vocab (round 10)
     "dd14_bloom_decontaminate",  # fixed-size bloom membership decon (round 10)
+    "ss15_mips_norm_augment",  # MIPS via norm-augmentation reduction (round 10)
 ]
 
 

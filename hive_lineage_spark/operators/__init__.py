@@ -82,6 +82,7 @@ ROTATION_QUEUE: dict[str, int] = {
     "ss14_ann_random_projection": 10,  # JL sign-matrix projection ANN, registered r10
     "tx19_bpe_apply": 10,         # corpus encode via tx15's trained merges, registered r10
     "dd14_bloom_decontaminate": 10,  # fixed-size bloom membership decon, registered r10
+    "ss15_mips_norm_augment": 10,  # MIPS via norm-augmentation reduction, registered r10
 }
 
 _DRIVER_PRIORITY = [

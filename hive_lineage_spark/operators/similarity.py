@@ -1760,6 +1760,105 @@ def _ss14_sql() -> str:
 SS14_SQL = _ss14_sql()
 
 
+# ---------------------------------------------------------------------------
+# ss15: maximum-inner-product search (MIPS) via the norm-augmentation
+# reduction to cosine — recommender-style retrieval where vectors are
+# NOT normalized (user/item factor models score by raw dot product).
+# Append sqrt(M^2 - ||x||^2) to every corpus vector (M = max corpus
+# norm) and 0 to every query: all augmented corpus vectors then have
+# norm exactly M, so augmented-space cosine = dot/(qn*M) is a strictly
+# monotone function of the raw inner product and cosine-NN == MIPS
+# (Bachrach et al. 2014, "Speeding up the Xbox recommender";
+# Shrivastava & Li 2014, asymmetric LSH). Reference has no vector ops
+# — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+
+def ss15_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K by RAW INNER PRODUCT for the query vectors, ranked through
+    the augmented-space cosine ``dot/(qn*M)`` to demonstrate the
+    reduction (the ranking it induces is provably the dot-product
+    ranking). M is a one-row aggregate broadcast into the scoring join.
+
+    The test corpus is unit-normalized (norm spread ~4e-8), which would
+    make MIPS degenerate to cosine — so the CORPUS side first gets a
+    deterministic per-item magnitude ``1 + (vec_id % 7)/4`` (the
+    recommender shape this op exists for: item-factor norms encode
+    popularity, Koren et al. 2009). With that spread the dot-product
+    top-K genuinely differs from the cosine top-K, and the augmented
+    coordinate sqrt(M^2 - ||x||^2) is non-trivial for every item.
+
+    SCALE shape: the augmentation is a one-pass ingest transform (max
+    norm = one tree-aggregated scalar; the extra coordinate fuses into
+    the scan), after which ANY of the repo's cosine indexes serves MIPS
+    unchanged — IVF (ss02/ss07), sign-LSH (ss03), PQ/ADC (ss08-ss11),
+    IVF+PQ (ss13). All-pairs here for the same reason as ss01/ss14:
+    this op is the exactness BASELINE of the MIPS surface; the pruned
+    deployment composes the transform with those indexes. FP contract:
+    dot folds ascending-index in both engines; outputs round at 6 dp."""
+    base = _vectors(spark, sf_dir)
+    scale = F.lit(1.0) + (F.col("vec_id") % 7).cast("double") / F.lit(4.0)
+    vec = base.select(
+        "vec_id",
+        F.transform("v", lambda x: x * scale).alias("v"),
+        (F.col("nrm") * scale).alias("nrm"),
+    )
+    mx = vec.groupBy().agg(F.max("nrm").alias("mx"))
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = vec.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            ),
+        )
+        .withColumn("aug_cosine", F.col("dot") / (F.col("qn") * F.col("mx")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("aug_cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 6).alias("dot"),
+            F.round("aug_cosine", 6).alias("aug_cosine"),
+            "rank",
+        )
+    )
+
+
+SS15_SQL = f"""
+    WITH {_vectors_sql()},
+    item AS (
+        SELECT vec_id,
+               list_transform(v, x -> x * (1.0 + (vec_id % 7) / 4.0)) AS v,
+               nrm * (1.0 + (vec_id % 7) / 4.0) AS nrm
+        FROM e
+    ),
+    mx AS (SELECT max(nrm) AS mx FROM item),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='q.v', b='c.v')} AS dot, q.nrm AS qn
+        FROM e q JOIN item c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, dot, dot / (qn * mx) AS aug_cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dot / (qn * mx) DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored, mx
+    )
+    SELECT query_id, neighbor_id, round(dot, 6) AS dot,
+           round(aug_cosine, 6) AS aug_cosine, rank
+    FROM ranked WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -1775,6 +1874,7 @@ QUERIES = {
     "ss12_ann_hamming": ss12_ann_hamming,
     "ss13_ann_ivfpq": ss13_ann_ivfpq,
     "ss14_ann_random_projection": ss14_ann_random_projection,
+    "ss15_mips_norm_augment": ss15_mips_norm_augment,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -1812,6 +1912,7 @@ ORACLES = {
     "ss12_ann_hamming": SS12_SQL,
     "ss13_ann_ivfpq": SS13_SQL,
     "ss14_ann_random_projection": SS14_SQL,
+    "ss15_mips_norm_augment": SS15_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,
