@@ -99,6 +99,9 @@ EXTRA = [
     "tx19_bpe_apply",          # corpus encode via trained BPE vocab (round 10)
     "dd14_bloom_decontaminate",  # fixed-size bloom membership decon (round 10)
     "ss15_mips_norm_augment",  # MIPS via norm-augmentation reduction (round 10)
+    "ss16_mips_ivf",           # IVF-served MIPS, cell-pruned (round 10)
+    "ss17_rank_fusion",        # RRF fusion of IVF+LSH retriever legs (round 10)
+    "tp12_weighted_sample",    # Efraimidis-Spirakis weighted WOR top-N (round 10)
 ]
 
 

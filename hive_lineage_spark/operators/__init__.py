@@ -83,6 +83,9 @@ ROTATION_QUEUE: dict[str, int] = {
     "tx19_bpe_apply": 10,         # corpus encode via tx15's trained merges, registered r10
     "dd14_bloom_decontaminate": 10,  # fixed-size bloom membership decon, registered r10
     "ss15_mips_norm_augment": 10,  # MIPS via norm-augmentation reduction, registered r10
+    "ss16_mips_ivf": 10,          # IVF-served MIPS (pruned scale path), registered r10
+    "ss17_rank_fusion": 10,       # RRF hybrid fusion of IVF+LSH legs, registered r10
+    "tp12_weighted_sample": 10,   # Efraimidis-Spirakis weighted WOR sample, registered r10
 }
 
 _DRIVER_PRIORITY = [

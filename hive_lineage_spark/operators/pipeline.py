@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import poly_hash, poly_hash_sql
+from ..functions.hashing import MOD, poly_hash, poly_hash_sql
 from ..sources.registry import load_table
 from .text import QUALITY_SQL
 from .dedup import dd02_ngram_jaccard
@@ -844,6 +844,62 @@ TP11_SQL = f"""
 """
 
 
+ES_SAMPLE_N = 100   # global sample size
+ES_SALT = "es1"     # salts the hash so the draw is independent of tx05/tp07
+
+
+def tp12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis & Spirakis
+    2006 exponential keys: each doc draws a deterministic uniform
+    u ∈ (0,1] from its salted poly-hash and ranks by ``ln(u)/w``
+    (monotone in u^(1/w)); the global top-N IS an exact weighted
+    sample without replacement — the length-proportional corpus
+    subsampling step of a data mix, reproducible under any parallelism
+    (unlike ``df.sample``, which draws per-partition with a seed that
+    moves with the split layout). Weight = n_chars (zero-weight docs
+    can never be drawn, exactly as the algorithm specifies).
+
+    SCALE shape: the key is pure whole-stage codegen fused into the
+    scan (hash fold + one log), and the global top-N is
+    TakeOrderedAndProject — per-partition heaps of N, no global sort,
+    no single-partition window (plan-pinned in tests/test_plans.py).
+    FP contract: u is an exact integer ratio; the only transcendental
+    is one ``ln`` per row, and the key is rounded to 12 dp BEFORE
+    ranking in both engines so a last-ulp libm disagreement cannot
+    reorder the cutoff (ties then break on doc_id identically)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = poly_hash(F.concat(F.lit(ES_SALT + ":"), F.col("doc_id").cast("string")))
+    u = (h + 1).cast("double") / F.lit(float(MOD + 1))
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 12)
+    return (
+        d.select(
+            "doc_id", "source",
+            F.col("n_chars").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(ES_SAMPLE_N)
+        .select("doc_id", "source", "weight", F.round("es_key", 6).alias("es_key"))
+    )
+
+
+_ES_HASH = poly_hash_sql(f"'{ES_SALT}:' || CAST(doc_id AS VARCHAR)")
+TP12_SQL = f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars AS weight,
+               round(ln(CAST(({_ES_HASH}) + 1 AS DOUBLE) / CAST({MOD + 1} AS DOUBLE))
+                     / CAST(n_chars AS DOUBLE), 12) AS es_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, weight, round(es_key, 6) AS es_key FROM (
+        -- rank on the 12-dp key; the 6-dp round is display-only (an
+        -- es_key alias in this scope would shadow keyed.es_key in
+        -- ORDER BY and re-rank on the coarser value)
+        SELECT * FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT {ES_SAMPLE_N}
+    )
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
@@ -856,6 +912,7 @@ QUERIES = {
     "tp09_epoch_upsample": tp09_epoch_upsample,
     "tp10_three_way_split": tp10_three_way_split,
     "tp11_chunk_overlap": tp11_chunk_overlap,
+    "tp12_weighted_sample": tp12_weighted_sample,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -875,6 +932,7 @@ ORACLES = {
     "tp09_epoch_upsample": TP09_SQL,
     "tp10_three_way_split": TP10_SQL,
     "tp11_chunk_overlap": TP11_SQL,
+    "tp12_weighted_sample": TP12_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,

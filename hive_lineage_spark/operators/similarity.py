@@ -1859,6 +1859,252 @@ SS15_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# ss16: MIPS served through the IVF index — the pruned deployment path
+# ss15 promises. After the norm-augmentation reduction every augmented
+# corpus vector has norm exactly M, so cosine machinery applies
+# unchanged: assign augmented vectors to coarse cells, probe the best
+# N_PROBE cells per query, score only in-cell candidates by raw inner
+# product. Bachrach et al. 2014 §4 (the "Xbox transform" feeding a
+# standard index). Reference has no vector ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+
+def ss16_mips_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-K by RAW INNER PRODUCT: ss15's augmentation composed with
+    ss02's cell-pruned search. Same deterministic corpus magnitude
+    spread as ss15 (``1 + (vec_id % 7)/4``) so MIPS differs from cosine;
+    centroids are the first N_CENTROIDS AUGMENTED vectors (deterministic,
+    oracle-checkable — swap in ss06/ss07 k-means on a real corpus
+    without changing the dataflow).
+
+    The augmented norm is M ANALYTICALLY (that is the whole point of the
+    transform), so the norm column is the broadcast scalar ``mx`` itself
+    rather than a recomputed sqrt-of-squares — bit-identical in both
+    engines and one fewer corpus pass.
+
+    SCALE shape: augmentation = one tree-aggregated scalar (max norm) +
+    a fused per-row map; then exactly ss02's plan — broadcast centroid
+    array, argmax assignment with NO shuffle of vector-carrying rows,
+    and one equi-join on cell id probing N_PROBE/N_CENTROIDS of the
+    corpus. FP contract: every ranking expression (assignment cosine,
+    probe cosine, candidate dot) is the same fold and the same division
+    in Spark and DuckDB; outputs round at 6 dp."""
+    base = _vectors(spark, sf_dir)
+    scale = F.lit(1.0) + (F.col("vec_id") % 7).cast("double") / F.lit(4.0)
+    item = base.select(
+        "vec_id",
+        F.transform("v", lambda x: x * scale).alias("v"),
+        (F.col("nrm") * scale).alias("nrm"),
+    )
+    mx = item.groupBy().agg(F.max("nrm").alias("mx"))
+    aug = item.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        F.concat(
+            "v", F.array(F.sqrt(F.col("mx") * F.col("mx") - F.col("nrm") * F.col("nrm")))
+        ).alias("v"),
+        F.col("mx").alias("nrm"),
+    )
+    cent = aug.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cent_arr = cent.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents")
+    )
+    # corpus-side argmax assignment — ss02's no-shuffle shape verbatim
+    assign = aug.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "v", "nrm",
+        F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (-_cosine(F.col("v"), c["cv"], F.col("nrm"), c["cn"])).alias("neg"),
+                    c["cent_id"].alias("cell"),
+                ),
+            )
+        )["cell"].alias("cell"),
+    )
+    # query side: raw vectors augmented with a literal 0 (norm unchanged)
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.concat("v", F.array(F.lit(0.0))).alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    probes = q.crossJoin(F.broadcast(cent_arr)).select(
+        "query_id", "qv", "qn",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cents",
+                            lambda c: F.struct(
+                                (-_cosine(F.col("qv"), c["cv"], F.col("qn"), c["cn"])).alias("neg"),
+                                c["cent_id"].alias("cell"),
+                            ),
+                        )
+                    ),
+                    1, N_PROBE,
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    cands = (
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("dot", 6).alias("dot"),
+            "rank",
+        )
+    )
+
+
+SS16_SQL = f"""
+    WITH {_vectors_sql()},
+    item AS (
+        SELECT vec_id,
+               list_transform(v, x -> x * (1.0 + (vec_id % 7) / 4.0)) AS v,
+               nrm * (1.0 + (vec_id % 7) / 4.0) AS nrm
+        FROM e
+    ),
+    mx AS (SELECT max(nrm) AS mx FROM item),
+    aug AS (
+        SELECT vec_id, list_append(v, sqrt(mx * mx - nrm * nrm)) AS v, mx AS nrm
+        FROM item, mx
+    ),
+    cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM aug WHERE vec_id < {N_CENTROIDS}),
+    assign_scored AS (
+        SELECT aug.vec_id, aug.v, aug.nrm, cent.cent_id,
+               {_DOT_SQL.format(a='aug.v', b='cent.cv')} / (aug.nrm * cent.cn) AS sim
+        FROM aug CROSS JOIN cent
+    ),
+    assign AS (
+        SELECT vec_id, v, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rk
+            FROM assign_scored
+        ) WHERE rk = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, list_append(v, 0.0) AS qv, nrm AS qn
+        FROM e WHERE vec_id < {N_QUERIES}
+    ),
+    probe_scored AS (
+        SELECT q.query_id, q.qv, cent.cent_id,
+               {_DOT_SQL.format(a='q.qv', b='cent.cv')} / (q.qn * cent.cn) AS sim
+        FROM q CROSS JOIN cent
+    ),
+    probes AS (
+        SELECT query_id, qv, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cent_id ASC) AS rk
+            FROM probe_scored
+        ) WHERE rk <= {N_PROBE}
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='p.qv', b='a.v')} AS dot
+        FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, round(dot, 6) AS dot, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+        FROM cands
+    ) WHERE rank <= {K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# ss17: reciprocal-rank fusion of two ANN retriever legs (IVF + sign-LSH)
+# — the standard hybrid-retrieval combiner (Cormack, Clarke & Buettcher
+# 2009: RRF score = Σ_legs 1/(k + rank), k=60). Rank-based, so it fuses
+# retrievers with incomparable score scales without calibration — the
+# reason production retrieval stacks (BM25 + dense, or multiple dense
+# indexes) default to it. Reference has no vector ops — LLM-pipeline
+# scope.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # Cormack et al.'s constant; dampens the top-1 dominance
+
+
+def ss17_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse ss02 (IVF) and ss03 (sign-LSH) top-K lists per query by RRF.
+    A candidate missing from one leg contributes 0 from that leg (the
+    COALESCE form — no imputed rank). Output keeps ``n_legs`` so recall
+    analysis can separate consensus hits from single-leg hits.
+
+    SCALE shape: the legs keep their own pruned plans (ss02: map-only
+    assignment + cell equi-join; ss03: bucket equi-join); fusion itself
+    touches only K rows per query per leg — a full-outer equi-join on
+    (query_id, neighbor_id) over frames whose size is set by K and the
+    query count, independent of corpus size. FP contract: each leg's
+    term is 1.0/(RRF_K + rank) in double (the oracle casts — DuckDB's
+    bare 1.0 is DECIMAL), summed ivf-term-first; 6 dp round."""
+    a = ss02_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_ivf")
+    )
+    b = ss03_ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_lsh")
+    )
+    fused = (
+        a.join(b, ["query_id", "neighbor_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_ivf")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lsh")), F.lit(0.0)),
+        )
+        .withColumn(
+            "n_legs",
+            (
+                F.col("rank_ivf").isNotNull().cast("int")
+                + F.col("rank_lsh").isNotNull().cast("int")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("rrf_score", 6).alias("rrf_score"),
+            "n_legs", "rank",
+        )
+    )
+
+
+SS17_SQL = f"""
+    WITH ivf AS (SELECT query_id, neighbor_id, rank FROM ({SS02_SQL})),
+    lsh AS (SELECT query_id, neighbor_id, rank FROM ({SS03_SQL})),
+    fused AS (
+        SELECT COALESCE(i.query_id, l.query_id) AS query_id,
+               COALESCE(i.neighbor_id, l.neighbor_id) AS neighbor_id,
+               COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + i.rank), 0.0)
+                 + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + l.rank), 0.0) AS rrf_score,
+               CAST(i.rank IS NOT NULL AS INT) + CAST(l.rank IS NOT NULL AS INT) AS n_legs
+        FROM ivf i FULL OUTER JOIN lsh l
+          ON i.query_id = l.query_id AND i.neighbor_id = l.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(rrf_score, 6) AS rrf_score, n_legs, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rrf_score DESC, neighbor_id ASC) AS INT) AS rank
+        FROM fused
+    ) WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -1875,6 +2121,8 @@ QUERIES = {
     "ss13_ann_ivfpq": ss13_ann_ivfpq,
     "ss14_ann_random_projection": ss14_ann_random_projection,
     "ss15_mips_norm_augment": ss15_mips_norm_augment,
+    "ss16_mips_ivf": ss16_mips_ivf,
+    "ss17_rank_fusion": ss17_rank_fusion,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -1913,6 +2161,8 @@ ORACLES = {
     "ss13_ann_ivfpq": SS13_SQL,
     "ss14_ann_random_projection": SS14_SQL,
     "ss15_mips_norm_augment": SS15_SQL,
+    "ss16_mips_ivf": SS16_SQL,
+    "ss17_rank_fusion": SS17_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,

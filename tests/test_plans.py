@@ -321,6 +321,38 @@ def test_ivfpq_probe_join_is_broadcast_no_cartesian(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_mips_ivf_assignment_map_only_and_probe_hash_join(spark):
+    """ss16: the norm-augmented cell assignment must stay a pure map
+    over broadcast one-row frames (no window partitioned by corpus
+    vec_id — only the final per-query rank windows), the candidate
+    probe must be a hash join on cell id (no CartesianProduct, no
+    SortMergeJoin — probes broadcast, the corpus code stream never
+    shuffles), and the per-query top-K must push down as
+    WindowGroupLimit partial/final."""
+    from hive_lineage_spark.operators import similarity as ss
+
+    plan = _plan(ss.ss16_mips_ivf(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "windowspecdefinition(vec_id" not in plan
+
+
+def test_weighted_sample_is_distributed_topn(spark):
+    """tp12: the global weighted-sample cutoff must be
+    TakeOrderedAndProject (per-partition top-N heaps merged on the
+    driver) — never a row_number window over a single partition, and
+    the key expression (hash fold + ln) must stay whole-stage codegen
+    with no exchange before the top-N."""
+    from hive_lineage_spark.operators import pipeline as tp
+
+    plan = _plan(tp.tp12_weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
+
+
 def test_hamming_ann_broadcasts_queries_and_pushes_topk(spark):
     """ss12: the query-band side must broadcast (corpus side is one map
     pass — no shuffle of the exploded band stream), the first-match

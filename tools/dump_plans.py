@@ -57,6 +57,7 @@ SHOW = [
     ("mm15_video_shot_detect", "decode-every-frame + consecutive-diff is ONE narrow MapInPandas stage — no exchange; the cut flag is an integer compare, no float ratio"),
     ("tx19_bpe_apply", "encode via the trained vocab cache: word-level BroadcastHashJoin onto the posexploded corpus, ONE doc_id exchange for the per-doc partial agg"),
     ("dd14_bloom_decontaminate", "k=4 bloom probes are broadcast LEFT joins against one persisted <=2^16-row bit set; the per-doc verdict agg reuses the gram window's doc_id partitioning"),
+    ("ss16_mips_ivf", "norm augmentation fuses into the corpus scan (max-norm = broadcast 1-row agg); cell assignment keeps ss02's map-only shape; candidates = ONE BroadcastHashJoin on cell id; top-K via WindowGroupLimit"),
 ]
 
 
