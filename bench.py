@@ -102,6 +102,9 @@ EXTRA = [
     "ss16_mips_ivf",           # IVF-served MIPS, cell-pruned (round 10)
     "ss17_rank_fusion",        # RRF fusion of IVF+LSH retriever legs (round 10)
     "tp12_weighted_sample",    # Efraimidis-Spirakis weighted WOR top-N (round 10)
+    "tx20_ccnet_buckets",      # CCNet per-lang perplexity tertiles (round 10)
+    "dq05_row_expectations",   # row-level quarantine gate, pure map (round 10)
+    "dd15_minhash_calibration",  # MinHash estimate vs exact Jaccard (round 10)
 ]
 
 

@@ -86,6 +86,9 @@ ROTATION_QUEUE: dict[str, int] = {
     "ss16_mips_ivf": 10,          # IVF-served MIPS (pruned scale path), registered r10
     "ss17_rank_fusion": 10,       # RRF hybrid fusion of IVF+LSH legs, registered r10
     "tp12_weighted_sample": 10,   # Efraimidis-Spirakis weighted WOR sample, registered r10
+    "tx20_ccnet_buckets": 10,     # CCNet head/middle/tail tertile split, registered r10
+    "dq05_row_expectations": 10,  # row-level quarantine gate, registered r10
+    "dd15_minhash_calibration": 10,  # MinHash estimator vs exact Jaccard eval, registered r10
 }
 
 _DRIVER_PRIORITY = [

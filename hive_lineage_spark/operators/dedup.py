@@ -997,6 +997,76 @@ DD14_SQL = (
 ).format(ngrams=word_ngrams_sql("ws", DECON_N), ph=poly_hash_sql("gram"))
 
 
+# ---------------------------------------------------------------------------
+# dd15: MinHash estimator calibration — the dedup analog of ss09's ANN
+# recall eval. For every exact near-dup pair (dd02's verified ≥0.5
+# Jaccard set), report the 32-hash signature's Jaccard ESTIMATE
+# (matching-component fraction, the Broder 1997 unbiased estimator)
+# next to the exact value and the absolute error. This is the
+# measurement that justifies a signature width before a 100 TB run:
+# stddev of the estimator is sqrt(j(1-j)/32) ≈ 0.09 at j=0.5, and the
+# per-pair evidence shows exactly where the banding threshold sits
+# relative to it. Reference has no dedup ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+
+def dd15_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair signature-estimate vs exact-Jaccard report over dd02's
+    verified pair set. The signature is the SAME 32 min-aggregates
+    dd03 bands (one persisted postings pass, pure codegen); the match
+    count is a 32-term integer sum in one projection.
+
+    SCALE shape: adds two signature joins onto the verified pair frame
+    — pair-set-sized, not corpus-sized; the signature table is the
+    already-persisted index dd03/dd09/dd11 maintain. est_j is an exact
+    binary rational (k/32), so no FP contract is needed beyond dd02's
+    4-dp jaccard round."""
+    po = _postings_cached(spark, sf_dir)
+    pairs = dd02_ngram_jaccard(spark, sf_dir)
+    sig = po.groupBy("doc_id").agg(
+        *[F.min(minhash_perm(F.col("gh"), i)).alias(f"m{i}") for i in range(N_HASHES)]
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_j", matches.cast("double") / F.lit(float(N_HASHES)))
+        .select(
+            "id_a", "id_b", "jaccard",
+            F.col("est_j"),
+            F.round(F.abs(F.col("est_j") - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
+_SIG_MINS = ", ".join(
+    f"min({minhash_perm_sql('gh', i)}) AS m{i}" for i in range(N_HASHES)
+)
+_SIG_MATCHES = " + ".join(
+    f"CAST(sa.m{i} = sb.m{i} AS INT)" for i in range(N_HASHES)
+)
+DD15_SQL = f"""
+    WITH pairs AS ({DD02_SQL}),
+    d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, {word_ngrams_sql('ws', 3)} AS grams FROM d),
+    po AS (
+        SELECT DISTINCT doc_id, gh
+        FROM (SELECT doc_id, {poly_hash_sql('unnest(grams)')} AS gh FROM g)
+    ),
+    sig AS (SELECT doc_id, {_SIG_MINS} FROM po GROUP BY doc_id)
+    SELECT p.id_a, p.id_b, p.jaccard,
+           CAST({_SIG_MATCHES} AS DOUBLE) / {float(N_HASHES)} AS est_j,
+           round(abs(CAST({_SIG_MATCHES} AS DOUBLE) / {float(N_HASHES)} - p.jaccard), 6) AS abs_err
+    FROM pairs p
+    JOIN sig sa ON p.id_a = sa.doc_id
+    JOIN sig sb ON p.id_b = sb.doc_id
+"""
+
+
 QUERIES = {
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
@@ -1008,6 +1078,7 @@ QUERIES = {
     "dd10_decontaminate": dd10_decontaminate,
     "dd11_incremental_postings": dd11_incremental_postings,
     "dd14_bloom_decontaminate": dd14_bloom_decontaminate,
+    "dd15_minhash_calibration": dd15_minhash_calibration,
 }
 
 # Operator-authored lineage through dd06's tile barrier (lineage.analyze
@@ -1031,4 +1102,5 @@ ORACLES = {
     "dd09_incremental_dedup": DD09_SQL,
     "dd11_incremental_postings": DD11_SQL,
     "dd14_bloom_decontaminate": DD14_SQL,
+    "dd15_minhash_calibration": DD15_SQL,
 }

@@ -345,11 +345,71 @@ DQ04_SQL = f"""
 """
 
 
+# Row-level expectation rules: name -> the VIOLATION condition, stated
+# once and emitted to both engines. Thresholds are tuned so every rule
+# splits the fixture corpus both ways (tx14 precedent) — a gate whose
+# rules never fire (or always fire) tests nothing.
+ROW_RULES = [
+    ("disc_max", "l_discount > 0.08"),
+    ("price_min", "l_extendedprice < 2000"),
+    ("qty_max", "l_quantity > 40"),
+    ("tax_max", "l_tax > 0.06"),
+]
+
+
+def dq05_row_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectation gate with a QUARANTINE output (the Deequ /
+    Great Expectations row-rule shape): every row is checked against
+    the declarative ROW_RULES; rows violating at least one rule come
+    back labeled with the comma-joined names of every rule they broke —
+    the auditable quarantine table a pipeline routes aside, while
+    dq01/dq02 stay the aggregate report. Rule order in the label is the
+    fixed ROW_RULES order (both engines build the identical list —
+    never a sort over rule names at runtime).
+
+    SCALE shape: pure map + filter — the rule CASEs fuse into the scan
+    as whole-stage codegen, zero exchanges, output size = violation
+    count. The comparisons sit on the data's exact decimal grids
+    (discount/tax in hundredths, quantity integral), so the same row
+    quarantines in both engines with no rounding contract needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    varr = F.array_compact(
+        F.array(*[F.when(F.expr(cond), F.lit(name)) for name, cond in ROW_RULES])
+    )
+    return (
+        li.withColumn("varr", varr)
+        .filter(F.size("varr") > 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.array_join("varr", ",").alias("violated"),
+            F.size("varr").alias("n_violated"),
+        )
+    )
+
+
+_RULE_CASES = ", ".join(
+    f"CASE WHEN {cond} THEN '{name}' END" for name, cond in ROW_RULES
+)
+DQ05_SQL = f"""
+    WITH v AS (
+        SELECT l_orderkey, l_linenumber,
+               list_filter([{_RULE_CASES}], x -> x IS NOT NULL) AS varr
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(varr, ',') AS violated,
+           CAST(len(varr) AS INT) AS n_violated
+    FROM v WHERE len(varr) > 0
+"""
+
+
 QUERIES = {
     "dq01_profile": dq01_profile,
     "dq02_constraints": dq02_constraints,
     "dq03_snapshot_drift": dq03_snapshot_drift,
     "dq04_volume_anomaly": dq04_volume_anomaly,
+    "dq05_row_expectations": dq05_row_expectations,
 }
 
 ORACLES = {
@@ -357,4 +417,5 @@ ORACLES = {
     "dq02_constraints": DQ02_SQL,
     "dq03_snapshot_drift": DQ03_SQL,
     "dq04_volume_anomaly": DQ04_SQL,
+    "dq05_row_expectations": DQ05_SQL,
 }

@@ -1477,6 +1477,69 @@ TX18_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# tx20: CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.3) —
+# the deployment step on top of tx13's LM scoring: within each
+# language, rank documents by cross-entropy and cut the corpus into
+# equal tertiles. "head" (lowest xent = most fluent under the model) is
+# what CCNet ships as high-quality pretraining data; "tail" is the
+# candidate discard. Reference has no text ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+
+def tx20_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity tertiles over the tx13 score. The bucket
+    index is pure integer arithmetic on the per-language rank —
+    ``((rk−1)·3) div n`` — so the cut is exact thirds (±1 doc) with no
+    float percentile anywhere; ranking uses the 6-dp-ROUNDED xent tx13
+    already emits (ties then break on doc_id), so both engines rank the
+    identical values.
+
+    SCALE shape: tx13's scoring plan unchanged (vocabulary-sized model
+    join, partial-agg passes), plus one lang-keyed exchange for the
+    rank/count window — parallelism bounded by #languages, same
+    contract as tp02, and the real CCNet splits per language too. For
+    high-cardinality strata the tp05 two-phase rank drops in
+    unchanged."""
+    from pyspark.sql import Window
+
+    scored = tx13_unigram_logprob(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    j = scored.join(d, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.asc("xent"), F.asc("doc_id"))
+    wn = Window.partitionBy("lang")
+    bucket_idx = F.expr("((rk - 1) * 3) div n")
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "doc_id", "lang", "n_tokens", "xent",
+            F.when(bucket_idx == 0, F.lit("head"))
+            .when(bucket_idx == 1, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+TX20_SQL = f"""
+    WITH scored AS ({TX13_SQL}),
+    j AS (
+        SELECT s.doc_id, d.lang, s.n_tokens, s.xent
+        FROM scored s JOIN documents d USING (doc_id)
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY lang ORDER BY xent ASC, doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM j
+    )
+    SELECT doc_id, lang, n_tokens, xent,
+           CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM r
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -1495,6 +1558,7 @@ QUERIES = {
     "tx17_heldout_xent": tx17_heldout_xent,
     "tx18_backoff_xent": tx18_backoff_xent,
     "tx19_bpe_apply": tx19_bpe_apply,
+    "tx20_ccnet_buckets": tx20_ccnet_buckets,
 }
 
 ORACLES = {
@@ -1515,4 +1579,5 @@ ORACLES = {
     "tx17_heldout_xent": TX17_SQL,
     "tx18_backoff_xent": TX18_SQL,
     "tx19_bpe_apply": TX19_SQL,
+    "tx20_ccnet_buckets": TX20_SQL,
 }

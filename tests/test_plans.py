@@ -353,6 +353,18 @@ def test_weighted_sample_is_distributed_topn(spark):
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
 
 
+def test_row_expectations_gate_is_exchange_free(spark):
+    """dq05: the quarantine gate must be a pure map + filter fused into
+    the fact scan — zero exchanges, zero joins, zero windows; the rule
+    CASEs all evaluate in the scan stage."""
+    from hive_lineage_spark.operators import quality as dq
+
+    plan = _plan(dq.dq05_row_expectations(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+
+
 def test_hamming_ann_broadcasts_queries_and_pushes_topk(spark):
     """ss12: the query-band side must broadcast (corpus side is one map
     pass — no shuffle of the exploded band stream), the first-match

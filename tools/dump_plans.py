@@ -58,6 +58,9 @@ SHOW = [
     ("tx19_bpe_apply", "encode via the trained vocab cache: word-level BroadcastHashJoin onto the posexploded corpus, ONE doc_id exchange for the per-doc partial agg"),
     ("dd14_bloom_decontaminate", "k=4 bloom probes are broadcast LEFT joins against one persisted <=2^16-row bit set; the per-doc verdict agg reuses the gram window's doc_id partitioning"),
     ("ss16_mips_ivf", "norm augmentation fuses into the corpus scan (max-norm = broadcast 1-row agg); cell assignment keeps ss02's map-only shape; candidates = ONE BroadcastHashJoin on cell id; top-K via WindowGroupLimit"),
+    ("tp12_weighted_sample", "global weighted-WOR cutoff is TakeOrderedAndProject — per-partition top-N heaps, no window, no exchange after the key map"),
+    ("tx20_ccnet_buckets", "tx13's scoring plan unchanged + exactly ONE lang-keyed exchange for the tertile rank/count window"),
+    ("dq05_row_expectations", "rule CASEs fuse into the fact scan as whole-stage codegen — zero exchanges; output is violation-count-sized"),
 ]
 
 
