@@ -105,6 +105,7 @@ EXTRA = [
     "tx20_ccnet_buckets",      # CCNet per-lang perplexity tertiles (round 10)
     "dq05_row_expectations",   # row-level quarantine gate, pure map (round 10)
     "dd15_minhash_calibration",  # MinHash estimate vs exact Jaccard (round 10)
+    "mm16_image_entropy",      # byte-histogram entropy image gate (round 10)
 ]
 
 

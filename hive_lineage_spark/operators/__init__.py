@@ -89,6 +89,7 @@ ROTATION_QUEUE: dict[str, int] = {
     "tx20_ccnet_buckets": 10,     # CCNet head/middle/tail tertile split, registered r10
     "dq05_row_expectations": 10,  # row-level quarantine gate, registered r10
     "dd15_minhash_calibration": 10,  # MinHash estimator vs exact Jaccard eval, registered r10
+    "mm16_image_entropy": 10,     # byte-histogram entropy image gate, registered r10
 }
 
 _DRIVER_PRIORITY = [

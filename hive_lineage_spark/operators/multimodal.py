@@ -1889,6 +1889,123 @@ MM15_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# mm16: byte-histogram Shannon entropy — the "is this image degenerate"
+# quality feature of an image-curation pipeline (flat/solid-color or
+# synthetic-banded images score low; natural images high). LAION-style
+# pipelines gate on exactly this class of cheap decoded-pixel statistic
+# before paying for a model forward pass. Reference has no multimodal
+# ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+ENTROPY_BINS = 16  # 256/16 = 16 byte values per bin
+ENTROPY_SCHEMA = (
+    "doc_id long, width int, height int, n_bytes long, "
+    "mode_bin int, mode_count long, entropy double"
+)
+
+
+def _entropy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real decode, 16-bin histogram over ALL pixel
+    bytes (bin = byte >> 4), Shannon entropy in nats. FP contract with
+    the oracle: the entropy accumulates in ascending-bin order, zero
+    bins skipped (absent from both engines' folds), p = count/total in
+    double, one ln per nonzero bin; `a - x` is IEEE-identical to
+    `a + (-x)`, which is the oracle's fold. Mode ties break to the
+    lowest bin (np.argmax first-hit == the oracle's rank order)."""
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_image_real(bytes(payload))
+            px = np.frombuffer(m["pixels"], dtype=np.uint8)
+            bins = np.bincount(px >> 4, minlength=ENTROPY_BINS)
+            total = int(px.size)
+            ent = 0.0
+            for b in range(ENTROPY_BINS):
+                c = int(bins[b])
+                if c:
+                    p = c / total
+                    ent -= p * math.log(p)
+            mode_bin = int(np.argmax(bins))
+            rows.append(
+                (
+                    doc_id, m["width"], m["height"], total,
+                    mode_bin, int(bins[mode_bin]), round(ent + 1e-9, 6),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_bytes",
+                "mode_bin", "mode_count", "entropy",
+            ],
+        )
+
+
+def mm16_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image byte-histogram entropy + mode-bin evidence over REAL
+    decoded pixels (BMP/PPM/PNG mixed fixture). Scale shape: identical
+    to mm05/mm12 — ONE narrow Arrow-batched Python stage over the image
+    scan, fixed 7-column output per image, no shuffle; scales by input
+    splits alone. The oracle recomputes the histogram from the
+    fixture's closed-form byte stream and folds the same entropy sum in
+    SQL."""
+    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    return imgs.mapInPandas(_entropy_batches, schema=ENTROPY_SCHEMA)
+
+
+def _mm16_sql() -> str:
+    # fixture byte i of image doc_id is (doc_id*31 + i*7) % 256; bin =
+    # byte // 16. Entropy folds -(c/n)·ln(c/n) in ascending-bin order
+    # over the PRESENT bins only (groupBy never emits zero counts).
+    return f"""
+    WITH m AS (
+        SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 7) + 4 AS h
+        FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, w, h, w * h * 3 AS n,
+               ((doc_id * 31 + i.i * 7) % 256) // 16 AS bin
+        FROM m, unnest(range(0, w * h * 3)) i(i)
+    ),
+    hist AS (
+        SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+               any_value(n) AS n, bin, count(*) AS c
+        FROM bytes GROUP BY doc_id, bin
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, bin ASC) AS rk
+        FROM hist
+    ),
+    ent AS (
+        SELECT doc_id, any_value(w) AS w, any_value(h) AS h, any_value(n) AS n,
+               list_reduce(
+                   list_prepend(
+                       CAST(0 AS DOUBLE),
+                       list(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) ORDER BY bin)
+                   ),
+                   (a, x) -> a + x
+               ) AS entropy
+        FROM hist GROUP BY doc_id
+    )
+    SELECT e.doc_id,
+           CAST(e.w AS INT) AS width, CAST(e.h AS INT) AS height,
+           CAST(e.n AS BIGINT) AS n_bytes,
+           CAST(r.bin AS INT) AS mode_bin,
+           CAST(r.c AS BIGINT) AS mode_count,
+           round(e.entropy + 1e-9, 6) AS entropy
+    FROM ent e JOIN ranked r ON e.doc_id = r.doc_id AND r.rk = 1
+"""
+
+
+MM16_SQL = _mm16_sql()
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -1905,6 +2022,7 @@ QUERIES = {
     "mm13_video_420_pixels": mm13_video_420_pixels,
     "mm14_audio_resample": mm14_audio_resample,
     "mm15_video_shot_detect": mm15_video_shot_detect,
+    "mm16_image_entropy": mm16_image_entropy,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -1947,6 +2065,12 @@ DECLARED = {
     "mm12_image_dhash": {
         "doc_id": ["doc_id"],
         **{c: ["payload"] for c in ("width", "height", "dhash_hi", "dhash_lo")},
+    },
+    "mm16_image_entropy": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "width", "height", "n_bytes", "mode_bin", "mode_count", "entropy"
+        )},
     },
     "mm08_video_frame_index": {
         "doc_id": ["doc_id"],
@@ -1997,4 +2121,5 @@ ORACLES = {
     "mm13_video_420_pixels": MM13_SQL,
     "mm14_audio_resample": MM14_SQL,
     "mm15_video_shot_detect": MM15_SQL,
+    "mm16_image_entropy": MM16_SQL,
 }

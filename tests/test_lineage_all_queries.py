@@ -32,6 +32,7 @@ PYTHON_BARRIER = {
     "mm13_video_420_pixels",
     "mm14_audio_resample",
     "mm15_video_shot_detect",
+    "mm16_image_entropy",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
