@@ -73,15 +73,21 @@ from pyspark.sql import DataFrame, SparkSession
 # never-certified query is in neither the window nor this queue, AND
 # fails if a queue entry survives past one subsequent CORRECTNESS round
 # (self-expiring: a dead round turns the suite red).
+#
+# Round-10 mid-round promotion: the round kept producing after the 8
+# r9-queue entries rotated in, so the 8 EARLIEST round-10 registrations
+# (mm13/mm14/mm15, tx17/tx18/tx19, ss14, dd14 — all local-oracle green
+# for most of the round) moved from this queue into the window to halve
+# the r11 certification debt. Eight multiply-certified ops rotated out
+# for them: mm05/mm07/mm08 (certified r7-r9; mm06 keeps the image
+# decode chain, mm10/mm13 decode harder paths, mm11/mm14 keep audio,
+# mm10/mm13/mm15 keep the container walk), tx12/tx13 (certified r6+;
+# incoming tx17/tx18 carry LM scoring, dd02/dd03 keep the span/pair
+# machinery; tx12 also stays a headline bench query), dq01/dq02
+# (certified r6-r9; dq03's drift = two dq01 profiles, dq04 keeps the
+# gate), tp08 (certified r6+; tp03/tp06/tp11 keep packing/binning/
+# chunking in-window).
 ROTATION_QUEUE: dict[str, int] = {
-    "mm13_video_420_pixels": 10,  # 4:2:0 MJPEG decode, registered r10
-    "tx17_heldout_xent": 10,      # held-out-LM scoring + OOV floor, registered r10
-    "tx18_backoff_xent": 10,      # stupid-backoff bigram scoring, registered r10
-    "mm14_audio_resample": 10,    # mono downmix + boxcar decimation, registered r10
-    "mm15_video_shot_detect": 10, # shot-boundary detection, registered r10
-    "ss14_ann_random_projection": 10,  # JL sign-matrix projection ANN, registered r10
-    "tx19_bpe_apply": 10,         # corpus encode via tx15's trained merges, registered r10
-    "dd14_bloom_decontaminate": 10,  # fixed-size bloom membership decon, registered r10
     "ss15_mips_norm_augment": 10,  # MIPS via norm-augmentation reduction, registered r10
     "ss16_mips_ivf": 10,          # IVF-served MIPS (pruned scale path), registered r10
     "ss17_rank_fusion": 10,       # RRF hybrid fusion of IVF+LSH legs, registered r10
@@ -117,27 +123,32 @@ _DRIVER_PRIORITY = [
     "ss10_ann_pq_rerank", "ss11_ann_pq_trained",
     "ss12_ann_hamming", "ss13_ann_ivfpq",
     # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
-    # incoming tx15 exercises the BPE pretokenizer, tx13/tx14 keep
-    # text scoring; tx15/tx16 rotated in from the r9 queue)
-    "tx12_dup_span_profile", "tx13_unigram_logprob", "tx14_gopher_gate",
+    # tx12/tx13 rotated out mid-r10 for the queue promotion, see the
+    # ROTATION_QUEUE comment; tx15/tx16 in from the r9 queue,
+    # tx17/tx18/tx19 promoted from the r10 queue)
+    "tx14_gopher_gate",
     "tx15_bpe_train", "tx16_bigram_xent",
-    # multimodal: real decode + decode→resize chain, plus the four
-    # r9-queue entries (mm09 pair curation, mm10 AVI→JPEG→pixels,
-    # mm11 audio features, mm12 perceptual dHash)
-    "mm05_decode_image", "mm06_decode_resize", "mm07_decode_audio",
-    "mm08_video_frame_index",
+    "tx17_heldout_xent", "tx18_backoff_xent", "tx19_bpe_apply",
+    # multimodal: mm05/mm07/mm08 rotated out mid-r10 (see queue
+    # comment); the four r9-queue entries stay, mm13/mm14/mm15
+    # promoted from the r10 queue
+    "mm06_decode_resize",
     "mm09_pair_curation", "mm10_video_frame_pixels",
     "mm11_audio_features", "mm12_image_dhash",
+    "mm13_video_420_pixels", "mm14_audio_resample",
+    "mm15_video_shot_detect",
+    # similarity additions promoted from the r10 queue
+    "ss14_ann_random_projection",
+    # dedup addition promoted from the r10 queue
+    "dd14_bloom_decontaminate",
     # composed pipeline + training-prep (tp01 rotated out r10 —
-    # certified 7x, every stage kept by tp03/tp06/tp08/tp11)
+    # certified 7x; tp08 rotated out mid-r10, tp03/tp06/tp11 keep
+    # packing/binning/chunking in-window)
     "tp03_pack_sequences", "tp06_curriculum_bins",
-    # (tp09/tp10 certified r6, rotated out r7 for mm07/tp11 — tp06
-    # keeps the histogram-decile machinery in-window, tp01/tp03/tp08
-    # keep sampling/packing/mixture)
-    "tp08_temperature_mixture",
     "tp11_chunk_overlap",
-    # data-quality gates (dq03/dq04: round-7 drift + volume-anomaly)
-    "dq01_profile", "dq02_constraints", "dq03_snapshot_drift",
+    # data-quality gates (dq01/dq02 rotated out mid-r10 — dq03's
+    # drift is two dq01 profiles, dq04 keeps the volume gate)
+    "dq03_snapshot_drift",
     "dq04_volume_anomaly",
 ]
 
