@@ -106,6 +106,7 @@ EXTRA = [
     "dq05_row_expectations",   # row-level quarantine gate, pure map (round 10)
     "dd15_minhash_calibration",  # MinHash estimate vs exact Jaccard (round 10)
     "mm16_image_entropy",      # byte-histogram entropy image gate (round 10)
+    "mm17_image_phash",        # fixed-point DCT perceptual hash (round 10)
 ]
 
 

@@ -2006,6 +2006,147 @@ def _mm16_sql() -> str:
 MM16_SQL = _mm16_sql()
 
 
+# ---------------------------------------------------------------------------
+# mm17: DCT perceptual hash (pHash) — the frequency-domain image
+# fingerprint (stronger than mm12's gradient dHash against resize /
+# mild recompression, the standard key for image near-dup at LAION
+# scale). The DCT is FIXED-POINT: the 32×32 type-II cosine basis is
+# rounded to 15-bit integers ONCE in Python and embedded as literals in
+# both engines, so the whole transform is exact int64 arithmetic — no
+# trig and no float crosses the engine boundary (worst case
+# 32·765·2¹⁵·32·2¹⁵ ≈ 8.4e14 ≪ 2⁶³). Reference has no multimodal ops
+# — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+PHASH_G = 32        # DCT grid (classic pHash geometry)
+PHASH_K = 8         # low-frequency block kept
+PHASH_SCALE = 32768  # 15-bit fixed-point basis
+
+import math as _math  # noqa: E402
+
+# C[x][u] = round(cos((2x+1)·u·π/(2G)) · SCALE) — shared verbatim by the
+# numpy worker and (as literals) the SQL oracle.
+_PHASH_C = [
+    [
+        round(_math.cos((2 * x + 1) * u * _math.pi / (2 * PHASH_G)) * PHASH_SCALE)
+        for u in range(PHASH_G)
+    ]
+    for x in range(PHASH_G)
+]
+
+PHASH_SCHEMA = "doc_id long, width int, height int, median_ac long, phash_hi long, phash_lo long"
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real decode → nearest-neighbor 32×32 luma
+    grid (mm12's integer floor maps) → exact int64 separable DCT
+    (T·G·Tᵀ with the fixed-point basis) → top-left 8×8 block, DC
+    dropped → bit k = coef > (lower) median of the 63 AC coefficients.
+    All-integer, so engine parity is exact with no FP contract."""
+    import numpy as np
+
+    C = np.array(_PHASH_C, dtype=np.int64)  # [x][u]
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_image_real(bytes(payload))
+            w, h = m["width"], m["height"]
+            px = np.frombuffer(m["pixels"], dtype=np.uint8).astype(np.int64)
+            luma = px.reshape(h, w, 3).sum(axis=2)
+            xs = (np.arange(PHASH_G) * w) // PHASH_G
+            ys = (np.arange(PHASH_G) * h) // PHASH_G
+            g = luma[ys][:, xs]  # 32×32, g[y][x]
+            # m1[u][y] = Σ_x g[y][x]·C[x][u];  coef[u][v] = Σ_y m1[u][y]·C[y][v]
+            m1 = C.T @ g.T          # [u][y]
+            coef = m1 @ C           # [u][v]
+            block = coef[:PHASH_K, :PHASH_K]
+            ac = np.array(
+                [block[u, v] for v in range(PHASH_K) for u in range(PHASH_K) if (u, v) != (0, 0)],
+                dtype=np.int64,
+            )
+            med = int(np.sort(ac)[(len(ac) - 1) // 2])  # lower median of 63
+            bits = (ac > med).astype(np.int64)
+            hi = int((bits[:31] << np.arange(31)).sum())
+            lo = int((bits[31:] << np.arange(32)).sum())
+            rows.append((doc_id, w, h, med, hi, lo))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "median_ac", "phash_hi", "phash_lo"]
+        )
+
+
+def mm17_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual DCT hash per image over REAL decoded pixels. Scale
+    shape: identical to mm12 — ONE narrow Arrow-batched Python stage
+    over the image scan (decode + grid + two 32×32 integer matmuls per
+    image), fixed 6-column output, no shuffle; downstream pair search
+    is the dd05/ss12 banded-Hamming machinery on (phash_hi, phash_lo).
+    The oracle replays the grid, the separable fixed-point DCT, the
+    median cut and the bit packing in closed form from the fixture's
+    byte formula."""
+    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    return imgs.mapInPandas(_phash_batches, schema=PHASH_SCHEMA)
+
+
+def _mm17_sql() -> str:
+    flat_c = ", ".join(str(c) for row in _PHASH_C for c in row)  # row-major [x][u]
+    g_expr = (
+        "(SELECT sum((doc_id * 31 + (((({y} * h) // {H}) * w + (({x} * w) // {W})) * 3 + c.c) * 7) % 256)"
+        " FROM unnest(range(0, 3)) c(c))"
+    ).format(x="x.x", y="y.y", W=PHASH_G, H=PHASH_G)
+    return f"""
+    WITH dctc AS (
+        SELECT t.i // {PHASH_G} AS x, t.i % {PHASH_G} AS u,
+               ([{flat_c}])[t.i + 1] AS c
+        FROM unnest(range(0, {PHASH_G * PHASH_G})) t(i)
+    ),
+    m AS (
+        SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 7) + 4 AS h
+        FROM documents
+    ),
+    grid AS (
+        SELECT doc_id, x.x AS x, y.y AS y, {g_expr} AS g
+        FROM m, unnest(range(0, {PHASH_G})) x(x), unnest(range(0, {PHASH_G})) y(y)
+    ),
+    m1 AS (
+        SELECT grid.doc_id, d.u AS u, grid.y AS y, sum(grid.g * d.c) AS s
+        FROM grid JOIN dctc d ON d.x = grid.x
+        WHERE d.u < {PHASH_K}
+        GROUP BY grid.doc_id, d.u, grid.y
+    ),
+    coef AS (
+        SELECT m1.doc_id, m1.u AS u, d.u AS v, sum(m1.s * d.c) AS s
+        FROM m1 JOIN dctc d ON d.x = m1.y
+        WHERE d.u < {PHASH_K}
+        GROUP BY m1.doc_id, m1.u, d.u
+    ),
+    ac AS (
+        SELECT doc_id, (v * {PHASH_K} + u) - 1 AS k, s
+        FROM coef WHERE NOT (u = 0 AND v = 0)
+    ),
+    med AS (
+        SELECT doc_id, s AS median_ac FROM (
+            SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY s ASC) AS rk
+            FROM ac
+        ) WHERE rk = {(PHASH_K * PHASH_K - 1 - 1) // 2 + 1}
+    )
+    SELECT a.doc_id,
+           CAST(any_value(m.w) AS INT) AS width,
+           CAST(any_value(m.h) AS INT) AS height,
+           any_value(med.median_ac) AS median_ac,
+           CAST(sum(CASE WHEN a.k < 31 AND a.s > med.median_ac
+                         THEN 1 << a.k ELSE 0 END) AS BIGINT) AS phash_hi,
+           CAST(sum(CASE WHEN a.k >= 31 AND a.s > med.median_ac
+                         THEN 1 << (a.k - 31) ELSE 0 END) AS BIGINT) AS phash_lo
+    FROM ac a
+    JOIN med ON a.doc_id = med.doc_id
+    JOIN m ON a.doc_id = m.doc_id
+    GROUP BY a.doc_id
+"""
+
+
+MM17_SQL = _mm17_sql()
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -2023,6 +2164,7 @@ QUERIES = {
     "mm14_audio_resample": mm14_audio_resample,
     "mm15_video_shot_detect": mm15_video_shot_detect,
     "mm16_image_entropy": mm16_image_entropy,
+    "mm17_image_phash": mm17_image_phash,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -2065,6 +2207,12 @@ DECLARED = {
     "mm12_image_dhash": {
         "doc_id": ["doc_id"],
         **{c: ["payload"] for c in ("width", "height", "dhash_hi", "dhash_lo")},
+    },
+    "mm17_image_phash": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "width", "height", "median_ac", "phash_hi", "phash_lo"
+        )},
     },
     "mm16_image_entropy": {
         "doc_id": ["doc_id"],
@@ -2122,4 +2270,5 @@ ORACLES = {
     "mm14_audio_resample": MM14_SQL,
     "mm15_video_shot_detect": MM15_SQL,
     "mm16_image_entropy": MM16_SQL,
+    "mm17_image_phash": MM17_SQL,
 }

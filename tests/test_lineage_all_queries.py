@@ -33,6 +33,7 @@ PYTHON_BARRIER = {
     "mm14_audio_resample",
     "mm15_video_shot_detect",
     "mm16_image_entropy",
+    "mm17_image_phash",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
