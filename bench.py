@@ -107,6 +107,7 @@ EXTRA = [
     "dd15_minhash_calibration",  # MinHash estimate vs exact Jaccard (round 10)
     "mm16_image_entropy",      # byte-histogram entropy image gate (round 10)
     "mm17_image_phash",        # fixed-point DCT perceptual hash (round 10)
+    "tx21_kneser_ney_xent",    # interpolated Kneser-Ney held-out scoring (round 10)
 ]
 
 

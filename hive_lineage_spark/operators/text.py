@@ -1540,6 +1540,195 @@ TX20_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# tx21: interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+# smoothing KenLM — and therefore CCNet's deployed scorer — actually
+# uses). Completes the ladder tx13 (unigram) → tx16 (bigram MLE) →
+# tx17 (held-out + OOV floor) → tx18 (stupid backoff) with the
+# gold-standard absolute-discount + continuation-probability model.
+# The discount is pinned at D = 3/4 — an EXACT binary rational — so
+# every KN probability is an exact integer fraction num/den and the
+# per-bigram contribution stays a pure ln(int) − ln(int) difference:
+#   seen    p = (c2−D)/c1 + D·nh(w1)/c1 · nc(w2)/B
+#             = ((4·c2−3)·B + 3·nh·nc) / (4·c1·B)
+#   backoff p = D·nh(w1)/c1 · P_cont(w2)  (continuation floor 1/B)
+#   floor   p = P_cont(w2)                (w1 never heads a model bigram)
+# where nh(w1)=N1+(w1,·), nc(w2)=N1+(·,w2), B=#distinct train bigrams.
+# Reference has no LM ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+TX21_VOCAB_CAP = 16  # closed model vocabulary, as tx17/tx18
+
+
+def tx21_kneser_ney_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram cross-entropy under an interpolated Kneser-Ney
+    model (train = doc_id % 3 != 0, score = doc_id % 3 == 0, closed
+    top-``TX21_VOCAB_CAP`` vocabulary as tx18). KN's insight over tx18's
+    stupid backoff: the backoff distribution is the CONTINUATION count
+    nc(w2) = |{w1 : c(w1,w2) > 0}| — how many distinct contexts a word
+    follows — not its raw frequency, so boilerplate-frequent-but-
+    context-bound words stop being rewarded when the model backs off.
+    Per-doc evidence (``n_backoff``, ``n_floor``) rides along as in
+    tx17/tx18.
+
+    Scale shape: four model tables (cnt2, head stats, continuation
+    stats, the scalar B), all vocabulary-capped, LEFT-joined into the
+    shuffle-free zip_with bigram stream with AQE free to broadcast
+    each. Cross-engine FP contract: D = 3/4 makes p an exact int64
+    ratio, so the contribution is ln(num) − ln(den) of integers —
+    never a float division; the per-doc sum folds the (w1,w2)-sorted
+    list in BOTH engines and rounds at 6 dp with the midpoint nudge.
+    int64 bound: num ≤ 4·c2·B + 3·V·V ≪ 2⁶³ for any corpus with
+    c2·B < 2⁶¹ (B ≤ V² by the closed vocab); a production run with a
+    100k vocab scores in ln-space doubles instead — same dataflow."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    bg_all = ws.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.expr(
+            "explode(zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+            " (a, b) -> named_struct('w1', a, 'w2', b)))"
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    train_tok = d.filter(F.col("doc_id") % 3 != 0).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        train_tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("u").desc(), F.col("w")))
+        )
+        .filter(F.col("rk") <= TX21_VOCAB_CAP)
+        .select("w")
+    )
+    train_bg = (
+        bg_all.filter(F.col("doc_id") % 3 != 0)
+        .join(vocab.withColumnRenamed("w", "w1"), "w1", "left_semi")
+        .join(vocab.withColumnRenamed("w", "w2"), "w2", "left_semi")
+    )
+    cnt2 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    head = cnt2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nh")
+    )
+    cont = cnt2.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    btot = cnt2.groupBy().agg(F.count(F.lit(1)).alias("bt"))
+    num = (
+        F.when(
+            F.col("c2").isNotNull(),
+            (4 * F.col("c2") - 3) * F.col("bt") + 3 * F.col("nh") * F.col("nc"),
+        )
+        .when(
+            F.col("c1").isNotNull(),
+            3 * F.col("nh") * F.coalesce(F.col("nc"), F.lit(1)),
+        )
+        .otherwise(F.coalesce(F.col("nc"), F.lit(1)))
+    )
+    den = F.when(F.col("c1").isNotNull(), 4 * F.col("c1") * F.col("bt")).otherwise(
+        F.col("bt")
+    )
+    scored = (
+        bg_all.filter(F.col("doc_id") % 3 == 0)
+        .join(cnt2, ["w1", "w2"], "left")
+        .join(head, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "doc_id",
+            F.when(F.col("c2").isNull() & F.col("c1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("bk"),
+            F.when(F.col("c1").isNull(), 1).otherwise(0).alias("fl"),
+            F.struct("w1", "w2", (F.log(num) - F.log(den)).alias("c")).alias("bc"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bk").alias("n_backoff"),
+        F.sum("fl").alias("n_floor"),
+        F.aggregate(
+            F.array_sort(F.collect_list("bc")), F.lit(0.0), lambda a, s: a + s["c"]
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("n_backoff").cast("long").alias("n_backoff"),
+        F.col("n_floor").cast("long").alias("n_floor"),
+        F.round(-F.col("s") / F.col("n_bigrams") + 1e-9, 6).alias("xent2"),
+    )
+
+
+TX21_SQL = f"""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, b[1] AS w1, b[2] AS w2
+        FROM (
+            SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS b
+            FROM ws WHERE len(ws) >= 2
+        )
+    ),
+    uni AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS u,
+                   row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE doc_id % 3 <> 0 GROUP BY w
+        ) WHERE rk <= {TX21_VOCAB_CAP}
+    ),
+    tbg AS (
+        SELECT w1, w2 FROM bg
+        WHERE doc_id % 3 <> 0
+          AND w1 IN (SELECT w FROM uni) AND w2 IN (SELECT w FROM uni)
+    ),
+    cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
+    head AS (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS nh
+        FROM cnt2 GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*) AS nc FROM cnt2 GROUP BY w2),
+    btot AS (SELECT count(*) AS bt FROM cnt2),
+    scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN c2 IS NULL AND c1 IS NOT NULL THEN 1 ELSE 0 END AS bk,
+               CASE WHEN c1 IS NULL THEN 1 ELSE 0 END AS fl,
+               bg.w1, bg.w2,
+               ln(CASE WHEN c2 IS NOT NULL
+                       THEN (4 * c2 - 3) * bt + 3 * nh * nc
+                       WHEN c1 IS NOT NULL THEN 3 * nh * coalesce(nc, 1)
+                       ELSE coalesce(nc, 1) END)
+               - ln(CASE WHEN c1 IS NOT NULL THEN 4 * c1 * bt ELSE bt END) AS c
+        FROM bg
+        LEFT JOIN cnt2 USING (w1, w2)
+        LEFT JOIN head USING (w1)
+        LEFT JOIN cont USING (w2)
+        CROSS JOIN btot
+        WHERE bg.doc_id % 3 = 0
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               sum(bk) AS n_backoff,
+               sum(fl) AS n_floor,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY w1, w2)),
+                   (a, c) -> a + c
+               ) AS s
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_backoff AS BIGINT) AS n_backoff,
+           CAST(n_floor AS BIGINT) AS n_floor,
+           round(-s / n_bigrams + 1e-9, 6) AS xent2
+    FROM per_doc
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -1559,6 +1748,7 @@ QUERIES = {
     "tx18_backoff_xent": tx18_backoff_xent,
     "tx19_bpe_apply": tx19_bpe_apply,
     "tx20_ccnet_buckets": tx20_ccnet_buckets,
+    "tx21_kneser_ney_xent": tx21_kneser_ney_xent,
 }
 
 ORACLES = {
@@ -1580,4 +1770,5 @@ ORACLES = {
     "tx18_backoff_xent": TX18_SQL,
     "tx19_bpe_apply": TX19_SQL,
     "tx20_ccnet_buckets": TX20_SQL,
+    "tx21_kneser_ney_xent": TX21_SQL,
 }
