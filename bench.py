@@ -108,6 +108,7 @@ EXTRA = [
     "mm16_image_entropy",      # byte-histogram entropy image gate (round 10)
     "mm17_image_phash",        # fixed-point DCT perceptual hash (round 10)
     "tx21_kneser_ney_xent",    # interpolated Kneser-Ney held-out scoring (round 10)
+    "mm18_audio_vad",          # energy-gate VAD segment extraction (round 10)
 ]
 
 

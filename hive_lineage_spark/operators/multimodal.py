@@ -2147,6 +2147,115 @@ def _mm17_sql() -> str:
 MM17_SQL = _mm17_sql()
 
 
+# ---------------------------------------------------------------------------
+# mm18: energy-gate voice-activity detection (VAD) — the front-end an
+# ASR/TTS data-curation pipeline runs before any model scorer (the
+# energy half of WebRTC-VAD / ITU-T G.729B annex-B shape): window the
+# clip, gate each window against the clip's mean energy, and emit the
+# maximal runs of active windows as SEGMENTS (the utterance spans that
+# get cut, transcribed, and packed). New output shape for the mm
+# family: variable rows per clip (one per segment), found by
+# gaps-and-islands run-length grouping. All-integer: a window is
+# active iff e·n_windows > Σe (strict), so both engines compare exact
+# int64 products. Reference has no audio ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+VAD_SCHEMA = (
+    "doc_id long, seg_idx int, start_w int, end_w int, n_win int, seg_energy long"
+)
+
+
+def _vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: WAV parse, de-interleave channel 0, window
+    energies as mm11 (AUDIO_WIN frames, zero-padded tail), then the
+    integer mean-energy gate and numpy run detection. A clip whose
+    windows all carry identical energy emits no segments (strict >
+    against the mean is false everywhere) — the silence-drop case."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_audio_real(bytes(payload))
+            s = np.asarray(m["samples"], dtype=np.int64)
+            c0 = s[0 :: m["n_channels"]]
+            nw = (len(c0) + AUDIO_WIN - 1) // AUDIO_WIN
+            padded = np.zeros(nw * AUDIO_WIN, dtype=np.int64)
+            padded[: len(c0)] = c0
+            e = (padded * padded).reshape(nw, AUDIO_WIN).sum(axis=1)
+            idx = np.nonzero(e * nw > e.sum())[0]
+            if len(idx) == 0:
+                continue
+            runs = np.split(idx, np.nonzero(np.diff(idx) != 1)[0] + 1)
+            for si, run in enumerate(runs, 1):
+                rows.append(
+                    (
+                        doc_id, si, int(run[0]), int(run[-1]),
+                        len(run), int(e[run].sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "seg_idx", "start_w", "end_w", "n_win", "seg_energy"],
+        )
+
+
+def mm18_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments over REAL decoded WAV: per clip, window
+    energies gated against the clip mean (exact integers — active iff
+    ``e·n_windows > Σe``), maximal active runs emitted as (seg_idx,
+    start_w, end_w, n_win, seg_energy) rows.
+
+    Scale shape: one narrow Arrow-batched Python stage fused over the
+    scan — the gate threshold is PER-CLIP (its own mean), so no global
+    statistics pass and no shuffle anywhere; output is bounded by
+    ⌈n_windows/2⌉ segments per clip. The oracle replays the windowing,
+    the gate and the run grouping as SQL gaps-and-islands (island id =
+    w − row_number), pinning segment boundaries exactly."""
+    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    return wavs.mapInPandas(_vad_batches, schema=VAD_SCHEMA)
+
+
+MM18_SQL = f"""
+    WITH m AS (
+        SELECT doc_id, 1 + (doc_id % 2) AS ch, (doc_id % 50) + 20 AS n_frames
+        FROM documents
+    ),
+    c0 AS (
+        SELECT doc_id, t.f AS f,
+               ((doc_id * 37 + (t.f * ch) * 11) % 4001) - 2000 AS v
+        FROM m, unnest(range(0, n_frames)) t(f)
+    ),
+    we AS (
+        SELECT doc_id, f // {AUDIO_WIN} AS w, sum(v * v) AS e
+        FROM c0 GROUP BY doc_id, f // {AUDIO_WIN}
+    ),
+    tot AS (SELECT doc_id, count(*) AS nw, sum(e) AS te FROM we GROUP BY doc_id),
+    act AS (
+        SELECT we.doc_id, w, e
+        FROM we JOIN tot USING (doc_id)
+        WHERE e * nw > te
+    ),
+    isl AS (
+        SELECT doc_id, w, e,
+               w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        FROM act
+    ),
+    seg AS (
+        SELECT doc_id, grp, min(w) AS start_w, max(w) AS end_w,
+               count(*) AS n_win, sum(e) AS seg_energy
+        FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_w) AS INT) AS seg_idx,
+           CAST(start_w AS INT) AS start_w,
+           CAST(end_w AS INT) AS end_w,
+           CAST(n_win AS INT) AS n_win,
+           CAST(seg_energy AS BIGINT) AS seg_energy
+    FROM seg
+"""
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -2165,6 +2274,7 @@ QUERIES = {
     "mm15_video_shot_detect": mm15_video_shot_detect,
     "mm16_image_entropy": mm16_image_entropy,
     "mm17_image_phash": mm17_image_phash,
+    "mm18_audio_vad": mm18_audio_vad,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -2212,6 +2322,12 @@ DECLARED = {
         "doc_id": ["doc_id"],
         **{c: ["payload"] for c in (
             "width", "height", "median_ac", "phash_hi", "phash_lo"
+        )},
+    },
+    "mm18_audio_vad": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "seg_idx", "start_w", "end_w", "n_win", "seg_energy"
         )},
     },
     "mm16_image_entropy": {
@@ -2271,4 +2387,5 @@ ORACLES = {
     "mm15_video_shot_detect": MM15_SQL,
     "mm16_image_entropy": MM16_SQL,
     "mm17_image_phash": MM17_SQL,
+    "mm18_audio_vad": MM18_SQL,
 }

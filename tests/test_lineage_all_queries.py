@@ -34,6 +34,7 @@ PYTHON_BARRIER = {
     "mm15_video_shot_detect",
     "mm16_image_entropy",
     "mm17_image_phash",
+    "mm18_audio_vad",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
