@@ -109,6 +109,7 @@ EXTRA = [
     "mm17_image_phash",        # fixed-point DCT perceptual hash (round 10)
     "tx21_kneser_ney_xent",    # interpolated Kneser-Ney held-out scoring (round 10)
     "mm18_audio_vad",          # energy-gate VAD segment extraction (round 10)
+    "tp13_range_partition",    # range-partition plan + balance audit (round 10)
 ]
 
 

@@ -99,6 +99,7 @@ ROTATION_QUEUE: dict[str, int] = {
     "mm17_image_phash": 10,       # fixed-point DCT perceptual hash, registered r10
     "tx21_kneser_ney_xent": 10,   # interpolated Kneser-Ney held-out scoring, registered r10
     "mm18_audio_vad": 10,         # energy-gate VAD with segment output, registered r10
+    "tp13_range_partition": 10,   # range-partition plan + balance audit, registered r10
 }
 
 _DRIVER_PRIORITY = [

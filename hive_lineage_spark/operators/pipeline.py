@@ -900,6 +900,89 @@ TP12_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# tp13: range-partition planning — the TeraSort / Spark-RangePartitioner
+# primitive behind every distributed global sort: SAMPLE the key column,
+# cut the sampled key space into equal-frequency boundaries, ASSIGN every
+# row its range-partition id, and AUDIT the plan (rows + key range per
+# partition — the skew report you read before committing a 100 TB sort).
+# The sample gate is a deterministic modular hash of the key (stable
+# across runs/engines/partitionings), not a reservoir, so the oracle can
+# replay the entire plan exactly.
+# ---------------------------------------------------------------------------
+
+RP_NPART = 8        # target range partitions
+RP_SAMPLE_MOD = 20  # deterministic 1-in-20 key sample
+
+
+def tp13_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition plan + balance audit over ``orders.o_orderkey``:
+    keep keys where ``((k·31+7) mod 1e9+7) mod 20 == 0`` (exact int64
+    for any k < 3e17), rank the sample, take boundaries at ranks
+    ``(i·n) div NPART`` (i = 1..NPART−1), assign every row
+    ``part_id = #{boundaries < key}``, and report per-partition row
+    count and key range.
+
+    SCALE shape: the whole point of the sample is that the boundary
+    computation touches n/20 keys — the rank window here runs
+    single-partition over the SAMPLE only (production swaps in tp05's
+    two-phase distributed rank unchanged); the NPART−1 boundaries then
+    BROADCAST into the full scan as one array column, so row assignment
+    is a shuffle-free map (size(filter(bs, b -> b < k)) in codegen) and
+    the audit is one partial-agg pass keyed on NPART values. This is
+    exactly how a 1000-executor engine plans a 100 TB sort exchange:
+    sample → boundaries → broadcast → assign, never a global sort of
+    the data itself."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    samp = o.filter(((F.col("k") * 31 + 7) % MOD) % RP_SAMPLE_MOD == 0)
+    ranked = samp.withColumn("rk", F.row_number().over(Window.orderBy("k")))
+    n = samp.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        spark.range(1, RP_NPART)
+        .crossJoin(F.broadcast(n))
+        .select(F.expr(f"(id * n) div {RP_NPART}").alias("trk"))
+    )
+    bnds = (
+        ranked.join(F.broadcast(targets), ranked.rk == targets.trk)
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("k")).alias("bs"))
+    )
+    assigned = o.crossJoin(F.broadcast(bnds)).select(
+        "k",
+        F.size(F.filter("bs", lambda b: b < F.col("k"))).alias("part_id"),
+    )
+    return assigned.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+TP13_SQL = f"""
+    WITH samp AS (
+        SELECT o_orderkey AS k FROM orders
+        WHERE ((o_orderkey * 31 + 7) % {MOD}) % {RP_SAMPLE_MOD} = 0
+    ),
+    n AS (SELECT count(*) AS n FROM samp),
+    ranked AS (SELECT k, row_number() OVER (ORDER BY k) AS rk FROM samp),
+    bnd AS (
+        SELECT ranked.k AS b
+        FROM ranked, n, unnest(range(1, {RP_NPART})) i(i)
+        WHERE ranked.rk = (i.i * n.n) // {RP_NPART}
+    ),
+    assigned AS (
+        SELECT o.o_orderkey AS k,
+               (SELECT count(*) FROM bnd WHERE bnd.b < o.o_orderkey) AS pid
+        FROM orders o
+    )
+    SELECT CAST(pid AS INT) AS part_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(k) AS min_key,
+           max(k) AS max_key
+    FROM assigned GROUP BY pid
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
@@ -913,6 +996,7 @@ QUERIES = {
     "tp10_three_way_split": tp10_three_way_split,
     "tp11_chunk_overlap": tp11_chunk_overlap,
     "tp12_weighted_sample": tp12_weighted_sample,
+    "tp13_range_partition": tp13_range_partition,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -933,6 +1017,7 @@ ORACLES = {
     "tp10_three_way_split": TP10_SQL,
     "tp11_chunk_overlap": TP11_SQL,
     "tp12_weighted_sample": TP12_SQL,
+    "tp13_range_partition": TP13_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,
