@@ -428,3 +428,29 @@ def test_bloom_decontaminate_probes_stay_map_side(spark):
     # up to the output contains no further hashpartitioning exchange)
     head = plan.split(", LeftOuter, BuildRight")[0]
     assert "Exchange hashpartitioning" not in head
+
+
+def test_range_partition_assignment_is_broadcast_map(spark):
+    """tp13: the full-table part_id assignment must be a broadcast of
+    the boundary array into the scan (no hash exchange of the data
+    before the 8-key audit agg), the sample filter must reach the scan
+    as a DataFilter with a 1-column ReadSchema, and the rank window
+    must sort only the sampled rows (exactly one SinglePartition
+    exchange per sample pass, never of the unfiltered table)."""
+    from hive_lineage_spark.operators import pipeline as pl
+
+    df = pl.tp13_range_partition(spark, SF)
+    df.collect()  # AQE final plan
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+    assert "% 20) = 0" in plan  # sample gate in the scan's DataFilters
+    # assignment side: boundaries broadcast, then straight to the
+    # partial agg — the only hashpartitioning exchange keys on part_id
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(part_id" in plan
+    assert "partial_count" in plan
+    # every SinglePartition exchange carries the sample filter's plan
+    # subtree, never the full scan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        head = seg.split("FileScan")[0] + seg.split("FileScan")[1][:400]
+        assert "% 20) = 0" in head or "HashAggregate" in head

@@ -61,6 +61,8 @@ SHOW = [
     ("tp12_weighted_sample", "global weighted-WOR cutoff is TakeOrderedAndProject — per-partition top-N heaps, no window, no exchange after the key map"),
     ("tx20_ccnet_buckets", "tx13's scoring plan unchanged + exactly ONE lang-keyed exchange for the tertile rank/count window"),
     ("dq05_row_expectations", "rule CASEs fuse into the fact scan as whole-stage codegen — zero exchanges; output is violation-count-sized"),
+    ("tp13_range_partition", "boundary array BROADCAST into the full scan; part_id assignment is a shuffle-free codegen map; rank window only over the 1-in-20 sample"),
+    ("tx21_kneser_ney_xent", "four vocabulary-capped KN model tables (bigram/head/continuation/B) all broadcast LEFT into the shuffle-free zip_with bigram stream"),
 ]
 
 
