@@ -87,73 +87,87 @@ from pyspark.sql import DataFrame, SparkSession
 # (certified r6-r9; dq03's drift = two dq01 profiles, dq04 keeps the
 # gate), tp08 (certified r6+; tp03/tp06/tp11 keep packing/binning/
 # chunking in-window).
-ROTATION_QUEUE: dict[str, int] = {
-    "ss15_mips_norm_augment": 10,  # MIPS via norm-augmentation reduction, registered r10
-    "ss16_mips_ivf": 10,          # IVF-served MIPS (pruned scale path), registered r10
-    "ss17_rank_fusion": 10,       # RRF hybrid fusion of IVF+LSH legs, registered r10
-    "tp12_weighted_sample": 10,   # Efraimidis-Spirakis weighted WOR sample, registered r10
-    "tx20_ccnet_buckets": 10,     # CCNet head/middle/tail tertile split, registered r10
-    "dq05_row_expectations": 10,  # row-level quarantine gate, registered r10
-    "dd15_minhash_calibration": 10,  # MinHash estimator vs exact Jaccard eval, registered r10
-    "mm16_image_entropy": 10,     # byte-histogram entropy image gate, registered r10
-    "mm17_image_phash": 10,       # fixed-point DCT perceptual hash, registered r10
-    "tx21_kneser_ney_xent": 10,   # interpolated Kneser-Ney held-out scoring, registered r10
-    "mm18_audio_vad": 10,         # energy-gate VAD with segment output, registered r10
-    "tp13_range_partition": 10,   # range-partition plan + balance audit, registered r10
-}
+# Round-10 second promotion: ALL 12 remaining round-10 registrations
+# (ss15/ss16/ss17, tp12/tp13, tx20/tx21, dq05, dd15, mm16/mm17/mm18 —
+# every one local-oracle green at sf0.001 + sf0.01) move into the
+# window so CORRECTNESS_r10 certifies the entire registry (142/142
+# ever) and r11 starts with zero rotation debt. Twelve multiply-
+# certified ops rotate out, semantics kept in-window:
+#   q08/q09 (outer-join mirrors, certified r1-r9; q10 full-outer keeps
+#     both null-extension sides, q05/q06/q07 keep inner/multiway/
+#     broadcast), q11 (left-semi, certified r1-r9; tx18/tx19's
+#     left-semi vocab gates stay, q12 anti stays),
+#   q31 (full Q27 SQL text, certified r1-r9; q17 runs the identical
+#     Q27 shape, the SQL-text parser surface stays golden-pinned in
+#     pytest),
+#   dd12 (certified r6-r9; dd13 is its Arrow/dgemm twin with identical
+#     semantics), ss07 (certified r6-r9; ss13 composes the trained-IVF
+#     probe, incoming ss16 keeps IVF serving), ss08 (certified r5-r9;
+#     ss11/ss13 keep PQ/ADC), ss10 (certified r8-r9; ss11/ss13 keep
+#     rerank, ss09's in-window recall oracle embeds the ADC+exact legs),
+#   tp06 (certified r6-r9; tp03/tp11 keep packing/chunking, incoming
+#     tp12/tp13 add sampling/partition planning), dq03 (certified
+#     r7-r9; dq03 = two dq01 profiles, dq04 + incoming dq05 keep the
+#     quality gates), mm06 (certified r1-r9; mm10/mm13 decode harder
+#     paths, incoming mm16/mm17/mm18 all run the real decode chain),
+#   tx14 (certified r6-r9; incoming tx20 + dq05 keep rule gating,
+#     tx15-tx19 keep text).
+ROTATION_QUEUE: dict[str, int] = {}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified
-    # r1-r9, scan/project semantics kept by q04/q18)
+    # r1-r9, scan/project semantics kept by q04/q18; q08/q09/q11/q31
+    # rotated out in the r10 second promotion, see ROTATION_QUEUE
+    # comment)
     "q04_filter_predicates", "q05_join_inner", "q06_join_4way",
-    "q07_join_broadcast", "q08_join_left_outer", "q09_join_right_outer",
-    "q10_join_full_outer", "q11_join_left_semi", "q12_join_left_anti",
+    "q07_join_broadcast", "q10_join_full_outer", "q12_join_left_anti",
     "q13_join_nullsafe", "q44_unique_join", "q14_agg_tpch_q1",
     "q17_q27_shape",
-    "q18_partition_pruning", "q19_insert_readback", "q31_q27_sql_text",
+    "q18_partition_pruning", "q19_insert_readback",
     # ordered event funnel (round-7 addition, first certified window r8)
     "q51_funnel_steps",
     # SQL-surface round-5 additions (q48/q49 certified r6, rotated out
     # r7 for dq03/mm08 — their semantics stay oracle-covered locally)
     "q50_vtable_partitioned",
     # deduplication (dd06 rotated out r10 — certified r1-r9, cosine
-    # dedup kept by dd12/dd13)
+    # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
+    # is its Arrow twin)
     "dd02_ngram_jaccard", "dd03_minhash_lsh",
-    "dd12_semdedup", "dd13_semdedup_arrow",
+    "dd13_semdedup_arrow",
+    "dd14_bloom_decontaminate",
+    "dd15_minhash_calibration",
     # similarity search (ss01 rotated out r10 — certified 8x, exact
-    # baseline embedded wholesale in ss09's recall oracle; ss12/ss13
-    # rotated in from the r9 queue)
-    "ss07_ann_ivf_trained", "ss08_ann_pq", "ss09_ann_recall",
-    "ss10_ann_pq_rerank", "ss11_ann_pq_trained",
+    # baseline embedded wholesale in ss09's recall oracle; ss07/ss08/
+    # ss10 out in the second promotion — ss09/ss11/ss13 keep
+    # IVF/PQ/rerank in-window; ss15/ss16/ss17 in from the r10 queue)
+    "ss09_ann_recall", "ss11_ann_pq_trained",
     "ss12_ann_hamming", "ss13_ann_ivfpq",
+    "ss14_ann_random_projection",
+    "ss15_mips_norm_augment", "ss16_mips_ivf", "ss17_rank_fusion",
     # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
-    # tx12/tx13 rotated out mid-r10 for the queue promotion, see the
-    # ROTATION_QUEUE comment; tx15/tx16 in from the r9 queue,
-    # tx17/tx18/tx19 promoted from the r10 queue)
-    "tx14_gopher_gate",
+    # tx12/tx13 rotated out mid-r10, tx14 out in the second promotion;
+    # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
+    # ladder)
     "tx15_bpe_train", "tx16_bigram_xent",
     "tx17_heldout_xent", "tx18_backoff_xent", "tx19_bpe_apply",
-    # multimodal: mm05/mm07/mm08 rotated out mid-r10 (see queue
-    # comment); the four r9-queue entries stay, mm13/mm14/mm15
-    # promoted from the r10 queue
-    "mm06_decode_resize",
+    "tx20_ccnet_buckets", "tx21_kneser_ney_xent",
+    # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
+    # decode harder paths; incoming mm16/mm17/mm18 run the real decode
+    # chain); the four r9-queue entries stay
     "mm09_pair_curation", "mm10_video_frame_pixels",
     "mm11_audio_features", "mm12_image_dhash",
     "mm13_video_420_pixels", "mm14_audio_resample",
     "mm15_video_shot_detect",
-    # similarity additions promoted from the r10 queue
-    "ss14_ann_random_projection",
-    # dedup addition promoted from the r10 queue
-    "dd14_bloom_decontaminate",
+    "mm16_image_entropy", "mm17_image_phash", "mm18_audio_vad",
     # composed pipeline + training-prep (tp01 rotated out r10 —
-    # certified 7x; tp08 rotated out mid-r10, tp03/tp06/tp11 keep
-    # packing/binning/chunking in-window)
-    "tp03_pack_sequences", "tp06_curriculum_bins",
-    "tp11_chunk_overlap",
-    # data-quality gates (dq01/dq02 rotated out mid-r10 — dq03's
-    # drift is two dq01 profiles, dq04 keeps the volume gate)
-    "dq03_snapshot_drift",
-    "dq04_volume_anomaly",
+    # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
+    # packing/chunking; tp12/tp13 in from the r10 queue)
+    "tp03_pack_sequences", "tp11_chunk_overlap",
+    "tp12_weighted_sample", "tp13_range_partition",
+    # data-quality gates (dq01/dq02/dq03 rotated out during r10 —
+    # dq03's drift is two dq01 profiles; dq04 keeps the volume gate,
+    # dq05 in from the r10 queue)
+    "dq04_volume_anomaly", "dq05_row_expectations",
 ]
 
 
