@@ -110,6 +110,7 @@ EXTRA = [
     "tx21_kneser_ney_xent",    # interpolated Kneser-Ney held-out scoring (round 10)
     "mm18_audio_vad",          # energy-gate VAD segment extraction (round 10)
     "tp13_range_partition",    # range-partition plan + balance audit (round 10)
+    "tp14_budget_waterfill",   # max-min-fair token-budget allocation (round 10)
 ]
 
 

@@ -112,7 +112,9 @@ from pyspark.sql import DataFrame, SparkSession
 #     paths, incoming mm16/mm17/mm18 all run the real decode chain),
 #   tx14 (certified r6-r9; incoming tx20 + dq05 keep rule gating,
 #     tx15-tx19 keep text).
-ROTATION_QUEUE: dict[str, int] = {}
+ROTATION_QUEUE: dict[str, int] = {
+    "tp14_budget_waterfill": 10,  # token-budget water-filling allocation, registered r10 post-promotion
+}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified

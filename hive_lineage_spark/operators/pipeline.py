@@ -983,6 +983,148 @@ TP13_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# tp14: token-budget water-filling — the data-mixing allocation step a
+# pretraining run does once per mix: distribute a global token budget
+# across sources proportionally to mixture weights, but never give a
+# source more than it has (the epoch cap). This is exact max-min
+# fairness (the classic water-filling of Bertsekas & Gallager 1992
+# §6.5.2, the same allocation DoReMi/Llama-style mixes compute before
+# tp04/tp08 draw the actual rows): saturate the sources whose cap sits
+# below the water level, split the remainder among the rest by weight.
+# Every breakpoint test is CROSS-MULTIPLIED so the whole plan is
+# integer-exact — no float water level ever materializes.
+# ---------------------------------------------------------------------------
+
+TP14_SCALE = 1 << 20  # fixed-point sort key: (cap·SCALE) div w
+
+
+def tp14_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filled token-budget allocation over ``documents.source``:
+    per source, availability cap = Σ n_chars (1-epoch cap) and mixture
+    weight = poly_hash(source) % 9 + 1 (a deterministic stand-in for a
+    configured mix); global budget B = ⌊2·Σcap/3⌋. Sources sort by the
+    fixed-point rate ``(cap·2^20) div w``; the breakpoint k* is the
+    first position where the remaining budget spread over the
+    remaining weight no longer exceeds the next source's cap — tested
+    as ``(B − C_{k})·w ≤ cap·W_{>k}`` with integer cross-
+    multiplication, never a float division. Rows ≤ k* saturate at cap;
+    the rest get ``⌊(B − C_{k*})·w / W_{>k*}⌋``.
+
+    SCALE shape: ONE partial-agg corpus pass builds the per-source
+    table; everything after runs over #sources rows (the windows here
+    are single-partition over that model-sized frame, exactly like
+    tp08's quota table), and the 1-row level/budget frames broadcast
+    back. At 100 TB the corpus pass is the only thing that grows.
+    FP contract: allocations are exact int64; the only double is the
+    display-only fill_frac, rounded at 4 dp with the midpoint nudge in
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    src = (
+        d.groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("cap"))
+        .withColumn("w", poly_hash("source") % 9 + 1)
+    )
+    b = src.groupBy().agg(F.expr("(2 * sum(cap)) div 3").alias("b"))
+    nsrc = src.groupBy().agg(F.count(F.lit(1)).alias("nsrc"))
+    order = [F.expr(f"(cap * {TP14_SCALE}) div w"), F.col("source")]
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        src.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+        .withColumn("cpre", F.sum("cap").over(w_run))
+        .withColumn("wpre", F.sum("w").over(w_run))
+        .withColumn("wtot", F.sum("w").over(Window.partitionBy()))
+    )
+    brk = (
+        ranked.crossJoin(F.broadcast(b))
+        .filter(
+            (F.col("b") - (F.col("cpre") - F.col("cap"))) * F.col("w")
+            <= F.col("cap") * (F.col("wtot") - (F.col("wpre") - F.col("w")))
+        )
+        .groupBy()
+        .agg(F.min("rn").alias("minrn"))
+    )
+    lvl = (
+        brk.crossJoin(F.broadcast(nsrc))
+        .select(F.coalesce(F.col("minrn") - 1, F.col("nsrc")).alias("kstar"))
+        .join(
+            ranked.select(F.col("rn").alias("krn"), F.col("cpre").alias("csat"), F.col("wpre").alias("wsat")),
+            F.col("kstar") == F.col("krn"),
+            "left",
+        )
+        .select(
+            "kstar",
+            F.coalesce("csat", F.lit(0)).alias("csat"),
+            F.coalesce("wsat", F.lit(0)).alias("wsat"),
+        )
+    )
+    alloc = F.when(F.col("rn") <= F.col("kstar"), F.col("cap")).otherwise(
+        F.expr("((b - csat) * w) div (wtot - wsat)")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lvl))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "source",
+            F.col("cap").alias("avail_tokens"),
+            F.col("w").alias("weight"),
+            F.col("rn").cast("int").alias("rn"),
+            F.when(F.col("rn") <= F.col("kstar"), 1).otherwise(0).cast("int").alias("saturated"),
+            alloc.alias("alloc_tokens"),
+        )
+        .withColumn(
+            "fill_frac",
+            F.round(F.col("alloc_tokens") / F.col("avail_tokens") + 1e-9, 4),
+        )
+    )
+
+
+_TP14_W = f"CAST(({poly_hash_sql('source')}) % 9 + 1 AS BIGINT)"
+TP14_SQL = f"""
+    WITH src AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap, {_TP14_W} AS w
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT (2 * sum(cap)) // 3 AS b FROM src),
+    ord AS (
+        SELECT source, cap, w,
+               row_number() OVER (ORDER BY (cap * {TP14_SCALE}) // w, source) AS rn,
+               sum(cap) OVER (ORDER BY (cap * {TP14_SCALE}) // w, source
+                              ROWS UNBOUNDED PRECEDING) AS cpre,
+               sum(w) OVER (ORDER BY (cap * {TP14_SCALE}) // w, source
+                            ROWS UNBOUNDED PRECEDING) AS wpre,
+               sum(w) OVER () AS wtot
+        FROM src
+    ),
+    brk AS (
+        SELECT coalesce(min(rn) - 1, (SELECT count(*) FROM src)) AS kstar
+        FROM ord, tot
+        WHERE (b - (cpre - cap)) * w <= cap * (wtot - (wpre - w))
+    ),
+    lvl AS (
+        SELECT kstar,
+               coalesce((SELECT cpre FROM ord WHERE rn = kstar), 0) AS csat,
+               coalesce((SELECT wpre FROM ord WHERE rn = kstar), 0) AS wsat
+        FROM brk
+    ),
+    alloc AS (
+        SELECT o.source, o.cap, o.w, o.rn,
+               CASE WHEN o.rn <= l.kstar THEN 1 ELSE 0 END AS saturated,
+               CASE WHEN o.rn <= l.kstar THEN o.cap
+                    ELSE ((t.b - l.csat) * o.w) // (o.wtot - l.wsat) END AS alloc
+        FROM ord o, lvl l, tot t
+    )
+    SELECT source,
+           cap AS avail_tokens,
+           w AS weight,
+           CAST(rn AS INT) AS rn,
+           CAST(saturated AS INT) AS saturated,
+           CAST(alloc AS BIGINT) AS alloc_tokens,
+           round(alloc * 1.0 / cap + 1e-9, 4) AS fill_frac
+    FROM alloc
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
@@ -997,6 +1139,7 @@ QUERIES = {
     "tp11_chunk_overlap": tp11_chunk_overlap,
     "tp12_weighted_sample": tp12_weighted_sample,
     "tp13_range_partition": tp13_range_partition,
+    "tp14_budget_waterfill": tp14_budget_waterfill,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "tx05_hash_sample": tx05_hash_sample,
@@ -1018,6 +1161,7 @@ ORACLES = {
     "tp11_chunk_overlap": TP11_SQL,
     "tp12_weighted_sample": TP12_SQL,
     "tp13_range_partition": TP13_SQL,
+    "tp14_budget_waterfill": TP14_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "tx05_hash_sample": TX05_SQL,
