@@ -111,6 +111,7 @@ EXTRA = [
     "mm18_audio_vad",          # energy-gate VAD segment extraction (round 10)
     "tp13_range_partition",    # range-partition plan + balance audit (round 10)
     "tp14_budget_waterfill",   # max-min-fair token-budget allocation (round 10)
+    "dd16_cdc_chunks",         # content-defined chunking dedup profile (round 10)
 ]
 
 

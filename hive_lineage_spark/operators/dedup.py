@@ -1067,6 +1067,126 @@ DD15_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# dd16: content-defined chunking (CDC) dedup profile — the rsync/LBFS
+# (Muthitacharoen et al. 2001) boundary trick at training-data scale:
+# chunk boundaries are declared wherever a W-char window's hash hits
+# 0 mod DIV, so boundaries move WITH the content — an insertion shifts
+# at most one chunk instead of re-aligning every fixed-width block
+# (the failure mode of tx11's fixed spans). Duplicated chunks across
+# documents are then an alignment-robust shared-content signal. The
+# window hash is the house polynomial hash recomputed per window
+# (O(n·W), W=8 constant — exactly replayable in SQL; a production
+# chunker swaps in the O(n) incremental Rabin update inside
+# mapInPandas, boundaries unchanged).
+# ---------------------------------------------------------------------------
+
+CDC_W = 8    # boundary window, chars
+CDC_DIV = 32  # boundary divisor → mean chunk ≈ 32 chars
+
+_CDC_WINHASH = (
+    f"aggregate(split(substring(text, i + 1, {CDC_W}), ''), 0L, "
+    f"(acc, ch) -> (acc * {MULT} + ascii(ch)) % {MOD})"
+)
+_CDC_BOUNDS = (
+    f"array_sort(array_distinct(concat(array(0), "
+    f"transform(filter(CASE WHEN length(text) < {CDC_W} THEN array() "
+    f"ELSE sequence(0, length(text) - {CDC_W}) END, "
+    f"i -> {_CDC_WINHASH} % {CDC_DIV} = 0), i -> i + {CDC_W}), "
+    f"array(length(text)))))"
+)
+_CDC_CHUNKS = (
+    f"CASE WHEN size(bs) < 2 THEN array() "
+    f"ELSE transform(sequence(0, size(bs) - 2), "
+    f"j -> substring(text, element_at(bs, j + 1) + 1, "
+    f"element_at(bs, j + 2) - element_at(bs, j + 1))) END"
+)
+
+
+def dd16_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-chunk profile under content-defined
+    chunking: per chunk hash shared by ≥ 2 documents, how many
+    documents and occurrences carry it (plus min_doc / chunk_len as
+    identity evidence). Boundary rule: a chunk ends after any W=8 char
+    window whose polynomial hash ≡ 0 (mod 32); document start/end
+    close the first/last chunk.
+
+    SCALE shape: chunking is pure whole-stage codegen fused into the
+    scan (window hashing, boundary filter and chunk slicing are all
+    higher-order array functions — no Python, no shuffle); the only
+    exchange is the groupBy on the 8-byte chunk hash, never the chunk
+    text, and the ≥2-docs filter makes the output duplicate-sized, not
+    corpus-sized. At 100 TB this is one map + one partial-agg shuffle —
+    the same shape as dd01 exact dedup, with boundaries that survive
+    byte insertions."""
+    from ..functions.hashing import poly_hash  # house hash (Column form)
+
+    d = _docs(spark, sf_dir)
+    chunks = (
+        d.select("doc_id", "text")
+        .withColumn("bs", F.expr(_CDC_BOUNDS))
+        .select("doc_id", F.explode(F.expr(_CDC_CHUNKS)).alias("chunk"))
+    )
+    hashed = chunks.select(
+        "doc_id",
+        poly_hash("chunk").alias("chash"),
+        F.length("chunk").cast("long").alias("clen"),
+    )
+    return (
+        hashed.groupBy("chash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_occ"),
+            F.min("doc_id").alias("min_doc"),
+            F.min("clen").alias("chunk_len"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_CDC_WINHASH_SQL = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(string_split(substring(text, i + 1, {CDC_W}), ''), "
+    f"ch -> CAST(greatest(unicode(ch), 0) AS BIGINT))), "
+    f"(acc, x) -> (acc * {MULT} + x) % {MOD})"
+)
+DD16_SQL = f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    marks AS (
+        SELECT doc_id, text, n,
+               list_transform(
+                   list_filter(
+                       CASE WHEN n >= {CDC_W} THEN range(0, n - {CDC_W} + 1) ELSE [] END,
+                       i -> ({_CDC_WINHASH_SQL}) % {CDC_DIV} = 0),
+                   i -> i + {CDC_W}) AS mk
+        FROM d
+    ),
+    bounds AS (
+        SELECT doc_id, text,
+               list_sort(list_distinct(list_concat(list_concat([0], mk), [n]))) AS bs
+        FROM marks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(bs) < 2 THEN []
+                      ELSE list_transform(range(0, len(bs) - 1),
+                           j -> substring(text, bs[j + 1] + 1, bs[j + 2] - bs[j + 1])) END) AS chunk
+        FROM bounds
+    ),
+    hashed AS (
+        SELECT doc_id, {poly_hash_sql('chunk')} AS chash,
+               CAST(length(chunk) AS BIGINT) AS clen
+        FROM chunks
+    )
+    SELECT chash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS total_occ,
+           min(doc_id) AS min_doc,
+           min(clen) AS chunk_len
+    FROM hashed GROUP BY chash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 QUERIES = {
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
@@ -1079,6 +1199,7 @@ QUERIES = {
     "dd11_incremental_postings": dd11_incremental_postings,
     "dd14_bloom_decontaminate": dd14_bloom_decontaminate,
     "dd15_minhash_calibration": dd15_minhash_calibration,
+    "dd16_cdc_chunks": dd16_cdc_chunks,
 }
 
 # Operator-authored lineage through dd06's tile barrier (lineage.analyze
@@ -1103,4 +1224,5 @@ ORACLES = {
     "dd11_incremental_postings": DD11_SQL,
     "dd14_bloom_decontaminate": DD14_SQL,
     "dd15_minhash_calibration": DD15_SQL,
+    "dd16_cdc_chunks": DD16_SQL,
 }
