@@ -112,6 +112,7 @@ EXTRA = [
     "tp13_range_partition",    # range-partition plan + balance audit (round 10)
     "tp14_budget_waterfill",   # max-min-fair token-budget allocation (round 10)
     "dd16_cdc_chunks",         # content-defined chunking dedup profile (round 10)
+    "ss18_ann_matryoshka",     # MRL prefix search + full-dim rerank (round 10)
 ]
 
 

@@ -115,6 +115,7 @@ from pyspark.sql import DataFrame, SparkSession
 ROTATION_QUEUE: dict[str, int] = {
     "tp14_budget_waterfill": 10,  # token-budget water-filling allocation, registered r10 post-promotion
     "dd16_cdc_chunks": 10,        # content-defined chunking dedup profile, registered r10 post-promotion
+    "ss18_ann_matryoshka": 10,    # MRL prefix search + full-dim rerank, registered r10 post-promotion
 }
 
 _DRIVER_PRIORITY = [

@@ -2105,6 +2105,117 @@ SS17_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# ss18: Matryoshka-prefix search + full-dimension rerank (Kusupati et
+# al. 2022, "Matryoshka Representation Learning" — the two-stage
+# retrieval MRL embeddings are trained for): score the corpus with the
+# FIRST 8 of 32 dimensions (4× less data read and compared), keep the
+# top-C candidates per query, then rerank only those with the exact
+# full-dimension cosine. Unlike PQ (ss08/ss10) the coarse stage needs
+# no trained codebook — the embedding's own prefix IS the coarse code.
+# Reference has no vector ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+MRL_DP = 8   # prefix dimensions scored in the coarse pass
+MRL_C = 20   # coarse candidates per query fed to the rerank
+
+
+def ss18_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage MRL retrieval: prefix-cosine coarse top-C, exact
+    full-dim rerank top-K. Output carries ``coarse_rank`` next to the
+    final rank — the evidence of how much the cheap stage misorders
+    (the deployment question MRL answers: how small can the serving
+    prefix be before rerank can't fix it).
+
+    SCALE shape: the coarse join moves ONLY the 8-dim prefixes and
+    norms (in a production layout the prefix is its own column, so the
+    scan reads 4× less); the candidate set (query_id, neighbor_id,
+    coarse_rank) is C-per-query slim, and the full 32-dim vectors are
+    joined back ONLY for the C·n_queries rerank rows. Both rank
+    windows are keyed on query_id — parallelism = #queries, candidate
+    streams WindowGroupLimit-pruned map-side. FP contract: prefix and
+    full dots both fold ascending-index in both engines (ss01's
+    contract); ranks compare raw doubles with neighbor_id tie-break;
+    only the displayed cosine rounds (6 dp)."""
+    vec = _vectors(spark, sf_dir)
+    pn = F.sqrt(
+        F.aggregate(
+            F.transform(F.slice("v", 1, MRL_DP), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    pref = vec.select("vec_id", F.slice("v", 1, MRL_DP).alias("pv"), pn.alias("pn"))
+    q = pref.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("pv").alias("qp"), F.col("pn").alias("qpn")
+    )
+    c = pref.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("pv").alias("cp"), F.col("pn").alias("cpn")
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("neighbor_id"))
+    cand = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cscore", _cosine(F.col("qp"), F.col("cp"), F.col("qpn"), F.col("cpn")))
+        .withColumn("coarse_rank", F.row_number().over(wc))
+        .filter(F.col("coarse_rank") <= MRL_C)
+        .select("query_id", "neighbor_id", F.col("coarse_rank").cast("int").alias("coarse_rank"))
+    )
+    qv = vec.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    cv = vec.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+            "coarse_rank",
+        )
+    )
+
+
+SS18_SQL = f"""
+    WITH {_vectors_sql()},
+    p AS (
+        SELECT vec_id, v[1:{MRL_DP}] AS pv,
+               sqrt(list_reduce(list_transform(v[1:{MRL_DP}], x -> x * x),
+                                (a, b) -> a + b)) AS pn
+        FROM e
+    ),
+    coarse AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='q.pv', b='c.pv')} / (q.pn * c.pn) AS cscore
+        FROM p q JOIN p c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, coarse_rank FROM (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cscore DESC, neighbor_id ASC) AS INT) AS coarse_rank
+            FROM coarse
+        ) WHERE coarse_rank <= {MRL_C}
+    ),
+    rer AS (
+        SELECT cand.query_id, cand.neighbor_id, cand.coarse_rank,
+               {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cosine
+        FROM cand
+        JOIN e q ON q.vec_id = cand.query_id
+        JOIN e c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank, coarse_rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine, coarse_rank,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM rer
+    ) WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -2123,6 +2234,7 @@ QUERIES = {
     "ss15_mips_norm_augment": ss15_mips_norm_augment,
     "ss16_mips_ivf": ss16_mips_ivf,
     "ss17_rank_fusion": ss17_rank_fusion,
+    "ss18_ann_matryoshka": ss18_ann_matryoshka,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -2163,6 +2275,7 @@ ORACLES = {
     "ss15_mips_norm_augment": SS15_SQL,
     "ss16_mips_ivf": SS16_SQL,
     "ss17_rank_fusion": SS17_SQL,
+    "ss18_ann_matryoshka": SS18_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,
