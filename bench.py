@@ -113,6 +113,7 @@ EXTRA = [
     "tp14_budget_waterfill",   # max-min-fair token-budget allocation (round 10)
     "dd16_cdc_chunks",         # content-defined chunking dedup profile (round 10)
     "ss18_ann_matryoshka",     # MRL prefix search + full-dim rerank (round 10)
+    "mm19_vit_patches",        # ViT patch grid + per-patch luma stats (round 10)
 ]
 
 

@@ -116,6 +116,7 @@ ROTATION_QUEUE: dict[str, int] = {
     "tp14_budget_waterfill": 10,  # token-budget water-filling allocation, registered r10 post-promotion
     "dd16_cdc_chunks": 10,        # content-defined chunking dedup profile, registered r10 post-promotion
     "ss18_ann_matryoshka": 10,    # MRL prefix search + full-dim rerank, registered r10 post-promotion
+    "mm19_vit_patches": 10,       # ViT patch grid + per-patch luma stats, registered r10 post-promotion
 }
 
 _DRIVER_PRIORITY = [

@@ -2256,6 +2256,88 @@ MM18_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# mm19: ViT patchification (Dosovitskiy et al. 2020) — the tensor-prep
+# step every vision-language training pipeline runs between decode and
+# the model: crop the image to a multiple of the patch size, cut the
+# P×P grid, and emit per-patch statistics (here integer luma
+# sum/min/max — the patch-level degenerate-content evidence a curation
+# pass gates on before paying for embeddings). Reference has no
+# multimodal ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+PATCH_P = 4  # patch edge, pixels (fixture images are 4-16 × 4-10)
+
+PATCH_SCHEMA = (
+    "doc_id long, py int, px int, luma_sum long, luma_min long, luma_max long"
+)
+
+
+def _patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real decode → integer luma (r+g+b) →
+    crop to ⌊w/P⌋·P × ⌊h/P⌋·P (ViT's resize-to-multiple, exact here) →
+    one reshape gives every patch; sums/mins/maxs are single vectorized
+    reductions over the (hp, P, wp, P) tensor."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_image_real(bytes(payload))
+            w, h = m["width"], m["height"]
+            pxb = np.frombuffer(m["pixels"], dtype=np.uint8).astype(np.int64)
+            luma = pxb.reshape(h, w, 3).sum(axis=2)
+            hp, wp = h // PATCH_P, w // PATCH_P
+            t = luma[: hp * PATCH_P, : wp * PATCH_P].reshape(hp, PATCH_P, wp, PATCH_P)
+            sums, mins, maxs = t.sum(axis=(1, 3)), t.min(axis=(1, 3)), t.max(axis=(1, 3))
+            for py in range(hp):
+                for px in range(wp):
+                    rows.append(
+                        (doc_id, py, px, int(sums[py, px]), int(mins[py, px]), int(maxs[py, px]))
+                    )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "py", "px", "luma_sum", "luma_min", "luma_max"]
+        )
+
+
+def mm19_vit_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P×P patch grid over REAL decoded pixels with per-patch integer
+    luma stats — variable rows per image (⌊h/P⌋·⌊w/P⌋ patches).
+
+    Scale shape: identical to mm05-mm18's narrow-map contract — ONE
+    Arrow-batched Python stage fused over the image scan, no shuffle;
+    per-image cost is one reshape + three vectorized reductions, and
+    output is patch-count-sized, which is what the downstream
+    embedding batcher (tp03-style packing over patches) consumes. The
+    oracle replays crop, grid and stats in closed form from the
+    fixture's byte formula."""
+    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    return imgs.mapInPandas(_patch_batches, schema=PATCH_SCHEMA)
+
+
+MM19_SQL = f"""
+    WITH m AS (
+        SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 7) + 4 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, x.x AS x, y.y AS y,
+               (SELECT sum((doc_id * 31 + ((y.y * w + x.x) * 3 + c.c) * 7) % 256)
+                FROM unnest(range(0, 3)) c(c)) AS luma
+        FROM m,
+             unnest(range(0, (w // {PATCH_P}) * {PATCH_P})) x(x),
+             unnest(range(0, (h // {PATCH_P}) * {PATCH_P})) y(y)
+    )
+    SELECT doc_id,
+           CAST(y // {PATCH_P} AS INT) AS py,
+           CAST(x // {PATCH_P} AS INT) AS px,
+           CAST(sum(luma) AS BIGINT) AS luma_sum,
+           CAST(min(luma) AS BIGINT) AS luma_min,
+           CAST(max(luma) AS BIGINT) AS luma_max
+    FROM px GROUP BY doc_id, y // {PATCH_P}, x // {PATCH_P}
+"""
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -2275,6 +2357,7 @@ QUERIES = {
     "mm16_image_entropy": mm16_image_entropy,
     "mm17_image_phash": mm17_image_phash,
     "mm18_audio_vad": mm18_audio_vad,
+    "mm19_vit_patches": mm19_vit_patches,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -2328,6 +2411,12 @@ DECLARED = {
         "doc_id": ["doc_id"],
         **{c: ["payload"] for c in (
             "seg_idx", "start_w", "end_w", "n_win", "seg_energy"
+        )},
+    },
+    "mm19_vit_patches": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "py", "px", "luma_sum", "luma_min", "luma_max"
         )},
     },
     "mm16_image_entropy": {
@@ -2388,4 +2477,5 @@ ORACLES = {
     "mm16_image_entropy": MM16_SQL,
     "mm17_image_phash": MM17_SQL,
     "mm18_audio_vad": MM18_SQL,
+    "mm19_vit_patches": MM19_SQL,
 }

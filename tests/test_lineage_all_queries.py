@@ -35,6 +35,7 @@ PYTHON_BARRIER = {
     "mm16_image_entropy",
     "mm17_image_phash",
     "mm18_audio_vad",
+    "mm19_vit_patches",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
