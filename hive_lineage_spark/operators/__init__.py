@@ -112,12 +112,23 @@ from pyspark.sql import DataFrame, SparkSession
 #     paths, incoming mm16/mm17/mm18 all run the real decode chain),
 #   tx14 (certified r6-r9; incoming tx20 + dq05 keep rule gating,
 #     tx15-tx19 keep text).
-ROTATION_QUEUE: dict[str, int] = {
-    "tp14_budget_waterfill": 10,  # token-budget water-filling allocation, registered r10 post-promotion
-    "dd16_cdc_chunks": 10,        # content-defined chunking dedup profile, registered r10 post-promotion
-    "ss18_ann_matryoshka": 10,    # MRL prefix search + full-dim rerank, registered r10 post-promotion
-    "mm19_vit_patches": 10,       # ViT patch grid + per-patch luma stats, registered r10 post-promotion
-}
+# Round-10 third promotion: the four post-second-promotion
+# registrations (tp14 water-filling, dd16 CDC dedup, ss18 Matryoshka,
+# mm19 patchify — all local-oracle green at both scales) also move
+# into the window, so CORRECTNESS_r10 certifies the entire 146-query
+# registry and r11 starts with ZERO debt. Four multiply-certified ops
+# rotate out, semantics kept in-window:
+#   q10 (full outer, certified r1-r9; q44 UNIQUEJOIN executes the
+#     documented full-outer mapping in-window),
+#   ss11 (certified r8-r9; ss13 composes trained-PQ probing, incoming
+#     ss18 keeps the coarse+exact-rerank two-stage shape),
+#   tp03 (certified r6-r9; tp11 keeps chunking, incoming tp14 keeps
+#     pipeline planning; the packing plan stays pinned in
+#     tests/test_plans.py + docs/PLANS.md),
+#   dd13 (certified r5-r9; dd02/dd03 keep pair generation, incoming
+#     dd16 keeps dedup breadth; the Arrow/dgemm tile path stays
+#     plan-pinned and local-oracle covered).
+ROTATION_QUEUE: dict[str, int] = {}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified
@@ -125,7 +136,7 @@ _DRIVER_PRIORITY = [
     # rotated out in the r10 second promotion, see ROTATION_QUEUE
     # comment)
     "q04_filter_predicates", "q05_join_inner", "q06_join_4way",
-    "q07_join_broadcast", "q10_join_full_outer", "q12_join_left_anti",
+    "q07_join_broadcast", "q12_join_left_anti",
     "q13_join_nullsafe", "q44_unique_join", "q14_agg_tpch_q1",
     "q17_q27_shape",
     "q18_partition_pruning", "q19_insert_readback",
@@ -138,17 +149,18 @@ _DRIVER_PRIORITY = [
     # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
     # is its Arrow twin)
     "dd02_ngram_jaccard", "dd03_minhash_lsh",
-    "dd13_semdedup_arrow",
     "dd14_bloom_decontaminate",
     "dd15_minhash_calibration",
+    "dd16_cdc_chunks",
     # similarity search (ss01 rotated out r10 — certified 8x, exact
     # baseline embedded wholesale in ss09's recall oracle; ss07/ss08/
     # ss10 out in the second promotion — ss09/ss11/ss13 keep
     # IVF/PQ/rerank in-window; ss15/ss16/ss17 in from the r10 queue)
-    "ss09_ann_recall", "ss11_ann_pq_trained",
+    "ss09_ann_recall",
     "ss12_ann_hamming", "ss13_ann_ivfpq",
     "ss14_ann_random_projection",
     "ss15_mips_norm_augment", "ss16_mips_ivf", "ss17_rank_fusion",
+    "ss18_ann_matryoshka",
     # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
     # tx12/tx13 rotated out mid-r10, tx14 out in the second promotion;
     # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
@@ -164,11 +176,13 @@ _DRIVER_PRIORITY = [
     "mm13_video_420_pixels", "mm14_audio_resample",
     "mm15_video_shot_detect",
     "mm16_image_entropy", "mm17_image_phash", "mm18_audio_vad",
+    "mm19_vit_patches",
     # composed pipeline + training-prep (tp01 rotated out r10 —
     # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
     # packing/chunking; tp12/tp13 in from the r10 queue)
-    "tp03_pack_sequences", "tp11_chunk_overlap",
+    "tp11_chunk_overlap",
     "tp12_weighted_sample", "tp13_range_partition",
+    "tp14_budget_waterfill",
     # data-quality gates (dq01/dq02/dq03 rotated out during r10 —
     # dq03's drift is two dq01 profiles; dq04 keeps the volume gate,
     # dq05 in from the r10 queue)
