@@ -63,6 +63,8 @@ SHOW = [
     ("dq05_row_expectations", "rule CASEs fuse into the fact scan as whole-stage codegen — zero exchanges; output is violation-count-sized"),
     ("tp13_range_partition", "boundary array BROADCAST into the full scan; part_id assignment is a shuffle-free codegen map; rank window only over the 1-in-20 sample"),
     ("tx21_kneser_ney_xent", "four vocabulary-capped KN model tables (bigram/head/continuation/B) all broadcast LEFT into the shuffle-free zip_with bigram stream"),
+    ("dd16_cdc_chunks", "content-defined chunking entirely in scan-stage codegen (window hashes, boundary filter, chunk slicing); the only exchanges key on the 8-byte chunk hash, never the text"),
+    ("ss18_ann_matryoshka", "coarse pass joins only 8-dim prefixes; WindowGroupLimit prunes to C per query map-side; full vectors rejoin only for the C·n_queries rerank rows"),
 ]
 
 
