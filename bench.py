@@ -114,6 +114,7 @@ EXTRA = [
     "dd16_cdc_chunks",         # content-defined chunking dedup profile (round 10)
     "ss18_ann_matryoshka",     # MRL prefix search + full-dim rerank (round 10)
     "mm19_vit_patches",        # ViT patch grid + per-patch luma stats (round 10)
+    "tx22_dsir_logweight",     # DSIR hashed-bigram importance weights (round 10)
 ]
 
 

@@ -128,7 +128,9 @@ from pyspark.sql import DataFrame, SparkSession
 #   dd13 (certified r5-r9; dd02/dd03 keep pair generation, incoming
 #     dd16 keeps dedup breadth; the Arrow/dgemm tile path stays
 #     plan-pinned and local-oracle covered).
-ROTATION_QUEUE: dict[str, int] = {}
+ROTATION_QUEUE: dict[str, int] = {
+    "tx22_dsir_logweight": 10,  # DSIR hashed-bigram importance weights, registered r10 post-promotion
+}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified

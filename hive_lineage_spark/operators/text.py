@@ -1729,6 +1729,129 @@ TX21_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# tx22: DSIR — Data Selection via Importance Resampling (Xie et al.
+# 2023), the published recipe for "select raw-web documents that look
+# like the target domain": featurize every document into HASHED BIGRAM
+# buckets, fit bag-of-feature models on a target slice and a raw
+# slice, and score each candidate by the importance log-weight
+# log p_target(doc) − log p_raw(doc). Laplace (+1 over B buckets)
+# smoothing keeps every probability a ratio of integers, so each
+# feature's contribution is ln(ct+1) − ln(Tt+B) − ln(cr+1) + ln(Tr+B)
+# — four ln(int) terms, the same cross-engine contract as tx16/tx21.
+# Slices: target = doc_id % 3 == 1, raw = doc_id % 3 == 2, scored =
+# doc_id % 3 == 0 (disjoint from both models, the deployment shape).
+# Reference has no LM ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64  # hashed-feature space (DSIR uses 10k; fixture-sized here)
+
+
+def tx22_dsir_logweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weight over hashed bigram
+    features. A positive ``logw`` means the document looks more like
+    the target slice than the raw slice — DSIR then samples with
+    probability ∝ exp(logw); the weight (plus ``n_feats`` evidence) is
+    the operator output, the draw is tp12's weighted sampler applied
+    downstream.
+
+    Scale shape: bigram featurization is the tx16 shuffle-free
+    zip_with map followed by the poly-hash bucket fold (pure codegen);
+    both models are B-row tables (64 here, 10k in the paper — always
+    broadcastable) built by one partial-agg pass each, LEFT-joined
+    into the scored feature stream. Cross-engine FP contract: every
+    contribution is a ±ln(integer) sum, folded in bucket-sorted order
+    in BOTH engines, rounded at 6 dp with the midpoint nudge."""
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    feats = ws.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.expr(
+            "explode(zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+            " (a, b) -> concat(a, ' ', b)))"
+        ).alias("bg"),
+    ).select("doc_id", (poly_hash("bg") % DSIR_BUCKETS).alias("f"))
+    tgt = (
+        feats.filter(F.col("doc_id") % 3 == 1)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = (
+        feats.filter(F.col("doc_id") % 3 == 2)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    tt = feats.filter(F.col("doc_id") % 3 == 1).groupBy().agg(
+        (F.count(F.lit(1)) + DSIR_BUCKETS).alias("tt")
+    )
+    tr = feats.filter(F.col("doc_id") % 3 == 2).groupBy().agg(
+        (F.count(F.lit(1)) + DSIR_BUCKETS).alias("tr")
+    )
+    contrib = (
+        F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+        - F.log("tt")
+        - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1)
+        + F.log("tr")
+    )
+    scored = (
+        feats.filter(F.col("doc_id") % 3 == 0)
+        .join(tgt, "f", "left")
+        .join(raw, "f", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select("doc_id", F.struct("f", contrib.alias("c")).alias("fc"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.aggregate(
+            F.array_sort(F.collect_list("fc")), F.lit(0.0), lambda a, s: a + s["c"]
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id", "n_feats", F.round(F.col("s") + 1e-9, 6).alias("logw")
+    )
+
+
+TX22_SQL = f"""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, ({poly_hash_sql('bg')}) % {DSIR_BUCKETS} AS f
+        FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1])) AS bg
+            FROM ws WHERE len(ws) >= 2
+        )
+    ),
+    tgt AS (SELECT f, count(*) AS ct FROM feats WHERE doc_id % 3 = 1 GROUP BY f),
+    raw AS (SELECT f, count(*) AS cr FROM feats WHERE doc_id % 3 = 2 GROUP BY f),
+    tt AS (SELECT count(*) + {DSIR_BUCKETS} AS tt FROM feats WHERE doc_id % 3 = 1),
+    tr AS (SELECT count(*) + {DSIR_BUCKETS} AS tr FROM feats WHERE doc_id % 3 = 2),
+    scored AS (
+        SELECT feats.doc_id, feats.f,
+               ln(coalesce(ct, 0) + 1) - ln(tt)
+               - ln(coalesce(cr, 0) + 1) + ln(tr) AS c
+        FROM feats
+        LEFT JOIN tgt USING (f)
+        LEFT JOIN raw USING (f)
+        CROSS JOIN tt CROSS JOIN tr
+        WHERE feats.doc_id % 3 = 0
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_feats,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY f)),
+                   (a, c) -> a + c
+               ) AS s
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+           round(s + 1e-9, 6) AS logw
+    FROM per_doc
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -1749,6 +1872,7 @@ QUERIES = {
     "tx19_bpe_apply": tx19_bpe_apply,
     "tx20_ccnet_buckets": tx20_ccnet_buckets,
     "tx21_kneser_ney_xent": tx21_kneser_ney_xent,
+    "tx22_dsir_logweight": tx22_dsir_logweight,
 }
 
 ORACLES = {
@@ -1771,4 +1895,5 @@ ORACLES = {
     "tx19_bpe_apply": TX19_SQL,
     "tx20_ccnet_buckets": TX20_SQL,
     "tx21_kneser_ney_xent": TX21_SQL,
+    "tx22_dsir_logweight": TX22_SQL,
 }
