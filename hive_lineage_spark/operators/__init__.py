@@ -128,9 +128,11 @@ from pyspark.sql import DataFrame, SparkSession
 #   dd13 (certified r5-r9; dd02/dd03 keep pair generation, incoming
 #     dd16 keeps dedup breadth; the Arrow/dgemm tile path stays
 #     plan-pinned and local-oracle covered).
-ROTATION_QUEUE: dict[str, int] = {
-    "tx22_dsir_logweight": 10,  # DSIR hashed-bigram importance weights, registered r10 post-promotion
-}
+# Round-10 fourth promotion: tx22 (DSIR importance weights, both
+# scales green) moves in; dq04 rotates out (certified r8-r9; dq05
+# keeps the quality-gate family in-window and dq04's batch≡stream
+# equality stays pytest-pinned in the streaming suite).
+ROTATION_QUEUE: dict[str, int] = {}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified
@@ -188,7 +190,8 @@ _DRIVER_PRIORITY = [
     # data-quality gates (dq01/dq02/dq03 rotated out during r10 —
     # dq03's drift is two dq01 profiles; dq04 keeps the volume gate,
     # dq05 in from the r10 queue)
-    "dq04_volume_anomaly", "dq05_row_expectations",
+    "dq05_row_expectations",
+    "tx22_dsir_logweight",
 ]
 
 
