@@ -115,6 +115,7 @@ EXTRA = [
     "ss18_ann_matryoshka",     # MRL prefix search + full-dim rerank (round 10)
     "mm19_vit_patches",        # ViT patch grid + per-patch luma stats (round 10)
     "tx22_dsir_logweight",     # DSIR hashed-bigram importance weights (round 10)
+    "ss19_ann_filtered",       # pre-filtered IVF search + exact-recall flag (round 10)
 ]
 
 

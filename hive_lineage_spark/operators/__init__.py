@@ -132,7 +132,9 @@ from pyspark.sql import DataFrame, SparkSession
 # scales green) moves in; dq04 rotates out (certified r8-r9; dq05
 # keeps the quality-gate family in-window and dq04's batch≡stream
 # equality stays pytest-pinned in the streaming suite).
-ROTATION_QUEUE: dict[str, int] = {}
+ROTATION_QUEUE: dict[str, int] = {
+    "ss19_ann_filtered": 10,  # pre-filtered IVF search + exact-recall flag, registered r10 post-promotion
+}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified

@@ -2216,6 +2216,151 @@ SS18_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# ss19: FILTERED vector search — the vector-DB feature every serving
+# stack ships (Qdrant/Milvus/pgvector "metadata filter + ANN"): top-K
+# under a row predicate. Semantics matter: this is PRE-filtering — the
+# predicate constrains the candidate set BEFORE the top-K cut, so the
+# result always holds K qualifying rows when they exist; post-filtering
+# (cutting top-K first, then filtering) silently returns < K and loses
+# recall, the classic deployment bug. The predicate here is the parity
+# gate vec_id % 2 = 0 (a stand-in for "license-cleared"); each output
+# row carries ``in_exact`` — whether the filtered-IVF result is also in
+# the exact filtered brute-force top-K (ss09-style recall evidence,
+# inline). Reference has no vector ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+SS19_PRED_MOD = 2  # predicate: neighbor qualifies iff vec_id % 2 == 0
+
+
+def ss19_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered IVF top-K with inline exact-recall flag.
+
+    Scale shape: ss02's plan with the predicate PUSHED INTO THE INDEX
+    SIDE — the filter applies to the assigned-corpus frame before the
+    cell equi-join, so disqualified vectors never enter the candidate
+    stream (at 100 TB with a selective filter this is the difference
+    between scoring the corpus and scoring the qualifying slice). Cell
+    assignment stays the ss02 broadcast-centroid pure map; the exact
+    leg brute-forces only the FILTERED corpus and exists as the
+    recall oracle, exactly as ss09 carries its exact baseline."""
+    vec = _vectors(spark, sf_dir)
+    cent_arr = (
+        vec.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
+    )
+    neg_cells = lambda v_col, n_col: F.transform(  # noqa: E731
+        "cents",
+        lambda c: F.struct(
+            (-_cosine(v_col, c["cv"], n_col, c["cn"])).alias("neg"),
+            c["cent_id"].alias("cell"),
+        ),
+    )
+    assign = (
+        vec.filter(F.col("vec_id") % SS19_PRED_MOD == 0)  # predicate BEFORE the join
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id", "v", "nrm",
+            F.array_min(neg_cells(F.col("v"), F.col("nrm")))["cell"].alias("cell"),
+        )
+    )
+    probes = (
+        vec.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(neg_cells(F.col("v"), F.col("nrm"))), 1, N_PROBE),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ivf = (
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= K)
+    )
+    q = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    fc = vec.filter(F.col("vec_id") % SS19_PRED_MOD == 0).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    exact = (
+        q.join(fc, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("flag"))
+    )
+    return (
+        ivf.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+            F.coalesce("flag", F.lit(0)).cast("int").alias("in_exact"),
+        )
+    )
+
+
+SS19_SQL = f"""
+    WITH {_vectors_sql()},
+    cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id < {N_CENTROIDS}),
+    assign_scored AS (
+        SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
+               {_DOT_SQL.format(a='e.v', b='cent.cv')} / (e.nrm * cent.cn) AS sim
+        FROM e CROSS JOIN cent
+    ),
+    assign AS (
+        SELECT vec_id, v, nrm, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rk
+            FROM assign_scored WHERE vec_id % {SS19_PRED_MOD} = 0
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rk
+            FROM assign_scored WHERE vec_id < {N_QUERIES}
+        ) WHERE rk <= {N_PROBE}
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       {_DOT_SQL.format(a='p.qv', b='a.v')} / (p.qn * a.nrm) AS cosine
+                FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+            )
+        ) WHERE rank <= {K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) DESC,
+                                               c.vec_id ASC) AS rk
+            FROM e q JOIN e c
+              ON q.vec_id < {N_QUERIES} AND c.vec_id % {SS19_PRED_MOD} = 0
+             AND q.vec_id <> c.vec_id
+        ) WHERE rk <= {K}
+    )
+    SELECT i.query_id, i.neighbor_id, round(i.cosine, 6) AS cosine, i.rank,
+           CAST(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact
+    FROM ivf i
+    LEFT JOIN exact x ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -2235,6 +2380,7 @@ QUERIES = {
     "ss16_mips_ivf": ss16_mips_ivf,
     "ss17_rank_fusion": ss17_rank_fusion,
     "ss18_ann_matryoshka": ss18_ann_matryoshka,
+    "ss19_ann_filtered": ss19_ann_filtered,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -2276,6 +2422,7 @@ ORACLES = {
     "ss16_mips_ivf": SS16_SQL,
     "ss17_rank_fusion": SS17_SQL,
     "ss18_ann_matryoshka": SS18_SQL,
+    "ss19_ann_filtered": SS19_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,
