@@ -132,9 +132,12 @@ from pyspark.sql import DataFrame, SparkSession
 # scales green) moves in; dq04 rotates out (certified r8-r9; dq05
 # keeps the quality-gate family in-window and dq04's batch≡stream
 # equality stays pytest-pinned in the streaming suite).
-ROTATION_QUEUE: dict[str, int] = {
-    "ss19_ann_filtered": 10,  # pre-filtered IVF search + exact-recall flag, registered r10 post-promotion
-}
+# Round-10 fifth promotion: ss19 (filtered IVF search, both scales
+# green) moves in; tp11 rotates out (certified r8-r9; tp12/tp13/tp14
+# keep the training-prep family in-window, and tp11's shuffle-free
+# chunking plan stays pinned by tests/test_plans.py::
+# test_gate_and_chunking_are_shuffle_free + the local oracle).
+ROTATION_QUEUE: dict[str, int] = {}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified
@@ -166,7 +169,7 @@ _DRIVER_PRIORITY = [
     "ss12_ann_hamming", "ss13_ann_ivfpq",
     "ss14_ann_random_projection",
     "ss15_mips_norm_augment", "ss16_mips_ivf", "ss17_rank_fusion",
-    "ss18_ann_matryoshka",
+    "ss18_ann_matryoshka", "ss19_ann_filtered",
     # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
     # tx12/tx13 rotated out mid-r10, tx14 out in the second promotion;
     # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
@@ -186,7 +189,6 @@ _DRIVER_PRIORITY = [
     # composed pipeline + training-prep (tp01 rotated out r10 —
     # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
     # packing/chunking; tp12/tp13 in from the r10 queue)
-    "tp11_chunk_overlap",
     "tp12_weighted_sample", "tp13_range_partition",
     "tp14_budget_waterfill",
     # data-quality gates (dq01/dq02/dq03 rotated out during r10 —
