@@ -65,6 +65,7 @@ SHOW = [
     ("tx21_kneser_ney_xent", "four vocabulary-capped KN model tables (bigram/head/continuation/B) all broadcast LEFT into the shuffle-free zip_with bigram stream"),
     ("dd16_cdc_chunks", "content-defined chunking entirely in scan-stage codegen (window hashes, boundary filter, chunk slicing); the only exchanges key on the 8-byte chunk hash, never the text"),
     ("ss18_ann_matryoshka", "coarse pass joins only 8-dim prefixes; WindowGroupLimit prunes to C per query map-side; full vectors rejoin only for the C·n_queries rerank rows"),
+    ("ss19_ann_filtered", "predicate lands on the index side BEFORE the cell join (pre-filter semantics); disqualified vectors never enter the candidate stream"),
 ]
 
 
