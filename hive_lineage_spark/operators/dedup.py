@@ -1084,16 +1084,19 @@ DD15_SQL = f"""
 CDC_W = 8    # boundary window, chars
 CDC_DIV = 32  # boundary divisor → mean chunk ≈ 32 chars
 
+# the text is split to codepoints ONCE per document (the `cs` column);
+# each window then folds a cheap integer slice instead of re-running
+# substring+split per position (8x less string work, identical values)
 _CDC_WINHASH = (
-    f"aggregate(split(substring(text, i + 1, {CDC_W}), ''), 0L, "
-    f"(acc, ch) -> (acc * {MULT} + ascii(ch)) % {MOD})"
+    f"aggregate(slice(cs, i + 1, {CDC_W}), 0L, "
+    f"(acc, x) -> (acc * {MULT} + x) % {MOD})"
 )
 _CDC_BOUNDS = (
     f"array_sort(array_distinct(concat(array(0), "
-    f"transform(filter(CASE WHEN length(text) < {CDC_W} THEN array() "
-    f"ELSE sequence(0, length(text) - {CDC_W}) END, "
+    f"transform(filter(CASE WHEN size(cs) < {CDC_W} THEN array() "
+    f"ELSE sequence(0, size(cs) - {CDC_W}) END, "
     f"i -> {_CDC_WINHASH} % {CDC_DIV} = 0), i -> i + {CDC_W}), "
-    f"array(length(text)))))"
+    f"array(size(cs)))))"
 )
 _CDC_CHUNKS = (
     f"CASE WHEN size(bs) < 2 THEN array() "
@@ -1124,6 +1127,7 @@ def dd16_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     chunks = (
         d.select("doc_id", "text")
+        .withColumn("cs", F.expr("transform(split(text, ''), ch -> ascii(ch))"))
         .withColumn("bs", F.expr(_CDC_BOUNDS))
         .select("doc_id", F.explode(F.expr(_CDC_CHUNKS)).alias("chunk"))
     )
