@@ -116,6 +116,7 @@ EXTRA = [
     "mm19_vit_patches",        # ViT patch grid + per-patch luma stats (round 10)
     "tx22_dsir_logweight",     # DSIR hashed-bigram importance weights (round 10)
     "ss19_ann_filtered",       # pre-filtered IVF search + exact-recall flag (round 10)
+    "mm20_audio_spectral",     # fixed-point DFT-bin window powers (round 10)
 ]
 
 

@@ -137,7 +137,9 @@ from pyspark.sql import DataFrame, SparkSession
 # keep the training-prep family in-window, and tp11's shuffle-free
 # chunking plan stays pinned by tests/test_plans.py::
 # test_gate_and_chunking_are_shuffle_free + the local oracle).
-ROTATION_QUEUE: dict[str, int] = {}
+ROTATION_QUEUE: dict[str, int] = {
+    "mm20_audio_spectral": 10,  # fixed-point DFT-bin window powers, registered r10 post-promotion
+}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified

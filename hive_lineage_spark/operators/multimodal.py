@@ -2338,6 +2338,118 @@ MM19_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# mm20: fixed-point spectral features — per-window DFT-bin energies
+# over the decoded PCM, the filterbank step between mm11's
+# time-domain features and any model-based audio scorer (tone /
+# hum / DTMF detection, the narrowband-noise gate of an ASR curation
+# pass). Same exactness trick as mm17's DCT: the 16-sample cos/sin
+# bases for bins k=1..4 round ONCE to 15-bit integers and embed as
+# literals in both engines, so every bin power is exact int64
+# (|x|≤2000, |C|≤2^15, 16 terms → |re| ≤ 1.05e9; re²+im² ≤ 2.2e18 <
+# 2^63). Reference has no audio ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+SPEC_BINS = 4  # DFT bins k = 1..4 over the AUDIO_WIN=16 window
+
+_SPEC_C = [
+    [round(_math.cos(2 * _math.pi * k * n / AUDIO_WIN) * PHASH_SCALE) for n in range(AUDIO_WIN)]
+    for k in range(1, SPEC_BINS + 1)
+]
+_SPEC_S = [
+    [round(_math.sin(2 * _math.pi * k * n / AUDIO_WIN) * PHASH_SCALE) for n in range(AUDIO_WIN)]
+    for k in range(1, SPEC_BINS + 1)
+]
+
+SPEC_SCHEMA = (
+    "doc_id long, w int, p1 long, p2 long, p3 long, p4 long, dom int"
+)
+
+
+def _spectral_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: WAV parse, de-interleave channel 0, window
+    as mm11/mm18 (zero-padded tail), then two (nw,16)x(16,4) integer
+    matmuls give every window's re/im per bin; power = re² + im².
+    dom = first bin achieving the max power (1-based, ties → lower
+    bin)."""
+    import numpy as np
+
+    C = np.array(_SPEC_C, dtype=np.int64).T  # [n][k]
+    S = np.array(_SPEC_S, dtype=np.int64).T
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_audio_real(bytes(payload))
+            s = np.asarray(m["samples"], dtype=np.int64)
+            c0 = s[0 :: m["n_channels"]]
+            nw = (len(c0) + AUDIO_WIN - 1) // AUDIO_WIN
+            padded = np.zeros(nw * AUDIO_WIN, dtype=np.int64)
+            padded[: len(c0)] = c0
+            wmat = padded.reshape(nw, AUDIO_WIN)
+            re, im = wmat @ C, wmat @ S
+            p = re * re + im * im  # exact int64 (bound in module comment)
+            dom = p.argmax(axis=1) + 1  # first max, 1-based
+            for w in range(nw):
+                rows.append(
+                    (doc_id, w, int(p[w, 0]), int(p[w, 1]), int(p[w, 2]), int(p[w, 3]), int(dom[w]))
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "w", "p1", "p2", "p3", "p4", "dom"])
+
+
+def mm20_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window fixed-point DFT-bin powers (k=1..4 of a 16-sample
+    window) + dominant bin over REAL decoded WAV.
+
+    Scale shape: the mm-family narrow-map contract — one Arrow-batched
+    Python stage over the scan, per-clip cost two small integer
+    matmuls, output nw rows per clip, zero exchanges. The oracle
+    replays the window slicing and both embedded integer bases in
+    closed form from the fixture's sample formula, so the bin powers
+    are bit-identical — a float FFT could not promise that across
+    engines."""
+    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    return wavs.mapInPandas(_spectral_batches, schema=SPEC_SCHEMA)
+
+
+def _mm20_sql() -> str:
+    flat_c = ", ".join(str(c) for row in _SPEC_C for c in row)  # [k][n] row-major
+    flat_s = ", ".join(str(c) for row in _SPEC_S for c in row)
+    terms = {}
+    for k in range(1, SPEC_BINS + 1):
+        terms[f"re{k}"] = f"sum(v * ([{flat_c}])[{(k - 1) * AUDIO_WIN} + n + 1])"
+        terms[f"im{k}"] = f"sum(v * ([{flat_s}])[{(k - 1) * AUDIO_WIN} + n + 1])"
+    powers = ",\n               ".join(
+        f"CAST({terms[f're{k}']} * {terms[f're{k}']} + {terms[f'im{k}']} * {terms[f'im{k}']} AS BIGINT) AS p{k}"
+        for k in range(1, SPEC_BINS + 1)
+    )
+    return f"""
+    WITH m AS (
+        SELECT doc_id, 1 + (doc_id % 2) AS ch, (doc_id % 50) + 20 AS n_frames
+        FROM documents
+    ),
+    c0 AS (
+        SELECT doc_id, t.f AS f,
+               ((doc_id * 37 + (t.f * ch) * 11) % 4001) - 2000 AS v
+        FROM m, unnest(range(0, n_frames)) t(f)
+    ),
+    win AS (
+        SELECT doc_id, f // {AUDIO_WIN} AS w, f % {AUDIO_WIN} AS n, v FROM c0
+    ),
+    pw AS (
+        SELECT doc_id, w,
+               {powers}
+        FROM win GROUP BY doc_id, w
+    )
+    SELECT doc_id, CAST(w AS INT) AS w, p1, p2, p3, p4,
+           CAST(CASE greatest(p1, p2, p3, p4)
+                WHEN p1 THEN 1 WHEN p2 THEN 2 WHEN p3 THEN 3 ELSE 4 END AS INT) AS dom
+    FROM pw
+"""
+
+
+MM20_SQL = _mm20_sql()
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -2358,6 +2470,7 @@ QUERIES = {
     "mm17_image_phash": mm17_image_phash,
     "mm18_audio_vad": mm18_audio_vad,
     "mm19_vit_patches": mm19_vit_patches,
+    "mm20_audio_spectral": mm20_audio_spectral,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -2419,6 +2532,10 @@ DECLARED = {
             "py", "px", "luma_sum", "luma_min", "luma_max"
         )},
     },
+    "mm20_audio_spectral": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in ("w", "p1", "p2", "p3", "p4", "dom")},
+    },
     "mm16_image_entropy": {
         "doc_id": ["doc_id"],
         **{c: ["payload"] for c in (
@@ -2478,4 +2595,5 @@ ORACLES = {
     "mm17_image_phash": MM17_SQL,
     "mm18_audio_vad": MM18_SQL,
     "mm19_vit_patches": MM19_SQL,
+    "mm20_audio_spectral": MM20_SQL,
 }

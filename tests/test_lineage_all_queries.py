@@ -36,6 +36,7 @@ PYTHON_BARRIER = {
     "mm17_image_phash",
     "mm18_audio_vad",
     "mm19_vit_patches",
+    "mm20_audio_spectral",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
