@@ -137,9 +137,12 @@ from pyspark.sql import DataFrame, SparkSession
 # keep the training-prep family in-window, and tp11's shuffle-free
 # chunking plan stays pinned by tests/test_plans.py::
 # test_gate_and_chunking_are_shuffle_free + the local oracle).
-ROTATION_QUEUE: dict[str, int] = {
-    "mm20_audio_spectral": 10,  # fixed-point DFT-bin window powers, registered r10 post-promotion
-}
+# Round-10 sixth promotion: mm20 (fixed-point spectral features, both
+# scales green) moves in; ss09 rotates out (certified r8-r9; the
+# exact-baseline evidence is in-window via ss18/ss19's inline
+# in_exact flags, and the 5-leg recall@K report stays local-oracle
+# checked and bench-tracked as an EXTRA).
+ROTATION_QUEUE: dict[str, int] = {}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified
@@ -167,7 +170,6 @@ _DRIVER_PRIORITY = [
     # baseline embedded wholesale in ss09's recall oracle; ss07/ss08/
     # ss10 out in the second promotion — ss09/ss11/ss13 keep
     # IVF/PQ/rerank in-window; ss15/ss16/ss17 in from the r10 queue)
-    "ss09_ann_recall",
     "ss12_ann_hamming", "ss13_ann_ivfpq",
     "ss14_ann_random_projection",
     "ss15_mips_norm_augment", "ss16_mips_ivf", "ss17_rank_fusion",
@@ -187,7 +189,7 @@ _DRIVER_PRIORITY = [
     "mm13_video_420_pixels", "mm14_audio_resample",
     "mm15_video_shot_detect",
     "mm16_image_entropy", "mm17_image_phash", "mm18_audio_vad",
-    "mm19_vit_patches",
+    "mm19_vit_patches", "mm20_audio_spectral",
     # composed pipeline + training-prep (tp01 rotated out r10 —
     # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
     # packing/chunking; tp12/tp13 in from the r10 queue)
