@@ -117,6 +117,7 @@ EXTRA = [
     "tx22_dsir_logweight",     # DSIR hashed-bigram importance weights (round 10)
     "ss19_ann_filtered",       # pre-filtered IVF search + exact-recall flag (round 10)
     "mm20_audio_spectral",     # fixed-point DFT-bin window powers (round 10)
+    "dd17_cluster_keep_best",  # cluster canonical-representative dedup apply (round 10)
 ]
 
 

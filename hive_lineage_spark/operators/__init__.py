@@ -142,7 +142,9 @@ from pyspark.sql import DataFrame, SparkSession
 # exact-baseline evidence is in-window via ss18/ss19's inline
 # in_exact flags, and the 5-leg recall@K report stays local-oracle
 # checked and bench-tracked as an EXTRA).
-ROTATION_QUEUE: dict[str, int] = {}
+ROTATION_QUEUE: dict[str, int] = {
+    "dd17_cluster_keep_best": 10,  # cluster canonical-representative dedup apply, registered r10 post-promotion
+}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified

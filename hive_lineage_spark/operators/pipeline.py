@@ -900,6 +900,78 @@ TP12_SQL = f"""
 """
 
 
+def dd17_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup APPLY with a quality policy: dd08's
+    connected components pick the duplicate clusters, then each
+    cluster keeps its BEST member — longest document (n_chars), ties
+    to the lowest doc_id — instead of dd07's order-based
+    keep-first-occurrence. This is the canonical-representative
+    selection production dedup actually runs (keep the highest-quality
+    copy, not an arbitrary one); the output is the per-clustered-doc
+    verdict (label, kept flag, the cluster's representative) that
+    joins back as a drop list.
+
+    SCALE shape: the component fixpoint is dd08's pointer-jumping
+    propagation (O(log diameter) joins over EDGE-sized frames —
+    near-dup graphs are sparse); the representative choice is one
+    window over label-keyed clustered docs (parallelism = #clusters),
+    and only clustered doc_ids — duplicate-sized, not corpus-sized —
+    ever shuffle. Deterministic, so the oracle replays components with
+    a recursive CTE and the policy with the same window."""
+    pairs = dd02_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    labels = connected_components(edges)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "n_chars"
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("n_chars"), F.asc("node"))
+    ranked = labels.join(d, "node").withColumn("rk", F.row_number().over(w))
+    reps = ranked.filter(F.col("rk") == 1).select(
+        "label", F.col("node").alias("rep_id")
+    )
+    return (
+        ranked.join(reps, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            "label",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.when(F.col("rk") == 1, 1).otherwise(0).cast("int").alias("is_kept"),
+            "rep_id",
+        )
+    )
+
+
+# dd17 oracle: dd08's recursive reachability labels + the same
+# quality-policy window (longest n_chars, ties to lowest doc_id).
+DD17_SQL = f"""
+    WITH RECURSIVE pairs AS ({DD02_SQL}),
+    edges AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b AS id_a, id_a AS id_b FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT id_a AS src, id_a AS dst FROM edges
+        UNION
+        SELECT r.src, e.id_b AS dst
+        FROM reach r JOIN edges e ON r.dst = e.id_a
+    ),
+    labels AS (SELECT src AS node, min(dst) AS label FROM reach GROUP BY src),
+    ranked AS (
+        SELECT l.node, l.label, d.n_chars,
+               row_number() OVER (PARTITION BY l.label
+                                  ORDER BY d.n_chars DESC, l.node ASC) AS rk
+        FROM labels l JOIN documents d ON d.doc_id = l.node
+    ),
+    reps AS (SELECT label, node AS rep_id FROM ranked WHERE rk = 1)
+    SELECT r.node AS doc_id, r.label,
+           CAST(r.n_chars AS BIGINT) AS n_chars,
+           CAST(CASE WHEN r.rk = 1 THEN 1 ELSE 0 END AS INT) AS is_kept,
+           reps.rep_id
+    FROM ranked r JOIN reps USING (label)
+"""
+
+
 # ---------------------------------------------------------------------------
 # tp13: range-partition planning — the TeraSort / Spark-RangePartitioner
 # primitive behind every distributed global sort: SAMPLE the key column,
@@ -1142,6 +1214,7 @@ QUERIES = {
     "tp14_budget_waterfill": tp14_budget_waterfill,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
+    "dd17_cluster_keep_best": dd17_cluster_keep_best,
     "tx05_hash_sample": tx05_hash_sample,
     "tx06_source_mix": tx06_source_mix,
 }
@@ -1164,6 +1237,7 @@ ORACLES = {
     "tp14_budget_waterfill": TP14_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
+    "dd17_cluster_keep_best": DD17_SQL,
     "tx05_hash_sample": TX05_SQL,
     "tx06_source_mix": TX06_SQL,
 }
