@@ -118,6 +118,7 @@ EXTRA = [
     "ss19_ann_filtered",       # pre-filtered IVF search + exact-recall flag (round 10)
     "mm20_audio_spectral",     # fixed-point DFT-bin window powers (round 10)
     "dd17_cluster_keep_best",  # cluster canonical-representative dedup apply (round 10)
+    "dq06_freshness_sla",      # per-type freshness/SLA gate vs watermark (round 10)
 ]
 
 

@@ -144,6 +144,7 @@ from pyspark.sql import DataFrame, SparkSession
 # checked and bench-tracked as an EXTRA).
 ROTATION_QUEUE: dict[str, int] = {
     "dd17_cluster_keep_best": 10,  # cluster canonical-representative dedup apply, registered r10 post-promotion
+    "dq06_freshness_sla": 10,     # per-type freshness/SLA gate vs watermark, registered r10 post-promotion
 }
 
 _DRIVER_PRIORITY = [

@@ -404,12 +404,74 @@ DQ05_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# dq06: freshness / SLA gate — per event type, the lag between the
+# stream's watermark (global max ts) and that type's newest event. A
+# dead or wedged producer shows up here as a stale TYPE long before
+# dq04's day-level volume cliff fires — this is the "data is arriving
+# but one source silently stopped" check every ingest SLA dashboard
+# runs. All epoch math is the tz-independent naive_epoch_seconds
+# contract (functions/time_fns.py), so the lag is exact int64 in both
+# engines.
+# ---------------------------------------------------------------------------
+
+SLA_LAG_S = 600  # freshness SLA: a type is stale if > 10 min behind the watermark
+
+
+def dq06_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness report against the stream watermark:
+    (n_events, last_epoch, lag_s, stale). The watermark is the global
+    max event time — comparing types against it rather than wall-clock
+    keeps the gate deterministic and replayable (the production
+    variant swaps in processing time; the dataflow is identical).
+
+    SCALE shape: ONE partial-agg pass to type granularity (map-side
+    combine on the low-cardinality event_type key), the 1-row
+    watermark frame broadcast back — the corpus never shuffles. The
+    streaming twin is a max-aggregate over the same keyed state."""
+    from ..functions import naive_epoch_seconds
+    from ..sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", naive_epoch_seconds("ts").alias("es")
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("es").alias("last_epoch")
+    )
+    wm = ev.groupBy().agg(F.max("es").alias("wm"))
+    return per.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        "n_events",
+        "last_epoch",
+        (F.col("wm") - F.col("last_epoch")).alias("lag_s"),
+        (F.col("wm") - F.col("last_epoch") > SLA_LAG_S).alias("stale"),
+    )
+
+
+DQ06_SQL = f"""
+    WITH ev AS (
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+    ),
+    per AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               max(es) AS last_epoch
+        FROM ev GROUP BY event_type
+    ),
+    wm AS (SELECT max(es) AS wm FROM ev)
+    SELECT event_type, n_events, last_epoch,
+           wm - last_epoch AS lag_s,
+           wm - last_epoch > {SLA_LAG_S} AS stale
+    FROM per, wm
+"""
+
+
 QUERIES = {
     "dq01_profile": dq01_profile,
     "dq02_constraints": dq02_constraints,
     "dq03_snapshot_drift": dq03_snapshot_drift,
     "dq04_volume_anomaly": dq04_volume_anomaly,
     "dq05_row_expectations": dq05_row_expectations,
+    "dq06_freshness_sla": dq06_freshness_sla,
 }
 
 ORACLES = {
@@ -418,4 +480,5 @@ ORACLES = {
     "dq03_snapshot_drift": DQ03_SQL,
     "dq04_volume_anomaly": DQ04_SQL,
     "dq05_row_expectations": DQ05_SQL,
+    "dq06_freshness_sla": DQ06_SQL,
 }
