@@ -142,17 +142,23 @@ from pyspark.sql import DataFrame, SparkSession
 # exact-baseline evidence is in-window via ss18/ss19's inline
 # in_exact flags, and the 5-leg recall@K report stays local-oracle
 # checked and bench-tracked as an EXTRA).
-ROTATION_QUEUE: dict[str, int] = {
-    "dd17_cluster_keep_best": 10,  # cluster canonical-representative dedup apply, registered r10 post-promotion
-    "dq06_freshness_sla": 10,     # per-type freshness/SLA gate vs watermark, registered r10 post-promotion
-}
+# Round-11 rotation (executes the r10 queue): dd17_cluster_keep_best +
+# dq06_freshness_sla — the only two registry entries with no driver
+# row ever — move IN. Two 10x-certified ops rotate out, semantics
+# kept in-window: q05_join_inner (certified r1-r10; q06 keeps 4-way
+# inner, q07 broadcast inner, q13 null-safe inner) and
+# dd02_ngram_jaccard (certified r1-r10; incoming dd17 embeds dd02's
+# pair generation WHOLESALE — its Spark op calls dd02_ngram_jaccard
+# and its oracle inlines DD02_SQL — and dd03 keeps banded pair
+# search; dd02 stays a headline bench query).
+ROTATION_QUEUE: dict[str, int] = {}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified
     # r1-r9, scan/project semantics kept by q04/q18; q08/q09/q11/q31
     # rotated out in the r10 second promotion, see ROTATION_QUEUE
     # comment)
-    "q04_filter_predicates", "q05_join_inner", "q06_join_4way",
+    "q04_filter_predicates", "q06_join_4way",
     "q07_join_broadcast", "q12_join_left_anti",
     "q13_join_nullsafe", "q44_unique_join", "q14_agg_tpch_q1",
     "q17_q27_shape",
@@ -164,11 +170,13 @@ _DRIVER_PRIORITY = [
     "q50_vtable_partitioned",
     # deduplication (dd06 rotated out r10 — certified r1-r9, cosine
     # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
-    # is its Arrow twin)
-    "dd02_ngram_jaccard", "dd03_minhash_lsh",
+    # is its Arrow twin; dd02 out r11 — dd17 embeds its pair
+    # generation wholesale)
+    "dd03_minhash_lsh",
     "dd14_bloom_decontaminate",
     "dd15_minhash_calibration",
     "dd16_cdc_chunks",
+    "dd17_cluster_keep_best",
     # similarity search (ss01 rotated out r10 — certified 8x, exact
     # baseline embedded wholesale in ss09's recall oracle; ss07/ss08/
     # ss10 out in the second promotion — ss09/ss11/ss13 keep
@@ -202,6 +210,7 @@ _DRIVER_PRIORITY = [
     # dq03's drift is two dq01 profiles; dq04 keeps the volume gate,
     # dq05 in from the r10 queue)
     "dq05_row_expectations",
+    "dq06_freshness_sla",
     "tx22_dsir_logweight",
 ]
 

@@ -2130,9 +2130,9 @@ def _mm17_sql() -> str:
         ) WHERE rk = {(PHASH_K * PHASH_K - 1 - 1) // 2 + 1}
     )
     SELECT a.doc_id,
-           CAST(any_value(m.w) AS INT) AS width,
-           CAST(any_value(m.h) AS INT) AS height,
-           any_value(med.median_ac) AS median_ac,
+           CAST(max(m.w) AS INT) AS width,
+           CAST(max(m.h) AS INT) AS height,
+           CAST(max(med.median_ac) AS BIGINT) AS median_ac,
            CAST(sum(CASE WHEN a.k < 31 AND a.s > med.median_ac
                          THEN 1 << a.k ELSE 0 END) AS BIGINT) AS phash_hi,
            CAST(sum(CASE WHEN a.k >= 31 AND a.s > med.median_ac
