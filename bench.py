@@ -129,12 +129,18 @@ def machine_load_evidence() -> dict:
     not distinguish from regression). Two signals: the 1/5/15-min
     loadavg, and a fixed-work single-thread spin calibration — on an
     idle core the loop takes a stable ~wall time; CPU contention
-    inflates it roughly in proportion to oversubscription."""
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(2_000_000):
-        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
-    spin_ms = round((time.perf_counter() - t0) * 1000.0, 1)
+    inflates it roughly in proportion to oversubscription. The spin is
+    the MIN of 3 short bursts — a single long spin is itself subject to
+    the scheduler jitter it is trying to measure; the min of several
+    short ones recovers the uncontended per-iteration cost."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(700_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    spin_ms = round(best * 1000.0 * (2_000_000 / 700_000), 1)
     try:
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError:

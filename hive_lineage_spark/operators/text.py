@@ -602,15 +602,21 @@ def tx12_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulators, so the per-width hashes are intermediate expressions
     of the same lead chain (``_multi_width_gram_hashes``), not three
     re-executions of the corpus pipeline (the naive per-width loop was
-    measured ~3× this cost). Per width, frequencies are one partial-agg
-    groupBy on the 8-byte hash and the frequency join is hash-to-hash
-    (3 longs wide). Docs shorter than w words drop for that width in
-    both engines (empty gram range)."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    # one explicit exchange on the join/agg key: the frequency count and
-    # the frequency join both consume it, so the tokenize+window pipeline
-    # upstream executes ONCE (ReusedExchange) instead of once per branch
-    g_all = _multi_width_gram_hashes(d, DUP_WIDTHS).repartition("w", "gh")
+    measured ~3× this cost). The (w, gh)-partitioned gram frame is
+    PERSISTED per (session, sf_dir) — dd02's ``_persisted`` index
+    pattern — because its two consumers (the frequency count and the
+    frequency join probe side) do not canonicalize to a shared
+    exchange: unpersisted, the executed plan runs the whole corpus
+    tokenize twice (8 FileScans, 0 ReusedExchange — measured r10).
+    Persisted, both branches read one InMemoryRelation already hashed
+    on the join/agg key, so neither re-shuffles. Per width,
+    frequencies are one partial-agg groupBy on the 8-byte hash and
+    the frequency join is hash-to-hash (3 longs wide). Docs shorter
+    than w words drop for that width in both engines (empty gram
+    range)."""
+    from .dedup import _persisted
+
+    g_all = _persisted("tx12_grams", spark, sf_dir, _tx12_gram_frame)
     cnt = g_all.groupBy("w", "gh").agg(F.count(F.lit(1)).alias("cf"))
     per = (
         g_all.join(cnt, ["w", "gh"])
@@ -627,6 +633,14 @@ def tx12_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_spans",
         F.round(F.col("n_dup_spans") / F.col("n_spans") + 1e-9, 4).alias("dup_frac"),
     )
+
+
+def _tx12_gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builder for the persisted tx12 gram index: all-width sliding
+    gram hashes, pre-partitioned on the (w, gh) join/agg key so both
+    cached-frame consumers inherit the partitioning."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return _multi_width_gram_hashes(d, DUP_WIDTHS).repartition("w", "gh")
 
 
 def _multi_width_gram_hashes(d: DataFrame, widths: tuple[int, ...]) -> DataFrame:

@@ -235,6 +235,37 @@ def test_bpe_train_vocab_sized_iterations(spark):
     clear_postings_cache()
 
 
+def test_tx12_gram_index_cached_single_pipeline(spark):
+    """tx12's frequency count and frequency join both consume the
+    persisted (w, gh)-partitioned gram index: the executed plan reads
+    InMemoryTableScan on both branches and the corpus tokenize/vocab/
+    window pipeline appears ONLY inside the single cached-relation
+    build — not as two live FileScan subtrees (the r10 regression:
+    repartition alone did not canonicalize to a ReusedExchange, so the
+    heaviest bench query ran its corpus pipeline twice)."""
+    import hive_lineage_spark.operators.text as tx
+    from hive_lineage_spark.operators.dedup import _POSTINGS_CACHE, clear_postings_cache
+
+    import re
+
+    clear_postings_cache()
+    df = tx.tx12_dup_span_profile(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # every document scan lives under an InMemoryRelation build print;
+    # nothing scans live ahead of the first cached relation
+    assert "FileScan" not in plan.split("InMemoryRelation")[0], plan
+    # one shared build: the (w, gh) REPARTITION_BY_COL exchange occurs
+    # as ONE final + ONE initial physical node however often the cached
+    # relation is printed (r10's broken plan had two live exchanges —
+    # four distinct plan_ids — and zero InMemoryTableScans)
+    ids = set(re.findall(r"REPARTITION_BY_COL, \[plan_id=(\d+)\]", plan))
+    assert len(ids) <= 2, ids
+    assert "tx12_grams" in {k[2] for k in _POSTINGS_CACHE}
+    clear_postings_cache()
+
+
 def test_pair_curation_single_join_no_python(spark):
     """mm09: the caption encoder must fuse into the documents scan (pure
     map) and the only data movement is the pair-id equi-join of the two

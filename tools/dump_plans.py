@@ -66,6 +66,9 @@ SHOW = [
     ("dd16_cdc_chunks", "content-defined chunking entirely in scan-stage codegen (window hashes, boundary filter, chunk slicing); the only exchanges key on the 8-byte chunk hash, never the text"),
     ("ss18_ann_matryoshka", "coarse pass joins only 8-dim prefixes; WindowGroupLimit prunes to C per query map-side; full vectors rejoin only for the C·n_queries rerank rows"),
     ("ss19_ann_filtered", "predicate lands on the index side BEFORE the cell join (pre-filter semantics); disqualified vectors never enter the candidate stream"),
+    ("tx12_dup_span_profile", "the (w,gh)-partitioned gram index is PERSISTED: both consumers (frequency count + frequency join probe) read InMemoryTableScan of ONE relation — the corpus tokenize/vocab/window pipeline executes once, where the unpersisted r10 plan ran it twice (8 FileScans, 0 reuse)"),
+    ("dd02_ngram_jaccard", "persisted prefix-postings index (InMemoryTableScan on every consumer); prefix filter sheds candidates BEFORE the pair join; positional upper-bound filter in codegen; no cartesian product anywhere"),
+    ("dd12_semdedup", "ONE cell-id exchange partitions the corpus; the within-cell self-join is the only SMJ (Σ|cell|² work, never n²); the cosine pair filter runs in whole-stage codegen before any pair materializes"),
 ]
 
 
