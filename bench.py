@@ -119,6 +119,10 @@ EXTRA = [
     "mm20_audio_spectral",     # fixed-point DFT-bin window powers (round 10)
     "dd17_cluster_keep_best",  # cluster canonical-representative dedup apply (round 10)
     "dq06_freshness_sla",      # per-type freshness/SLA gate vs watermark (round 10)
+    "dd18_longest_dup_span",   # per-doc longest duplicated span (round 11)
+    "tp15_doremi_reweight",    # DoReMi mixture reweighting step (round 11)
+    "mm21_phash_search",       # query-by-image pHash Hamming top-K (round 11)
+    "mm22_audio_quality",      # audio clip quality gate (round 11)
 ]
 
 

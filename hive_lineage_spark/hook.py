@@ -599,7 +599,7 @@ class LineageTracker:
 
         # resolve lineage through .persist() caches (Spark keeps only the
         # cached PHYSICAL plan — exprId-compatible, so analyze() handles it)
-        result = self._stitch_caches(result, leaf_tables, cap)
+        result = self._stitch_caches(result, leaf_tables, cap, declared=declared)
         # cross-query stitching via the location map
         result = self._stitch_columns(result, leaf_tables, cap)
         logical = self._stitch_graph(logical)
@@ -697,10 +697,13 @@ class LineageTracker:
 
     # -- stitching ------------------------------------------------------------
 
-    def _resolve_cache_doc(self, doc: dict):
+    def _resolve_cache_doc(self, doc: dict, declared: dict[str, list[str]] | None = None):
         """Analyze one captured cache doc, recursing into caches built over
         caches (``nested``), so a multi-level persisted index pipeline
-        still resolves to base tables. Returns
+        still resolves to base tables. ``declared`` flows into the cached
+        subplan's analysis so a Python barrier INSIDE a persisted frame
+        (mm21's cached pHash table) resolves exactly as it would
+        unpersisted. Returns
         (column_map, ordered output names, input tables, indirect cells) —
         with every nested-cache marker already rewritten away."""
         from .plans.jsonplan import expr_trees, parse_tree
@@ -720,14 +723,19 @@ class LineageTracker:
             if name is None and j in nested:
                 name = f"<nestedcache{j}>"
             sub_tables.append(name or f"<cacheleaf{j}>")
-        sub_res = analyze(sub_plan, sub_tables)
+        sub_res = analyze(sub_plan, sub_tables, declared=declared)
         colmap = {k: set(v) for k, v in sub_res.column_map().items()}
         ordered = [c.name for c in sub_res.columns]
+        declared_names = {
+            c.name for c in sub_res.columns if getattr(c, "role", None) == "declared"
+        }
         inputs = list(sub_res.input_tables)
         indirect: set[Cell] = set(sub_res.indirect)
         for j, ndoc in nested.items():
             marker = f"<nestedcache{j}>"
-            nmap, nordered, ninputs, nindirect = self._resolve_cache_doc(ndoc)
+            nmap, nordered, ninputs, nindirect, ndeclared = self._resolve_cache_doc(
+                ndoc, declared
+            )
             # positional mapping, same rationale as the top level: the
             # InMemoryTableScan's output attr names may be re-aliased
             # copies of the nested cached plan's outputs
@@ -752,12 +760,24 @@ class LineageTracker:
                         out.add((t, c))
                 return out
 
+            # a sub column fed by a declared nested-cache column is itself
+            # only declared-strength provenance
+            declared_names |= {
+                k for k, v in colmap.items()
+                if any(t == marker and c in ndeclared for t, c in v)
+            }
             colmap = {k: rw(v) for k, v in colmap.items()}
             indirect = rw(indirect) | set(nindirect)
             inputs = [t for t in inputs if t != marker] + list(ninputs)
-        return colmap, ordered, sorted(set(inputs)), frozenset(indirect)
+        return colmap, ordered, sorted(set(inputs)), frozenset(indirect), declared_names
 
-    def _stitch_caches(self, result: LineageResult, leaf_tables: list[str], cap: Captured) -> LineageResult:
+    def _stitch_caches(
+        self,
+        result: LineageResult,
+        leaf_tables: list[str],
+        cap: Captured,
+        declared: dict[str, list[str]] | None = None,
+    ) -> LineageResult:
         """Replace ``cache:<i>`` base cells with the lineage of the cached
         physical subplan (captured at plan-capture time) — the analog of
         resolving through the reference's intermediate TempFileDef scans."""
@@ -768,8 +788,11 @@ class LineageTracker:
         leaves = [p for p in cap.logical.walk() if not p.children]
         sub_maps: dict[str, dict[str, set[Cell]]] = {}
         sub_inputs: dict[str, list[str]] = {}
+        sub_declared: dict[str, set[str]] = {}
         for idx, doc in cap.cached_plans.items():
-            by_name, sub_cols, sub_in, sub_indirect = self._resolve_cache_doc(doc)
+            by_name, sub_cols, sub_in, sub_indirect, sub_decl = self._resolve_cache_doc(
+                doc, declared
+            )
             # map by POSITION: when a cached relation is instantiated twice
             # (self-joins), Spark re-aliases the later occurrence's output
             # attributes, so the leaf names need not match the cached
@@ -783,6 +806,10 @@ class LineageTracker:
             }
             sub_maps[f"cache:{idx}"] = {**by_name, **positional}
             sub_inputs[f"cache:{idx}"] = sub_in
+            # positional aliases of declared sub columns are declared too
+            sub_declared[f"cache:{idx}"] = sub_decl | {
+                ln for ln, sn in zip(leaf_names, sub_cols) if sn in sub_decl
+            }
             result.indirect = frozenset(result.indirect | sub_indirect)
 
         def rewrite(cells: frozenset[Cell]) -> frozenset[Cell]:
@@ -795,6 +822,12 @@ class LineageTracker:
             return frozenset(out)
 
         for col in result.columns:
+            # a column fed by a declared edge inside the cached plan is
+            # only declared-strength provenance — surface the downgrade
+            if any(
+                t in sub_declared and c in sub_declared[t] for t, c in col.bases
+            ):
+                col.role = "declared"
             col.bases = rewrite(col.bases)
         result.indirect = rewrite(result.indirect)
         new_inputs: list[str] = []

@@ -151,7 +151,12 @@ from pyspark.sql import DataFrame, SparkSession
 # pair generation WHOLESALE — its Spark op calls dd02_ngram_jaccard
 # and its oracle inlines DD02_SQL — and dd03 keeps banded pair
 # search; dd02 stays a headline bench query).
-ROTATION_QUEUE: dict[str, int] = {}
+ROTATION_QUEUE: dict[str, int] = {
+    "dd18_longest_dup_span": 11,   # per-doc longest duplicated span (tx12 gram-index consumer)
+    "tp15_doremi_reweight": 11,    # DoReMi multiplicative-weights mixture update
+    "mm21_phash_search": 11,       # query-by-image pHash Hamming top-K
+    "mm22_audio_quality": 11,      # clip/DC/dynamic-range/quiet-run audio gate
+}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified

@@ -21,7 +21,7 @@ import os
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
@@ -2450,6 +2450,188 @@ def _mm20_sql() -> str:
 MM20_SQL = _mm20_sql()
 
 
+# ---------------------------------------------------------------------------
+# mm21: query-by-image retrieval over pHashes — the "find images like
+# these flagged ones" tool a curation pipeline runs after mm17: a
+# FIXED set of query images scans the corpus pHash table and returns
+# each query's top-K nearest by Hamming distance (ties to the lowest
+# doc_id). Composes the real decode chain (mm17) with ss01's
+# exact-retrieval shape: corpus-linear work × a constant query set.
+# ---------------------------------------------------------------------------
+
+PQS_NQ = 8  # query images: doc_id < 8
+PQS_K = 5   # neighbors returned per query
+
+
+def mm21_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K pHash Hamming retrieval for a fixed query-image set.
+
+    Scale shape: the pHash table is computed ONCE (persisted via the
+    session index cache — the query side is a broadcast 8-row slice of
+    the same frame, not a second decode pass); the distance scan is a
+    BroadcastNestedLoop of corpus × 8 constant rows — linear in the
+    corpus, exactly ss01's exact-baseline contract — and the top-K is
+    a per-query rank window (WindowGroupLimit sheds non-contenders
+    map-side). The banded-Hamming index path (ss12) is the scale
+    escape when the query set itself becomes corpus-sized."""
+    from .dedup import _persisted
+
+    ph = _persisted(
+        "mm21_phash", spark, sf_dir,
+        lambda s, d: mm17_image_phash(s, d).select("doc_id", "phash_hi", "phash_lo"),
+    )
+    q = ph.filter(F.col("doc_id") < PQS_NQ).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("phash_hi").alias("q_hi"),
+        F.col("phash_lo").alias("q_lo"),
+    )
+    dist = (
+        F.bit_count(F.col("phash_hi").bitwiseXOR(F.col("q_hi")))
+        + F.bit_count(F.col("phash_lo").bitwiseXOR(F.col("q_lo")))
+    ).cast("int")
+    pairs = (
+        ph.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select("q_id", "doc_id", dist.alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "doc_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PQS_K)
+        .select("q_id", "doc_id", "dist", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+MM21_SQL = f"""
+    WITH ph AS ({MM17_SQL}),
+    q AS (
+        SELECT doc_id AS q_id, phash_hi AS q_hi, phash_lo AS q_lo
+        FROM ph WHERE doc_id < {PQS_NQ}
+    ),
+    pairs AS (
+        SELECT q.q_id, ph.doc_id,
+               CAST(bit_count(xor(ph.phash_hi, q.q_hi))
+                    + bit_count(xor(ph.phash_lo, q.q_lo)) AS INT) AS dist
+        FROM ph, q WHERE ph.doc_id <> q.q_id
+    )
+    SELECT q_id, doc_id, dist, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, doc_id) AS rk
+        FROM pairs
+    ) WHERE rk <= {PQS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# mm22: audio clip quality gate — the signal-hygiene screen an ASR/TTS
+# curation pipeline runs BEFORE any model scorer: clipping (samples
+# pinned near full scale ⇒ distorted recording), DC offset (bad mic /
+# bias ⇒ wasted dynamic range), dynamic range (flat clips carry no
+# speech), and the longest quiet run (dead air dominating the clip).
+# All-integer over channel 0, so both engines compare exact int64s;
+# the keep verdict is two strict integer cross-products (no ratios).
+# Reference has no audio ops — LLM-pipeline scope.
+# ---------------------------------------------------------------------------
+
+AQ_CLIP_T = 1900   # |v| at/above this counts as clipped (fixture peak 2000)
+AQ_QUIET_T = 150   # |v| below this counts as quiet (dead air)
+
+AQ_SCHEMA = (
+    "doc_id long, n_frames int, n_clipped int, dc_sum long, "
+    "dyn_range int, longest_quiet int, is_kept int"
+)
+
+
+def _audio_quality_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: WAV parse, de-interleave channel 0, then
+    numpy counts/extrema and mm18's run detection for the longest
+    quiet stretch. Keep iff clipped samples stay under 1% of frames
+    AND the longest quiet run stays under a quarter of the clip —
+    both as exact integer cross-multiplications."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_audio_real(bytes(payload))
+            s = np.asarray(m["samples"], dtype=np.int64)
+            c0 = s[0 :: m["n_channels"]]
+            nf = len(c0)
+            n_clip = int((np.abs(c0) >= AQ_CLIP_T).sum())
+            quiet = np.abs(c0) < AQ_QUIET_T
+            longest = 0
+            if quiet.any():
+                idx = np.nonzero(quiet)[0]
+                runs = np.split(idx, np.nonzero(np.diff(idx) != 1)[0] + 1)
+                longest = max(len(r) for r in runs)
+            kept = int(n_clip * 100 < nf and longest * 4 < nf)
+            rows.append(
+                (
+                    doc_id, nf, n_clip, int(c0.sum()),
+                    int(c0.max() - c0.min()), longest, kept,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "n_clipped", "dc_sum",
+                "dyn_range", "longest_quiet", "is_kept",
+            ],
+        )
+
+
+def mm22_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio clip quality gate over REAL decoded WAV: clipping count,
+    DC-offset sum, dynamic range, longest quiet run, and the integer
+    keep verdict. Scale shape: the mm-family narrow-map contract — one
+    Arrow-batched Python stage over the fixture scan, one output row
+    per clip, zero exchanges; scale by adding input splits. The oracle
+    replays channel-0 extraction, thresholds, and the quiet-run
+    gaps-and-islands in closed form from the fixture's sample formula."""
+    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    return wavs.mapInPandas(_audio_quality_batches, schema=AQ_SCHEMA)
+
+
+MM22_SQL = f"""
+    WITH m AS (
+        SELECT doc_id, 1 + (doc_id % 2) AS ch, (doc_id % 50) + 20 AS n_frames
+        FROM documents
+    ),
+    c0 AS (
+        SELECT doc_id, t.f AS f,
+               ((doc_id * 37 + (t.f * ch) * 11) % 4001) - 2000 AS v
+        FROM m, unnest(range(0, n_frames)) t(f)
+    ),
+    runs AS (
+        SELECT doc_id, count(*) AS rl
+        FROM (
+            SELECT doc_id, f,
+                   f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+            FROM c0 WHERE abs(v) < {AQ_QUIET_T}
+        ) GROUP BY doc_id, grp
+    ),
+    lq AS (SELECT doc_id, max(rl) AS longest_quiet FROM runs GROUP BY doc_id),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS nf,
+               sum(CASE WHEN abs(v) >= {AQ_CLIP_T} THEN 1 ELSE 0 END) AS n_clipped,
+               sum(v) AS dc_sum,
+               max(v) - min(v) AS dyn_range
+        FROM c0 GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(nf AS INT) AS n_frames,
+           CAST(n_clipped AS INT) AS n_clipped,
+           CAST(dc_sum AS BIGINT) AS dc_sum,
+           CAST(dyn_range AS INT) AS dyn_range,
+           CAST(coalesce(lq.longest_quiet, 0) AS INT) AS longest_quiet,
+           CAST(CASE WHEN n_clipped * 100 < nf
+                      AND coalesce(lq.longest_quiet, 0) * 4 < nf
+                     THEN 1 ELSE 0 END AS INT) AS is_kept
+    FROM agg a LEFT JOIN lq USING (doc_id)
+"""
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -2471,6 +2653,8 @@ QUERIES = {
     "mm18_audio_vad": mm18_audio_vad,
     "mm19_vit_patches": mm19_vit_patches,
     "mm20_audio_spectral": mm20_audio_spectral,
+    "mm21_phash_search": mm21_phash_search,
+    "mm22_audio_quality": mm22_audio_quality,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -2536,6 +2720,22 @@ DECLARED = {
         "doc_id": ["doc_id"],
         **{c: ["payload"] for c in ("w", "p1", "p2", "p3", "p4", "dom")},
     },
+    # mm21's barrier is mm17's mapInPandas: declarations attach at the
+    # BARRIER's output names; the final q_id/dist/rk columns resolve
+    # transitively through the downstream projections/joins.
+    "mm21_phash_search": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "width", "height", "median_ac", "phash_hi", "phash_lo"
+        )},
+    },
+    "mm22_audio_quality": {
+        "doc_id": ["doc_id"],
+        **{c: ["payload"] for c in (
+            "n_frames", "n_clipped", "dc_sum", "dyn_range",
+            "longest_quiet", "is_kept"
+        )},
+    },
     "mm16_image_entropy": {
         "doc_id": ["doc_id"],
         **{c: ["payload"] for c in (
@@ -2596,4 +2796,6 @@ ORACLES = {
     "mm18_audio_vad": MM18_SQL,
     "mm19_vit_patches": MM19_SQL,
     "mm20_audio_spectral": MM20_SQL,
+    "mm21_phash_search": MM21_SQL,
+    "mm22_audio_quality": MM22_SQL,
 }

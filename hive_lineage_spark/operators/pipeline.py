@@ -1197,6 +1197,139 @@ TP14_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# tp15: DoReMi-style domain reweighting — one multiplicative-weights
+# update of the source mixture from per-domain excess loss (Xie et al.
+# 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+# Pretraining"). The loss proxy is tx13's corpus-trained unigram
+# cross-entropy (a real LM drops in by replacing the per-doc score);
+# domains whose average loss exceeds the corpus baseline gain weight
+# ∝ exp(η·excess), then weights renormalize to a mixture.
+# ---------------------------------------------------------------------------
+
+TP15_ETA = 4.0  # multiplicative-weights step size
+
+
+def tp15_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi reweighting step over ``documents.source``.
+
+    Scale shape: the per-doc scoring is tx13's plan (one tf partial-agg
+    pass, vocabulary-sized model join); everything after is
+    DOMAIN-sized (≤ #sources rows): two tiny folds (per-source sums,
+    then the normalizer) and broadcast joins of 1-row aggregates. The
+    cross-engine FP contract is tx13's: every multi-term double sum is
+    a fold over an explicitly sorted list in BOTH engines, excess is a
+    difference of 6-dp-gridded values (exact in IEEE), and exp's
+    engine-libm wobble is absorbed by the final 6-dp rounding."""
+    from .text import tx13_unigram_logprob
+
+    per_doc = tx13_unigram_logprob(spark, sf_dir).select("doc_id", "xent")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    g = (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("doc_id", "xent"))),
+                F.lit(0.0),
+                lambda a, s: a + s["xent"],
+            ).alias("sx"),
+        )
+        .withColumn("avg_xent", F.round(F.col("sx") / F.col("n_docs") + 1e-9, 6))
+    )
+    tot = g.groupBy().agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "sx"))),
+            F.lit(0.0),
+            lambda a, s: a + s["sx"],
+        ).alias("ssx"),
+        F.sum("n_docs").alias("nn"),
+    ).select(F.round(F.col("ssx") / F.col("nn") + 1e-9, 6).alias("base_xent"))
+    we = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("excess", F.greatest(F.col("avg_xent") - F.col("base_xent"), F.lit(0.0)))
+        .withColumn("e", F.exp(F.lit(TP15_ETA) * F.col("excess")))
+    )
+    z = we.groupBy().agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "e"))),
+            F.lit(0.0),
+            lambda a, s: a + s["e"],
+        ).alias("z")
+    )
+    return (
+        we.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "avg_xent",
+            F.round(F.col("excess") + 1e-9, 6).alias("excess"),
+            F.round(F.col("e") / F.col("z") + 1e-9, 6).alias("weight"),
+            F.round(F.round(F.col("e") / F.col("z") + 1e-9, 6) * 1e6, 0)
+            .cast("long")
+            .alias("tokens_per_million"),
+        )
+    )
+
+
+TP15_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    cnt AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS t FROM tok),
+    per_doc AS (
+        SELECT doc_id,
+               round(ln(t) - list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(tf * ln(cnt) ORDER BY w)),
+                   (a, c) -> a + c
+               ) / sum(tf) + 1e-9, 6) AS xent
+        FROM tf JOIN cnt USING (w), tot
+        GROUP BY doc_id, t
+    ),
+    g AS (
+        SELECT d.source,
+               count(*) AS n_docs,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(p.xent ORDER BY p.doc_id)),
+                   (a, c) -> a + c
+               ) AS sx
+        FROM per_doc p JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    ),
+    ga AS (SELECT *, round(sx / n_docs + 1e-9, 6) AS avg_xent FROM g),
+    base AS (
+        SELECT round(
+            list_reduce(
+                list_prepend(CAST(0 AS DOUBLE), list(sx ORDER BY source)),
+                (a, c) -> a + c
+            ) / sum(n_docs) + 1e-9, 6) AS base_xent
+        FROM ga
+    ),
+    we AS (
+        SELECT ga.*, greatest(avg_xent - base_xent, 0.0) AS excess,
+               exp({TP15_ETA} * greatest(avg_xent - base_xent, 0.0)) AS e
+        FROM ga, base
+    ),
+    z AS (
+        SELECT list_reduce(
+            list_prepend(CAST(0 AS DOUBLE), list(e ORDER BY source)),
+            (a, c) -> a + c
+        ) AS z
+        FROM we
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           avg_xent,
+           round(excess + 1e-9, 6) AS excess,
+           round(e / z + 1e-9, 6) AS weight,
+           CAST(round(round(e / z + 1e-9, 6) * 1e6, 0) AS BIGINT) AS tokens_per_million
+    FROM we, z
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
@@ -1212,6 +1345,7 @@ QUERIES = {
     "tp12_weighted_sample": tp12_weighted_sample,
     "tp13_range_partition": tp13_range_partition,
     "tp14_budget_waterfill": tp14_budget_waterfill,
+    "tp15_doremi_reweight": tp15_doremi_reweight,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "dd17_cluster_keep_best": dd17_cluster_keep_best,
@@ -1235,6 +1369,7 @@ ORACLES = {
     "tp12_weighted_sample": TP12_SQL,
     "tp13_range_partition": TP13_SQL,
     "tp14_budget_waterfill": TP14_SQL,
+    "tp15_doremi_reweight": TP15_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "dd17_cluster_keep_best": DD17_SQL,

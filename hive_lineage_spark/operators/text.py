@@ -717,6 +717,75 @@ TX12_SQL = f"""
 """
 
 
+def dd18_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LONGEST duplicated span — the doc-level verdict of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): for each document, the widest
+    window w ∈ {4, 8, 16} words at which at least one of its sliding
+    spans occurs verbatim elsewhere in the corpus, plus how many of its
+    spans are duplicated at that width. ``max_dup_w = 16`` flags
+    docs carrying long verbatim boilerplate (dedup candidates);
+    ``max_dup_w = 0`` means no span of ≥4 words repeats anywhere.
+
+    Scale shape: consumes the SAME persisted (w, gh) gram index as
+    tx12 (``_tx12_gram_frame`` via the session index cache) — running
+    both diagnostics costs ONE corpus tokenize. The cf>1 filter is
+    applied on the vocabulary-sized count table BEFORE the doc-side
+    join, so only duplicated grams — a small fraction of the stream —
+    ever join back; the per-doc reduce is a partial-agg groupBy and
+    the final left join restores docs with no duplicated span."""
+    from .dedup import _persisted
+
+    g_all = _persisted("tx12_grams", spark, sf_dir, _tx12_gram_frame)
+    cnt = g_all.groupBy("w", "gh").agg(F.count(F.lit(1)).alias("cf"))
+    dup = (
+        g_all.join(cnt.filter(F.col("cf") > 1), ["w", "gh"])
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    prof = dup.groupBy("doc_id").agg(
+        F.max("w").cast("int").alias("max_dup_w"),
+        F.max_by("n_dup", "w").cast("long").alias("n_dup_at_max"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_dup_w", F.lit(0)).cast("int").alias("max_dup_w"),
+            F.coalesce("n_dup_at_max", F.lit(0)).cast("long").alias("n_dup_at_max"),
+        )
+    )
+
+
+DD18_SQL = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    {", ".join(
+        f'''g{w} AS (
+            SELECT doc_id, {poly_hash_sql('gram')} AS gh
+            FROM (SELECT doc_id, unnest({word_ngrams_sql('ws', w, distinct=False)}) AS gram FROM d)
+        )''' for w in DUP_WIDTHS
+    )},
+    all_g AS ({" UNION ALL ".join(f"SELECT doc_id, {w} AS w, gh FROM g{w}" for w in DUP_WIDTHS)}),
+    cnt AS (SELECT w, gh, count(*) AS cf FROM all_g GROUP BY w, gh),
+    dup AS (
+        SELECT g.doc_id, g.w, count(*) AS n_dup
+        FROM all_g g JOIN cnt c USING (w, gh)
+        WHERE c.cf > 1
+        GROUP BY g.doc_id, g.w
+    ),
+    prof AS (
+        SELECT doc_id, max(w) AS max_dup_w, arg_max(n_dup, w) AS n_dup_at_max
+        FROM dup GROUP BY doc_id
+    )
+    SELECT d0.doc_id,
+           CAST(coalesce(prof.max_dup_w, 0) AS INT) AS max_dup_w,
+           CAST(coalesce(prof.n_dup_at_max, 0) AS BIGINT) AS n_dup_at_max
+    FROM documents d0 LEFT JOIN prof USING (doc_id)
+"""
+
+
 def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring with a unigram model trained on
     the corpus itself: per document, the average token cross-entropy
@@ -1887,6 +1956,7 @@ QUERIES = {
     "tx20_ccnet_buckets": tx20_ccnet_buckets,
     "tx21_kneser_ney_xent": tx21_kneser_ney_xent,
     "tx22_dsir_logweight": tx22_dsir_logweight,
+    "dd18_longest_dup_span": dd18_longest_dup_span,
 }
 
 ORACLES = {
@@ -1910,4 +1980,5 @@ ORACLES = {
     "tx20_ccnet_buckets": TX20_SQL,
     "tx21_kneser_ney_xent": TX21_SQL,
     "tx22_dsir_logweight": TX22_SQL,
+    "dd18_longest_dup_span": DD18_SQL,
 }

@@ -37,6 +37,8 @@ PYTHON_BARRIER = {
     "mm18_audio_vad",
     "mm19_vit_patches",
     "mm20_audio_spectral",
+    "mm21_phash_search",
+    "mm22_audio_quality",
     "dd06_embed_cosine_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
@@ -83,10 +85,21 @@ def test_declared_lineage_resolves_barrier_columns(spark, name):
     df.collect()
     ql = LineageTracker().track(df, name=name, declared=DECLARED[name])
     by_name = {c.name: c for c in ql.result.columns}
+    # declarations attach at the BARRIER's output names; a downstream
+    # projection may drop some (mm21 keeps only doc_id + derived cols),
+    # so check the declared columns that survive to the result — and
+    # that the survivors plus everything derived from them resolve
+    checked = 0
     for out_col in DECLARED[name]:
-        c = by_name[out_col]
+        c = by_name.get(out_col)
+        if c is None:
+            continue
+        checked += 1
         assert UNKNOWN not in c.bases, f"{name}.{out_col} still unmappable"
         assert c.bases, (name, out_col)
+    assert checked, f"{name}: no declared column reaches the result"
+    for c in ql.result.columns:
+        assert UNKNOWN not in c.bases, f"{name}.{c.name} still unmappable"
     # the report must surface the weaker provenance
     declared_roles = {
         c.name for c in ql.result.columns if getattr(c, "role", None) == "declared"

@@ -69,6 +69,10 @@ SHOW = [
     ("tx12_dup_span_profile", "the (w,gh)-partitioned gram index is PERSISTED: both consumers (frequency count + frequency join probe) read InMemoryTableScan of ONE relation — the corpus tokenize/vocab/window pipeline executes once, where the unpersisted r10 plan ran it twice (8 FileScans, 0 reuse)"),
     ("dd02_ngram_jaccard", "persisted prefix-postings index (InMemoryTableScan on every consumer); prefix filter sheds candidates BEFORE the pair join; positional upper-bound filter in codegen; no cartesian product anywhere"),
     ("dd12_semdedup", "ONE cell-id exchange partitions the corpus; the within-cell self-join is the only SMJ (Σ|cell|² work, never n²); the cosine pair filter runs in whole-stage codegen before any pair materializes"),
+    ("dd18_longest_dup_span", "reads the SAME persisted tx12 gram index (InMemoryTableScan, no second tokenize); cf>1 filters the vocabulary-sized count table before the doc-side join; per-doc verdict is partial-agg + one left join"),
+    ("tp15_doremi_reweight", "corpus work = tx13's tf pass only; per-source folds, the baseline and the normalizer are 1-row/domain-sized broadcast frames — the mixture update adds no corpus-sized exchange"),
+    ("mm21_phash_search", "pHash frame computed once (persisted; the 8-row query side is a broadcast slice, not a second decode pass); distance scan is corpus × constant rows; top-K via per-query rank window"),
+    ("mm22_audio_quality", "one narrow MapInPandas stage over the fixture scan — no exchange; clipping/DC/range/quiet-run all inside the Python batch, one row per clip out"),
 ]
 
 

@@ -41,6 +41,10 @@ PROBE = [
     ("mm06_decode_resize", "linear single Python stage (per-image constant work)"),
     ("mm07_decode_audio", "linear single Python stage"),
     ("dq03_snapshot_drift", "two linear profile passes, 1-row exchanges"),
+    ("ss18_ann_matryoshka", "linear coarse pass on 8-dim prefixes; rerank bounded to C*queries"),
+    ("ss19_ann_filtered", "linear pre-filtered index scan; candidates shrink with selectivity"),
+    ("dd16_cdc_chunks", "linear rolling-hash pass; chunk-hash joins only"),
+    ("tp13_range_partition", "linear assignment map; rank window over the 1-in-20 sample"),
 ]
 
 
