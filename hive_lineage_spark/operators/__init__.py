@@ -151,25 +151,34 @@ from pyspark.sql import DataFrame, SparkSession
 # pair generation WHOLESALE — its Spark op calls dd02_ngram_jaccard
 # and its oracle inlines DD02_SQL — and dd03 keeps banded pair
 # search; dd02 stays a headline bench query).
-ROTATION_QUEUE: dict[str, int] = {
-    "dd18_longest_dup_span": 11,   # per-doc longest duplicated span (tx12 gram-index consumer)
-    "tp15_doremi_reweight": 11,    # DoReMi multiplicative-weights mixture update
-    "mm21_phash_search": 11,       # query-by-image pHash Hamming top-K
-    "mm22_audio_quality": 11,      # clip/DC/dynamic-range/quiet-run audio gate
-}
+# Round-11 promotion (the r10 pattern: new registrations certify the
+# SAME round they land): dd18/tp15/mm21/mm22 — all local-oracle green
+# at sf0.001 + sf0.01 — move into the window so CORRECTNESS_r11
+# certifies the entire 155-query registry and r12 starts with zero
+# debt. Four multiply-certified ops rotate out, semantics kept
+# covered: q04 (certified r1-r10; q18's filtered+pruned scan keeps
+# scan-filter semantics in-window, pushdown stays plan-pinned in
+# tests/test_plans.py + docs/PLANS.md, q04 stays a HEADLINE bench
+# query), q12 (anti join, certified r1-r10; tx18/tx19's left-semi
+# vocab gates stay in-window, dd07's anti-join apply stays
+# local-oracle checked), q13 (null-safe join, certified r1-r10;
+# unique semantics stay pytest- and local-oracle-pinned), q51
+# (funnel, certified r8-r10; the ordered-step shape stays golden- and
+# oracle-covered locally).
+ROTATION_QUEUE: dict[str, int] = {}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified
     # r1-r9, scan/project semantics kept by q04/q18; q08/q09/q11/q31
     # rotated out in the r10 second promotion, see ROTATION_QUEUE
     # comment)
-    "q04_filter_predicates", "q06_join_4way",
-    "q07_join_broadcast", "q12_join_left_anti",
-    "q13_join_nullsafe", "q44_unique_join", "q14_agg_tpch_q1",
+    # q04/q12/q13/q51 rotated out r11 (certified r1-r10 / r8-r10; see
+    # the promotion note above)
+    "q06_join_4way",
+    "q07_join_broadcast",
+    "q44_unique_join", "q14_agg_tpch_q1",
     "q17_q27_shape",
     "q18_partition_pruning", "q19_insert_readback",
-    # ordered event funnel (round-7 addition, first certified window r8)
-    "q51_funnel_steps",
     # SQL-surface round-5 additions (q48/q49 certified r6, rotated out
     # r7 for dq03/mm08 — their semantics stay oracle-covered locally)
     "q50_vtable_partitioned",
@@ -182,6 +191,7 @@ _DRIVER_PRIORITY = [
     "dd15_minhash_calibration",
     "dd16_cdc_chunks",
     "dd17_cluster_keep_best",
+    "dd18_longest_dup_span",
     # similarity search (ss01 rotated out r10 — certified 8x, exact
     # baseline embedded wholesale in ss09's recall oracle; ss07/ss08/
     # ss10 out in the second promotion — ss09/ss11/ss13 keep
@@ -206,11 +216,12 @@ _DRIVER_PRIORITY = [
     "mm15_video_shot_detect",
     "mm16_image_entropy", "mm17_image_phash", "mm18_audio_vad",
     "mm19_vit_patches", "mm20_audio_spectral",
+    "mm21_phash_search", "mm22_audio_quality",
     # composed pipeline + training-prep (tp01 rotated out r10 —
     # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
     # packing/chunking; tp12/tp13 in from the r10 queue)
     "tp12_weighted_sample", "tp13_range_partition",
-    "tp14_budget_waterfill",
+    "tp14_budget_waterfill", "tp15_doremi_reweight",
     # data-quality gates (dq01/dq02/dq03 rotated out during r10 —
     # dq03's drift is two dq01 profiles; dq04 keeps the volume gate,
     # dq05 in from the r10 queue)
