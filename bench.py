@@ -123,6 +123,7 @@ EXTRA = [
     "tp15_doremi_reweight",    # DoReMi mixture reweighting step (round 11)
     "mm21_phash_search",       # query-by-image pHash Hamming top-K (round 11)
     "mm22_audio_quality",      # audio clip quality gate (round 11)
+    "dq07_referential_integrity",  # FK orphan/coverage gate (round 11)
 ]
 
 

@@ -151,6 +151,11 @@ from pyspark.sql import DataFrame, SparkSession
 # pair generation WHOLESALE — its Spark op calls dd02_ngram_jaccard
 # and its oracle inlines DD02_SQL — and dd03 keeps banded pair
 # search; dd02 stays a headline bench query).
+# Late round-11 promotion: dq07_referential_integrity (FK orphan/
+# coverage gate, local-oracle green both scales) also moves in; q06
+# rotates out (4-way join chain, certified r1-r10; q17's 4-dim star
+# keeps multiway joins in-window, q07 keeps broadcast inner, q06
+# stays a HEADLINE bench query).
 # Round-11 promotion (the r10 pattern: new registrations certify the
 # SAME round they land): dd18/tp15/mm21/mm22 — all local-oracle green
 # at sf0.001 + sf0.01 — move into the window so CORRECTNESS_r11
@@ -174,7 +179,6 @@ _DRIVER_PRIORITY = [
     # comment)
     # q04/q12/q13/q51 rotated out r11 (certified r1-r10 / r8-r10; see
     # the promotion note above)
-    "q06_join_4way",
     "q07_join_broadcast",
     "q44_unique_join", "q14_agg_tpch_q1",
     "q17_q27_shape",
@@ -227,6 +231,7 @@ _DRIVER_PRIORITY = [
     # dq05 in from the r10 queue)
     "dq05_row_expectations",
     "dq06_freshness_sla",
+    "dq07_referential_integrity",
     "tx22_dsir_logweight",
 ]
 

@@ -465,6 +465,89 @@ DQ06_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# dq07: referential-integrity gate — the cross-table half of a Deequ
+# suite (hasReferentialIntegrity): for every declared FK relationship,
+# orphan count (child keys absent from the parent), distinct-key
+# coverage of the parent, and the pass verdict. A training pipeline
+# runs this on every snapshot before joining facts to dims; a single
+# silently-dropped dimension partition shows up here first.
+# ---------------------------------------------------------------------------
+
+DQ07_RELS = [
+    # (name, child table, child key, parent table, parent key)
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events.user_id", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def dq07_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FK orphan/coverage report over the star schema + events.
+
+    SCALE shape: per relationship, the child side reads ONE key column
+    (column-pruned scan), orphan detection is a left-anti join against
+    the distinct parent keys — AQE broadcasts the parent while it fits
+    (customer/part/supplier) and degrades to a shuffle join beyond
+    (lineitem→orders at 100 TB) — and every report input is a 1-row
+    aggregate. Output is relationship-count-sized. Coverage (distinct
+    child keys / parent keys) catches the subtler failure: zero
+    orphans but a parent slice nothing references (events cover 10% of
+    customers in the fixture)."""
+    out = None
+    for name, child, ckey, parent, pkey in DQ07_RELS:
+        fk = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        pk = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
+        stats = fk.groupBy().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("k")).alias("n_distinct_fk"),
+        )
+        orph = fk.join(pk, "k", "left_anti").groupBy().agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        dimn = pk.groupBy().agg(F.count(F.lit(1)).alias("parent_rows"))
+        rel = (
+            stats.crossJoin(F.broadcast(orph))
+            .crossJoin(F.broadcast(dimn))
+            .select(
+                F.lit(name).alias("fk"),
+                "n_rows",
+                "n_distinct_fk",
+                "parent_rows",
+                "n_orphans",
+                F.round(F.col("n_distinct_fk") / F.col("parent_rows") + 1e-9, 4).alias(
+                    "coverage"
+                ),
+                (F.col("n_orphans") == 0).cast("int").alias("ok"),
+            )
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out
+
+
+def _dq07_rel_sql(name: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+        SELECT '{name}' AS fk,
+               (SELECT count(*) FROM {child}) AS n_rows,
+               (SELECT count(DISTINCT {ckey}) FROM {child}) AS n_distinct_fk,
+               (SELECT count(DISTINCT {pkey}) FROM {parent}) AS parent_rows,
+               (SELECT count(*) FROM {child} c
+                LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p
+                ON c.{ckey} = p.k WHERE p.k IS NULL) AS n_orphans,
+               round((SELECT count(DISTINCT {ckey}) FROM {child}) * 1.0
+                     / (SELECT count(DISTINCT {pkey}) FROM {parent}) + 1e-9, 4)
+                   AS coverage,
+               CAST((SELECT count(*) FROM {child} c
+                     LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p
+                     ON c.{ckey} = p.k WHERE p.k IS NULL) = 0 AS INT) AS ok
+    """
+
+
+DQ07_SQL = " UNION ALL ".join(_dq07_rel_sql(*r) for r in DQ07_RELS)
+
+
 QUERIES = {
     "dq01_profile": dq01_profile,
     "dq02_constraints": dq02_constraints,
@@ -472,6 +555,7 @@ QUERIES = {
     "dq04_volume_anomaly": dq04_volume_anomaly,
     "dq05_row_expectations": dq05_row_expectations,
     "dq06_freshness_sla": dq06_freshness_sla,
+    "dq07_referential_integrity": dq07_referential_integrity,
 }
 
 ORACLES = {
@@ -481,4 +565,5 @@ ORACLES = {
     "dq04_volume_anomaly": DQ04_SQL,
     "dq05_row_expectations": DQ05_SQL,
     "dq06_freshness_sla": DQ06_SQL,
+    "dq07_referential_integrity": DQ07_SQL,
 }
