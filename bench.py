@@ -124,6 +124,8 @@ EXTRA = [
     "mm21_phash_search",       # query-by-image pHash Hamming top-K (round 11)
     "mm22_audio_quality",      # audio clip quality gate (round 11)
     "dq07_referential_integrity",  # FK orphan/coverage gate (round 11)
+    "ss20_ann_binary",         # sign-bit BQ + Hamming coarse + exact rerank (round 11)
+    "dq08_psi_drift",          # PSI distribution-shift gate (round 11)
 ]
 
 

@@ -156,6 +156,15 @@ from pyspark.sql import DataFrame, SparkSession
 # rotates out (4-way join chain, certified r1-r10; q17's 4-dim star
 # keeps multiway joins in-window, q07 keeps broadcast inner, q06
 # stays a HEADLINE bench query).
+# Third round-11 promotion: ss20_ann_binary (sign-bit binary
+# quantization + Hamming coarse pass + exact rerank, the modern
+# vector-store BQ shape) and dq08_psi_drift (population-stability-
+# index distribution-shift gate) — both local-oracle green at both
+# scales — move in. Out: q07 (broadcast join, certified r1-r10; q17's
+# star is all-BroadcastHashJoin and plan-pinned, q07 stays a HEADLINE
+# bench query) and dd03 (MinHash-LSH, certified r1-r10; ss12 keeps
+# pigeonhole banding in-window, dd15 keeps signature evidence, dd03
+# stays a HEADLINE bench query).
 # Round-11 promotion (the r10 pattern: new registrations certify the
 # SAME round they land): dd18/tp15/mm21/mm22 — all local-oracle green
 # at sf0.001 + sf0.01 — move into the window so CORRECTNESS_r11
@@ -179,7 +188,6 @@ _DRIVER_PRIORITY = [
     # comment)
     # q04/q12/q13/q51 rotated out r11 (certified r1-r10 / r8-r10; see
     # the promotion note above)
-    "q07_join_broadcast",
     "q44_unique_join", "q14_agg_tpch_q1",
     "q17_q27_shape",
     "q18_partition_pruning", "q19_insert_readback",
@@ -190,7 +198,6 @@ _DRIVER_PRIORITY = [
     # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
     # is its Arrow twin; dd02 out r11 — dd17 embeds its pair
     # generation wholesale)
-    "dd03_minhash_lsh",
     "dd14_bloom_decontaminate",
     "dd15_minhash_calibration",
     "dd16_cdc_chunks",
@@ -203,7 +210,7 @@ _DRIVER_PRIORITY = [
     "ss12_ann_hamming", "ss13_ann_ivfpq",
     "ss14_ann_random_projection",
     "ss15_mips_norm_augment", "ss16_mips_ivf", "ss17_rank_fusion",
-    "ss18_ann_matryoshka", "ss19_ann_filtered",
+    "ss18_ann_matryoshka", "ss19_ann_filtered", "ss20_ann_binary",
     # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
     # tx12/tx13 rotated out mid-r10, tx14 out in the second promotion;
     # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
@@ -231,7 +238,7 @@ _DRIVER_PRIORITY = [
     # dq05 in from the r10 queue)
     "dq05_row_expectations",
     "dq06_freshness_sla",
-    "dq07_referential_integrity",
+    "dq07_referential_integrity", "dq08_psi_drift",
     "tx22_dsir_logweight",
 ]
 

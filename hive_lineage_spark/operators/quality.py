@@ -548,6 +548,139 @@ def _dq07_rel_sql(name: str, child: str, ckey: str, parent: str, pkey: str) -> s
 DQ07_SQL = " UNION ALL ".join(_dq07_rel_sql(*r) for r in DQ07_RELS)
 
 
+# ---------------------------------------------------------------------------
+# dq08: population-stability-index (PSI) drift gate — the standard
+# ML-ops distribution-shift metric (banking scorecards onward):
+# PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) between a reference and a
+# current slice, with Laplace smoothing so empty bins stay finite.
+# dq03 compares profile SUMMARIES (min/max/mean); dq08 compares the
+# SHAPE — a mean-preserving redistribution that dq03 misses trips
+# PSI. Slices are the dq03 split (l_linenumber ≤ 3 vs > 3), so the
+# oracle reproduces both sides closed-form; bins are fixed integer
+# grids, so binning is exact in both engines.
+# ---------------------------------------------------------------------------
+
+DQ08_PSI_DRIFT = 0.2  # the conventional "significant shift" bar
+
+# (column, integer bin expression valid in BOTH SQL dialects)
+DQ08_BIN_SPECS = [
+    # floor, not a bare cast: DuckDB CASTs double→BIGINT by rounding
+    # while Spark truncates — floor() is identical in both
+    ("l_quantity", "CAST(floor((CAST(l_quantity AS BIGINT) - 1) / 5) AS BIGINT)"),
+    ("l_discount", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("l_tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+]
+
+
+def dq08_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column PSI between the reference (l_linenumber ≤ 3) and
+    current (> 3) slices of the fact table.
+
+    SCALE shape: per column, ONE partial-agg pass per slice to bin
+    granularity (map-side combine onto ≤ a dozen grid cells), a
+    full-outer join of two bin-count frames, and a sorted fold over
+    the bin list for the Σ — every post-scan frame is bin-count-sized.
+    Cross-engine FP: the smoothed log-ratio is ln of INTEGER products
+    (identical inputs in both engines), the fold runs in ascending-bin
+    order in both, and the result rounds at 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_linenumber") <= 3)
+    cur = li.filter(F.col("l_linenumber") > 3)
+    out = None
+    for col, bin_expr in DQ08_BIN_SPECS:
+        a = ref.select(F.expr(bin_expr).alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("a")
+        )
+        b = cur.select(F.expr(bin_expr).alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("b")
+        )
+        j = (
+            a.join(b, "bin", "full_outer")
+            .select(
+                "bin",
+                F.coalesce("a", F.lit(0)).alias("a"),
+                F.coalesce("b", F.lit(0)).alias("b"),
+            )
+        )
+        tot = j.groupBy().agg(
+            F.sum("a").alias("na"), F.sum("b").alias("nb"),
+            F.count(F.lit(1)).alias("nbins"),
+        )
+        terms = j.crossJoin(F.broadcast(tot)).select(
+            "na", "nb", "nbins",
+            F.struct(
+                "bin",
+                (
+                    (
+                        (F.col("a") + 1) / (F.col("na") + F.col("nbins"))
+                        - (F.col("b") + 1) / (F.col("nb") + F.col("nbins"))
+                    )
+                    * (
+                        F.log((F.col("a") + 1) * (F.col("nb") + F.col("nbins")))
+                        - F.log((F.col("b") + 1) * (F.col("na") + F.col("nbins")))
+                    )
+                ).alias("t"),
+            ).alias("bt"),
+        )
+        rep = terms.groupBy("na", "nb", "nbins").agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("bt")), F.lit(0.0), lambda acc, s: acc + s["t"]
+                )
+                + 1e-9,
+                6,
+            ).alias("psi")
+        ).select(
+            F.lit(col).alias("column"),
+            F.col("na").cast("long").alias("n_ref"),
+            F.col("nb").cast("long").alias("n_cur"),
+            F.col("nbins").cast("int").alias("n_bins"),
+            "psi",
+            (F.col("psi") > DQ08_PSI_DRIFT).cast("int").alias("drifted"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def _dq08_col_sql(col: str, bin_expr: str) -> str:
+    return f"""
+        SELECT '{col}' AS "column",
+               CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+               CAST(nbins AS INT) AS n_bins,
+               round(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY bin)),
+                   (acc, x) -> acc + x
+               ) + 1e-9, 6) AS psi,
+               CAST(round(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY bin)),
+                   (acc, x) -> acc + x
+               ) + 1e-9, 6) > {DQ08_PSI_DRIFT} AS INT) AS drifted
+        FROM (
+            SELECT bin, a, b,
+                   sum(a) OVER () AS na, sum(b) OVER () AS nb,
+                   count(*) OVER () AS nbins,
+                   ((a + 1) * 1.0 / (sum(a) OVER () + count(*) OVER ())
+                    - (b + 1) * 1.0 / (sum(b) OVER () + count(*) OVER ()))
+                   * (ln((a + 1) * (sum(b) OVER () + count(*) OVER ()))
+                      - ln((b + 1) * (sum(a) OVER () + count(*) OVER ()))) AS t
+            FROM (
+                SELECT coalesce(ra.bin, rb.bin) AS bin,
+                       coalesce(ra.a, 0) AS a, coalesce(rb.b, 0) AS b
+                FROM (SELECT {bin_expr} AS bin, count(*) AS a
+                      FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1) ra
+                FULL OUTER JOIN
+                     (SELECT {bin_expr} AS bin, count(*) AS b
+                      FROM lineitem WHERE l_linenumber > 3 GROUP BY 1) rb
+                ON ra.bin = rb.bin
+            )
+        )
+        GROUP BY na, nb, nbins
+    """
+
+
+DQ08_SQL = " UNION ALL ".join(_dq08_col_sql(c, e) for c, e in DQ08_BIN_SPECS)
+
+
 QUERIES = {
     "dq01_profile": dq01_profile,
     "dq02_constraints": dq02_constraints,
@@ -556,6 +689,7 @@ QUERIES = {
     "dq05_row_expectations": dq05_row_expectations,
     "dq06_freshness_sla": dq06_freshness_sla,
     "dq07_referential_integrity": dq07_referential_integrity,
+    "dq08_psi_drift": dq08_psi_drift,
 }
 
 ORACLES = {
@@ -566,4 +700,5 @@ ORACLES = {
     "dq05_row_expectations": DQ05_SQL,
     "dq06_freshness_sla": DQ06_SQL,
     "dq07_referential_integrity": DQ07_SQL,
+    "dq08_psi_drift": DQ08_SQL,
 }

@@ -2361,6 +2361,149 @@ SS19_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# ss20: binary-quantization ANN — the 1-bit-per-dimension compression
+# modern vector stores ship as "BQ" (sign bit per dim: 64-dim float
+# vector → 8 bytes, a 32× reduction): Hamming distance over the sign
+# codes is the coarse pass, exact cosine reranks the survivors.
+# Differs from ss12 (token-space SimHash sketches): BQ quantizes the
+# EMBEDDING itself, so the coarse metric approximates angular
+# distance on the same vectors the rerank scores. Each result row
+# carries its coarse Hamming next to the exact cosine plus an
+# in_exact flag vs the true top-K — inline recall evidence, the
+# ss18/ss19 pattern.
+# ---------------------------------------------------------------------------
+
+BQ_C = 20  # coarse Hamming candidates per query before exact rerank
+
+
+def _sign_code_half(v, half: int):
+    """Bits i=0..31 of the code half: set iff v[32*half + i] > 0.
+    zip_with against a literal powers-of-two array (shiftleft takes a
+    plain int, and a two-arg transform lambda would rebind to the
+    array index)."""
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(v, 1 + 32 * half, 32),
+            powers,
+            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def ss20_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization search: sign codes → Hamming top-C → exact
+    cosine rerank to top-K, with inline recall evidence.
+
+    Scale shape: the code build fuses into the embeddings scan (pure
+    codegen folds, no UDF); the coarse scan is corpus × N_QUERIES
+    broadcast code rows comparing 16 BYTES per pair (not 2×64
+    doubles) with WindowGroupLimit shedding non-contenders map-side;
+    full vectors re-join only for the C·n_queries rerank rows. The
+    exact leg exists for the in_exact flag — production drops it and
+    keeps the 32×-smaller scan. At 100 TB the code table is the
+    artifact you materialize: 8 bytes/vector + id."""
+    vec = _vectors(spark, sf_dir)
+    coded = vec.select(
+        "vec_id",
+        _sign_code_half(F.col("v"), 0).alias("c_hi"),
+        _sign_code_half(F.col("v"), 1).alias("c_lo"),
+    )
+    qc = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c_hi").alias("q_hi"),
+        F.col("c_lo").alias("q_lo"),
+    )
+    ham = (
+        F.bit_count(F.col("c_hi").bitwiseXOR(F.col("q_hi")))
+        + F.bit_count(F.col("c_lo").bitwiseXOR(F.col("q_lo")))
+    ).cast("int")
+    wc = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = (
+        coded.crossJoin(F.broadcast(qc))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= BQ_C)
+    )
+    qv = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cv = vec.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    reranked = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "hamming", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+    exact = ss01_ann_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("flag")
+    )
+    return (
+        reranked.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id", "neighbor_id", "hamming", "cosine", "rank",
+            F.coalesce("flag", F.lit(0)).cast("int").alias("in_exact"),
+        )
+    )
+
+
+def _bq_code_sql(half: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 33), i -> "
+        f"CASE WHEN v[{32 * half} + i] > 0 THEN 1 << (i - 1) ELSE CAST(0 AS BIGINT) END), "
+        f"(a, b) -> a + b)"
+    )
+
+
+SS20_SQL = f"""
+    WITH {_vectors_sql()},
+    coded AS (
+        SELECT vec_id, {_bq_code_sql(0)} AS c_hi, {_bq_code_sql(1)} AS c_lo FROM e
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(c.c_hi, q.c_hi))
+                        + bit_count(xor(c.c_lo, q.c_lo)) AS INT) AS hamming,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY bit_count(xor(c.c_hi, q.c_hi))
+                                + bit_count(xor(c.c_lo, q.c_lo)), c.vec_id
+                   ) AS crk
+            FROM coded c JOIN coded q
+              ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE crk <= {BQ_C}
+    ),
+    reranked AS (
+        SELECT * FROM (
+            SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+                   round({_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 6) AS cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) DESC,
+                                cand.neighbor_id ASC
+                   ) AS INT) AS rank
+            FROM cand
+            JOIN e q ON q.vec_id = cand.query_id
+            JOIN e c ON c.vec_id = cand.neighbor_id
+        ) WHERE rank <= {K}
+    ),
+    exact AS (SELECT query_id, neighbor_id FROM ({SS01_SQL}))
+    SELECT r.query_id, r.neighbor_id, r.hamming, r.cosine, r.rank,
+           CAST(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact
+    FROM reranked r
+    LEFT JOIN exact ex
+      ON ex.query_id = r.query_id AND ex.neighbor_id = r.neighbor_id
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -2381,6 +2524,7 @@ QUERIES = {
     "ss17_rank_fusion": ss17_rank_fusion,
     "ss18_ann_matryoshka": ss18_ann_matryoshka,
     "ss19_ann_filtered": ss19_ann_filtered,
+    "ss20_ann_binary": ss20_ann_binary,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
 }
@@ -2423,6 +2567,7 @@ ORACLES = {
     "ss17_rank_fusion": SS17_SQL,
     "ss18_ann_matryoshka": SS18_SQL,
     "ss19_ann_filtered": SS19_SQL,
+    "ss20_ann_binary": SS20_SQL,
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,
