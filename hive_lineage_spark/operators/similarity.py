@@ -2442,8 +2442,11 @@ def ss20_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K)
         .select("query_id", "neighbor_id", "hamming", F.round("cosine", 6).alias("cosine"), "rank")
     )
-    exact = ss01_ann_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("flag")
+    # K·N_QUERIES rows by construction — always broadcastable
+    exact = F.broadcast(
+        ss01_ann_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("flag")
+        )
     )
     return (
         reranked.join(exact, ["query_id", "neighbor_id"], "left")

@@ -266,6 +266,41 @@ def test_tx12_gram_index_cached_single_pipeline(spark):
     clear_postings_cache()
 
 
+def test_ss20_code_build_codegen_no_smj(spark):
+    """ss20: the sign-code build fuses into the embeddings scan (pure
+    codegen folds — no Python stage), the coarse pass joins corpus
+    codes against BROADCAST query codes (never a SortMergeJoin or
+    shuffled cartesian), and both rank phases run as windows over
+    candidate-sized frames."""
+    from hive_lineage_spark.operators import similarity as ss
+
+    df = ss.ss20_ann_binary(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mm21_single_decode_pass(spark):
+    """mm21: the pHash table is persisted and the 8-row query side is
+    a broadcast slice of the SAME cached frame — exactly one decode
+    barrier builds the cache; the live plan reads InMemoryTableScan
+    on both sides of the distance scan."""
+    from hive_lineage_spark.operators import multimodal as mm
+    from hive_lineage_spark.operators.dedup import _POSTINGS_CACHE, clear_postings_cache
+
+    clear_postings_cache()
+    df = mm.mm21_phash_search(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "FileScan" not in plan.split("InMemoryRelation")[0], plan
+    assert "mm21_phash" in {k[2] for k in _POSTINGS_CACHE}
+    clear_postings_cache()
+
+
 def test_pair_curation_single_join_no_python(spark):
     """mm09: the caption encoder must fuse into the documents scan (pure
     map) and the only data movement is the pair-id equi-join of the two
