@@ -73,6 +73,9 @@ SHOW = [
     ("tp15_doremi_reweight", "corpus work = tx13's tf pass only; per-source folds, the baseline and the normalizer are 1-row/domain-sized broadcast frames — the mixture update adds no corpus-sized exchange"),
     ("mm21_phash_search", "pHash frame computed once (persisted; the 8-row query side is a broadcast slice, not a second decode pass); distance scan is corpus × constant rows; top-K via per-query rank window"),
     ("mm22_audio_quality", "one narrow MapInPandas stage over the fixture scan — no exchange; clipping/DC/range/quiet-run all inside the Python batch, one row per clip out"),
+    ("dq07_referential_integrity", "per FK: one pruned key-column scan, left-anti against distinct parent keys (AQE broadcast-or-shuffle), 1-row aggregates crossed broadcast — the report is relationship-count-sized"),
+    ("ss20_ann_binary", "sign-code build fused into the embeddings scan (codegen folds, no Python); coarse Hamming vs BROADCAST query codes; exact-flag join broadcast — no SortMergeJoin anywhere"),
+    ("dq08_psi_drift", "per column: two partial-agg passes to bin granularity, a bin-sized full-outer join, and the PSI fold over a sorted bin list — every post-scan frame is bin-count-sized"),
 ]
 
 

@@ -45,6 +45,13 @@ PROBE = [
     ("ss19_ann_filtered", "linear pre-filtered index scan; candidates shrink with selectivity"),
     ("dd16_cdc_chunks", "linear rolling-hash pass; chunk-hash joins only"),
     ("tp13_range_partition", "linear assignment map; rank window over the 1-in-20 sample"),
+    ("dd18_longest_dup_span", "linear gram-index consumer; dup filter before the doc join"),
+    ("tp15_doremi_reweight", "linear tf pass; everything after domain-sized"),
+    ("mm21_phash_search", "linear decode once + corpus x 8 broadcast distance scan"),
+    ("mm22_audio_quality", "linear single Python stage"),
+    ("dq07_referential_integrity", "per FK linear key scan + anti join"),
+    ("ss20_ann_binary", "linear code scan x fixed queries; rerank candidate-bounded"),
+    ("dq08_psi_drift", "two linear partial-agg passes; bins fixed"),
 ]
 
 
