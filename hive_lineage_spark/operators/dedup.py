@@ -257,6 +257,17 @@ def _prefix_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _persisted("pp_prefix", spark, sf_dir, _prefix_postings)
 
 
+def dd02_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFIED near-dup pair set, persisted per (session, sf_dir)
+    — the dedup decision artifact a production pipeline materializes
+    once and every downstream apply step (drop lists, clustering,
+    calibration) reads. dd02 itself stays uncached so its bench entry
+    keeps timing real pair generation; the five consumers
+    (dd07/dd08/dd15/dd17/tp01) share this frame instead of re-deriving
+    the prefix-join + verification per query."""
+    return _persisted("dd02_pairs", spark, sf_dir, dd02_ngram_jaccard)
+
+
 def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard pairs ≥ t=0.5 via prefix filtering
     (AllPairs): under a global (document-frequency, hash) shingle order, a
@@ -1022,7 +1033,7 @@ def dd15_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary rational (k/32), so no FP contract is needed beyond dd02's
     4-dp jaccard round."""
     po = _postings_cached(spark, sf_dir)
-    pairs = dd02_ngram_jaccard(spark, sf_dir)
+    pairs = dd02_pairs_cached(spark, sf_dir)
     sig = po.groupBy("doc_id").agg(
         *[F.min(minhash_perm(F.col("gh"), i)).alias(f"m{i}") for i in range(N_HASHES)]
     )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MOD, poly_hash, poly_hash_sql
 from ..sources.registry import load_table
 from .text import QUALITY_SQL
-from .dedup import dd02_ngram_jaccard
+from .dedup import dd02_pairs_cached
 
 
 def dd07_near_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -24,7 +24,7 @@ def dd07_near_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast vs shuffle anti-join from the runtime size of the pair
     side, which stays safe when the list outgrows executor memory."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd02_ngram_jaccard(spark, sf_dir).select(F.col("id_b").alias("doc_id")).distinct()
+    pairs = dd02_pairs_cached(spark, sf_dir).select(F.col("id_b").alias("doc_id")).distinct()
     kept = d.join(pairs, "doc_id", "left_anti")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -90,7 +90,7 @@ def dd08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (``connected_components`` fixpoint propagation), reported as
     per-cluster stats. Deterministic, so the oracle replays it with a
     recursive CTE."""
-    pairs = dd02_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    pairs = dd02_pairs_cached(spark, sf_dir).select("id_a", "id_b")
     edges = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
     labels = connected_components(edges)
     return labels.groupBy("label").agg(
@@ -197,7 +197,7 @@ def tp01_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # No broadcast hint on the drop list: it is corpus-proportional at
     # web scale, so AQE must be free to fall back to a shuffle anti-join.
-    drop = dd02_ngram_jaccard(spark, sf_dir).select(F.col("id_b").alias("doc_id")).distinct()
+    drop = dd02_pairs_cached(spark, sf_dir).select(F.col("id_b").alias("doc_id")).distinct()
     deduped = quality_ok.join(drop, "doc_id", "left_anti")
 
     sampled = deduped.filter((poly_hash("text") % 100) < 50)
@@ -918,7 +918,7 @@ def dd17_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only clustered doc_ids — duplicate-sized, not corpus-sized —
     ever shuffle. Deterministic, so the oracle replays components with
     a recursive CTE and the policy with the same window."""
-    pairs = dd02_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    pairs = dd02_pairs_cached(spark, sf_dir).select("id_a", "id_b")
     edges = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
     labels = connected_components(edges)
     d = load_table(spark, sf_dir, "documents").select(
