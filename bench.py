@@ -126,6 +126,7 @@ EXTRA = [
     "dq07_referential_integrity",  # FK orphan/coverage gate (round 11)
     "ss20_ann_binary",         # sign-bit BQ + Hamming coarse + exact rerank (round 11)
     "dq08_psi_drift",          # PSI distribution-shift gate (round 11)
+    "dd19_containment",        # asymmetric containment dedup (round 11)
 ]
 
 

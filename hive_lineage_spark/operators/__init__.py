@@ -179,7 +179,9 @@ from pyspark.sql import DataFrame, SparkSession
 # unique semantics stay pytest- and local-oracle-pinned), q51
 # (funnel, certified r8-r10; the ordered-step shape stays golden- and
 # oracle-covered locally).
-ROTATION_QUEUE: dict[str, int] = {}
+ROTATION_QUEUE: dict[str, int] = {
+    "dd19_containment": 11,  # asymmetric containment dedup, registered post-window-seal
+}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified

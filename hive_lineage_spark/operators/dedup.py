@@ -330,6 +330,102 @@ DD02_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# dd19: asymmetric CONTAINMENT dedup — the case symmetric Jaccard
+# structurally misses: a short document quoted wholesale inside a long
+# one scores C(A→B) = |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| (tiny when
+# sizes are skewed), so dd02/dd03's t=0.5 gate never fires. Production
+# dedup runs both gates; containment also powers quote/boilerplate
+# attribution. The prefix-filter trick carries over ASYMMETRICALLY:
+# C(A→B) ≥ τ needs ≥⌈τ·|A|⌉ shared grams, so A must share one of its
+# first |A|−⌈τ·|A|⌉+1 RAREST grams with B — index only that (short)
+# prefix on the contained side and probe the FULL postings on the
+# container side; hot shingles sit in A's suffix and never probe.
+# ---------------------------------------------------------------------------
+
+CONTAIN_T = 0.8  # directional containment threshold
+
+
+def dd19_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs (id_a contained in id_b) with the
+    exact containment and the symmetric Jaccard next to it.
+
+    Scale shape: candidate volume is Σ_{g ∈ cprefix(A)} df(g) — the
+    containment prefix holds each doc's RAREST grams (low df by
+    construction), so hot shingles never generate probes; the exact
+    verification joins candidates back through the persisted postings
+    index (shared with dd02/dd03), and sizes come from the persisted
+    per-doc count frame. All shuffle keys are 8-byte hashes."""
+    from pyspark.sql import Window
+
+    po = _postings_cached(spark, sf_dir)
+    sizes = _sizes_cached(spark, sf_dir)
+    dfreq = po.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gh"))
+    cpre = (
+        po.join(dfreq, "gh")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rk") <= F.col("n_grams") - F.ceil(F.col("n_grams") * CONTAIN_T) + 1)
+        .select("doc_id", "gh")
+    )
+    cand = (
+        cpre.alias("a")
+        .join(po.alias("b"), (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    pa = po.select(F.col("doc_id").alias("id_a"), "gh")
+    pb = po.select(F.col("doc_id").alias("pb_id"), F.col("gh").alias("gh_b"))
+    inter = (
+        cand.join(pa, "id_a")
+        .join(pb, (F.col("id_b") == F.col("pb_id")) & (F.col("gh") == F.col("gh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("inter") / F.col("na") >= CONTAIN_T)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.round(F.col("inter") / F.col("na"), 4).alias("containment"),
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+DD19_SQL = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, {word_ngrams_sql('ws', 3)} AS grams FROM d),
+    po AS (
+        SELECT DISTINCT doc_id, gh
+        FROM (SELECT doc_id, {poly_hash_sql('unnest(grams)')} AS gh FROM g)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM po GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM po a JOIN po b ON a.gh = b.gh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(sa.n_grams AS BIGINT) AS na, CAST(sb.n_grams AS BIGINT) AS nb,
+           round(inter * 1.0 / sa.n_grams, 4) AS containment,
+           round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE inter * 1.0 / sa.n_grams >= {CONTAIN_T}
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -1215,6 +1311,7 @@ QUERIES = {
     "dd14_bloom_decontaminate": dd14_bloom_decontaminate,
     "dd15_minhash_calibration": dd15_minhash_calibration,
     "dd16_cdc_chunks": dd16_cdc_chunks,
+    "dd19_containment": dd19_containment,
 }
 
 # Operator-authored lineage through dd06's tile barrier (lineage.analyze
@@ -1240,4 +1337,5 @@ ORACLES = {
     "dd14_bloom_decontaminate": DD14_SQL,
     "dd15_minhash_calibration": DD15_SQL,
     "dd16_cdc_chunks": DD16_SQL,
+    "dd19_containment": DD19_SQL,
 }
