@@ -131,3 +131,21 @@ def test_dq07_report_consistent(spark):
             assert r["n_distinct_fk"] <= r["parent_rows"]
     # the coverage signal: events reference a strict subset of customers
     assert rows["events.user_id"]["coverage"] < 0.5
+
+
+def test_dd19_containment_dominates_jaccard(spark):
+    from hive_lineage_spark.operators.dedup import CONTAIN_T, dd19_containment
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
+
+    clear_postings_cache()
+    rows = dd19_containment(spark, SF).collect()
+    assert rows  # the planted near-dups must surface
+    for r in rows:
+        # C(A→B) = |A∩B|/|A| ≥ |A∩B|/|A∪B| = J — always, and the gate held
+        assert r["containment"] >= r["jaccard"] - 1e-9, r
+        assert r["containment"] >= CONTAIN_T - 1e-9, r
+        assert r["id_a"] != r["id_b"]
+    # planted full near-dups are mutually containing: both directions present
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert any((b, a) in pairs for a, b in pairs)
+    clear_postings_cache()

@@ -76,6 +76,7 @@ SHOW = [
     ("dq07_referential_integrity", "per FK: one pruned key-column scan, left-anti against distinct parent keys (AQE broadcast-or-shuffle), 1-row aggregates crossed broadcast — the report is relationship-count-sized"),
     ("ss20_ann_binary", "sign-code build fused into the embeddings scan (codegen folds, no Python); coarse Hamming vs BROADCAST query codes; exact-flag join broadcast — no SortMergeJoin anywhere"),
     ("dq08_psi_drift", "per column: two partial-agg passes to bin granularity, a bin-sized full-outer join, and the PSI fold over a sorted bin list — every post-scan frame is bin-count-sized"),
+    ("dd19_containment", "contained side joins only its RAREST-gram containment prefix (low df by construction) against the full postings; verification reuses the persisted postings/sizes frames; all shuffle keys 8-byte hashes"),
 ]
 
 

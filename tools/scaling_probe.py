@@ -52,6 +52,7 @@ PROBE = [
     ("dq07_referential_integrity", "per FK linear key scan + anti join"),
     ("ss20_ann_binary", "linear code scan x fixed queries; rerank candidate-bounded"),
     ("dq08_psi_drift", "two linear partial-agg passes; bins fixed"),
+    ("dd19_containment", "prefix-bounded candidates; rare grams only probe"),
 ]
 
 
