@@ -571,3 +571,38 @@ def test_jpeg_roundtrip_property(case):
     if ri:  # restart markers are framing, not signal
         plain = decode_jpeg(encode_jpeg(w, h, y, cb, cr, subsampling=sub))
         assert m["pixels"] == plain["pixels"]
+
+
+def test_ss20_sign_code_matches_numpy_model(spark):
+    """ss20's codegen sign-code fold vs a direct numpy model over
+    adversarial vectors: zeros (strictly NOT set — the > 0 gate),
+    negatives, sign-bit boundaries at both halves, and mixed values."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hive_lineage_spark.operators.similarity import _sign_code_half
+
+    cases = [
+        np.zeros(64),                                   # all zero -> code 0
+        np.ones(64),                                    # all set
+        -np.ones(64),                                   # none set
+        np.array([1.0 if i % 2 == 0 else -1.0 for i in range(64)]),
+        np.array([0.0] * 31 + [5.0] + [0.0] * 31 + [5.0]),  # top bit each half
+        np.random.RandomState(7).randn(64),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cases)],
+        "i int, v array<double>",
+    )
+    got = {
+        r["i"]: (r["hi"], r["lo"])
+        for r in df.select(
+            "i",
+            _sign_code_half(F.col("v"), 0).alias("hi"),
+            _sign_code_half(F.col("v"), 1).alias("lo"),
+        ).collect()
+    }
+    for i, v in enumerate(cases):
+        hi = int(sum(1 << j for j in range(32) if v[j] > 0))
+        lo = int(sum(1 << j for j in range(32) if v[32 + j] > 0))
+        assert got[i] == (hi, lo), (i, got[i], (hi, lo))
