@@ -345,6 +345,26 @@ DD02_SQL = f"""
 CONTAIN_T = 0.8  # directional containment threshold
 
 
+def _containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gh) containment prefix under the global (df, hash)
+    order: each doc's first n−⌈τ·n⌉+1 rarest grams — the asymmetric
+    analog of ``_prefix_postings``, persisted per (session, sf_dir)
+    because the df-count + rank-window pipeline would otherwise rerun
+    per query (the pp_prefix rationale)."""
+    from pyspark.sql import Window
+
+    po = _postings_cached(spark, sf_dir)
+    dfreq = po.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gh"))
+    return (
+        po.join(dfreq, "gh")
+        .withColumn("rk", F.row_number().over(w))
+        .join(_sizes_cached(spark, sf_dir), "doc_id")
+        .filter(F.col("rk") <= F.col("n_grams") - F.ceil(F.col("n_grams") * CONTAIN_T) + 1)
+        .select("doc_id", "gh")
+    )
+
+
 def dd19_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional containment pairs (id_a contained in id_b) with the
     exact containment and the symmetric Jaccard next to it.
@@ -355,19 +375,9 @@ def dd19_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification joins candidates back through the persisted postings
     index (shared with dd02/dd03), and sizes come from the persisted
     per-doc count frame. All shuffle keys are 8-byte hashes."""
-    from pyspark.sql import Window
-
     po = _postings_cached(spark, sf_dir)
     sizes = _sizes_cached(spark, sf_dir)
-    dfreq = po.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gh"))
-    cpre = (
-        po.join(dfreq, "gh")
-        .withColumn("rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
-        .filter(F.col("rk") <= F.col("n_grams") - F.ceil(F.col("n_grams") * CONTAIN_T) + 1)
-        .select("doc_id", "gh")
-    )
+    cpre = _persisted("cpre_contain", spark, sf_dir, _containment_prefix)
     cand = (
         cpre.alias("a")
         .join(po.alias("b"), (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
