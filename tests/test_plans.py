@@ -301,6 +301,58 @@ def test_mm21_single_decode_pass(spark):
     clear_postings_cache()
 
 
+def test_tp15_corpus_pass_reused_across_branches(spark):
+    """tp15: the per-source/per-doc aggregation subtrees feeding the
+    baseline, the normalizer and the output all canonicalize — the
+    executed plan reuses their exchanges instead of re-running the
+    corpus tf pipeline per branch (contrast tx12, where a
+    REPARTITION_BY_COL blocked canonicalization and needed a persist)."""
+    from hive_lineage_spark.operators.pipeline import tp15_doremi_reweight
+
+    df = tp15_doremi_reweight(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert final.count("ReusedExchange") >= 3, final
+
+
+def test_dq07_anti_joins_no_cartesian(spark):
+    """dq07: every orphan check is an equi anti-join; nothing degrades
+    to a cartesian/nested-loop over data-sized sides (the only BNLJ
+    allowed is the 1-row aggregate crosses)."""
+    import re
+
+    from hive_lineage_spark.operators.quality import dq07_referential_integrity
+
+    df = dq07_referential_integrity(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("LeftAnti") >= 5, plan
+
+
+def test_dq08_post_scan_frames_bin_sized(spark):
+    """dq08: after the two slice scans, every exchange carries bin- or
+    1-row-sized frames — no corpus-sized shuffle, no join strategy
+    other than the bin-count full-outer (at most sort-merge over ≤ a
+    dozen rows) and the broadcast of the totals."""
+    from hive_lineage_spark.operators.quality import dq08_psi_drift
+
+    df = dq08_psi_drift(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the only hash exchanges key on the bin column or are partial-agg
+    # 1-row collects; no exchange keys on a row-id or doc-sized column
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    # "bin" = the full-outer bin join; "na" = the PSI fold's group key
+    # over the bin-sized term frame (constant per column, 1 group)
+    assert keys <= {"bin", "na"}, keys
+
+
 def test_pair_curation_single_join_no_python(spark):
     """mm09: the caption encoder must fuse into the documents scan (pure
     map) and the only data movement is the pair-id equi-join of the two
