@@ -127,6 +127,7 @@ EXTRA = [
     "ss20_ann_binary",         # sign-bit BQ + Hamming coarse + exact rerank (round 11)
     "dq08_psi_drift",          # PSI distribution-shift gate (round 11)
     "dd19_containment",        # asymmetric containment dedup (round 11)
+    "dd20_graph_rank",         # quality-personalized PageRank over dup graph (round 11)
 ]
 
 

@@ -181,6 +181,7 @@ from pyspark.sql import DataFrame, SparkSession
 # oracle-covered locally).
 ROTATION_QUEUE: dict[str, int] = {
     "dd19_containment": 11,  # asymmetric containment dedup, registered post-window-seal
+    "dd20_graph_rank": 11,   # quality-personalized PageRank, registered post-window-seal
 }
 
 _DRIVER_PRIORITY = [

@@ -436,6 +436,136 @@ DD19_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# dd20: PERSONALIZED PageRank over the near-dup graph — the message-
+# passing iterative shape (contrast dd08/dd17's label-propagation
+# fixpoint and ss06's k-means): 3 synchronous power-iteration rounds
+# of r ← 0.15·p + 0.85·Σ_in r/outdeg over dd02's verified pair graph,
+# with the teleport vector p ∝ document length (graph-normalized so
+# Σp = |V|). Plain PageRank is SIGNAL-FREE here — near-dup components
+# are symmetric cliques, so uniform rank is the fixed point; the
+# quality-personalized teleport makes dd20 the diffusion policy
+# production canonical-selection actually wants: each member's score
+# blends its own quality with its duplicates' (robust to one noisy
+# length), the smoothed-quality analog of dd17's hard argmax.
+# Cross-engine FP contract: each round's in-neighbor sum folds a
+# neighbor-id-sorted list in BOTH engines and re-rounds to the 9-dp
+# grid, so iteration k+1 consumes bit-identical inputs; the oracle
+# unrolls the same 3 rounds as chained CTEs.
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3      # unrolled in both engines
+PR_DAMP = 0.85    # the canonical damping factor
+
+
+def dd20_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round quality-personalized PageRank over the undirected
+    near-dup pair graph.
+
+    SCALE shape: per round, ONE edge-keyed join (contributions =
+    rank/outdeg shipped along edges) and one partial-agg groupBy on the
+    destination — the classic Pregel superstep as DataFrame ops; frames
+    are EDGE-sized (near-dup graphs are sparse), never corpus-sized,
+    and the loop is unrolled (3 supersteps) so no driver round-trips.
+    The teleport weights need one broadcast 1-row total. At a
+    diameter-heavy 100 TB graph the round count is the knob; each
+    extra round is one more join+agg stage (SCALE.md's unrolled-
+    iteration ceiling notes apply)."""
+    pairs = dd02_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = edges.groupBy(F.col("id_a").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    q = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"), "n_chars")
+    nd = deg.join(q, "node")
+    tot = nd.groupBy().agg(
+        F.sum("n_chars").alias("sc"), F.count(F.lit(1)).alias("nv")
+    )
+    nd = nd.crossJoin(F.broadcast(tot)).select(
+        "node",
+        "outdeg",
+        F.round(F.col("n_chars") * F.col("nv") / F.col("sc") + 1e-12, 9).alias("p"),
+    )
+    ranks = nd.select("node", "outdeg", "p", F.col("p").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"),
+                ),
+                F.col("id_a") == F.col("src"),
+            )
+            .groupBy(F.col("id_b").alias("dst"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(F.col("src"), F.col("c")))),
+                    F.lit(0.0),
+                    lambda a, s: a + s["c"],
+                )
+                .alias("s")
+            )
+        )
+        ranks = (
+            ranks.join(contrib, ranks.node == F.col("dst"), "left")
+            .select(
+                "node",
+                "outdeg",
+                "p",
+                F.round(
+                    F.lit(1 - PR_DAMP) * F.col("p")
+                    + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                    + 1e-12,
+                    9,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        "node", F.col("outdeg").cast("long").alias("outdeg"), "p", "rank"
+    )
+
+
+def _dd20_round_sql(prev: str, k: int) -> str:
+    return f"""
+    r{k} AS (
+        SELECT d.node, d.outdeg, d.p,
+               round({1 - PR_DAMP} * d.p + {PR_DAMP} * coalesce(c.s, 0.0) + 1e-12, 9) AS rank
+        FROM nd d LEFT JOIN (
+            SELECT e.id_b AS dst,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(p.rank / p.outdeg ORDER BY e.id_a)),
+                       (a, c) -> a + c
+                   ) AS s
+            FROM edges e JOIN {prev} p ON p.node = e.id_a
+            GROUP BY e.id_b
+        ) c ON c.dst = d.node
+    )"""
+
+
+DD20_SQL = f"""
+    WITH pairs AS ({DD02_SQL}),
+    edges AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b AS id_a, id_a AS id_b FROM pairs
+    ),
+    deg AS (SELECT id_a AS node, count(*) AS outdeg FROM edges GROUP BY id_a),
+    nd AS (
+        SELECT deg.node, deg.outdeg,
+               round(d.n_chars * (SELECT count(*) FROM deg)
+                     / (SELECT sum(d2.n_chars) FROM deg g2
+                        JOIN documents d2 ON d2.doc_id = g2.node) + 1e-12, 9) AS p
+        FROM deg JOIN documents d ON d.doc_id = deg.node
+    ),
+    r0 AS (SELECT node, outdeg, p, p AS rank FROM nd),
+    {",".join(_dd20_round_sql(f"r{k}", k + 1) for k in range(PR_ITERS))}
+    SELECT node, CAST(outdeg AS BIGINT) AS outdeg, p, rank FROM r{PR_ITERS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -1322,6 +1452,7 @@ QUERIES = {
     "dd15_minhash_calibration": dd15_minhash_calibration,
     "dd16_cdc_chunks": dd16_cdc_chunks,
     "dd19_containment": dd19_containment,
+    "dd20_graph_rank": dd20_graph_rank,
 }
 
 # Operator-authored lineage through dd06's tile barrier (lineage.analyze
@@ -1348,4 +1479,5 @@ ORACLES = {
     "dd15_minhash_calibration": DD15_SQL,
     "dd16_cdc_chunks": DD16_SQL,
     "dd19_containment": DD19_SQL,
+    "dd20_graph_rank": DD20_SQL,
 }

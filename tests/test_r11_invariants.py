@@ -149,3 +149,20 @@ def test_dd19_containment_dominates_jaccard(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in rows}
     assert any((b, a) in pairs for a, b in pairs)
     clear_postings_cache()
+
+
+def test_dd20_rank_smooths_quality(spark):
+    from hive_lineage_spark.operators.dedup import dd20_graph_rank, clear_postings_cache
+
+    clear_postings_cache()
+    rows = dd20_graph_rank(spark, SF).collect()
+    assert rows
+    assert all(r["rank"] > 0 and r["p"] > 0 for r in rows)
+    # personalization must break clique symmetry: ranks are non-uniform
+    assert len({r["rank"] for r in rows}) > 1
+    # diffusion is a contraction toward the neighborhood mean: the spread
+    # of ranks never exceeds the spread of the raw teleport weights
+    ps = [r["p"] for r in rows]
+    rk = [r["rank"] for r in rows]
+    assert (max(rk) - min(rk)) <= (max(ps) - min(ps)) + 1e-9
+    clear_postings_cache()
