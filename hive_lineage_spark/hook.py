@@ -804,10 +804,17 @@ class LineageTracker:
                 ln: by_name.get(sn, {UNKNOWN})
                 for ln, sn in zip(leaf_names, sub_cols)
             }
-            sub_maps[f"cache:{idx}"] = {**by_name, **positional}
-            sub_inputs[f"cache:{idx}"] = sub_in
+            # checkpoint_tracked docs live in cached_plans too — their
+            # base cells carry the checkpoint:<idx> marker instead
+            marker = (
+                f"checkpoint:{idx}"
+                if idx < len(leaves) and leaves[idx].name == "LogicalRDD"
+                else f"cache:{idx}"
+            )
+            sub_maps[marker] = {**by_name, **positional}
+            sub_inputs[marker] = sub_in
             # positional aliases of declared sub columns are declared too
-            sub_declared[f"cache:{idx}"] = sub_decl | {
+            sub_declared[marker] = sub_decl | {
                 ln for ln, sn in zip(leaf_names, sub_cols) if sn in sub_decl
             }
             result.indirect = frozenset(result.indirect | sub_indirect)

@@ -59,6 +59,11 @@ _LEAF_KINDS = {
     "BatchScan",
     "LocalTableScan",
     "InMemoryTableScan",
+    # physical scans of (local)checkpointed / foreign RDDs — resolvable
+    # through plans.capture.checkpoint_tracked's registry, otherwise an
+    # honest checkpoint:<n> boundary
+    "RDDScan",
+    "ExternalRDDScan",
 }
 
 _PASSTHROUGH = {

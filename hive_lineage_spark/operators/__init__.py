@@ -179,10 +179,15 @@ from pyspark.sql import DataFrame, SparkSession
 # unique semantics stay pytest- and local-oracle-pinned), q51
 # (funnel, certified r8-r10; the ordered-step shape stays golden- and
 # oracle-covered locally).
-ROTATION_QUEUE: dict[str, int] = {
-    "dd19_containment": 11,  # asymmetric containment dedup, registered post-window-seal
-    "dd20_graph_rank": 11,   # quality-personalized PageRank, registered post-window-seal
-}
+# Round-12 promotion: dd19 + dd20 (registered after the r11 window
+# sealed — r11's only never-certified pair) move INTO the 50-slot
+# window. Out: q44 (UNIQUEJOIN→full-outer, certified r1-r11 = 11
+# green rows; unique-join semantics stay pytest- and local-oracle-
+# pinned, tests/test_queries + tools/check_oracle) and q14 (TPC-H Q1
+# agg, certified r1-r11; the partial/final aggregate split stays
+# plan-pinned in tests/test_plans.py + docs/PLANS.md, and q17's
+# star-agg keeps grouped aggregation in-window).
+ROTATION_QUEUE: dict[str, int] = {}
 
 _DRIVER_PRIORITY = [
     # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified
@@ -190,8 +195,8 @@ _DRIVER_PRIORITY = [
     # rotated out in the r10 second promotion, see ROTATION_QUEUE
     # comment)
     # q04/q12/q13/q51 rotated out r11 (certified r1-r10 / r8-r10; see
-    # the promotion note above)
-    "q44_unique_join", "q14_agg_tpch_q1",
+    # the promotion note above); q44/q14 rotated out r12 for dd19/dd20
+    # (see the ROTATION_QUEUE note)
     "q17_q27_shape",
     "q18_partition_pruning", "q19_insert_readback",
     # SQL-surface round-5 additions (q48/q49 certified r6, rotated out
@@ -206,6 +211,8 @@ _DRIVER_PRIORITY = [
     "dd16_cdc_chunks",
     "dd17_cluster_keep_best",
     "dd18_longest_dup_span",
+    "dd19_containment",
+    "dd20_graph_rank",
     # similarity search (ss01 rotated out r10 — certified 8x, exact
     # baseline embedded wholesale in ss09's recall oracle; ss07/ss08/
     # ss10 out in the second promotion — ss09/ss11/ss13 keep

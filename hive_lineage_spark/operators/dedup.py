@@ -181,13 +181,19 @@ def _postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def clear_postings_cache() -> None:
-    """Unpersist and drop every cached derived index (all sessions/dirs)."""
+    """Unpersist and drop every cached derived index (all sessions/dirs).
+    Checkpointed frames (dd20's supersteps) are released by dropping the
+    reference — ContextCleaner frees the checkpoint RDD on GC — and their
+    registered pre-checkpoint plan docs are cleared with them."""
     for df in _POSTINGS_CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
     _POSTINGS_CACHE.clear()
+    from ..plans.capture import clear_checkpoint_registry
+
+    clear_checkpoint_registry()
 
 
 def _verify_pairs(cand: DataFrame, po: DataFrame, sizes: DataFrame | None = None) -> DataFrame:
@@ -457,20 +463,53 @@ PR_ITERS = 3      # unrolled in both engines
 PR_DAMP = 0.85    # the canonical damping factor
 
 
-def dd20_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-round quality-personalized PageRank over the undirected
-    near-dup pair graph.
+def _dd20_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative core of dd20: one join + one groupBy per superstep,
+    with EXACTLY ONE reference to the previous round's frame.
 
-    SCALE shape: per round, ONE edge-keyed join (contributions =
-    rank/outdeg shipped along edges) and one partial-agg groupBy on the
-    destination — the classic Pregel superstep as DataFrame ops; frames
-    are EDGE-sized (near-dup graphs are sparse), never corpus-sized,
-    and the loop is unrolled (3 supersteps) so no driver round-trips.
-    The teleport weights need one broadcast 1-row total. At a
-    diameter-heavy 100 TB graph the round count is the knob; each
-    extra round is one more join+agg stage (SCALE.md's unrolled-
-    iteration ceiling notes apply)."""
-    pairs = dd02_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    The naive Pregel round (contrib = edges ⋈ ranks → agg; new ranks =
+    ranks ⟕ contrib) references ``ranks`` twice, so the LOGICAL plan
+    doubles per round — persist bounds re-execution but not plan size,
+    and by round 3 the analyzed plan was 3.5 MB of text (optimized
+    print 165 MB): every action then pays ~15 s of driver-side plan
+    processing (canonicalization for cache lookup, AQE stage creation,
+    plan-description strings for listeners), the r11 sidecar's 10.3 s.
+    Fix: fold the receiver's own (p, outdeg) into the message stream as
+    a marker self-loop row per node, so a round is
+
+        msg ⋈ ranks (on sender) → groupBy dst:
+            p/outdeg from the self row, Σ contributions from the rest
+
+    — one ``ranks`` reference, one ``msg`` reference, LINEAR plan
+    growth. Contribution fold order (struct(src, c), array_sort, left
+    fold) is bit-identical to the oracle's ORDER BY src fold; self rows
+    are excluded via when()→null, which collect_list drops.
+
+    Each round's node-sized frame is eagerly checkpoint-truncated via
+    ``plans.capture.checkpoint_tracked`` (the GraphX-per-superstep
+    discipline): the next round's plan starts from a LogicalRDD leaf, so
+    plan size per action is O(one round) REGARDLESS of round count,
+    while the registered pre-checkpoint plan keeps column lineage
+    resolvable through every superstep down to the base tables. Frames
+    are registered in ``_POSTINGS_CACHE`` so ``clear_postings_cache``
+    drops the references."""
+    from ..plans.capture import checkpoint_tracked
+
+    app = spark.sparkContext.applicationId
+
+    def _pin(tag: str, df: DataFrame) -> DataFrame:
+        # superstep truncation that lineage can still see through
+        df = checkpoint_tracked(df)
+        _POSTINGS_CACHE[(app, sf_dir, tag)] = df
+        return df
+
+    # checkpoint the pair frame FIRST: every downstream frame (edges,
+    # degrees, teleport weights, messages, rounds) then references one
+    # tiny LogicalRDD leaf instead of the full PPJoin tree — the cold
+    # build pays the big plan's canonicalization exactly once
+    pairs = _pin(
+        "dd20_pairs", dd02_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    )
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
@@ -487,40 +526,89 @@ def dd20_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "outdeg",
         F.round(F.col("n_chars") * F.col("nv") / F.col("sc") + 1e-12, 9).alias("p"),
     )
-    ranks = nd.select("node", "outdeg", "p", F.col("p").alias("rank"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(
-                ranks.select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("outdeg")).alias("c"),
+    msg = _pin(
+        "dd20_msg",
+        edges.select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.lit(False).alias("is_self"),
+        ).unionByName(
+            nd.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(True).alias("is_self"),
+            )
+        ),
+    )
+    ranks = _pin(
+        "dd20_ranks_r0", nd.select("node", "outdeg", "p", F.col("p").alias("rank"))
+    )
+    for _round in range(PR_ITERS):
+        ranks = _pin(f"dd20_ranks_r{_round + 1}", _dd20_superstep(msg, ranks))
+    return ranks
+
+
+def _dd20_superstep(msg: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One Pregel round: ONE edge-keyed join (msg ⋈ ranks on the sender)
+    and ONE destination groupBy — the self-loop marker row delivers the
+    receiver's own (p, outdeg), contributions fold neighbor-id-sorted
+    (bit-identical to the oracle's ORDER BY src fold; self rows become
+    nulls, which collect_list drops)."""
+    return (
+        msg.join(ranks, msg.src == ranks.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.max(F.when(F.col("is_self"), F.col("outdeg"))).alias("outdeg"),
+            F.max(F.when(F.col("is_self"), F.col("p"))).alias("p"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_self"),
+                            F.struct(
+                                F.col("src"),
+                                (F.col("rank") / F.col("outdeg")).alias("c"),
+                            ),
+                        )
+                    )
                 ),
-                F.col("id_a") == F.col("src"),
-            )
-            .groupBy(F.col("id_b").alias("dst"))
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct(F.col("src"), F.col("c")))),
-                    F.lit(0.0),
-                    lambda a, s: a + s["c"],
-                )
-                .alias("s")
-            )
+                F.lit(0.0),
+                lambda a, s: a + s["c"],
+            ).alias("s"),
         )
-        ranks = (
-            ranks.join(contrib, ranks.node == F.col("dst"), "left")
-            .select(
-                "node",
-                "outdeg",
-                "p",
-                F.round(
-                    F.lit(1 - PR_DAMP) * F.col("p")
-                    + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
-                    + 1e-12,
-                    9,
-                ).alias("rank"),
-            )
+        .select(
+            "node",
+            "outdeg",
+            "p",
+            F.round(
+                F.lit(1 - PR_DAMP) * F.col("p") + F.lit(PR_DAMP) * F.col("s") + 1e-12,
+                9,
+            ).alias("rank"),
         )
+    )
+
+
+def dd20_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round quality-personalized PageRank over the undirected
+    near-dup pair graph.
+
+    SCALE shape: per round, ONE edge-keyed join (contributions =
+    rank/outdeg shipped along edges, the receiver's own (p, outdeg)
+    riding a marker self-loop row) and one partial-agg groupBy on the
+    destination — the classic Pregel superstep as DataFrame ops; frames
+    are EDGE-sized (near-dup graphs are sparse), never corpus-sized.
+    Each superstep references its predecessor exactly once and is
+    eagerly materialized (see ``_dd20_ranks``), the standard Pregel
+    discipline: PR_ITERS tiny driver-coordinated jobs over node-sized
+    frames, with LINEAR logical-plan growth instead of the naive
+    two-reference round's exponential one. The final rank frame is
+    session-persisted per (session, sf_dir) like the postings/band
+    indexes. The teleport weights need one broadcast 1-row total. At a
+    diameter-heavy 100 TB graph the round count is the knob; each extra
+    round is one more join+agg stage over edge-/node-sized frames, and
+    the local ``persist`` swaps to reliable ``checkpoint`` storage for
+    executor-loss recovery."""
+    ranks = _persisted("dd20_ranks", spark, sf_dir, _dd20_ranks)
     return ranks.select(
         "node", F.col("outdeg").cast("long").alias("outdeg"), "p", "rank"
     )

@@ -219,6 +219,48 @@ def leaf_scan_paths(jlogical) -> list[list[str]]:
     return out
 
 
+# pre-checkpoint plan docs, keyed by the checkpoint's output exprIds
+# (localCheckpoint PRESERVES output attribute identity, so the LogicalRDD
+# leaf's attrs are exactly the captured plan's output attrs) — consumed by
+# cached_subplans / _capture_cached_physical so lineage resolves THROUGH
+# checkpoint:<n> boundaries exactly as it does through cache:<n>.
+_CHECKPOINT_REGISTRY: dict[tuple, dict] = {}
+
+
+def _output_eids(jplan) -> tuple:
+    out = jplan.output()
+    return tuple(
+        (out.apply(i).exprId().id(), str(out.apply(i).exprId().jvmId()))
+        for i in range(out.size())
+    )
+
+
+def checkpoint_tracked(df, eager: bool = True):
+    """``localCheckpoint`` that stays lineage-resolvable.
+
+    Iterative operators (dd20's Pregel supersteps) MUST truncate the
+    logical plan between rounds — persist bounds re-execution but not
+    plan size, and a multi-reference round doubles the plan each
+    superstep until every action pays seconds of driver-side plan
+    processing. ``localCheckpoint`` is the GraphX answer, but Spark
+    keeps nothing behind the LogicalRDD, so a plain checkpoint turns
+    lineage into an opaque ``checkpoint:<n>`` boundary. This wrapper
+    captures the pre-checkpoint physical plan (exprIds intact) and
+    registers it under the checkpoint's output exprIds; capture-time
+    resolution then stitches through the boundary exactly like a
+    persisted cache (``hook._resolve_cache_doc``). At cluster scale the
+    same wrapper would call reliable ``checkpoint()`` for executor-loss
+    recovery — the registry mechanics are identical."""
+    doc = _capture_cached_physical(df._jdf.queryExecution().executedPlan())
+    ck = df.localCheckpoint(eager)
+    _CHECKPOINT_REGISTRY[_output_eids(ck._jdf.queryExecution().analyzed())] = doc
+    return ck
+
+
+def clear_checkpoint_registry() -> None:
+    _CHECKPOINT_REGISTRY.clear()
+
+
 def _capture_cached_physical(jphys, depth: int = 0) -> dict:
     """Capture a cached physical plan as {raw, leafPaths, nested}. A
     persisted frame built ON TOP of another persisted frame (index
@@ -246,17 +288,25 @@ def _capture_cached_physical(jphys, depth: int = 0) -> dict:
             paths = [str(loc.apply(k)) for k in range(loc.size())]
         except Exception:  # noqa: BLE001
             pass
-        if (
-            not paths
-            and depth < 4
-            and sl.getClass().getSimpleName() == "InMemoryTableScanExec"
-        ):
-            try:
-                nested[j] = _capture_cached_physical(
-                    sl.relation().cacheBuilder().cachedPlan(), depth + 1
-                )
-            except Exception:  # noqa: BLE001 — keep this leaf as a boundary
-                pass
+        if not paths and depth < 8:
+            cname = sl.getClass().getSimpleName()
+            if cname == "InMemoryTableScanExec":
+                try:
+                    nested[j] = _capture_cached_physical(
+                        sl.relation().cacheBuilder().cachedPlan(), depth + 1
+                    )
+                except Exception:  # noqa: BLE001 — keep this leaf as a boundary
+                    pass
+            elif cname in ("RDDScanExec", "ExternalRDDScanExec"):
+                # a checkpoint INSIDE a captured plan: registered docs
+                # already chain (round k's doc was built while round k-1's
+                # was in the registry), so this is a lookup, not a recurse
+                try:
+                    ndoc = _CHECKPOINT_REGISTRY.get(_output_eids(sl))
+                except Exception:  # noqa: BLE001
+                    ndoc = None
+                if ndoc is not None:
+                    nested[j] = ndoc
         sub_paths.append(paths)
     doc = {"raw": raw, "leafPaths": sub_paths}
     if nested:
@@ -274,7 +324,19 @@ def cached_subplans(jlogical) -> dict[int, dict]:
     leaves = jlogical.collectLeaves()
     for i in range(leaves.size()):
         leaf = leaves.apply(i)
-        if leaf.getClass().getSimpleName() != "InMemoryRelation":
+        simple = leaf.getClass().getSimpleName()
+        if simple == "LogicalRDD":
+            # a checkpointed subplan: resolvable iff it was created via
+            # checkpoint_tracked (otherwise it stays a checkpoint:<n>
+            # boundary, the honest answer for foreign RDD-backed data)
+            try:
+                doc = _CHECKPOINT_REGISTRY.get(_output_eids(leaf))
+            except Exception:  # noqa: BLE001
+                doc = None
+            if doc is not None:
+                out[i] = doc
+            continue
+        if simple != "InMemoryRelation":
             continue
         try:
             out[i] = _capture_cached_physical(leaf.cacheBuilder().cachedPlan())

@@ -842,3 +842,30 @@ def test_listener_captures_insert_overwrite_directory(spark, tmp_path):
         assert ql.column_map()["uname"] == {("nation", "n_name")}
     finally:
         tr.uninstall(spark)
+
+
+def test_checkpoint_tracked_lineage_resolves_through(spark):
+    """``plans.capture.checkpoint_tracked``: a localCheckpoint made via
+    the wrapper resolves THROUGH the boundary to base cells exactly like
+    a persisted cache (the registered pre-checkpoint plan substitutes
+    the checkpoint leaf), and CHAINS across stacked checkpoints — the
+    mechanism dd20's Pregel supersteps rely on. A RAW localCheckpoint
+    keeps the honest opaque ``checkpoint:<n>`` boundary."""
+    from hive_lineage_spark.plans.capture import checkpoint_tracked
+
+    base = _t(spark, "region").select(
+        F.col("r_regionkey").alias("k"), F.upper(F.col("r_name")).alias("nm")
+    )
+    ck1 = checkpoint_tracked(base)
+    ck2 = checkpoint_tracked(ck1.select("k", F.lower(F.col("nm")).alias("lo")))
+    ql = _track(spark, ck2.select("lo"), "ckpt_chain")
+    assert ql.column_map()["lo"] == {("region", "r_name")}
+    assert ql.result.input_tables == ["region"]
+
+    # a raw localCheckpoint of a never-registered frame (fresh exprIds)
+    # stays an honest opaque boundary
+    other = _t(spark, "nation").select(F.upper(F.col("n_name")).alias("un"))
+    raw = other.localCheckpoint(True).select("un")
+    ql2 = _track(spark, raw, "ckpt_opaque")
+    assert ql2.column_map()["un"] == {("checkpoint:0", "un")}
+    assert ql2.result.input_tables == ["checkpoint:0"]

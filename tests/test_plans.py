@@ -572,3 +572,42 @@ def test_range_partition_assignment_is_broadcast_map(spark):
     for seg in plan.split("Exchange SinglePartition")[1:]:
         head = seg.split("FileScan")[0] + seg.split("FileScan")[1][:400]
         assert "% 20) = 0" in head or "HashAggregate" in head
+
+
+def test_dd20_superstep_checkpoint_single_pipeline(spark):
+    """dd20: each Pregel superstep's pre-checkpoint plan is ONE
+    BroadcastHashJoin (msg ⋈ prev ranks) feeding ONE partial/final
+    ObjectHashAggregate over the destination, and reads BOTH inputs as
+    checkpoint scans (RDDScanExec) — no live corpus pipeline inside a
+    superstep, no SortMergeJoin, no cartesian product, and no plan
+    duplication (the r11 defect: the two-reference round doubled the
+    logical plan per superstep until every action paid ~15 s of
+    driver-side plan processing). Both checkpoint leaves carry nested
+    registry docs (plans.capture.checkpoint_tracked), so column lineage
+    still resolves through every round to the documents base table."""
+    from hive_lineage_spark.operators import dedup
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
+    from hive_lineage_spark.plans import capture as cap
+
+    clear_postings_cache()
+    df = dedup.dd20_graph_rank(spark, SF)
+    df.collect()
+    ck = dedup._POSTINGS_CACHE[
+        (spark.sparkContext.applicationId, SF, f"dd20_ranks_r{dedup.PR_ITERS}")
+    ]
+    doc = cap._CHECKPOINT_REGISTRY[
+        cap._output_eids(ck._jdf.queryExecution().analyzed())
+    ]
+    names = [n.get("class", "").rsplit(".", 1)[-1] for n in doc["raw"]]
+    assert names.count("BroadcastHashJoinExec") == 1, names
+    assert names.count("ObjectHashAggregateExec") == 2, names  # partial+final
+    assert names.count("RDDScanExec") == 2, names  # msg + previous round
+    for bad in ("SortMergeJoinExec", "CartesianProductExec", "FileSourceScanExec"):
+        assert bad not in names, names
+    # both checkpoint inputs resolve through the registry
+    assert set(map(int, (doc.get("nested") or {}).keys())) == {0, 1}
+    # the returned frame is plan-flat: actions scan the final checkpoint
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan or "RDDScan" in plan, plan
+    assert "FileScan" not in plan, plan
+    clear_postings_cache()

@@ -99,3 +99,19 @@ def test_no_silent_rotation_debt():
         f"window before CORRECTNESS_r(N+1) lands; latest driver round is "
         f"r{current:02d} but these are older: {expired}"
     )
+    # stronger than expiry (which only reddens AFTER the wasted round):
+    # once the queueing round's CORRECTNESS has landed, the entry must
+    # ALREADY hold a window slot — queue membership alone must not
+    # satisfy this test for a full round (the r11 dd19/dd20 lesson:
+    # both sat queued through the r12 window build and would have gone
+    # uncertified a second round had the window not been edited)
+    window = set(_DRIVER_PRIORITY[:50])
+    overdue = [
+        (q, queued)
+        for q, queued in ROTATION_QUEUE.items()
+        if current >= queued and q not in window
+    ]
+    assert not overdue, (
+        f"queued in a round whose CORRECTNESS already landed but still "
+        f"not in _DRIVER_PRIORITY[:50]: {overdue}"
+    )

@@ -77,7 +77,24 @@ SHOW = [
     ("ss20_ann_binary", "sign-code build fused into the embeddings scan (codegen folds, no Python); coarse Hamming vs BROADCAST query codes; exact-flag join broadcast — no SortMergeJoin anywhere"),
     ("dq08_psi_drift", "per column: two partial-agg passes to bin granularity, a bin-sized full-outer join, and the PSI fold over a sorted bin list — every post-scan frame is bin-count-sized"),
     ("dd19_containment", "contained side joins only its RAREST-gram containment prefix (low df by construction) against the full postings; verification reuses the persisted postings/sizes frames; all shuffle keys 8-byte hashes"),
+    ("dd20_graph_rank", "shown: ONE Pregel superstep (the returned frame itself is a flat checkpoint scan). One BroadcastHashJoin (msg ⋈ ranks on the sender) + one partial/final ObjectHashAggregate on the destination; BOTH inputs are checkpoint scans (Scan ExistingRDD) — no live corpus pipeline inside a round, linear plan growth via checkpoint_tracked (lineage still resolves to documents)"),
 ]
+
+
+def _dd20_superstep_frame(spark, sf_dir):
+    """dd20's returned frame is (by design) a flat scan of the final
+    checkpoint — the plan worth showing is one superstep, rebuilt here
+    from the session-pinned msg and penultimate-round frames."""
+    from hive_lineage_spark.operators import dedup
+
+    app = spark.sparkContext.applicationId
+    msg = dedup._POSTINGS_CACHE[(app, sf_dir, "dd20_msg")]
+    prev = dedup._POSTINGS_CACHE[(app, sf_dir, f"dd20_ranks_r{dedup.PR_ITERS - 1}")]
+    return dedup._dd20_superstep(msg, prev)
+
+
+# queries whose evidence plan is not the returned frame's own plan
+SPECIAL_PLAN = {"dd20_graph_rank": _dd20_superstep_frame}
 
 
 def main() -> None:
@@ -101,6 +118,9 @@ def main() -> None:
     for name, why in SHOW:
         df = qs[name](spark, sf_dir)
         df.collect()
+        if name in SPECIAL_PLAN:
+            df = SPECIAL_PLAN[name](spark, sf_dir)
+            df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString().rstrip()
         plines = plan.splitlines()
         if len(plines) > MAX_PLAN_LINES:
