@@ -128,6 +128,9 @@ EXTRA = [
     "dq08_psi_drift",          # PSI distribution-shift gate (round 11)
     "dd19_containment",        # asymmetric containment dedup (round 11)
     "dd20_graph_rank",         # quality-personalized PageRank over dup graph (round 11)
+    "web01_url_parse",         # URL synth+parse, registrable domain (round 12)
+    "web02_host_dup_rate",     # per-host exact-dup mirror detector (round 12)
+    "web03_url_blocklist",     # URL-pattern blocklist gate (round 12)
 ]
 
 

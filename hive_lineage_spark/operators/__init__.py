@@ -196,12 +196,26 @@ _DRIVER_PRIORITY = [
     # comment)
     # q04/q12/q13/q51 rotated out r11 (certified r1-r10 / r8-r10; see
     # the promotion note above); q44/q14 rotated out r12 for dd19/dd20
-    # (see the ROTATION_QUEUE note)
-    "q17_q27_shape",
-    "q18_partition_pruning", "q19_insert_readback",
-    # SQL-surface round-5 additions (q48/q49 certified r6, rotated out
-    # r7 for dq03/mm08 — their semantics stay oracle-covered locally)
-    "q50_vtable_partitioned",
+    # (see the ROTATION_QUEUE note).
+    # Round-12 changed-since-certified rotation (tools/certified.py
+    # --changed; policy in README): slots go FIRST to queries whose
+    # defining source changed after their last green driver row — a
+    # green row certifies the code as it was THEN. In: q45 (changed
+    # r3→, vtable time travel, §2.4), q27 (changed r4→, as-of join),
+    # ss05 (changed r5→, Arrow brute-force), dd07/dd08 (changed r7→,
+    # pair-cache consumers), tp01/ss09/tx12 (changed r9→, incl. the
+    # r11 exchange-reuse fix tx12 and this round's shared-exact-leg
+    # ss09). Out, all UNCHANGED since their last green row: q17/q18/
+    # q19 (11x certified; star-broadcast, pruning, and insert-readback
+    # stay plan-/listener-pinned in tests/test_plans.py +
+    # tests/test_lineage.py), q50 (6x; vtable semantics re-enter via
+    # q45), mm10 (2x; mm13/mm15 keep the MJPEG decode chain), mm12
+    # (2x; mm17 keeps perceptual hashing), tx16 (2x; tx17/tx18/tx21
+    # keep the LM ladder), ss12 (2x; ss13/ss20 keep Hamming banding).
+    "q45_vtable_time_travel", "q27_asof_join",
+    "ss05_ann_bruteforce_arrow",
+    "dd07_near_dedup_apply", "dd08_dup_clusters",
+    "tp01_full_pipeline", "ss09_ann_recall", "tx12_dup_span_profile",
     # deduplication (dd06 rotated out r10 — certified r1-r9, cosine
     # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
     # is its Arrow twin; dd02 out r11 — dd17 embeds its pair
@@ -217,23 +231,23 @@ _DRIVER_PRIORITY = [
     # baseline embedded wholesale in ss09's recall oracle; ss07/ss08/
     # ss10 out in the second promotion — ss09/ss11/ss13 keep
     # IVF/PQ/rerank in-window; ss15/ss16/ss17 in from the r10 queue)
-    "ss12_ann_hamming", "ss13_ann_ivfpq",
+    "ss13_ann_ivfpq",
     "ss14_ann_random_projection",
-    "ss15_mips_norm_augment", "ss16_mips_ivf", "ss17_rank_fusion",
+    "ss16_mips_ivf", "ss17_rank_fusion",
     "ss18_ann_matryoshka", "ss19_ann_filtered", "ss20_ann_binary",
     # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
     # tx12/tx13 rotated out mid-r10, tx14 out in the second promotion;
     # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
     # ladder)
-    "tx15_bpe_train", "tx16_bigram_xent",
+    "tx15_bpe_train",
     "tx17_heldout_xent", "tx18_backoff_xent", "tx19_bpe_apply",
     "tx20_ccnet_buckets", "tx21_kneser_ney_xent",
     # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
     # decode harder paths; incoming mm16/mm17/mm18 run the real decode
     # chain); the four r9-queue entries stay
-    "mm09_pair_curation", "mm10_video_frame_pixels",
-    "mm11_audio_features", "mm12_image_dhash",
-    "mm13_video_420_pixels", "mm14_audio_resample",
+    "mm09_pair_curation",
+    "mm11_audio_features",
+    "mm13_video_420_pixels",
     "mm15_video_shot_detect",
     "mm16_image_entropy", "mm17_image_phash", "mm18_audio_vad",
     "mm19_vit_patches", "mm20_audio_spectral",
@@ -242,10 +256,16 @@ _DRIVER_PRIORITY = [
     # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
     # packing/chunking; tp12/tp13 in from the r10 queue)
     "tp12_weighted_sample", "tp13_range_partition",
-    "tp14_budget_waterfill", "tp15_doremi_reweight",
+    "tp15_doremi_reweight",
     # data-quality gates (dq01/dq02/dq03 rotated out during r10 —
     # dq03's drift is two dq01 profiles; dq04 keeps the volume gate,
     # dq05 in from the r10 queue)
+    # round-12 registrations (host/URL curation) certify the same
+    # round they land, per the r10/r11 pattern. Out for them, all
+    # unchanged 2x-certified with sibling coverage: mm14 (mm11/mm18/
+    # mm20/mm22 keep audio), ss15 (ss16 composes the same norm-augment
+    # inside IVF-MIPS), tp14 (tp12/tp13/tp15 keep sampling/planning).
+    "web01_url_parse", "web02_host_dup_rate", "web03_url_blocklist",
     "dq05_row_expectations",
     "dq06_freshness_sla",
     "dq07_referential_integrity", "dq08_psi_drift",
@@ -256,11 +276,11 @@ _DRIVER_PRIORITY = [
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import (
         dedup, multimodal, pandas_ops, pipeline, quality, relational,
-        similarity, sql_extra, text,
+        similarity, sql_extra, text, web,
     )
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops, quality):
+    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops, quality, web):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
@@ -289,10 +309,10 @@ def all_declared() -> dict[str, dict[str, list[str]]]:
 def all_oracles() -> dict[str, str]:
     from . import (
         dedup, multimodal, pandas_ops, pipeline, quality, relational,
-        similarity, sql_extra, text,
+        similarity, sql_extra, text, web,
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops, quality):
+    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops, quality, web):
         merged.update(mod.ORACLES)
     return merged

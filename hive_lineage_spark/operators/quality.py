@@ -580,9 +580,12 @@ def dq08_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity (map-side combine onto ≤ a dozen grid cells), a
     full-outer join of two bin-count frames, and a sorted fold over
     the bin list for the Σ — every post-scan frame is bin-count-sized.
-    Cross-engine FP: the smoothed log-ratio is ln of INTEGER products
-    (identical inputs in both engines), the fold runs in ascending-bin
-    order in both, and the result rounds at 6 dp."""
+    Cross-engine FP: the smoothed log-ratio is a left-to-right
+    sum/difference of ln of each DOUBLE-CAST factor (never ln of an
+    int64 product, which would overflow at 100 TB counts — Spark wraps
+    silently, DuckDB promotes to HUGEINT), the fold runs in
+    ascending-bin order in both engines, and the result rounds at
+    6 dp."""
     li = load_table(spark, sf_dir, "lineitem")
     ref = li.filter(F.col("l_linenumber") <= 3)
     cur = li.filter(F.col("l_linenumber") > 3)
@@ -616,8 +619,15 @@ def dq08_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - (F.col("b") + 1) / (F.col("nb") + F.col("nbins"))
                     )
                     * (
-                        F.log((F.col("a") + 1) * (F.col("nb") + F.col("nbins")))
-                        - F.log((F.col("b") + 1) * (F.col("na") + F.col("nbins")))
+                        # ln per FACTOR, never of the int product: at 100 TB
+                        # per-bin count × slice total exceeds 2^63 and Spark
+                        # would wrap silently (ln(negative) = null PSI) while
+                        # DuckDB promotes to HUGEINT — a silent divergence.
+                        # Association pinned left-to-right in both engines.
+                        F.log(F.col("a") + 1)
+                        - F.log(F.col("b") + 1)
+                        + F.log(F.col("nb") + F.col("nbins"))
+                        - F.log(F.col("na") + F.col("nbins"))
                     )
                 ).alias("t"),
             ).alias("bt"),
@@ -661,8 +671,9 @@ def _dq08_col_sql(col: str, bin_expr: str) -> str:
                    count(*) OVER () AS nbins,
                    ((a + 1) * 1.0 / (sum(a) OVER () + count(*) OVER ())
                     - (b + 1) * 1.0 / (sum(b) OVER () + count(*) OVER ()))
-                   * (ln((a + 1) * (sum(b) OVER () + count(*) OVER ()))
-                      - ln((b + 1) * (sum(a) OVER () + count(*) OVER ()))) AS t
+                   * (ln(a + 1) - ln(b + 1)
+                      + ln(sum(b) OVER () + count(*) OVER ())
+                      - ln(sum(a) OVER () + count(*) OVER ())) AS t
             FROM (
                 SELECT coalesce(ra.bin, rb.bin) AS bin,
                        coalesce(ra.a, 0) AS a, coalesce(rb.b, 0) AS b

@@ -1305,6 +1305,23 @@ def _ss11_sql() -> str:
 SS11_SQL = _ss11_sql()
 
 
+def _exact_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE exact cosine top-K ground-truth frame (query_id, neighbor_id),
+    persisted once per (session, sf_dir): ss09's five recall legs and
+    ss20's in_exact evidence all consume this ONE frame instead of each
+    re-running the brute-force corpus scan — n_queries·K rows, always
+    broadcastable. Production drops the evidence consumers entirely;
+    an eval run materializes this once per corpus snapshot."""
+    from .dedup import _persisted
+
+    return _persisted(
+        "ss09_exact",
+        spark,
+        sf_dir,
+        lambda s, d: ss01_ann_bruteforce(s, d).select("query_id", "neighbor_id"),
+    )
+
+
 def ss09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation as an operator: recall@K of the pruned
     search variants (ss02 IVF, ss13 IVF+PQ, ss08 PQ/ADC, ss10 re-rank,
@@ -1324,14 +1341,7 @@ def ss09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus scan re-ran 8×. Persisted per (session, sf_dir) like the
     dd02/dd03 index frames; the PQ encode pass is likewise shared by
     the pq/pq_rerank/pq_trained legs via ``_pq_codes_cached``."""
-    from .dedup import _persisted
-
-    exact = _persisted(
-        "ss09_exact",
-        spark,
-        sf_dir,
-        lambda s, d: ss01_ann_bruteforce(s, d).select("query_id", "neighbor_id"),
-    )
+    exact = _exact_topk_cached(spark, sf_dir)
     out = None
     for method, fn in (
         ("ivf", ss02_ann_ivf),
@@ -2233,6 +2243,36 @@ SS18_SQL = f"""
 SS19_PRED_MOD = 2  # predicate: neighbor qualifies iff vec_id % 2 == 0
 
 
+def _ss19_exact_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-K over the FILTERED corpus slice — ss19's ground truth
+    (a filtered top-K is NOT derivable from the unfiltered one, so this
+    cannot share ss09/ss20's exact frame). Persisted per (session,
+    sf_dir): n_queries·K rows, the evidence leg runs once per corpus
+    snapshot instead of once per call."""
+    from .dedup import _persisted
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        vec = _vectors(s, d)
+        q = vec.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+        )
+        fc = vec.filter(F.col("vec_id") % SS19_PRED_MOD == 0).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
+        w_rank = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            q.join(fc, F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine", _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= K)
+            .select("query_id", "neighbor_id")
+        )
+
+    return _persisted("ss19_exact", spark, sf_dir, _build)
+
+
 def ss19_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-filtered IVF top-K with inline exact-recall flag.
 
@@ -2288,18 +2328,8 @@ def ss19_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= K)
     )
-    q = vec.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    fc = vec.filter(F.col("vec_id") % SS19_PRED_MOD == 0).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    exact = (
-        q.join(fc, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= K)
-        .select("query_id", "neighbor_id", F.lit(1).alias("flag"))
+    exact = F.broadcast(
+        _ss19_exact_cached(spark, sf_dir).withColumn("flag", F.lit(1))
     )
     return (
         ivf.join(exact, ["query_id", "neighbor_id"], "left")
@@ -2442,9 +2472,10 @@ def ss20_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K)
         .select("query_id", "neighbor_id", "hamming", F.round("cosine", 6).alias("cosine"), "rank")
     )
-    # K·N_QUERIES rows by construction — always broadcastable
+    # K·N_QUERIES rows by construction — always broadcastable; shared
+    # with ss09's recall legs via the session-persisted ground truth
     exact = F.broadcast(
-        ss01_ann_bruteforce(spark, sf_dir).select(
+        _exact_topk_cached(spark, sf_dir).select(
             "query_id", "neighbor_id", F.lit(1).alias("flag")
         )
     )

@@ -722,10 +722,13 @@ def dd18_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better"): for each document, the widest
     window w ∈ {4, 8, 16} words at which at least one of its sliding
-    spans occurs verbatim elsewhere in the corpus, plus how many of its
-    spans are duplicated at that width. ``max_dup_w = 16`` flags
+    spans occurs verbatim in at least one OTHER document (the gate
+    counts DISTINCT documents per gram, so within-document repetition —
+    tx05's signal — never flags here), plus how many of its spans are
+    cross-document-duplicated at that width. ``max_dup_w = 16`` flags
     docs carrying long verbatim boilerplate (dedup candidates);
-    ``max_dup_w = 0`` means no span of ≥4 words repeats anywhere.
+    ``max_dup_w = 0`` means no span of ≥4 words appears in any other
+    document.
 
     Scale shape: consumes the SAME persisted (w, gh) gram index as
     tx12 (``_tx12_gram_frame`` via the session index cache) — running
@@ -737,7 +740,13 @@ def dd18_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _persisted
 
     g_all = _persisted("tx12_grams", spark, sf_dir, _tx12_gram_frame)
-    cnt = g_all.groupBy("w", "gh").agg(F.count(F.lit(1)).alias("cf"))
+    # cross-document gate: a gram counts as duplicated only when it
+    # occurs in >1 DISTINCT documents — a doc whose own 16-gram repeats
+    # internally is tx05's repetition signal, not a dedup candidate
+    # (plain occurrence count cf>1 would flag it)
+    cnt = g_all.groupBy("w", "gh").agg(
+        F.countDistinct("doc_id").alias("cf")
+    )
     dup = (
         g_all.join(cnt.filter(F.col("cf") > 1), ["w", "gh"])
         .groupBy("doc_id", "w")
@@ -768,7 +777,7 @@ DD18_SQL = f"""
         )''' for w in DUP_WIDTHS
     )},
     all_g AS ({" UNION ALL ".join(f"SELECT doc_id, {w} AS w, gh FROM g{w}" for w in DUP_WIDTHS)}),
-    cnt AS (SELECT w, gh, count(*) AS cf FROM all_g GROUP BY w, gh),
+    cnt AS (SELECT w, gh, count(DISTINCT doc_id) AS cf FROM all_g GROUP BY w, gh),
     dup AS (
         SELECT g.doc_id, g.w, count(*) AS n_dup
         FROM all_g g JOIN cnt c USING (w, gh)

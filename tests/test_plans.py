@@ -611,3 +611,28 @@ def test_dd20_superstep_checkpoint_single_pipeline(spark):
     assert "Scan ExistingRDD" in plan or "RDDScan" in plan, plan
     assert "FileScan" not in plan, plan
     clear_postings_cache()
+
+
+def test_web_ops_scan_fused_codegen(spark):
+    """web01/web03: the whole URL synthesize→parse→gate chain fuses into
+    the documents scan as whole-stage codegen — ZERO exchanges, zero
+    Python (the RefinedWeb pre-text stage is free at 100 TB beyond the
+    scan itself). web02's only exchanges key on the 8-byte text hash
+    and the registrable domain — never a corpus-sized wide row."""
+    from hive_lineage_spark.operators import web
+
+    for name in ("web01_url_parse", "web03_url_blocklist"):
+        df = web.QUERIES[name](spark, SF)
+        df.collect()
+        plan = _plan(df)
+        assert "Exchange" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, name
+        assert "*(1)" in plan, name  # one whole-stage-codegen span over the scan
+    df = web.web02_host_dup_rate(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and set(keys) <= {"th", "reg_domain"}, keys
+    assert "ReadSchema: struct<doc_id:bigint,text:string" in plan or "text" in plan.split("ReadSchema:")[1].splitlines()[0]

@@ -70,6 +70,96 @@ def latest_round(repo_root: str = REPO_ROOT) -> int:
     return max(rounds, default=0)
 
 
+def last_certified_round(query: str, repo_root: str = REPO_ROOT) -> int | None:
+    """Highest round with a green driver row for this query, or None."""
+    best = None
+    for label, greens in certified_by_round(repo_root).items():
+        if query in greens and label[1:].isdigit():
+            n = int(label[1:])
+            best = n if best is None else max(best, n)
+    return best
+
+
+def _git(args: list[str], repo_root: str = REPO_ROOT) -> str:
+    import subprocess
+
+    return subprocess.run(
+        ["git", "-C", repo_root, *args], capture_output=True, text=True
+    ).stdout
+
+
+def _cert_commit_epoch(round_n: int, repo_root: str = REPO_ROOT) -> int | None:
+    """Committer epoch of the commit that ADDED CORRECTNESS_r{N}.json —
+    the moment that round's certification became repo state."""
+    out = _git(
+        ["log", "--diff-filter=A", "--format=%ct", "-1", "--",
+         f"CORRECTNESS_r{round_n:02d}.json"],
+        repo_root,
+    ).strip()
+    return int(out) if out.isdigit() else None
+
+
+def _def_range(fn) -> tuple[str, int, int] | None:
+    """(repo-relative file, first line, last line) of a query callable's
+    definition — the blame range that decides staleness."""
+    import inspect
+    import os as _os
+
+    try:
+        fn = inspect.unwrap(fn)
+        src, start = inspect.getsourcelines(fn)
+        path = _os.path.relpath(inspect.getsourcefile(fn), REPO_ROOT)
+    except (OSError, TypeError):
+        return None
+    return path, start, start + len(src) - 1
+
+
+def _newest_blame_epoch(path: str, lo: int, hi: int, repo_root: str = REPO_ROOT) -> int | None:
+    """Newest committer epoch among the blamed lines of [lo, hi]."""
+    out = _git(["blame", "-L", f"{lo},{hi}", "--porcelain", "--", path], repo_root)
+    epochs = [
+        int(line.split()[1])
+        for line in out.splitlines()
+        if line.startswith("committer-time ")
+    ]
+    return max(epochs, default=None)
+
+
+def changed_since_certified(repo_root: str = REPO_ROOT) -> list[dict]:
+    """For every registered query: its last green round and whether the
+    lines of its defining function changed (per git blame) AFTER that
+    round's CORRECTNESS file landed. The rotation policy consumes this:
+    window slots go first to queries whose source changed since their
+    last green driver row (a green row certifies the code as it was
+    THEN, not as it is now), then to the longest-uncertified."""
+    import sys
+
+    sys.path.insert(0, repo_root)
+    from hive_lineage_spark.operators import all_queries
+
+    rows: list[dict] = []
+    cert_epoch_cache: dict[int, int | None] = {}
+    for name, fn in all_queries().items():
+        last = last_certified_round(name, repo_root)
+        rng = _def_range(fn)
+        entry = {
+            "query": name,
+            "last_round": last,
+            "def": f"{rng[0]}:{rng[1]}-{rng[2]}" if rng else None,
+            "changed": None,
+        }
+        if last is not None and rng is not None:
+            if last not in cert_epoch_cache:
+                cert_epoch_cache[last] = _cert_commit_epoch(last, repo_root)
+            cert_ts = cert_epoch_cache[last]
+            newest = _newest_blame_epoch(*rng, repo_root)
+            if cert_ts is not None and newest is not None:
+                entry["changed"] = newest > cert_ts
+        rows.append(entry)
+    rows.sort(key=lambda r: (r["changed"] is not True, r["last_round"] or 0))
+    return rows
+
+
 def main() -> None:
     import sys
 
@@ -88,6 +178,20 @@ def main() -> None:
     for q in never:
         status = "IN current window (queued)" if q in window else "NOT in window — rotation debt"
         print(f"  {q}: {status}")
+    if "--changed" in sys.argv:
+        print("\nchanged-since-certified (rotation priority order):")
+        for r in changed_since_certified():
+            if r["changed"]:
+                mark = "CHANGED since last green row"
+            elif r["changed"] is False:
+                mark = "unchanged"
+            else:
+                mark = "no data"
+            inwin = " [in window]" if r["query"] in window else ""
+            print(
+                f"  {r['query']}: last green r{r['last_round'] or 0:02d}, "
+                f"{mark}{inwin}  ({r['def']})"
+            )
 
 
 if __name__ == "__main__":

@@ -59,6 +59,8 @@ PROBE = [
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    only = set(sys.argv[3:])  # optional query-name filter
+    probe = [(n, e) for n, e in PROBE if not only or n in only]
 
     import __spark_entry__ as entrymod
     from hive_lineage_spark.operators.dedup import clear_postings_cache
@@ -71,7 +73,7 @@ def main() -> None:
     def run(sf_dir: str) -> dict[str, float]:
         clear_postings_cache()
         out = {}
-        for name, _ in PROBE:
+        for name, _ in probe:
             fn = qs[name]
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
             runs = []
@@ -85,7 +87,7 @@ def main() -> None:
     a, b = run(small), run(big)
     print(f"| query | {os.path.basename(small)} s | {os.path.basename(big)} s | ratio | expected |")
     print("|---|---|---|---|---|")
-    for name, expect in PROBE:
+    for name, expect in probe:
         print(f"| {name} | {a[name]:.3f} | {b[name]:.3f} | {b[name] / a[name]:.1f}× | {expect} |")
     spark.stop()
 
