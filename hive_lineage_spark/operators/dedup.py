@@ -367,11 +367,13 @@ def _containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .join(_sizes_cached(spark, sf_dir), "doc_id")
         .filter(F.col("rk") <= F.col("n_grams") - F.ceil(F.col("n_grams") * CONTAIN_T) + 1)
-        .select("doc_id", "gh")
+        .select("doc_id", "gh", "df")
     )
 
 
-def dd19_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dd19_containment(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
     """Directional containment pairs (id_a contained in id_b) with the
     exact containment and the symmetric Jaccard next to it.
 
@@ -380,10 +382,23 @@ def dd19_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction), so hot shingles never generate probes; the exact
     verification joins candidates back through the persisted postings
     index (shared with dd02/dd03), and sizes come from the persisted
-    per-doc count frame. All shuffle keys are 8-byte hashes."""
+    per-doc count frame. All shuffle keys are 8-byte hashes.
+
+    ``df_cap``: the saturated-corpus escape hatch (SCALE.md round-12
+    probe: on a vocabulary-saturated corpus every gram's df grows with
+    N and probe volume goes ~N²). With a cap, prefix grams with
+    df > df_cap generate no probes — probe volume becomes
+    O(Σ min(df, cap)) — at a RECALL cost stated honestly: a contained
+    doc whose entire prefix is hotter than the cap is missed;
+    verification of surviving candidates stays exact, so precision is
+    unaffected. Default None = exact (the registered oracle contract).
+    On natural (Heaps-law) corpora rare-gram dfs stay O(1) and the cap
+    never binds."""
     po = _postings_cached(spark, sf_dir)
     sizes = _sizes_cached(spark, sf_dir)
     cpre = _persisted("cpre_contain", spark, sf_dir, _containment_prefix)
+    if df_cap is not None:
+        cpre = cpre.filter(F.col("df") <= df_cap)
     cand = (
         cpre.alias("a")
         .join(po.alias("b"), (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") != F.col("b.doc_id")))

@@ -79,3 +79,25 @@ def test_dd08_long_chain_single_cluster(spark, chain_docs_dir):
     assert len(rows) == 1, f"chain split into {len(rows)} clusters: {rows}"
     (r,) = rows
     assert (r.label, r.cluster_size, r.min_member, r.max_member) == (1, 25, 1, 25)
+
+
+def test_dd19_df_cap_contract(spark):
+    """dd19's ``df_cap`` (the SCALE.md saturated-corpus escape hatch) is
+    a precision-preserving RECALL knob: a cap above the hottest prefix
+    df changes nothing; a binding cap yields a strict SUBSET of the
+    exact pair set (verification of surviving candidates is exact) and
+    sheds probe volume at the prefix frame."""
+    from hive_lineage_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    dedup.clear_postings_cache()
+    pairs = lambda df: {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}  # noqa: E731
+    exact = pairs(dedup.dd19_containment(spark, sf))
+    loose = pairs(dedup.dd19_containment(spark, sf, df_cap=10**9))
+    assert loose == exact
+    capped = pairs(dedup.dd19_containment(spark, sf, df_cap=2))
+    assert capped <= exact
+    cpre = dedup._persisted("cpre_contain", spark, sf, dedup._containment_prefix)
+    full, kept = cpre.count(), cpre.filter(F.col("df") <= 2).count()
+    assert kept < full, (kept, full)
+    dedup.clear_postings_cache()

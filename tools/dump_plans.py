@@ -78,6 +78,8 @@ SHOW = [
     ("dq08_psi_drift", "per column: two partial-agg passes to bin granularity, a bin-sized full-outer join, and the PSI fold over a sorted bin list — every post-scan frame is bin-count-sized"),
     ("dd19_containment", "contained side joins only its RAREST-gram containment prefix (low df by construction) against the full postings; verification reuses the persisted postings/sizes frames; all shuffle keys 8-byte hashes"),
     ("dd20_graph_rank", "shown: ONE Pregel superstep (the returned frame itself is a flat checkpoint scan). One BroadcastHashJoin (msg ⋈ ranks on the sender) + one partial/final ObjectHashAggregate on the destination; BOTH inputs are checkpoint scans (Scan ExistingRDD) — no live corpus pipeline inside a round, linear plan growth via checkpoint_tracked (lineage still resolves to documents)"),
+    ("web01_url_parse", "the whole URL synthesize→parse→registrable-domain chain is ONE WholeStageCodegen span over the documents scan — zero exchanges, zero Python; ReadSchema reads only (doc_id, lang, source)"),
+    ("web02_host_dup_rate", "the only exchanges key on the 8-byte text hash (dup detection, partial-agg combined) and the registrable domain (host-count-sized rollup); the dup-flag join is AQE-chosen"),
 ]
 
 
