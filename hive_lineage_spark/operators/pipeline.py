@@ -47,12 +47,16 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     chain would need k rounds), while the jump step gives logarithmic
     convergence. Termination is detected by counting changed labels (one
     cheap agg per round on the checkpointed label table), not guessed
-    with a fixed round count. Each step localCheckpoints — iterative
+    with a fixed round count. Each step checkpoints — iterative
     DataFrame algorithms must truncate lineage or planning cost compounds
-    per round."""
-    edges = edges.localCheckpoint(eager=True)
+    per round — via ``plans.capture.checkpoint_tracked``, which registers
+    each pre-checkpoint plan so column lineage still resolves through
+    every round to the base tables (dd20's superstep discipline)."""
+    from ..plans.capture import checkpoint_tracked
+
+    edges = checkpoint_tracked(edges)
     nodes = edges.select(F.col("id_a").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    labels = checkpoint_tracked(nodes.withColumn("label", F.col("node")))
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.node)
@@ -74,8 +78,8 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
                 "old_label",
                 F.least(F.col("mid"), F.coalesce(F.col("jlabel"), F.col("mid"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = checkpoint_tracked(new_labels)
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:

@@ -219,20 +219,22 @@ def leaf_scan_paths(jlogical) -> list[list[str]]:
     return out
 
 
-# pre-checkpoint plan docs, keyed by the checkpoint's output exprIds
-# (localCheckpoint PRESERVES output attribute identity, so the LogicalRDD
-# leaf's attrs are exactly the captured plan's output attrs) — consumed by
+# pre-checkpoint plan docs, keyed by the checkpointed RDD's id — stable
+# across REPEATED references to the same checkpoint inside one plan
+# (self-join deduplication re-aliases the later occurrences' output
+# exprIds, so attribute identity is NOT a reliable key; every re-aliased
+# RDDScanExec still scans the same RDD instance). Consumed by
 # cached_subplans / _capture_cached_physical so lineage resolves THROUGH
 # checkpoint:<n> boundaries exactly as it does through cache:<n>.
-_CHECKPOINT_REGISTRY: dict[tuple, dict] = {}
+_CHECKPOINT_REGISTRY: dict[int, dict] = {}
 
 
-def _output_eids(jplan) -> tuple:
-    out = jplan.output()
-    return tuple(
-        (out.apply(i).exprId().id(), str(out.apply(i).exprId().jvmId()))
-        for i in range(out.size())
-    )
+def _rdd_key(jnode) -> int | None:
+    """id of the RDD behind a LogicalRDD / RDDScanExec / ExternalRDDScan."""
+    try:
+        return int(jnode.rdd().id())
+    except Exception:  # noqa: BLE001 — not an RDD-backed node
+        return None
 
 
 def checkpoint_tracked(df, eager: bool = True):
@@ -253,7 +255,9 @@ def checkpoint_tracked(df, eager: bool = True):
     recovery — the registry mechanics are identical."""
     doc = _capture_cached_physical(df._jdf.queryExecution().executedPlan())
     ck = df.localCheckpoint(eager)
-    _CHECKPOINT_REGISTRY[_output_eids(ck._jdf.queryExecution().analyzed())] = doc
+    key = _rdd_key(ck._jdf.queryExecution().analyzed())
+    if key is not None:
+        _CHECKPOINT_REGISTRY[key] = doc
     return ck
 
 
@@ -301,10 +305,7 @@ def _capture_cached_physical(jphys, depth: int = 0) -> dict:
                 # a checkpoint INSIDE a captured plan: registered docs
                 # already chain (round k's doc was built while round k-1's
                 # was in the registry), so this is a lookup, not a recurse
-                try:
-                    ndoc = _CHECKPOINT_REGISTRY.get(_output_eids(sl))
-                except Exception:  # noqa: BLE001
-                    ndoc = None
+                ndoc = _CHECKPOINT_REGISTRY.get(_rdd_key(sl))
                 if ndoc is not None:
                     nested[j] = ndoc
         sub_paths.append(paths)
@@ -329,10 +330,7 @@ def cached_subplans(jlogical) -> dict[int, dict]:
             # a checkpointed subplan: resolvable iff it was created via
             # checkpoint_tracked (otherwise it stays a checkpoint:<n>
             # boundary, the honest answer for foreign RDD-backed data)
-            try:
-                doc = _CHECKPOINT_REGISTRY.get(_output_eids(leaf))
-            except Exception:  # noqa: BLE001
-                doc = None
+            doc = _CHECKPOINT_REGISTRY.get(_rdd_key(leaf))
             if doc is not None:
                 out[i] = doc
             continue

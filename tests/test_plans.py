@@ -596,7 +596,7 @@ def test_dd20_superstep_checkpoint_single_pipeline(spark):
         (spark.sparkContext.applicationId, SF, f"dd20_ranks_r{dedup.PR_ITERS}")
     ]
     doc = cap._CHECKPOINT_REGISTRY[
-        cap._output_eids(ck._jdf.queryExecution().analyzed())
+        cap._rdd_key(ck._jdf.queryExecution().analyzed())
     ]
     names = [n.get("class", "").rsplit(".", 1)[-1] for n in doc["raw"]]
     assert names.count("BroadcastHashJoinExec") == 1, names

@@ -44,14 +44,38 @@ TRUNC_P = 0.62  # fraction of clones that are contiguous-subspan cuts
 # containment pairs — the real corpus clearly injects both kinds)
 
 
-def generate(n_docs: int, seed: int = 42):
+def _heaps_vocab(n_docs: int) -> np.ndarray:
+    """Heaps-law vocabulary for --heaps mode: V = K·tokens^0.5 synthetic
+    words (natural text grows its vocabulary with corpus size — this is
+    what keeps rare-gram dfs bounded as N grows, the regime the fixed
+    31-word corpus deliberately violates)."""
+    tokens = 55 * n_docs  # mean doc length
+    v = max(len(VOCAB), int(3 * tokens**0.5))
+    return np.array([f"w{i}" for i in range(v)])
+
+
+def generate(n_docs: int, seed: int = 42, heaps: bool = False):
     rng = np.random.default_rng(seed)
-    vocab = np.array(VOCAB)
+    if heaps:
+        vocab = _heaps_vocab(n_docs)
+        # Zipfian draw (s=1.1): hot head words + a long rare tail, the
+        # natural-text shape; rare words keep prefix-gram dfs O(1)
+        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+        p = ranks**-1.1
+        p /= p.sum()
+    else:
+        vocab = np.array(VOCAB)
+        p = None
     texts: list[str] = []
     i = 0
+    def draw(n: int) -> np.ndarray:
+        if p is None:
+            return vocab[rng.integers(0, len(vocab), n)]
+        return rng.choice(vocab, size=n, p=p)
+
     while len(texts) < n_docs:
         n_words = int(rng.integers(10, 101))
-        words = vocab[rng.integers(0, len(vocab), n_words)]
+        words = draw(n_words)
         texts.append(" ".join(words))
         i += 1
         if len(texts) < n_docs and rng.random() < CLONE_P:
@@ -63,7 +87,7 @@ def generate(n_docs: int, seed: int = 42):
             else:
                 mut = words.copy()
                 flips = rng.random(n_words) < MUT_P
-                mut[flips] = vocab[rng.integers(0, len(vocab), int(flips.sum()))]
+                mut[flips] = draw(int(flips.sum()))
             texts.append(" ".join(mut))
     doc_id = np.arange(n_docs, dtype=np.int64)
     lang = [LANGS[int(k)] for k in rng.integers(0, len(LANGS), n_docs)]
@@ -81,16 +105,18 @@ def generate(n_docs: int, seed: int = 42):
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    heaps = "--heaps" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--heaps"]
+    n_docs = int(args[0]) if args else 50_000
     out_dir = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        args[1]
+        if len(args) > 1
         else os.path.join(REPO, ".scratch", "scaledocs", "sf1.0")
     )
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, "documents.parquet")
-    pq.write_table(generate(n_docs), out)
-    print(f"wrote {out} ({n_docs} docs)")
+    pq.write_table(generate(n_docs, heaps=heaps), out)
+    print(f"wrote {out} ({n_docs} docs, heaps={heaps})")
 
 
 if __name__ == "__main__":
