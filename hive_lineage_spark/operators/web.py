@@ -183,7 +183,11 @@ def web02_host_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one text-hash partial agg (dd01's shape, map-side
     combined), the dup flag joins back on the 8-byte hash, then ONE
     partial agg onto the host-count-sized frame. Nothing post-scan is
-    corpus-sized except the hash stream."""
+    corpus-sized except the hash stream. Cross-engine note: Spark
+    groups on xxhash64(text), the oracle on DuckDB's hash(text) —
+    DIFFERENT 64-bit functions, but neither hash value surfaces in the
+    output; the dup flag depends only on text equality, so results are
+    identical absent a 64-bit collision within one engine."""
     d = _parsed(
         _with_url(_docs(spark, sf_dir).select("doc_id", "source", "lang", "text"))
     ).select("doc_id", "reg_domain", F.xxhash64("text").alias("th"))

@@ -869,3 +869,27 @@ def test_checkpoint_tracked_lineage_resolves_through(spark):
     ql2 = _track(spark, raw, "ckpt_opaque")
     assert ql2.column_map()["un"] == {("checkpoint:0", "un")}
     assert ql2.result.input_tables == ["checkpoint:0"]
+
+
+def test_offline_replay_resolves_through_checkpoints(spark, tmp_path):
+    """Checkpoint docs captured via checkpoint_tracked are INLINED into
+    Captured.cached_plans (nested to arbitrary depth), so an offline
+    replay of a checkpoint-truncated iterative query — dd20's Pregel
+    ranks — still resolves every column to documents base cells with no
+    SparkSession, no registry, and no live RDDs."""
+    import __spark_entry__ as E
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
+
+    clear_postings_cache()
+    df = E.queries()["dd20_graph_rank"](spark, SF)
+    df.collect()
+    online = LineageTracker().track(df, name="online")
+    plan_file = str(tmp_path / "dd20.plan.json")
+    online.captured.save(plan_file)
+
+    replayed = LineageTracker().track_offline(plan_file, name="replay")
+    assert replayed.result.input_tables == ["documents"]
+    assert replayed.column_map() == online.column_map()
+    cmap = replayed.column_map()
+    assert cmap["rank"] == {("documents", "doc_id"), ("documents", "n_chars")}
+    clear_postings_cache()
