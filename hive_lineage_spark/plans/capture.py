@@ -227,6 +227,12 @@ def leaf_scan_paths(jlogical) -> list[list[str]]:
 # cached_subplans / _capture_cached_physical so lineage resolves THROUGH
 # checkpoint:<n> boundaries exactly as it does through cache:<n>.
 _CHECKPOINT_REGISTRY: dict[int, dict] = {}
+# soft bound for long-lived sessions (iterative operators register one
+# doc per superstep per call and nothing evicts between
+# clear_postings_cache() calls): oldest entries fall out FIFO, and a
+# lookup miss degrades GRACEFULLY to the honest opaque checkpoint:<n>
+# boundary — never an error
+_CHECKPOINT_REGISTRY_MAX = 1024
 
 
 def _rdd_key(jnode) -> int | None:
@@ -257,6 +263,8 @@ def checkpoint_tracked(df, eager: bool = True):
     ck = df.localCheckpoint(eager)
     key = _rdd_key(ck._jdf.queryExecution().analyzed())
     if key is not None:
+        while len(_CHECKPOINT_REGISTRY) >= _CHECKPOINT_REGISTRY_MAX:
+            _CHECKPOINT_REGISTRY.pop(next(iter(_CHECKPOINT_REGISTRY)))
         _CHECKPOINT_REGISTRY[key] = doc
     return ck
 
