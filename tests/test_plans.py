@@ -610,6 +610,11 @@ def test_dd20_superstep_checkpoint_single_pipeline(spark):
     plan = _plan(df)
     assert "Scan ExistingRDD" in plan or "RDDScan" in plan, plan
     assert "FileScan" not in plan, plan
+    # the r11 failure mode, pinned by SIZE: the two-reference round grew
+    # the ANALYZED plan to 3.5 MB by round 3 (~15 s of driver-side plan
+    # processing per action); the checkpointed formulation keeps it flat
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert len(analyzed) < 10_000, f"dd20 analyzed plan regrew: {len(analyzed)} chars"
     clear_postings_cache()
 
 
