@@ -131,6 +131,9 @@ EXTRA = [
     "web01_url_parse",         # URL synth+parse, registrable domain (round 12)
     "web02_host_dup_rate",     # per-host exact-dup mirror detector (round 12)
     "web03_url_blocklist",     # URL-pattern blocklist gate (round 12)
+    "sk01_hll_distinct",       # HLL shingle cardinality per lang (round 12)
+    "sk02_countmin_topk",      # Count-Min heavy-hitter estimates (round 12)
+    "sk03_hll_source_overlap", # merged-HLL pairwise source overlap (round 12)
 ]
 
 

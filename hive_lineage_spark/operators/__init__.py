@@ -240,17 +240,16 @@ _DRIVER_PRIORITY = [
     # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
     # ladder)
     "tx15_bpe_train",
-    "tx17_heldout_xent", "tx18_backoff_xent", "tx19_bpe_apply",
+    "tx18_backoff_xent", "tx19_bpe_apply",
     "tx20_ccnet_buckets", "tx21_kneser_ney_xent",
     # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
     # decode harder paths; incoming mm16/mm17/mm18 run the real decode
     # chain); the four r9-queue entries stay
     "mm09_pair_curation",
     "mm11_audio_features",
-    "mm13_video_420_pixels",
     "mm15_video_shot_detect",
     "mm16_image_entropy", "mm17_image_phash", "mm18_audio_vad",
-    "mm19_vit_patches", "mm20_audio_spectral",
+    "mm20_audio_spectral",
     "mm21_phash_search", "mm22_audio_quality",
     # composed pipeline + training-prep (tp01 rotated out r10 —
     # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
@@ -266,6 +265,13 @@ _DRIVER_PRIORITY = [
     # mm20/mm22 keep audio), ss15 (ss16 composes the same norm-augment
     # inside IVF-MIPS), tp14 (tp12/tp13/tp15 keep sampling/planning).
     "web01_url_parse", "web02_host_dup_rate", "web03_url_blocklist",
+    # round-12 second registration (mergeable sketches — HLL / Count-Min)
+    # certifies the same round it lands, per the web/r10/r11 pattern.
+    # Out for them, all unchanged 2x-certified with sibling coverage:
+    # mm13 (mm15 keeps the MJPEG 4:2:0 decode chain in-window), mm19
+    # (mm16/mm17/mm21 keep image feature extraction), tx17 (tx18/tx21
+    # keep the held-out cross-entropy ladder).
+    "sk01_hll_distinct", "sk02_countmin_topk", "sk03_hll_source_overlap",
     "dq05_row_expectations",
     "dq06_freshness_sla",
     "dq07_referential_integrity", "dq08_psi_drift",
@@ -276,11 +282,11 @@ _DRIVER_PRIORITY = [
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import (
         dedup, multimodal, pandas_ops, pipeline, quality, relational,
-        similarity, sql_extra, text, web,
+        similarity, sketches, sql_extra, text, web,
     )
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops, quality, web):
+    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops, quality, web, sketches):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
@@ -309,10 +315,10 @@ def all_declared() -> dict[str, dict[str, list[str]]]:
 def all_oracles() -> dict[str, str]:
     from . import (
         dedup, multimodal, pandas_ops, pipeline, quality, relational,
-        similarity, sql_extra, text, web,
+        similarity, sketches, sql_extra, text, web,
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops, quality, web):
+    for mod in (relational, sql_extra, dedup, pipeline, similarity, text, multimodal, pandas_ops, quality, web, sketches):
         merged.update(mod.ORACLES)
     return merged

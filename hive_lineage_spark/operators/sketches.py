@@ -1,0 +1,499 @@
+"""Mergeable-sketch operators — the bounded-memory profiling layer a
+100 TB curation pipeline runs where exact aggregation stops fitting:
+HyperLogLog cardinality (per-slice and merged across slices) and a
+Count-Min frequency sketch with an exact evidence leg.
+
+Why sketches are first-class here: ``dq01_profile``'s exact
+``count(DISTINCT ...)`` shuffles every distinct value; at 100 TB that
+is a corpus-sized exchange per column. An HLL register array is 256
+bytes per slice REGARDLESS of input size, partial-aggregates map-side
+(``max`` per bucket is commutative), and — unlike exact distinct counts
+— MERGES: registers from two slices combine with an elementwise
+``greatest`` to give the union's cardinality without touching the raw
+data again (``sk03`` demonstrates exactly that, estimating pairwise
+source overlap from 20 sketch frames instead of 190 corpus joins).
+
+Cross-engine determinism (the repo-standard recipe): every register is
+built from the house polynomial hash (``functions.hashing``, bit-equal
+in both engines) with INTEGER-ONLY bucket/rank arithmetic — bucket is
+``h & 255``, the HLL rank comes from ``length(bin(h >> 8))`` (both
+engines print minimal-width binary), and the register SUM is taken over
+exact integers ``1 << (30 - M_j)`` — so even the "approximate" estimates
+are bit-identical: the only floating-point steps are one division, one
+optional ``ln``, and the house ``round(x + 1e-9, k)``. Count-Min is
+integers end to end.
+
+Estimator: Flajolet et al. 2007 (HyperLogLog, AofA), with the
+small-range linear-counting correction (E <= 2.5m and V > 0). Count-Min:
+Cormode & Muthukrishnan 2005, J. Algorithms 55(1). Hash family is the
+same ``(a*h + b) mod p`` ladder MinHash uses (``minhash_perm``).
+
+Production notes, called out per-op: the exact legs (``n_exact``,
+``exact_inter``) exist purely as oracle evidence at test scale — they
+are precisely the computations the sketches replace at 100 TB, and a
+deployment drops them (the ss18/ss19/ss20 ``in_exact`` pattern).
+
+Reference parity note: the reference (hbutani/hive-lineage) models no
+sketch layer — these extend the LLM-pipeline surface per the build
+mission, alongside dd/tx/tp/dq/web.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MOD,
+    minhash_perm,
+    poly_hash,
+    poly_hash_sql,
+    word_ngrams,
+    word_ngrams_sql,
+)
+from ..sources.registry import load_table
+
+M_HLL = 256  # registers = 2^8; bucket = h & 255
+W_PAY = 22  # payload bits: (MOD - 1) >> 8 = 3_906_250 < 2^22
+# alpha_256 * m^2 * 2^30 — the fixed numerator of the raw estimate.
+# Computed once in Python and INLINED (repr) into both engines so the
+# double literal is parsed, not re-derived: E = C_EST / sum(1 << (30-Mj)).
+# (* 2^46 is a power-of-two scale — exact in IEEE, no rounding.)
+C_EST = (0.7213 / (1.0 + 1.079 / M_HLL)) * float(1 << 46)
+
+HLL_SIGMA = 0.065  # 1.04 / sqrt(M_HLL): the standard-error coefficient
+
+D_CM = 4  # Count-Min depth (hash rows)
+W_CM = 512  # Count-Min width; col = perm_r(h) & 511
+TOPK_CM = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# shared HLL register machinery (Spark + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+
+def _hll_rho(h: Column) -> Column:
+    """HLL rank of an already-poly-hashed value: 1 + leading zeros of
+    the payload ``h >> 8`` in a ``W_PAY``-bit window. Integer-only:
+    ``length(bin(p))`` is the bit length (both engines print
+    minimal-width binary), so rho = W_PAY + 1 - bitlen(p); the all-zero
+    payload maxes out at W_PAY + 1."""
+    p = F.shiftright(h, 8)
+    return (
+        F.when(p == 0, F.lit(W_PAY + 1))
+        .otherwise(F.lit(W_PAY + 1) - F.length(F.bin(p)))
+        .cast("long")
+    )
+
+
+_RHO_SQL = (
+    f"CASE WHEN (h >> 8) = 0 THEN {W_PAY + 1} "
+    f"ELSE {W_PAY + 1} - length(bin(h >> 8)) END"
+)
+
+
+def _hll_registers(hashed: DataFrame, keys: list[str]) -> DataFrame:
+    """Sparse HLL registers per key tuple: groupBy(keys, bucket) max-agg
+    — Spark executes this with a map-side partial ``max``, so each map
+    partition emits at most |keys| x 256 rows no matter how many items
+    it scanned: the sketch property, expressed as a partial agg."""
+    return (
+        hashed.select(
+            *keys,
+            F.col("h").bitwiseAND(F.lit(255)).alias("bucket"),
+            _hll_rho(F.col("h")).alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def _hll_fold(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold sparse registers into (n_present, s_sparse) per key tuple.
+    Absent buckets are folded in arithmetically (V empty buckets each
+    contribute 2^30 to the register sum), so no densifying join is
+    needed for single-slice estimates."""
+    return regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - mj AS INT))")).alias(
+            "s_sparse"
+        ),
+    )
+
+
+def _hll_est(n_present: Column, s_sparse: Column) -> Column:
+    """HLL estimate from the folded registers, rounded at 6 dp. The
+    register sum S is an exact integer; the raw estimate is ONE double
+    division of inlined literals, and the linear-counting branch is one
+    ``ln`` of a double ratio of integers — identical in both engines
+    (the dq08 FP discipline)."""
+    v = F.lit(M_HLL) - n_present
+    s = s_sparse + v * F.lit(1 << 30)
+    raw = F.lit(C_EST) / s
+    est = F.when(
+        (raw <= 2.5 * M_HLL) & (v > 0),
+        F.lit(float(M_HLL)) * F.log(F.lit(float(M_HLL)) / v),
+    ).otherwise(raw)
+    return F.round(est + 1e-9, 6)
+
+
+def _hll_est_sql(n_present: str, s_sparse: str) -> str:
+    v = f"({M_HLL} - {n_present})"
+    s = f"({s_sparse} + {v} * (CAST(1 AS BIGINT) << 30))"
+    raw = f"({C_EST!r} / {s})"
+    return (
+        f"round(CASE WHEN {raw} <= {2.5 * M_HLL!r} AND {v} > 0 "
+        f"THEN {float(M_HLL)!r} * ln({float(M_HLL)!r} / {v}) "
+        f"ELSE {raw} END + 1e-9, 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sk01: HLL distinct-shingle cardinality per language
+# ---------------------------------------------------------------------------
+
+
+def sk01_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct 3-gram cardinality by HyperLogLog — the
+    sizing pass a dedup stage runs BEFORE choosing MinHash/LSH
+    parameters (dd15's calibration consumes exactly this estimate):
+    how many distinct shingles does each language slice carry?
+
+    Scale shape: shingle explode -> hash -> TWO narrow partial aggs
+    (max per (lang, bucket) caps every map partition at 5x256 rows,
+    then one fold to 5 rows). Nothing post-scan is corpus-sized; the
+    shuffle moves registers, not shingles. ``n_exact`` (an exact
+    countDistinct — the corpus-sized exchange HLL exists to avoid) and
+    ``rel_err_pct`` are the oracle-evidence leg; production drops them.
+    ``rel_err_pct`` is derived from the ALREADY-ROUNDED estimate, so
+    both engines divide identical doubles."""
+    g = _docs(spark, sf_dir).select(
+        "lang", F.explode(word_ngrams("text", 3)).alias("gram")
+    )
+    hashed = g.select("lang", poly_hash("gram").alias("h"))
+    folded = _hll_fold(_hll_registers(hashed, ["lang"]), ["lang"])
+    exact = g.groupBy("lang").agg(F.countDistinct("gram").alias("n_exact"))
+    est = folded.select(
+        "lang",
+        F.col("n_present").cast("int").alias("n_regs"),
+        _hll_est(F.col("n_present"), F.col("s_sparse")).alias("hll_est"),
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "n_exact",
+        "hll_est",
+        "n_regs",
+        F.round((F.col("hll_est") - F.col("n_exact")) / F.col("n_exact") * 100 + 1e-9, 2).alias(
+            "rel_err_pct"
+        ),
+    )
+
+
+SK01_SQL = f"""
+    WITH d AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT lang, unnest({word_ngrams_sql('ws', 3)}) AS gram FROM d),
+    hh AS (SELECT lang, {poly_hash_sql('gram')} AS h FROM g),
+    regs AS (
+        SELECT lang, (h & 255) AS bucket, CAST(max({_RHO_SQL}) AS BIGINT) AS mj
+        FROM hh GROUP BY 1, 2
+    ),
+    folded AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(30 - mj AS INT)) AS BIGINT) AS s_sparse
+        FROM regs GROUP BY lang
+    ),
+    ex AS (SELECT lang, CAST(count(DISTINCT gram) AS BIGINT) AS n_exact FROM g GROUP BY lang)
+    SELECT lang, n_exact, hll_est, n_regs,
+           round((hll_est - n_exact) / n_exact * 100 + 1e-9, 2) AS rel_err_pct
+    FROM (
+        SELECT lang, n_exact, CAST(n_present AS INT) AS n_regs,
+               {_hll_est_sql('n_present', 's_sparse')} AS hll_est
+        FROM folded JOIN ex USING (lang)
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# sk02: Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def sk02_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the corpus's top-{TOPK_CM}
+    words: the bounded-memory token-frequency profile (stopword-ratio
+    gates, vocabulary drift alarms) that replaces an exact
+    groupBy(word) at 100 TB. Depth {D_CM} x width {W_CM} counters; the
+    estimate for a word is min over rows of its counter — an
+    overestimate by construction (collisions only ADD), so
+    ``overcount = cm_est - n_exact >= 0`` always; integers end to end.
+
+    Scale shape: the counter build is ONE partial agg whose map-side
+    output is capped at {D_CM}x{W_CM} = 2048 cells per partition
+    regardless of corpus size (the sketch property); the probe side
+    broadcasts the 2048-row counter table into a map-side join against
+    {TOPK_CM} keys. The exact word agg feeding ``n_exact`` (and the
+    candidate list) is the evidence leg: a deployment takes candidates
+    from a per-partition local top-k or an external watchlist and keeps
+    only the sketch."""
+    occ = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    hashed = occ.select("word", poly_hash("word").alias("h"))
+
+    def _cols(prefix: DataFrame) -> DataFrame:
+        rc = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    minhash_perm(F.col("h"), r).bitwiseAND(F.lit(W_CM - 1)).alias("c"),
+                )
+                for r in range(D_CM)
+            ]
+        )
+        return prefix.select(
+            *[c for c in prefix.columns if c != "h"], F.explode(rc).alias("rc")
+        ).select(*[c for c in prefix.columns if c != "h"], "rc.r", "rc.c")
+
+    cells = _cols(hashed).groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = (
+        occ.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("word"))
+        .limit(TOPK_CM)
+    )
+    keys = _cols(topk.select("word", "n_exact", poly_hash("word").alias("h")))
+    return (
+        keys.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("cnt").alias("cm_est"))
+        .select(
+            "word",
+            "n_exact",
+            "cm_est",
+            (F.col("cm_est") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+def _cm_cols_sql(src: str, keep: str) -> str:
+    """(r, c) probe keys for each of the D_CM hash rows — the same
+    ``(a*h + b) mod p`` ladder as minhash_perm, masked to the width."""
+    return (
+        f"SELECT {keep}, r, (((h * (2*r + 3) + (7*r + 1)) % {MOD}) & {W_CM - 1}) AS c "
+        f"FROM ({src}) CROSS JOIN (SELECT unnest(range({D_CM})) AS r) rs"
+    )
+
+
+SK02_SQL = f"""
+    WITH occ AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    hh AS (SELECT word, {poly_hash_sql('word')} AS h FROM occ),
+    cells AS (
+        SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({_cm_cols_sql('SELECT word, h FROM hh', 'word')})
+        GROUP BY r, c
+    ),
+    topk AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n_exact FROM occ
+        GROUP BY word ORDER BY n_exact DESC, word LIMIT {TOPK_CM}
+    ),
+    keys AS (
+        {_cm_cols_sql(f"SELECT word, n_exact, {poly_hash_sql('word')} AS h FROM topk",
+                      'word, n_exact')}
+    )
+    SELECT word, n_exact, CAST(min(cnt) AS BIGINT) AS cm_est,
+           CAST(min(cnt) - n_exact AS BIGINT) AS overcount
+    FROM keys JOIN cells USING (r, c)
+    GROUP BY word, n_exact
+"""
+
+
+# ---------------------------------------------------------------------------
+# sk03: pairwise source overlap by HLL register merge
+# ---------------------------------------------------------------------------
+
+
+def sk03_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between sources, from MERGED HLL
+    sketches — the crawl-dump / feed overlap triage (how much of src_b
+    is already in src_a?) that decides which sources to dedup jointly.
+    Union registers are the elementwise ``greatest`` of the two
+    sources' registers (the defining mergeability property exact
+    distinct counts lack); the intersection comes from
+    inclusion-exclusion on the ROUNDED estimates, clamped at 0.
+
+    Precision honesty: HLL inclusion-exclusion error scales with the
+    UNION size (sigma = 1.04/sqrt(m) of |A u B|), not the intersection
+    — small overlaps between large sources drown in sketch noise. The
+    output therefore carries its own ``noise_floor`` (sigma x
+    est_union) and a ``resolvable`` flag (est_inter > 2 x floor):
+    downstream dedup planning trusts the estimate only when flagged,
+    and falls back to the exact pair join (or a bigger m) otherwise.
+
+    Scale shape: the corpus is touched ONCE to build 20 sketch frames
+    (the sk01 partial-agg shape); all 190-pair combinatorics then run
+    on a <= 20x256-row register frame — densify (broadcast bucket
+    range), self-join on bucket, fold. At 100 TB the pair stage costs
+    the same as at 1 GB. ``exact_inter`` (a gram-level self-join across
+    source pairs — the quadratic join the sketches replace) is the
+    oracle-evidence leg; production drops it."""
+    g = _docs(spark, sf_dir).select(
+        "source", F.explode(word_ngrams("text", 3)).alias("gram")
+    )
+    hashed = g.select("source", poly_hash("gram").alias("h"))
+    regs = _hll_registers(hashed, ["source"])
+
+    # densify so absent buckets merge as 0 (register frames are tiny:
+    # |sources| x 256 rows — broadcast everywhere).
+    buckets = spark.range(M_HLL).select(F.col("id").cast("long").alias("bucket"))
+    srcs = regs.select("source").distinct()
+    dense = (
+        srcs.crossJoin(F.broadcast(buckets))
+        .join(F.broadcast(regs), ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce("mj", F.lit(0)).alias("mj"))
+    )
+    singles = (
+        dense.filter(F.col("mj") > 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_present"), F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - mj AS INT))")
+        ).alias("s_sparse"))
+        .select("source", _hll_est(F.col("n_present"), F.col("s_sparse")).alias("est"))
+    )
+    a, b = dense.alias("a"), F.broadcast(dense).alias("b")
+    merged = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.source") < F.col("b.source")))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.greatest("a.mj", "b.mj").alias("mj"),
+        )
+        .filter(F.col("mj") > 0)
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_present"), F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - mj AS INT))")
+        ).alias("s_sparse"))
+        .select(
+            "src_a",
+            "src_b",
+            _hll_est(F.col("n_present"), F.col("s_sparse")).alias("est_union"),
+        )
+    )
+    po = g.distinct()
+    pa, pb = po.alias("pa"), po.alias("pb")
+    exact = (
+        pa.join(
+            pb,
+            (F.col("pa.gram") == F.col("pb.gram"))
+            & (F.col("pa.source") < F.col("pb.source")),
+        )
+        .groupBy(F.col("pa.source").alias("src_a"), F.col("pb.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    ea = F.broadcast(singles.withColumnRenamed("source", "src_a").withColumnRenamed("est", "est_a"))
+    eb = F.broadcast(singles.withColumnRenamed("source", "src_b").withColumnRenamed("est", "est_b"))
+    assembled = (
+        merged.join(ea, "src_a")
+        .join(eb, "src_b")
+        .join(F.broadcast(exact), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+                )
+                + 1e-9,
+                6,
+            ).alias("est_inter"),
+            F.round(F.lit(HLL_SIGMA) * F.col("est_union") + 1e-9, 6).alias(
+                "noise_floor"
+            ),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long").alias("exact_inter"),
+        )
+    )
+    return assembled.withColumn(
+        "resolvable",
+        (F.col("est_inter") > 2 * F.col("noise_floor")).cast("int"),
+    )
+
+
+SK03_SQL = f"""
+    WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+        SELECT DISTINCT source, gram FROM (
+            SELECT source, unnest({word_ngrams_sql('ws', 3)}) AS gram FROM d
+        )
+    ),
+    hh AS (SELECT source, {poly_hash_sql('gram')} AS h FROM g),
+    regs AS (
+        SELECT source, (h & 255) AS bucket, CAST(max({_RHO_SQL}) AS BIGINT) AS mj
+        FROM hh GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT s.source, b.bucket, coalesce(r.mj, 0) AS mj
+        FROM (SELECT DISTINCT source FROM regs) s
+        CROSS JOIN (SELECT unnest(range({M_HLL})) AS bucket) b
+        LEFT JOIN regs r ON r.source = s.source AND r.bucket = b.bucket
+    ),
+    singles AS (
+        SELECT source, {_hll_est_sql('n_present', 's_sparse')} AS est
+        FROM (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_present,
+                   CAST(sum(CAST(1 AS BIGINT) << CAST(30 - mj AS INT)) AS BIGINT) AS s_sparse
+            FROM dense WHERE mj > 0 GROUP BY source
+        )
+    ),
+    merged AS (
+        SELECT src_a, src_b, {_hll_est_sql('n_present', 's_sparse')} AS est_union
+        FROM (
+            SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_present,
+                   CAST(sum(CAST(1 AS BIGINT) << CAST(30 - mj AS INT)) AS BIGINT) AS s_sparse
+            FROM (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       greatest(a.mj, b.mj) AS mj
+                FROM dense a JOIN dense b
+                ON a.bucket = b.bucket AND a.source < b.source
+            ) WHERE mj > 0 GROUP BY src_a, src_b
+        )
+    ),
+    exact AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS exact_inter
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, est_a, est_b, est_union, est_inter, noise_floor,
+           exact_inter,
+           CAST(est_inter > 2 * noise_floor AS INT) AS resolvable
+    FROM (
+        SELECT src_a, src_b, ea.est AS est_a, eb.est AS est_b, est_union,
+               round(greatest(0.0, ea.est + eb.est - est_union) + 1e-9, 6) AS est_inter,
+               round({HLL_SIGMA!r} * est_union + 1e-9, 6) AS noise_floor,
+               CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter
+        FROM merged
+        JOIN singles ea ON ea.source = src_a
+        JOIN singles eb ON eb.source = src_b
+        LEFT JOIN exact x USING (src_a, src_b)
+    )
+"""
+
+
+QUERIES = {
+    "sk01_hll_distinct": sk01_hll_distinct,
+    "sk02_countmin_topk": sk02_countmin_topk,
+    "sk03_hll_source_overlap": sk03_hll_source_overlap,
+}
+
+ORACLES = {
+    "sk01_hll_distinct": SK01_SQL,
+    "sk02_countmin_topk": SK02_SQL,
+    "sk03_hll_source_overlap": SK03_SQL,
+}

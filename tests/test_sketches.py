@@ -1,0 +1,193 @@
+"""Semantic invariants + plan pins for the sketch operators (sk01-sk03)
+— properties the cross-engine oracle cannot express: the HLL estimate
+actually lands within its theoretical error band, Count-Min only ever
+OVERestimates, register merge dominates its inputs (mergeability), and
+the physical plans keep the sketch property (bounded map-side partial
+aggs, broadcast-only joins on sketch-sized frames)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_lineage_spark.operators import sketches as SK
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# sk01: HLL cardinality
+# ---------------------------------------------------------------------------
+
+
+def test_sk01_hll_within_error_band(spark):
+    rows = SK.sk01_hll_distinct(spark, SF).collect()
+    assert rows and {r["lang"] for r in rows} >= {"en"}
+    for r in rows:
+        assert 1 <= r["n_regs"] <= SK.M_HLL
+        assert r["hll_est"] > 0
+        # 3x the standard error for m=256 (sigma ~ 1.04/sqrt(m) = 6.5%);
+        # the linear-counting branch is tighter still
+        assert abs(r["hll_est"] - r["n_exact"]) <= max(
+            3 * 1.04 / math.sqrt(SK.M_HLL) * r["n_exact"], 3.0
+        ), r
+        # rel_err_pct is derived from the same rounded estimate
+        expect = round((r["hll_est"] - r["n_exact"]) / r["n_exact"] * 100 + 1e-9, 2)
+        assert abs(r["rel_err_pct"] - expect) < 1e-9, r
+
+
+def test_sk01_registers_fold_matches_model(spark):
+    """Rebuild the register array in Python from the same house hash and
+    check the Spark fold (n_present, s_sparse are internal — verify via
+    the published estimate)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("lang", "text").collect()
+    regs: dict[str, dict[int, int]] = {}
+    for row in docs:
+        ws = row["text"].split(" ")
+        grams = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+        for g in grams:
+            h = 0
+            for ch in g:
+                h = (h * 31 + ord(ch)) % SK.MOD
+            b, p = h & 255, h >> 8
+            rho = SK.W_PAY + 1 - p.bit_length() if p else SK.W_PAY + 1
+            cur = regs.setdefault(row["lang"], {})
+            cur[b] = max(cur.get(b, 0), rho)
+    got = {r["lang"]: r["hll_est"] for r in SK.sk01_hll_distinct(spark, SF).collect()}
+    for lang, reg in regs.items():
+        s = sum(1 << (30 - m) for m in reg.values()) + (SK.M_HLL - len(reg)) * (1 << 30)
+        raw = SK.C_EST / s
+        v = SK.M_HLL - len(reg)
+        est = SK.M_HLL * math.log(SK.M_HLL / v) if (raw <= 2.5 * SK.M_HLL and v > 0) else raw
+        assert abs(got[lang] - round(est + 1e-9, 6)) < 1e-6, lang
+
+
+def test_sk01_plan_partial_agg_no_joins_before_fold(spark):
+    plan = _plan(SK.sk01_hll_distinct(spark, SF))
+    # the register build partial-aggregates map-side (sketch property)
+    assert plan.count("HashAggregate") >= 4  # partial+final for regs and fold
+    assert "CartesianProduct" not in plan
+    # the only join is the tiny est<->exact assembly on lang
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sk02: Count-Min
+# ---------------------------------------------------------------------------
+
+
+def test_sk02_countmin_never_underestimates(spark):
+    rows = SK.sk02_countmin_topk(spark, SF).collect()
+    assert 1 <= len(rows) <= SK.TOPK_CM
+    total = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .count()
+    )
+    for r in rows:
+        assert r["cm_est"] >= r["n_exact"] > 0, r
+        assert r["overcount"] == r["cm_est"] - r["n_exact"]
+        assert r["cm_est"] <= total  # a counter can never exceed the stream
+
+
+def test_sk02_estimate_matches_python_model(spark):
+    """Exact replay: depth-4 counters from the same hash ladder must
+    reproduce every cm_est (integers end to end — no tolerance)."""
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    ]
+    from collections import Counter
+
+    exact: Counter[str] = Counter()
+    cells: Counter[tuple[int, int]] = Counter()
+
+    def phash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % SK.MOD
+        return h
+
+    for t in texts:
+        for w in t.split(" "):
+            exact[w] += 1
+            h = phash(w)
+            for r in range(SK.D_CM):
+                cells[(r, ((h * (2 * r + 3) + (7 * r + 1)) % SK.MOD) & (SK.W_CM - 1))] += 1
+    want = {
+        w: min(
+            cells[(r, ((phash(w) * (2 * r + 3) + (7 * r + 1)) % SK.MOD) & (SK.W_CM - 1))]
+            for r in range(SK.D_CM)
+        )
+        for w in exact
+    }
+    for row in SK.sk02_countmin_topk(spark, SF).collect():
+        assert row["n_exact"] == exact[row["word"]], row
+        assert row["cm_est"] == want[row["word"]], row
+
+
+def test_sk02_plan_broadcasts_counter_table(spark):
+    plan = _plan(SK.sk02_countmin_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan  # 2048-row counters into 20 keys
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # the top-k evidence leg
+
+
+# ---------------------------------------------------------------------------
+# sk03: HLL merge / overlap
+# ---------------------------------------------------------------------------
+
+
+def test_sk03_merge_dominates_and_inclusion_exclusion(spark):
+    rows = SK.sk03_hll_source_overlap(spark, SF).collect()
+    srcs = {r["src_a"] for r in rows} | {r["src_b"] for r in rows}
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2  # every unordered pair
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        # register max-merge: union registers dominate each input's, so
+        # the union estimate can't fall below either single estimate
+        # (both sides resolve on the same branch family; tolerance for
+        # the raw<->linear-counting crossover)
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-6, r
+        assert r["est_inter"] >= 0
+        expect = round(max(0.0, r["est_a"] + r["est_b"] - r["est_union"]) + 1e-9, 6)
+        assert abs(r["est_inter"] - expect) < 1e-9, r
+        assert r["exact_inter"] >= 0
+        assert abs(r["noise_floor"] - round(SK.HLL_SIGMA * r["est_union"] + 1e-9, 6)) < 1e-9
+        assert r["resolvable"] == int(r["est_inter"] > 2 * r["noise_floor"]), r
+
+
+def test_sk03_error_within_noise_floor_bound(spark):
+    """The real HLL-intersection guarantee: inclusion-exclusion error
+    scales with the UNION (sigma x |A u B|), not the intersection — so
+    |est - exact| must sit within a few noise floors, and any pair the
+    op flags ``resolvable`` must carry genuinely above-floor overlap.
+    (A value-accuracy assertion on est_inter itself would be WRONG: at
+    this corpus the true overlaps sit below the floor, which is exactly
+    what the flag exists to report.)"""
+    rows = SK.sk03_hll_source_overlap(spark, SF).collect()
+    for r in rows:
+        # 3 independent estimates each within ~3 sigma w.h.p. -> 5
+        # floors is a generous but non-vacuous bound (floor ~ 6.5% of
+        # the union; a broken merge is off by the whole union size)
+        assert abs(r["est_inter"] - r["exact_inter"]) <= 5 * r["noise_floor"] + 3, r
+    flagged = [r for r in rows if r["resolvable"]]
+    for r in flagged:
+        assert r["exact_inter"] > 0, r
+
+
+def test_sk03_pair_stage_is_register_sized(spark):
+    plan = _plan(SK.sk03_hll_source_overlap(spark, SF))
+    # every join is a broadcast: the densify (srcs x 256 buckets), the
+    # pair self-join on bucket, and the estimate assembly — no shuffle
+    # join anywhere in the pair combinatorics
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -80,6 +80,9 @@ SHOW = [
     ("dd20_graph_rank", "shown: ONE Pregel superstep (the returned frame itself is a flat checkpoint scan). One BroadcastHashJoin (msg ⋈ ranks on the sender) + one partial/final ObjectHashAggregate on the destination; BOTH inputs are checkpoint scans (Scan ExistingRDD) — no live corpus pipeline inside a round, linear plan growth via checkpoint_tracked (lineage still resolves to documents)"),
     ("web01_url_parse", "the whole URL synthesize→parse→registrable-domain chain is ONE WholeStageCodegen span over the documents scan — zero exchanges, zero Python; ReadSchema reads only (doc_id, lang, source)"),
     ("web02_host_dup_rate", "the only exchanges key on the 8-byte text hash (dup detection, partial-agg combined) and the registrable domain (host-count-sized rollup); the dup-flag join is AQE-chosen"),
+    ("sk01_hll_distinct", "the register build is a partial/final HashAggregate pair on (lang, bucket) — every map partition emits ≤ 5×256 rows no matter how many shingles it scanned — then one lang-keyed fold; the only corpus-keyed exchange is the exact-countDistinct evidence leg production drops"),
+    ("sk02_countmin_topk", "the counter build partial-aggregates onto ≤ 4×512 cells per map partition (the sketch property as a plan shape); probes are a BroadcastHashJoin of the 2048-row counter table into 20 keys; the exact candidate list is TakeOrderedAndProject"),
+    ("sk03_hll_source_overlap", "the corpus is scanned into register frames once; densify (broadcast bucket range), the pair self-join on bucket, estimate assembly and the exact-evidence join are ALL broadcast — no shuffle join anywhere in the 190-pair combinatorics"),
 ]
 
 
