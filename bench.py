@@ -134,6 +134,7 @@ EXTRA = [
     "sk01_hll_distinct",       # HLL shingle cardinality per lang (round 12)
     "sk02_countmin_topk",      # Count-Min heavy-hitter estimates (round 12)
     "sk03_hll_source_overlap", # merged-HLL pairwise source overlap (round 12)
+    "dq09_quantile_profile",   # exact-quantile grid + Tukey fence gate (round 12)
 ]
 
 

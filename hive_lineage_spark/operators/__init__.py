@@ -272,7 +272,11 @@ _DRIVER_PRIORITY = [
     # (mm16/mm17/mm21 keep image feature extraction), tx17 (tx18/tx21
     # keep the held-out cross-entropy ladder).
     "sk01_hll_distinct", "sk02_countmin_topk", "sk03_hll_source_overlap",
-    "dq05_row_expectations",
+    # dq09 (quantile/fence profile) also lands round-12; out: dq05
+    # (2x-certified, unchanged — dq02's constraint report keeps
+    # row-rule semantics certified, dq07/dq08/dq09 keep the gate
+    # family in-window).
+    "dq09_quantile_profile",
     "dq06_freshness_sla",
     "dq07_referential_integrity", "dq08_psi_drift",
     "tx22_dsir_logweight",

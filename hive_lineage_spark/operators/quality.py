@@ -692,6 +692,140 @@ def _dq08_col_sql(col: str, bin_expr: str) -> str:
 DQ08_SQL = " UNION ALL ".join(_dq08_col_sql(c, e) for c, e in DQ08_BIN_SPECS)
 
 
+DQ09_GRID = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def dq09_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quantile profile + Tukey outlier gate: exact
+    percentiles on a fixed grid, IQR, 1.5-IQR fences, and the count of
+    rows outside them — the numeric-shape report dq01's min/max/distinct
+    profile can't give (a single corrupt batch shifts p99 long before it
+    moves the max) and the standard fence check feeding row-quarantine.
+
+    Determinism: Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    linear-interpolation semantics on the same doubles (verified
+    bit-equal on this data); every quantile rounds at 4 dp (+1e-9) and
+    the fences/IQR derive from the ROUNDED values, so the outlier
+    comparisons run on identical doubles in both engines.
+
+    SCALE shape: two linear passes — ONE exact-percentile agg (at 100 TB
+    this becomes ``approx_percentile``/t-digest, a mergeable partial agg;
+    the exact form is the oracle-checkable twin) and one fence-count agg
+    with the 1-row fence frame broadcast. The report is column-count
+    sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    grid = ",".join(str(q) for q in DQ09_GRID)
+    one = li.groupBy().agg(
+        *[
+            F.expr(f"percentile({c}, array({grid}))").alias(f"qs_{c}")
+            for c in PROFILE_COLS
+        ]
+    )
+    fcols = []
+    for c in PROFILE_COLS:
+        for i, q in enumerate(DQ09_GRID):
+            fcols.append(
+                F.round(F.col(f"qs_{c}").getItem(i) + 1e-9, 4).alias(
+                    f"p{int(q * 100):02d}_{c}"
+                )
+            )
+    fences = one.select(*fcols)
+    for c in PROFILE_COLS:
+        iqr = F.round(F.col(f"p75_{c}") - F.col(f"p25_{c}") + 1e-9, 4)
+        fences = fences.withColumn(f"iqr_{c}", iqr)
+        fences = fences.withColumn(
+            f"lo_{c}", F.round(F.col(f"p25_{c}") - 1.5 * F.col(f"iqr_{c}") + 1e-9, 4)
+        ).withColumn(
+            f"hi_{c}", F.round(F.col(f"p75_{c}") + 1.5 * F.col(f"iqr_{c}") + 1e-9, 4)
+        )
+    counted = (
+        li.crossJoin(F.broadcast(fences))
+        .groupBy(*fences.columns)
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        (F.col(c) < F.col(f"lo_{c}")) | (F.col(c) > F.col(f"hi_{c}")),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"out_{c}")
+                for c in PROFILE_COLS
+            ]
+        )
+    )
+    melted = counted.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        *[
+                            F.col(f"p{int(q * 100):02d}_{c}").alias(
+                                f"p{int(q * 100):02d}"
+                            )
+                            for q in DQ09_GRID
+                        ],
+                        F.col(f"iqr_{c}").alias("iqr"),
+                        F.col(f"lo_{c}").alias("lo_fence"),
+                        F.col(f"hi_{c}").alias("hi_fence"),
+                        F.col(f"out_{c}").cast("long").alias("n_outliers"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("m")
+    )
+    return melted.select("m.*")
+
+
+def _dq09_sql() -> str:
+    grid = ",".join(str(q) for q in DQ09_GRID)
+    qsel = ", ".join(
+        f"quantile_cont({c}, [{grid}]) AS qs_{c}" for c in PROFILE_COLS
+    )
+    psel = ", ".join(
+        f"round(qs_{c}[{i + 1}] + 1e-9, 4) AS p{int(q * 100):02d}_{c}"
+        for c in PROFILE_COLS
+        for i, q in enumerate(DQ09_GRID)
+    )
+    isel = ", ".join(
+        f"round(p75_{c} - p25_{c} + 1e-9, 4) AS iqr_{c}" for c in PROFILE_COLS
+    )
+    fsel = ", ".join(
+        f"round(p25_{c} - 1.5 * iqr_{c} + 1e-9, 4) AS lo_{c}, "
+        f"round(p75_{c} + 1.5 * iqr_{c} + 1e-9, 4) AS hi_{c}"
+        for c in PROFILE_COLS
+    )
+    osel = ", ".join(
+        f"CAST(sum(CASE WHEN {c} < lo_{c} OR {c} > hi_{c} THEN 1 ELSE 0 END) AS BIGINT) AS out_{c}"
+        for c in PROFILE_COLS
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, "
+        + ", ".join(
+            f"p{int(q * 100):02d}_{c} AS p{int(q * 100):02d}" for q in DQ09_GRID
+        )
+        + f", iqr_{c} AS iqr, lo_{c} AS lo_fence, hi_{c} AS hi_fence, "
+        f"out_{c} AS n_outliers FROM counted"
+        for c in PROFILE_COLS
+    )
+    return f"""
+    WITH one AS (SELECT {qsel} FROM lineitem),
+    p AS (SELECT {psel} FROM one),
+    i AS (SELECT *, {isel} FROM p),
+    f AS (SELECT *, {fsel} FROM i),
+    counted AS (
+        SELECT f.*, {osel}
+        FROM lineitem CROSS JOIN f
+        GROUP BY ALL
+    )
+    {melt}
+"""
+
+
+DQ09_SQL = _dq09_sql()
+
+
 QUERIES = {
     "dq01_profile": dq01_profile,
     "dq02_constraints": dq02_constraints,
@@ -701,6 +835,7 @@ QUERIES = {
     "dq06_freshness_sla": dq06_freshness_sla,
     "dq07_referential_integrity": dq07_referential_integrity,
     "dq08_psi_drift": dq08_psi_drift,
+    "dq09_quantile_profile": dq09_quantile_profile,
 }
 
 ORACLES = {
@@ -712,4 +847,5 @@ ORACLES = {
     "dq06_freshness_sla": DQ06_SQL,
     "dq07_referential_integrity": DQ07_SQL,
     "dq08_psi_drift": DQ08_SQL,
+    "dq09_quantile_profile": DQ09_SQL,
 }

@@ -191,3 +191,40 @@ def test_sk03_pair_stage_is_register_sized(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# dq09 (registered alongside the sketches this round): quantile profile
+# ---------------------------------------------------------------------------
+
+
+def test_dq09_quantile_profile_invariants(spark):
+    from hive_lineage_spark.operators.quality import PROFILE_COLS, dq09_quantile_profile
+
+    rows = {r["column"]: r for r in dq09_quantile_profile(spark, SF).collect()}
+    assert set(rows) == set(PROFILE_COLS)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = li.count()
+    for c, r in rows.items():
+        # the grid is monotone and the fences bracket the box
+        assert r["p01"] <= r["p25"] <= r["p50"] <= r["p75"] <= r["p99"], r
+        assert abs(r["iqr"] - round(r["p75"] - r["p25"] + 1e-9, 4)) < 1e-9
+        assert r["lo_fence"] <= r["p25"] and r["hi_fence"] >= r["p75"], r
+        # recount outliers independently with the published fences
+        recount = li.filter(
+            (F.col(c) < r["lo_fence"]) | (F.col(c) > r["hi_fence"])
+        ).count()
+        assert r["n_outliers"] == recount, (c, r["n_outliers"], recount)
+        # Tukey fences at 1.5 IQR should quarantine a small tail, not the bulk
+        assert r["n_outliers"] <= 0.1 * n, (c, r["n_outliers"], n)
+
+
+def test_dq09_plan_two_linear_passes(spark):
+    from hive_lineage_spark.operators.quality import dq09_quantile_profile
+
+    plan = _plan(dq09_quantile_profile(spark, SF))
+    # the fence frame joins in as a broadcast (1 row), never a shuffle join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly two scans of the fact table: percentile pass + fence count
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")

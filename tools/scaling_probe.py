@@ -53,6 +53,10 @@ PROBE = [
     ("ss20_ann_binary", "linear code scan x fixed queries; rerank candidate-bounded"),
     ("dq08_psi_drift", "two linear partial-agg passes; bins fixed"),
     ("dd19_containment", "prefix-bounded candidates; rare grams only probe"),
+    ("sk01_hll_distinct", "linear shingle scan; post-scan frames register-sized (langs x 256)"),
+    ("sk02_countmin_topk", "linear token scan; counters capped at 4x512 cells"),
+    ("sk03_hll_source_overlap", "linear scan into sketches; pair stage register-sized (exact evidence leg ~quadratic in overlap)"),
+    ("dq09_quantile_profile", "one exact-percentile agg (sort-based; approx_percentile at scale) + one broadcast fence-count pass"),
 ]
 
 
