@@ -61,6 +61,75 @@ def batch_windowed_counts(events: DataFrame, window: str = "5 minutes") -> DataF
     )
 
 
+def windowed_hll_registers(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming HLL register build: approximate distinct-USER
+    cardinality per tumbling window with BOUNDED state — at most 256
+    register rows per open window instead of a per-window distinct-user
+    set (the state that explodes at 100 TB/day). ``max(rho)`` is
+    associative and commutative, so the register build is exactly the
+    kind of aggregation incremental processing can maintain; late rows
+    beyond the watermark are dropped like any windowed agg.
+
+    The register->estimate fold is NOT chained here: a second streaming
+    aggregation over the first is unsupported (and unnecessary) —
+    production folds the 256-row register frame in the sink/dashboard
+    (``fold_hll_registers``), the registers themselves ARE the
+    streaming state and the mergeable hand-off artifact (same property
+    ``operators.sketches`` demonstrates across sources)."""
+    from ..functions.hashing import poly_hash
+    from ..operators.sketches import _hll_rho
+
+    h = poly_hash(F.col("user_id").cast("string"))
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("bucket", h.bitwiseAND(F.lit(255)))
+        .withColumn("rho", _hll_rho(h))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "bucket")
+        .agg(F.max("rho").alias("mj"))
+        .select(F.col("win.start").alias("win_start"), "bucket", "mj")
+    )
+
+
+def batch_windowed_hll_registers(events: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """The same register build on a batch DataFrame (replay-equivalence
+    twin of :func:`windowed_hll_registers`)."""
+    from ..functions.hashing import poly_hash
+    from ..operators.sketches import _hll_rho
+
+    h = poly_hash(F.col("user_id").cast("string"))
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("bucket", h.bitwiseAND(F.lit(255)))
+        .withColumn("rho", _hll_rho(h))
+        .groupBy(F.window("ts", window).alias("win"), "bucket")
+        .agg(F.max("rho").alias("mj"))
+        .select(F.col("win.start").alias("win_start"), "bucket", "mj")
+    )
+
+
+def fold_hll_registers(regs: DataFrame) -> DataFrame:
+    """Fold (win_start, bucket, mj) register rows into per-window
+    cardinality estimates — the batch-side consumer of the streaming
+    register state (run over the sink table after each micro-batch).
+    Reuses the sketch estimator wholesale, so the streaming monitor and
+    the batch profiling layer share one set of HLL mechanics."""
+    from ..operators.sketches import _hll_est
+
+    folded = regs.groupBy("win_start").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - mj AS INT))")).alias(
+            "s_sparse"
+        ),
+    )
+    return folded.select(
+        "win_start",
+        _hll_est(F.col("n_present"), F.col("s_sparse")).alias("hll_users"),
+    )
+
+
 def daily_volume_stream(events: DataFrame) -> DataFrame:
     """Streaming side of the dq04 ingest-volume gate: daily event counts
     as a complete-mode aggregation (state = |days| rows — bounded by the

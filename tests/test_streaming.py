@@ -523,3 +523,47 @@ def test_streaming_real_decode_equals_batch_mm05(spark):
     got = {tuple(r) for r in spark.sql("SELECT * FROM mm05_stream").collect()}
     want = {tuple(r) for r in mm05_decode_image(spark, SF).collect()}
     assert got == want and got
+
+
+def test_streaming_hll_registers_equal_batch_and_estimate_lands(spark):
+    """The streaming HLL register build (bounded 256-rows-per-window
+    state) must replay-match the batch twin on watermark-closed windows,
+    and the folded estimate must land within the m=256 error band of the
+    exact per-window distinct-user count."""
+    import math
+
+    from hive_lineage_spark.streaming.events import (
+        batch_windowed_hll_registers,
+        fold_hll_registers,
+        windowed_hll_registers,
+    )
+
+    stream = windowed_hll_registers(events_stream(spark, SF))
+    run_stream_to_memory(stream, "hll_regs", output_mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM hll_regs").collect()}
+    assert got, "no closed windows emitted"
+    batch_regs = batch_windowed_hll_registers(load_events(spark, SF))
+    want = {tuple(r) for r in batch_regs.collect()}
+    assert got <= want  # the stream never invents register rows
+    # per closed window: ALL of that window's registers were emitted
+    closed_windows = {r[0] for r in got}
+    want_closed = {r for r in want if r[0] in closed_windows}
+    assert got == want_closed
+    # fold the streamed registers and compare against exact distincts
+    ests = {
+        r["win_start"]: r["hll_users"]
+        for r in fold_hll_registers(spark.sql("SELECT * FROM hll_regs")).collect()
+    }
+    ev = load_events(spark, SF).withColumn("ts", F.col("ts").cast("timestamp"))
+    exact = {
+        r["win_start"]: r["n"]
+        for r in ev.groupBy(
+            F.window("ts", "5 minutes").alias("win")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+        .collect()
+    }
+    for w, est in ests.items():
+        band = max(3 * 1.04 / math.sqrt(256) * exact[w], 3.0)
+        assert abs(est - exact[w]) <= band, (w, est, exact[w])
