@@ -337,25 +337,42 @@ def sk03_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus is touched ONCE to build 20 sketch frames
     (the sk01 partial-agg shape); all 190-pair combinatorics then run
     on a <= 20x256-row register frame — densify (broadcast bucket
-    range), self-join on bucket, fold. At 100 TB the pair stage costs
-    the same as at 1 GB. ``exact_inter`` (a gram-level self-join across
-    source pairs — the quadratic join the sketches replace) is the
-    oracle-evidence leg; production drops it."""
-    g = _docs(spark, sf_dir).select(
-        "source", F.explode(word_ngrams("text", 3)).alias("gram")
-    )
-    hashed = g.select("source", poly_hash("gram").alias("h"))
-    regs = _hll_registers(hashed, ["source"])
+    range), self-join on bucket, fold. Both shared artifacts persist
+    per (session, sf_dir) — the distinct (source, gram) frame feeds
+    the register build AND the exact evidence leg, and the dense
+    register frame has three consumers (singles + both pair sides) —
+    so the corpus tokenize/hash pipeline executes once, not per
+    consumer (the tx12/dd02 exchange-reuse lesson; plan-pinned). At
+    100 TB the pair stage costs the same as at 1 GB. ``exact_inter``
+    (a gram-level self-join across source pairs — the quadratic join
+    the sketches replace) is the oracle-evidence leg; production drops
+    it AND the gram persist with it (the registers alone then need one
+    un-persisted corpus pass)."""
+    from .dedup import _persisted
 
-    # densify so absent buckets merge as 0 (register frames are tiny:
-    # |sources| x 256 rows — broadcast everywhere).
-    buckets = spark.range(M_HLL).select(F.col("id").cast("long").alias("bucket"))
-    srcs = regs.select("source").distinct()
-    dense = (
-        srcs.crossJoin(F.broadcast(buckets))
-        .join(F.broadcast(regs), ["source", "bucket"], "left")
-        .select("source", "bucket", F.coalesce("mj", F.lit(0)).alias("mj"))
+    po = _persisted(
+        "sk03_grams",
+        spark,
+        sf_dir,
+        lambda s, d: _docs(s, d)
+        .select("source", F.explode(word_ngrams("text", 3)).alias("gram"))
+        .distinct(),
     )
+
+    def _build_dense(s: SparkSession, d: str) -> DataFrame:
+        hashed = po.select("source", poly_hash("gram").alias("h"))
+        regs = _hll_registers(hashed, ["source"])
+        # densify so absent buckets merge as 0 (register frames are
+        # tiny: |sources| x 256 rows — broadcast everywhere).
+        buckets = s.range(M_HLL).select(F.col("id").cast("long").alias("bucket"))
+        srcs = regs.select("source").distinct()
+        return (
+            srcs.crossJoin(F.broadcast(buckets))
+            .join(F.broadcast(regs), ["source", "bucket"], "left")
+            .select("source", "bucket", F.coalesce("mj", F.lit(0)).alias("mj"))
+        )
+
+    dense = _persisted("sk03_regs_dense", spark, sf_dir, _build_dense)
     singles = (
         dense.filter(F.col("mj") > 0)
         .groupBy("source")
@@ -383,7 +400,6 @@ def sk03_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hll_est(F.col("n_present"), F.col("s_sparse")).alias("est_union"),
         )
     )
-    po = g.distinct()
     pa, pb = po.alias("pa"), po.alias("pb")
     exact = (
         pa.join(

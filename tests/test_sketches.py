@@ -184,6 +184,8 @@ def test_sk03_error_within_noise_floor_bound(spark):
 
 
 def test_sk03_pair_stage_is_register_sized(spark):
+    df = SK.sk03_hll_source_overlap(spark, SF)
+    df.collect()  # warm the persisted gram/register frames
     plan = _plan(SK.sk03_hll_source_overlap(spark, SF))
     # every join is a broadcast: the densify (srcs x 256 buckets), the
     # pair self-join on bucket, and the estimate assembly — no shuffle
@@ -191,6 +193,13 @@ def test_sk03_pair_stage_is_register_sized(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    # the corpus pipeline executes once: every consumer (register build,
+    # both pair sides, exact evidence leg) reads the persisted frames —
+    # any FileScan text lives only inside InMemoryRelation build prints,
+    # nothing scans the corpus live ahead of the first cached relation
+    # (the tx12 pin idiom)
+    assert plan.count("InMemoryTableScan") >= 4, plan.count("InMemoryTableScan")
+    assert "FileScan" not in plan.split("InMemoryRelation")[0], plan
 
 
 # ---------------------------------------------------------------------------
