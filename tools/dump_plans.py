@@ -82,7 +82,7 @@ SHOW = [
     ("web02_host_dup_rate", "the only exchanges key on the 8-byte text hash (dup detection, partial-agg combined) and the registrable domain (host-count-sized rollup); the dup-flag join is AQE-chosen"),
     ("sk01_hll_distinct", "the register build is a partial/final HashAggregate pair on (lang, bucket) — every map partition emits ≤ 5×256 rows no matter how many shingles it scanned — then one lang-keyed fold; the only corpus-keyed exchange is the exact-countDistinct evidence leg production drops"),
     ("sk02_countmin_topk", "the counter build partial-aggregates onto ≤ 4×512 cells per map partition (the sketch property as a plan shape); probes are a BroadcastHashJoin of the 2048-row counter table into 20 keys; the exact candidate list is TakeOrderedAndProject"),
-    ("sk03_hll_source_overlap", "the corpus is scanned into register frames once; densify (broadcast bucket range), the pair self-join on bucket, estimate assembly and the exact-evidence join are ALL broadcast — no shuffle join anywhere in the 190-pair combinatorics"),
+    ("sk03_hll_source_overlap", "the distinct-gram and dense-register frames are PERSISTED (every consumer reads InMemoryTableScan; no live corpus scan ahead of the first cached relation); densify, the pair self-join on bucket, estimate assembly and the exact-evidence join are ALL broadcast — no shuffle join anywhere in the 190-pair combinatorics"),
     ("dq09_quantile_profile", "two linear passes: one exact-percentile agg (the 100 TB swap is approx_percentile — a mergeable partial agg) and one fence-count agg with the 1-row fence frame broadcast; report is column-count-sized"),
 ]
 
