@@ -502,6 +502,47 @@ SK03_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental register maintenance (mergeability in TIME; sk03 is
+# mergeability in SPACE) — library surface, exercised by tests and the
+# streaming monitor rather than an oracle query (the estimates it
+# produces are sk01's, already oracle-certified).
+# ---------------------------------------------------------------------------
+
+
+def hll_registers_of(df: DataFrame, keys: list[str], item: str) -> DataFrame:
+    """Public register builder: (keys..., bucket, mj) from a string
+    item column — the artifact a pipeline CHECKPOINTS per slice/commit
+    instead of raw distinct sets."""
+    return _hll_registers(df.select(*keys, poly_hash(item).alias("h")), keys)
+
+
+def merge_hll_registers(old: DataFrame, batch: DataFrame, keys: list[str]) -> DataFrame:
+    """O(batch) incremental maintenance: max-merge a stored register
+    frame with the arriving batch's registers — the sketch-layer
+    analogue of dd11's postings maintenance (never a corpus rebuild).
+    Union + one partial-agg max per (keys, bucket); both inputs are
+    register-sized, so maintenance cost is independent of history
+    length. The merged frame estimates the UNION of everything ever
+    observed (inserts only — HLL cannot retract; retiring a slice means
+    re-merging the surviving slices' checkpointed registers, which is
+    why production keeps them per slice)."""
+    return (
+        old.unionByName(batch)
+        .groupBy(*keys, "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+
+
+def estimate_from_registers(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold any register frame (stored, merged, or streamed) into
+    per-key cardinality estimates — one estimator for the whole layer."""
+    folded = _hll_fold(regs, keys)
+    return folded.select(
+        *keys, _hll_est(F.col("n_present"), F.col("s_sparse")).alias("hll_est")
+    )
+
+
 QUERIES = {
     "sk01_hll_distinct": sk01_hll_distinct,
     "sk02_countmin_topk": sk02_countmin_topk,

@@ -237,3 +237,34 @@ def test_dq09_plan_two_linear_passes(spark):
     assert "CartesianProduct" not in plan
     # exactly two scans of the fact table: percentile pass + fence count
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+
+
+# ---------------------------------------------------------------------------
+# incremental register maintenance (mergeability in time)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_incremental_merge_equals_full_rebuild(spark):
+    """Splitting the corpus into two halves, building registers per
+    half, and max-merging must give EXACTLY the registers (and hence
+    the estimate) of a full rebuild — the lossless-merge property that
+    makes per-slice register checkpoints safe to maintain in O(batch)."""
+    from hive_lineage_spark.operators.sketches import (
+        estimate_from_registers,
+        hll_registers_of,
+        merge_hll_registers,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", F.explode(SK.word_ngrams("text", 3)).alias("gram"), "doc_id"
+    )
+    full = hll_registers_of(docs, ["lang"], "gram")
+    half_a = hll_registers_of(docs.filter(F.col("doc_id") % 2 == 0), ["lang"], "gram")
+    half_b = hll_registers_of(docs.filter(F.col("doc_id") % 2 == 1), ["lang"], "gram")
+    merged = merge_hll_registers(half_a, half_b, ["lang"])
+    got = {tuple(r) for r in merged.collect()}
+    want = {tuple(r) for r in full.collect()}
+    assert got == want
+    est_m = {r["lang"]: r["hll_est"] for r in estimate_from_registers(merged, ["lang"]).collect()}
+    est_f = {r["lang"]: r["hll_est"] for r in estimate_from_registers(full, ["lang"]).collect()}
+    assert est_m == est_f
