@@ -240,7 +240,7 @@ _DRIVER_PRIORITY = [
     # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
     # ladder)
     "tx15_bpe_train",
-    "tx18_backoff_xent", "tx19_bpe_apply",
+    "tx18_backoff_xent",
     "tx20_ccnet_buckets", "tx21_kneser_ney_xent",
     # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
     # decode harder paths; incoming mm16/mm17/mm18 run the real decode
@@ -271,7 +271,11 @@ _DRIVER_PRIORITY = [
     # mm13 (mm15 keeps the MJPEG 4:2:0 decode chain in-window), mm19
     # (mm16/mm17/mm21 keep image feature extraction), tx17 (tx18/tx21
     # keep the held-out cross-entropy ladder).
+    # sk04 (precision ladder) lands with them; out: tx19 (2x-certified,
+    # unchanged — tx15 keeps the BPE family in-window, the encode path
+    # stays pytest- and local-oracle-pinned).
     "sk01_hll_distinct", "sk02_countmin_topk", "sk03_hll_source_overlap",
+    "sk04_hll_precision_ladder",
     # dq09 (quantile/fence profile) also lands round-12; out: dq05
     # (2x-certified, unchanged — dq02's constraint report keeps
     # row-rule semantics certified, dq07/dq08/dq09 keep the gate

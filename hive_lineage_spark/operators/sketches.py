@@ -77,36 +77,68 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _hll_rho(h: Column) -> Column:
+def _b_bits(m: int) -> int:
+    b = m.bit_length() - 1
+    assert 1 << b == m, "register count must be a power of two"
+    return b
+
+
+def _w_pay(m: int) -> int:
+    """Payload bits above the bucket: MOD < 2^30, so h >> b fits in
+    30 - b bits (22 for the default m=256)."""
+    return 30 - _b_bits(m)
+
+
+def _alpha(m: int) -> float:
+    """Flajolet 2007's bias-correction constants (exact small-m values,
+    the asymptotic formula from m=128 up)."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+
+
+def _c_est(m: int) -> float:
+    """alpha * m^2 * 2^30 (the raw-estimate numerator); the *2^(b+b+30)
+    scale is a power of two — exact in IEEE, no rounding."""
+    return _alpha(m) * float(1 << (2 * _b_bits(m) + 30))
+
+
+def _hll_rho(h: Column, m: int = M_HLL) -> Column:
     """HLL rank of an already-poly-hashed value: 1 + leading zeros of
-    the payload ``h >> 8`` in a ``W_PAY``-bit window. Integer-only:
+    the payload ``h >> b`` in a ``_w_pay(m)``-bit window. Integer-only:
     ``length(bin(p))`` is the bit length (both engines print
-    minimal-width binary), so rho = W_PAY + 1 - bitlen(p); the all-zero
-    payload maxes out at W_PAY + 1."""
-    p = F.shiftright(h, 8)
+    minimal-width binary), so rho = W + 1 - bitlen(p); the all-zero
+    payload maxes out at W + 1."""
+    w = _w_pay(m)
+    p = F.shiftright(h, _b_bits(m))
     return (
-        F.when(p == 0, F.lit(W_PAY + 1))
-        .otherwise(F.lit(W_PAY + 1) - F.length(F.bin(p)))
+        F.when(p == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(p)))
         .cast("long")
     )
 
 
-_RHO_SQL = (
-    f"CASE WHEN (h >> 8) = 0 THEN {W_PAY + 1} "
-    f"ELSE {W_PAY + 1} - length(bin(h >> 8)) END"
-)
+def _rho_sql(m: int = M_HLL) -> str:
+    b, w = _b_bits(m), _w_pay(m)
+    return (
+        f"CASE WHEN (h >> {b}) = 0 THEN {w + 1} "
+        f"ELSE {w + 1} - length(bin(h >> {b})) END"
+    )
 
 
-def _hll_registers(hashed: DataFrame, keys: list[str]) -> DataFrame:
+_RHO_SQL = _rho_sql()
+
+
+def _hll_registers(hashed: DataFrame, keys: list[str], m: int = M_HLL) -> DataFrame:
     """Sparse HLL registers per key tuple: groupBy(keys, bucket) max-agg
     — Spark executes this with a map-side partial ``max``, so each map
-    partition emits at most |keys| x 256 rows no matter how many items
+    partition emits at most |keys| x m rows no matter how many items
     it scanned: the sketch property, expressed as a partial agg."""
     return (
         hashed.select(
             *keys,
-            F.col("h").bitwiseAND(F.lit(255)).alias("bucket"),
-            _hll_rho(F.col("h")).alias("rho"),
+            F.col("h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            _hll_rho(F.col("h"), m).alias("rho"),
         )
         .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("mj"))
@@ -126,29 +158,29 @@ def _hll_fold(regs: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def _hll_est(n_present: Column, s_sparse: Column) -> Column:
+def _hll_est(n_present: Column, s_sparse: Column, m: int = M_HLL) -> Column:
     """HLL estimate from the folded registers, rounded at 6 dp. The
     register sum S is an exact integer; the raw estimate is ONE double
     division of inlined literals, and the linear-counting branch is one
     ``ln`` of a double ratio of integers — identical in both engines
     (the dq08 FP discipline)."""
-    v = F.lit(M_HLL) - n_present
+    v = F.lit(m) - n_present
     s = s_sparse + v * F.lit(1 << 30)
-    raw = F.lit(C_EST) / s
+    raw = F.lit(_c_est(m)) / s
     est = F.when(
-        (raw <= 2.5 * M_HLL) & (v > 0),
-        F.lit(float(M_HLL)) * F.log(F.lit(float(M_HLL)) / v),
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(raw)
     return F.round(est + 1e-9, 6)
 
 
-def _hll_est_sql(n_present: str, s_sparse: str) -> str:
-    v = f"({M_HLL} - {n_present})"
+def _hll_est_sql(n_present: str, s_sparse: str, m: int = M_HLL) -> str:
+    v = f"({m} - {n_present})"
     s = f"({s_sparse} + {v} * (CAST(1 AS BIGINT) << 30))"
-    raw = f"({C_EST!r} / {s})"
+    raw = f"({_c_est(m)!r} / {s})"
     return (
-        f"round(CASE WHEN {raw} <= {2.5 * M_HLL!r} AND {v} > 0 "
-        f"THEN {float(M_HLL)!r} * ln({float(M_HLL)!r} / {v}) "
+        f"round(CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / {v}) "
         f"ELSE {raw} END + 1e-9, 6)"
     )
 
@@ -503,6 +535,88 @@ SK03_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# sk04: HLL precision ladder (calibration)
+# ---------------------------------------------------------------------------
+
+SK04_MS = [64, 256, 1024]
+
+
+def sk04_hll_precision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL precision calibration: the corpus-level distinct-shingle
+    count estimated at m = 64 / 256 / 1024 registers side by side, with
+    the theoretical error coefficient and the realized error — the
+    memory-vs-accuracy table a deployment reads before fixing the
+    register size per slice (dd15's calibration role, for cardinality
+    instead of Jaccard). 8x the memory buys half the standard error
+    (sigma = 1.04/sqrt(m)); the sketch is 64 B–1 KiB per slice either
+    way, so the real constraint at 100 TB is slice COUNT x m.
+
+    Scale shape: ONE hash pass over the shingle stream feeds all three
+    ladders (the per-m bucket/rank maps are codegen over the same
+    hashed column); each ladder is the sk01 partial-agg shape capped at
+    m rows per map partition. The exact leg (one countDistinct) is the
+    shared evidence baseline; production drops it."""
+    g = _docs(spark, sf_dir).select(F.explode(word_ngrams("text", 3)).alias("gram"))
+    hashed = g.select(poly_hash("gram").alias("h"))
+    exact = g.select(F.countDistinct("gram").alias("n_exact"))
+    out = None
+    for m in SK04_MS:
+        folded = _hll_fold(_hll_registers(hashed, [], m), [])
+        est = folded.select(
+            F.lit(m).alias("m"),
+            F.round(F.lit(1.04) / F.sqrt(F.lit(float(m))) * 100 + 1e-9, 2).alias(
+                "sigma_pct"
+            ),
+            _hll_est(F.col("n_present"), F.col("s_sparse"), m).alias("hll_est"),
+        )
+        out = est if out is None else out.unionByName(est)
+    return (
+        out.crossJoin(F.broadcast(exact))
+        .select(
+            "m",
+            "sigma_pct",
+            "hll_est",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(
+                (F.col("hll_est") - F.col("n_exact")) / F.col("n_exact") * 100 + 1e-9,
+                2,
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
+def _sk04_sql() -> str:
+    ladders = " UNION ALL ".join(
+        f"""
+        SELECT {m} AS m,
+               round(1.04 / sqrt({float(m)!r}) * 100 + 1e-9, 2) AS sigma_pct,
+               {_hll_est_sql('n_present', 's_sparse', m)} AS hll_est
+        FROM (
+            SELECT CAST(count(*) AS BIGINT) AS n_present,
+                   CAST(sum(CAST(1 AS BIGINT) << CAST(30 - mj AS INT)) AS BIGINT) AS s_sparse
+            FROM (
+                SELECT (h & {m - 1}) AS bucket, CAST(max({_rho_sql(m)}) AS BIGINT) AS mj
+                FROM hh GROUP BY 1
+            )
+        )"""
+        for m in SK04_MS
+    )
+    return f"""
+    WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT unnest({word_ngrams_sql('ws', 3)}) AS gram FROM d),
+    hh AS (SELECT {poly_hash_sql('gram')} AS h FROM g),
+    ex AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS n_exact FROM g),
+    ladder AS ({ladders})
+    SELECT m, sigma_pct, hll_est, n_exact,
+           round((hll_est - n_exact) / n_exact * 100 + 1e-9, 2) AS rel_err_pct
+    FROM ladder CROSS JOIN ex
+"""
+
+
+SK04_SQL = _sk04_sql()
+
+
+# ---------------------------------------------------------------------------
 # incremental register maintenance (mergeability in TIME; sk03 is
 # mergeability in SPACE) — library surface, exercised by tests and the
 # streaming monitor rather than an oracle query (the estimates it
@@ -547,10 +661,12 @@ QUERIES = {
     "sk01_hll_distinct": sk01_hll_distinct,
     "sk02_countmin_topk": sk02_countmin_topk,
     "sk03_hll_source_overlap": sk03_hll_source_overlap,
+    "sk04_hll_precision_ladder": sk04_hll_precision_ladder,
 }
 
 ORACLES = {
     "sk01_hll_distinct": SK01_SQL,
     "sk02_countmin_topk": SK02_SQL,
     "sk03_hll_source_overlap": SK03_SQL,
+    "sk04_hll_precision_ladder": SK04_SQL,
 }

@@ -268,3 +268,50 @@ def test_hll_incremental_merge_equals_full_rebuild(spark):
     est_m = {r["lang"]: r["hll_est"] for r in estimate_from_registers(merged, ["lang"]).collect()}
     est_f = {r["lang"]: r["hll_est"] for r in estimate_from_registers(full, ["lang"]).collect()}
     assert est_m == est_f
+
+
+# ---------------------------------------------------------------------------
+# sk04: precision ladder
+# ---------------------------------------------------------------------------
+
+
+def test_sk04_ladder_errors_within_band_and_sigma_monotone(spark):
+    from hive_lineage_spark.operators.sketches import SK04_MS, sk04_hll_precision_ladder
+
+    rows = sorted(sk04_hll_precision_ladder(spark, SF).collect(), key=lambda r: r["m"])
+    assert [r["m"] for r in rows] == sorted(SK04_MS)
+    # one shared exact baseline
+    assert len({r["n_exact"] for r in rows}) == 1
+    sigmas = [r["sigma_pct"] for r in rows]
+    assert sigmas == sorted(sigmas, reverse=True)  # more registers, less error
+    for r in rows:
+        assert abs(r["sigma_pct"] - round(1.04 / math.sqrt(r["m"]) * 100 + 1e-9, 2)) < 1e-9
+        # realized error within 4 sigma of its own ladder rung
+        assert abs(r["rel_err_pct"]) <= 4 * r["sigma_pct"] + 0.5, r
+
+
+def test_sk04_rungs_match_standalone_estimators(spark):
+    """Each rung must equal the estimate a standalone m-register build
+    would produce from the same hash stream (the ladder is a view, not
+    a different estimator)."""
+    from hive_lineage_spark.operators.sketches import (
+        SK04_MS,
+        _hll_est,
+        _hll_fold,
+        _hll_registers,
+        sk04_hll_precision_ladder,
+    )
+    from hive_lineage_spark.functions.hashing import poly_hash
+
+    g = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(SK.word_ngrams("text", 3)).alias("gram"))
+        .select(poly_hash("gram").alias("h"))
+    )
+    got = {r["m"]: r["hll_est"] for r in sk04_hll_precision_ladder(spark, SF).collect()}
+    for m in SK04_MS:
+        folded = _hll_fold(_hll_registers(g, [], m), [])
+        want = folded.select(
+            _hll_est(F.col("n_present"), F.col("s_sparse"), m).alias("e")
+        ).collect()[0]["e"]
+        assert got[m] == want, (m, got[m], want)

@@ -84,6 +84,7 @@ SHOW = [
     ("sk02_countmin_topk", "the counter build partial-aggregates onto ≤ 4×512 cells per map partition (the sketch property as a plan shape); probes are a BroadcastHashJoin of the 2048-row counter table into 20 keys; the exact candidate list is TakeOrderedAndProject"),
     ("sk03_hll_source_overlap", "the distinct-gram and dense-register frames are PERSISTED (every consumer reads InMemoryTableScan; no live corpus scan ahead of the first cached relation); densify, the pair self-join on bucket, estimate assembly and the exact-evidence join are ALL broadcast — no shuffle join anywhere in the 190-pair combinatorics"),
     ("dq09_quantile_profile", "two linear passes: one exact-percentile agg (the 100 TB swap is approx_percentile — a mergeable partial agg) and one fence-count agg with the 1-row fence frame broadcast; report is column-count-sized"),
+    ("sk04_hll_precision_ladder", "one hash pass feeds all three ladders (per-m bucket/rank maps are codegen over the same hashed column); each ladder partial-aggregates to <= m rows per map partition; the exact leg is the one shared countDistinct baseline"),
 ]
 
 
