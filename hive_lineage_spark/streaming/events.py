@@ -130,6 +130,105 @@ def fold_hll_registers(regs: DataFrame) -> DataFrame:
     )
 
 
+def windowed_countmin(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming Count-Min counters per tumbling window: per-user event
+    RATES under BOUNDED state — ≤ D_CM x W_CM (2048) counter rows per
+    open window, however many distinct users the stream carries. The
+    probe side (``probe_countmin``) runs sink-side against a watchlist:
+    monitoring suspected-bot request rates without keeping per-user
+    state is exactly what the sketch buys at 100 TB/day."""
+    from ..functions.hashing import minhash_perm, poly_hash
+    from ..operators.sketches import D_CM, W_CM
+
+    h = poly_hash(F.col("user_id").cast("string"))
+    rc = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                minhash_perm(h, r).bitwiseAND(F.lit(W_CM - 1)).alias("c"),
+            )
+            for r in range(D_CM)
+        ]
+    )
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("rc", F.explode(rc))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "rc.r", "rc.c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "r", "c", "cnt")
+    )
+
+
+def batch_windowed_countmin(events: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """Replay-equivalence twin of :func:`windowed_countmin`."""
+    from ..functions.hashing import minhash_perm, poly_hash
+    from ..operators.sketches import D_CM, W_CM
+
+    h = poly_hash(F.col("user_id").cast("string"))
+    rc = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                minhash_perm(h, r).bitwiseAND(F.lit(W_CM - 1)).alias("c"),
+            )
+            for r in range(D_CM)
+        ]
+    )
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("rc", F.explode(rc))
+        .groupBy(F.window("ts", window).alias("win"), "rc.r", "rc.c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "r", "c", "cnt")
+    )
+
+
+def probe_countmin(counters: DataFrame, users: DataFrame) -> DataFrame:
+    """Sink-side watchlist probe: per (window, user) the Count-Min rate
+    estimate — min over the D_CM rows' counters; an overestimate by
+    construction (missing cells mean the user was NOT seen in that
+    window: estimate 0). ``users`` carries a ``user_id`` column."""
+    from ..functions.hashing import minhash_perm, poly_hash
+    from ..operators.sketches import D_CM, W_CM
+
+    h = poly_hash(F.col("user_id").cast("string"))
+    keys = users.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        minhash_perm(h, r).bitwiseAND(F.lit(W_CM - 1)).alias("c"),
+                    )
+                    for r in range(D_CM)
+                ]
+            )
+        ).alias("rc"),
+    ).select("user_id", "rc.r", "rc.c")
+    # a missing (r, c) counter row means that cell is ZERO for the
+    # window — the sparse-counter equivalent of min(..., 0): a user
+    # whose cells didn't all materialize has estimate 0 (cannot have
+    # been seen, since their own events would have populated exactly
+    # those cells).
+    return (
+        counters.join(F.broadcast(keys), ["r", "c"])
+        .groupBy("win_start", "user_id")
+        .agg(F.min("cnt").alias("mn"), F.count(F.lit(1)).alias("n_matched"))
+        .select(
+            "win_start",
+            "user_id",
+            F.when(F.col("n_matched") == D_CM, F.col("mn"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cm_est"),
+        )
+    )
+
+
 def daily_volume_stream(events: DataFrame) -> DataFrame:
     """Streaming side of the dq04 ingest-volume gate: daily event counts
     as a complete-mode aggregation (state = |days| rows — bounded by the

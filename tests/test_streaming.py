@@ -567,3 +567,50 @@ def test_streaming_hll_registers_equal_batch_and_estimate_lands(spark):
     for w, est in ests.items():
         band = max(3 * 1.04 / math.sqrt(256) * exact[w], 3.0)
         assert abs(est - exact[w]) <= band, (w, est, exact[w])
+
+
+def test_streaming_countmin_equals_batch_and_probe_overestimates(spark):
+    """The streaming Count-Min counters (bounded 2048-rows-per-window
+    state) must replay-match the batch twin on closed windows; the
+    watchlist probe must never underestimate a user's true per-window
+    event count and must report 0 for users with no events whose cells
+    didn't all materialize."""
+    from hive_lineage_spark.streaming.events import (
+        batch_windowed_countmin,
+        probe_countmin,
+        windowed_countmin,
+    )
+
+    stream = windowed_countmin(events_stream(spark, SF))
+    run_stream_to_memory(stream, "cm_counters", output_mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM cm_counters").collect()}
+    assert got, "no closed windows emitted"
+    want = {tuple(r) for r in batch_windowed_countmin(load_events(spark, SF)).collect()}
+    assert got <= want
+    closed = {r[0] for r in got}
+    assert got == {r for r in want if r[0] in closed}
+    # probe the 5 busiest users + one id not in the table
+    ev = load_events(spark, SF).withColumn("ts", F.col("ts").cast("timestamp"))
+    busy = [r["user_id"] for r in ev.groupBy("user_id").count()
+            .orderBy(F.desc("count"), F.asc("user_id")).limit(5).collect()]
+    absent_id = ev.agg(F.max("user_id")).collect()[0][0] + 999
+    users = spark.createDataFrame([(u,) for u in busy + [absent_id]], ["user_id"])
+    est = {
+        (r["win_start"], r["user_id"]): r["cm_est"]
+        for r in probe_countmin(spark.sql("SELECT * FROM cm_counters"), users).collect()
+    }
+    exact = {
+        (r["win_start"], r["user_id"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "user_id", "n")
+        .collect()
+    }
+    assert any(u == busy[0] for (_, u) in est), "busiest user never probed"
+    for (w, u), e in est.items():
+        if w not in closed:
+            continue
+        true_n = exact.get((w, u), 0)
+        assert e >= true_n or e == 0, (w, u, e, true_n)
+        if true_n > 0:
+            assert e >= true_n, (w, u, e, true_n)  # seen users: proper overestimate
