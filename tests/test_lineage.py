@@ -779,11 +779,22 @@ def test_nested_view_lineage_snapshots_both_views(spark):
 def test_listener_captures_create_view_ddl(spark):
     """CREATE VIEW under the installed listener: the view's defining
     plan is analyzed at DDL time (column provenance to base tables) and
-    the view lands in the catalog model with its original SQL."""
+    the view lands in the catalog model with its original SQL.
+
+    Pin the COLD plan (the lineage-goldens discipline): a warm cached
+    relation overlapping nation changes the captured tree via
+    InMemoryRelation inlining — cache-aware lineage then reports the
+    CACHE's provenance (e.g. its partitioning key as indirect, the
+    pushed filter folded into the cached scan), which is correct but
+    not what this test pins. Full-suite runs hit this through session
+    caches left by earlier test files; isolation never did."""
     import time
 
     from hive_lineage_spark.metadata import TableDef
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
 
+    clear_postings_cache()
+    spark.catalog.clearCache()
     tr = LineageTracker()
     tr.install(spark)
     try:
