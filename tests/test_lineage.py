@@ -781,20 +781,17 @@ def test_listener_captures_create_view_ddl(spark):
     plan is analyzed at DDL time (column provenance to base tables) and
     the view lands in the catalog model with its original SQL.
 
-    Pin the COLD plan (the lineage-goldens discipline): a warm cached
-    relation overlapping nation changes the captured tree via
-    InMemoryRelation inlining — cache-aware lineage then reports the
-    CACHE's provenance (e.g. its partitioning key as indirect, the
-    pushed filter folded into the cached scan), which is correct but
-    not what this test pins. Full-suite runs hit this through session
-    caches left by earlier test files; isolation never did."""
+    The listener bus is ASYNC: CREATE VIEW events posted by a previous
+    test (no listener installed then) can be delivered late, into THIS
+    test's freshly-installed listener — full-suite runs intermittently
+    captured the preceding test's ``nation_outer_v`` (filter on
+    n_nationkey → exactly the wrong ``indirect``) because the wait loop
+    broke on the first CREATE_VIEW capture of ANY view. Select the
+    capture by its defining SQL, not by arrival order."""
     import time
 
     from hive_lineage_spark.metadata import TableDef
-    from hive_lineage_spark.operators.dedup import clear_postings_cache
 
-    clear_postings_cache()
-    spark.catalog.clearCache()
     tr = LineageTracker()
     tr.install(spark)
     try:
@@ -803,11 +800,19 @@ def test_listener_captures_create_view_ddl(spark):
                 SELECT n_nationkey, upper(n_name) AS uname
                 FROM parquet.`{SF}/nation.parquet` WHERE n_regionkey = 0"""
         )
+        def _mine():
+            return [
+                q
+                for q in tr.queries
+                if q.command_type == "CREATE_VIEW"
+                and "n_regionkey = 0" in (q.sql_text or "")
+            ]
+
         for _ in range(240):  # generous: listener bus is async and the box is shared
-            if any(q.command_type == "CREATE_VIEW" for q in tr.queries):
+            if _mine():
                 break
             time.sleep(0.25)
-        ddls = [q for q in tr.queries if q.command_type == "CREATE_VIEW"]
+        ddls = _mine()
         assert ddls, "CREATE VIEW never captured"
         ql = ddls[-1]
         assert ql.result.input_tables == ["nation"]
