@@ -136,6 +136,7 @@ EXTRA = [
     "sk03_hll_source_overlap", # merged-HLL pairwise source overlap (round 12)
     "dq09_quantile_profile",   # exact-quantile grid + Tukey fence gate (round 12)
     "sk04_hll_precision_ladder",  # HLL m=64/256/1024 calibration (round 12)
+    "sk05_source_intake_report",  # per-source intake QA verdict (round 12)
 ]
 
 

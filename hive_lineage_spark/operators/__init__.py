@@ -254,7 +254,7 @@ _DRIVER_PRIORITY = [
     # composed pipeline + training-prep (tp01 rotated out r10 —
     # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
     # packing/chunking; tp12/tp13 in from the r10 queue)
-    "tp12_weighted_sample", "tp13_range_partition",
+    "tp13_range_partition",
     "tp15_doremi_reweight",
     # data-quality gates (dq01/dq02/dq03 rotated out during r10 —
     # dq03's drift is two dq01 profiles; dq04 keeps the volume gate,
@@ -274,8 +274,11 @@ _DRIVER_PRIORITY = [
     # sk04 (precision ladder) lands with them; out: tx19 (2x-certified,
     # unchanged — tx15 keeps the BPE family in-window, the encode path
     # stays pytest- and local-oracle-pinned).
+    # sk05 (intake report) composes dd01/web02/sk01's signals; out for
+    # it: tp12 (2x-certified, unchanged — tp13/tp15 keep sampling and
+    # budget planning in-window).
     "sk01_hll_distinct", "sk02_countmin_topk", "sk03_hll_source_overlap",
-    "sk04_hll_precision_ladder",
+    "sk04_hll_precision_ladder", "sk05_source_intake_report",
     # dq09 (quantile/fence profile) also lands round-12; out: dq05
     # (2x-certified, unchanged — dq02's constraint report keeps
     # row-rule semantics certified, dq07/dq08/dq09 keep the gate

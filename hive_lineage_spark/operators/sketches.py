@@ -349,6 +349,23 @@ SK02_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
+def _source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (source, gram) frame, persisted per (session, sf_dir) —
+    shared by sk03 (register build + exact evidence leg) and sk05 (the
+    per-source vocabulary estimate): one corpus tokenize/dedup pass
+    feeds every source-level consumer."""
+    from .dedup import _persisted
+
+    return _persisted(
+        "sk03_grams",
+        spark,
+        sf_dir,
+        lambda s, d: _docs(s, d)
+        .select("source", F.explode(word_ngrams("text", 3)).alias("gram"))
+        .distinct(),
+    )
+
+
 def sk03_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise content overlap between sources, from MERGED HLL
     sketches — the crawl-dump / feed overlap triage (how much of src_b
@@ -380,16 +397,7 @@ def sk03_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketches replace) is the oracle-evidence leg; production drops
     it AND the gram persist with it (the registers alone then need one
     un-persisted corpus pass)."""
-    from .dedup import _persisted
-
-    po = _persisted(
-        "sk03_grams",
-        spark,
-        sf_dir,
-        lambda s, d: _docs(s, d)
-        .select("source", F.explode(word_ngrams("text", 3)).alias("gram"))
-        .distinct(),
-    )
+    po = _source_grams(spark, sf_dir)
 
     def _build_dense(s: SparkSession, d: str) -> DataFrame:
         hashed = po.select("source", poly_hash("gram").alias("h"))
@@ -403,6 +411,8 @@ def sk03_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(regs), ["source", "bucket"], "left")
             .select("source", "bucket", F.coalesce("mj", F.lit(0)).alias("mj"))
         )
+
+    from .dedup import _persisted
 
     dense = _persisted("sk03_regs_dense", spark, sf_dir, _build_dense)
     singles = (
@@ -617,6 +627,122 @@ SK04_SQL = _sk04_sql()
 
 
 # ---------------------------------------------------------------------------
+# sk05: per-source intake report (the round's layers composed)
+# ---------------------------------------------------------------------------
+
+SK05_MAX_DUP_RATE = 0.2
+SK05_MIN_VOCAB = 100.0
+
+
+def sk05_source_intake_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source intake QA report — the one-page verdict a data team
+    reads before ACCEPTING a crawl dump / feed into the corpus: volume
+    (docs, languages, mean length), exact-duplicate rate (dd01's
+    corpus-wide text-hash signal rolled up per source, web02's shape at
+    the source level), estimated vocabulary (the sk01 HLL off the
+    SHARED persisted (source, gram) frame — one tokenize pass feeds
+    sk03 and this report), and a fixed-threshold accept verdict
+    (dup_rate <= {SK05_MAX_DUP_RATE}, vocab >= {SK05_MIN_VOCAB:g}).
+
+    SCALE shape: one text-hash pass (map-side combined), one corpus
+    scan into the shared gram frame, register-sized HLL folds, and
+    source-count-sized rollups; the dup-flag join is AQE-chosen (the
+    web02 pattern — at 100 TB the dup set may outgrow a broadcast).
+    Mean length divides two exact integers (sum, count) so the double
+    is identical cross-engine."""
+    d = _docs(spark, sf_dir).select("source", "lang", "text", "n_chars")
+    th = d.select("source", F.md5("text").alias("h"))
+    dup = (
+        th.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    dups = (
+        th.join(dup, "h", "left")
+        .groupBy("source")
+        .agg(F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dups"))
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    po = _source_grams(spark, sf_dir)
+    vocab = (
+        _hll_fold(_hll_registers(po.select("source", poly_hash("gram").alias("h")), ["source"]), ["source"])
+        .select("source", _hll_est(F.col("n_present"), F.col("s_sparse")).alias("vocab_est"))
+    )
+    rep = (
+        base.join(dups, "source")
+        .join(F.broadcast(vocab), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            F.round(F.col("sum_chars").cast("double") / F.col("n_docs") + 1e-9, 2).alias(
+                "avg_chars"
+            ),
+            "n_dups",
+            F.round(F.col("n_dups") / F.col("n_docs") + 1e-9, 4).alias("dup_rate"),
+            "vocab_est",
+        )
+    )
+    return rep.withColumn(
+        "accept",
+        (
+            (F.col("dup_rate") <= SK05_MAX_DUP_RATE)
+            & (F.col("vocab_est") >= SK05_MIN_VOCAB)
+        ).cast("int"),
+    )
+
+
+SK05_SQL = f"""
+    WITH d AS (SELECT source, lang, text, n_chars FROM documents),
+    th AS (SELECT source, md5(text) AS h FROM d),
+    dup AS (SELECT h, 1 AS is_dup FROM th GROUP BY h HAVING count(*) > 1),
+    dups AS (
+        SELECT source,
+               CAST(sum(CASE WHEN x.is_dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+        FROM th LEFT JOIN dup x USING (h) GROUP BY source
+    ),
+    base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM d GROUP BY source
+    ),
+    ws AS (SELECT source, string_split(text, ' ') AS ws FROM d),
+    g AS (
+        SELECT DISTINCT source, gram FROM (
+            SELECT source, unnest({word_ngrams_sql('ws', 3)}) AS gram FROM ws
+        )
+    ),
+    hh AS (SELECT source, {poly_hash_sql('gram')} AS h FROM g),
+    regs AS (
+        SELECT source, (h & 255) AS bucket, CAST(max({_RHO_SQL}) AS BIGINT) AS mj
+        FROM hh GROUP BY 1, 2
+    ),
+    vocab AS (
+        SELECT source, {_hll_est_sql('n_present', 's_sparse')} AS vocab_est
+        FROM (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_present,
+                   CAST(sum(CAST(1 AS BIGINT) << CAST(30 - mj AS INT)) AS BIGINT) AS s_sparse
+            FROM regs GROUP BY source
+        )
+    )
+    SELECT source, n_docs, n_langs,
+           round(CAST(sum_chars AS DOUBLE) / n_docs + 1e-9, 2) AS avg_chars,
+           n_dups,
+           round(n_dups * 1.0 / n_docs + 1e-9, 4) AS dup_rate,
+           vocab_est,
+           CAST(round(n_dups * 1.0 / n_docs + 1e-9, 4) <= {SK05_MAX_DUP_RATE!r}
+                AND vocab_est >= {SK05_MIN_VOCAB!r} AS INT) AS accept
+    FROM base JOIN dups USING (source) JOIN vocab USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
 # incremental register maintenance (mergeability in TIME; sk03 is
 # mergeability in SPACE) — library surface, exercised by tests and the
 # streaming monitor rather than an oracle query (the estimates it
@@ -662,6 +788,7 @@ QUERIES = {
     "sk02_countmin_topk": sk02_countmin_topk,
     "sk03_hll_source_overlap": sk03_hll_source_overlap,
     "sk04_hll_precision_ladder": sk04_hll_precision_ladder,
+    "sk05_source_intake_report": sk05_source_intake_report,
 }
 
 ORACLES = {
@@ -669,4 +796,5 @@ ORACLES = {
     "sk02_countmin_topk": SK02_SQL,
     "sk03_hll_source_overlap": SK03_SQL,
     "sk04_hll_precision_ladder": SK04_SQL,
+    "sk05_source_intake_report": SK05_SQL,
 }

@@ -315,3 +315,47 @@ def test_sk04_rungs_match_standalone_estimators(spark):
             _hll_est(F.col("n_present"), F.col("s_sparse"), m).alias("e")
         ).collect()[0]["e"]
         assert got[m] == want, (m, got[m], want)
+
+
+# ---------------------------------------------------------------------------
+# sk05: intake report
+# ---------------------------------------------------------------------------
+
+
+def test_sk05_intake_report_consistent_with_components(spark):
+    from hive_lineage_spark.operators.sketches import (
+        SK05_MAX_DUP_RATE,
+        SK05_MIN_VOCAB,
+        sk05_source_intake_report,
+    )
+
+    rows = {r["source"]: r for r in sk05_source_intake_report(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources
+    totals = docs.groupBy("source").count().collect()
+    want_docs = {r["source"]: r["count"] for r in totals}
+    for s, r in rows.items():
+        assert r["n_docs"] == want_docs[s]
+        assert 0 <= r["n_dups"] <= r["n_docs"]
+        assert abs(r["dup_rate"] - round(r["n_dups"] / r["n_docs"] + 1e-9, 4)) < 1e-9
+        assert r["vocab_est"] > 0 and r["n_langs"] >= 1
+        assert r["avg_chars"] > 0
+        assert r["accept"] == int(
+            r["dup_rate"] <= SK05_MAX_DUP_RATE and r["vocab_est"] >= SK05_MIN_VOCAB
+        ), r
+    # the fixture corpus is mostly clean: the gate should accept most sources
+    assert sum(r["accept"] for r in rows.values()) >= n_sources // 2
+
+
+def test_sk05_reads_shared_gram_frame(spark):
+    """sk05's vocabulary estimate must consume the SAME persisted
+    (source, gram) artifact sk03 reads — one tokenize pass for the
+    whole source-level layer."""
+    from hive_lineage_spark.operators.sketches import sk05_source_intake_report
+
+    df = sk05_source_intake_report(spark, SF)
+    df.collect()
+    plan = _plan(sk05_source_intake_report(spark, SF))
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan.split("InMemoryRelation")[0]

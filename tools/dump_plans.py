@@ -85,6 +85,7 @@ SHOW = [
     ("sk03_hll_source_overlap", "the distinct-gram and dense-register frames are PERSISTED (every consumer reads InMemoryTableScan; no live corpus scan ahead of the first cached relation); densify, the pair self-join on bucket, estimate assembly and the exact-evidence join are ALL broadcast — no shuffle join anywhere in the 190-pair combinatorics"),
     ("dq09_quantile_profile", "two linear passes: one exact-percentile agg (the 100 TB swap is approx_percentile — a mergeable partial agg) and one fence-count agg with the 1-row fence frame broadcast; report is column-count-sized"),
     ("sk04_hll_precision_ladder", "one hash pass feeds all three ladders (per-m bucket/rank maps are codegen over the same hashed column); each ladder partial-aggregates to <= m rows per map partition; the exact leg is the one shared countDistinct baseline"),
+    ("sk05_source_intake_report", "one text-hash pass (partial-agg combined), the SHARED persisted (source, gram) frame (InMemoryTableScan — same artifact sk03 reads), register-sized HLL folds, source-count-sized rollups; the dup-flag join is AQE-chosen (web02's pattern)"),
 ]
 
 

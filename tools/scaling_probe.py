@@ -58,6 +58,7 @@ PROBE = [
     ("sk03_hll_source_overlap", "linear scan into sketches; pair stage register-sized (exact evidence leg ~quadratic in overlap)"),
     ("dq09_quantile_profile", "one exact-percentile agg (sort-based; approx_percentile at scale) + one broadcast fence-count pass"),
     ("sk04_hll_precision_ladder", "one hash pass, three register-capped partial aggs + one exact baseline"),
+    ("sk05_source_intake_report", "one hash pass + shared gram frame + register folds; rollups source-count-sized"),
 ]
 
 
