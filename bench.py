@@ -227,6 +227,34 @@ def main() -> None:
     # before it would at uniform sf0.1.
     from tools.skewfix import skew_dir
 
+    # evidence=False production twins (operators/evidence.py): same op
+    # minus the exact oracle-evidence leg — the corpus-keyed exchange a
+    # deployment drops. Timed next to the registry (evidence-on) rows so
+    # the drop is a recorded number, not a docstring claim.
+    from hive_lineage_spark.operators import sketches as _sk
+    from hive_lineage_spark.operators import similarity as _ss
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
+
+    # drop the registry runs' persisted frames first: the evidence-off
+    # cold number must include its own (smaller) build work, not ride a
+    # warm cache the evidence-on run paid for
+    clear_postings_cache()
+    for name, fn in (
+        ("sk03_hll_source_overlap[ev=off]",
+         lambda s, d: _sk.sk03_hll_source_overlap(s, d, evidence=False)),
+        ("sk04_hll_precision_ladder[ev=off]",
+         lambda s, d: _sk.sk04_hll_precision_ladder(s, d, evidence=False)),
+        ("ss20_ann_binary[ev=off]",
+         lambda s, d: _ss.ss20_ann_binary(s, d, evidence=False)),
+    ):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            execute(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        extra[name] = round(statistics.median(runs), 3)
+        extra_cold[name] = round(runs[0], 3)
+
     skew = skew_dir()
     for name in ("q25_sessionization", "q27_asof_join"):
         runs = []

@@ -710,7 +710,9 @@ def dq09_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SCALE shape: two linear passes — ONE exact-percentile agg (at 100 TB
     this becomes ``approx_percentile``/t-digest, a mergeable partial agg;
-    the exact form is the oracle-checkable twin) and one fence-count agg
+    the exact form is the oracle-checkable twin and
+    ``dq09_quantile_profile_approx`` below is that production path,
+    tested against this op's error bound) and one fence-count agg
     with the 1-row fence frame broadcast. The report is column-count
     sized."""
     li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
@@ -721,6 +723,15 @@ def dq09_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in PROFILE_COLS
         ]
     )
+    return _dq09_report(li, one)
+
+
+def _dq09_report(li: DataFrame, one: DataFrame) -> DataFrame:
+    """Shared dq09 report assembly: quantile-grid frame (1 row of
+    ``qs_{col}`` double arrays, exact or approximate) -> rounded grid,
+    IQR, Tukey fences, broadcast fence-count pass, melt. Identical
+    arithmetic for the exact op and the approx production twin, so the
+    two differ ONLY in the percentile estimator."""
     fcols = []
     for c in PROFILE_COLS:
         for i, q in enumerate(DQ09_GRID):
@@ -776,6 +787,48 @@ def dq09_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     )
     return melted.select("m.*")
+
+
+DQ09_ACCURACY = 10_000  # approx_percentile rank-error bound: n / accuracy
+
+
+def dq09_quantile_profile_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = DQ09_ACCURACY
+) -> DataFrame:
+    """The 100 TB production path for dq09: the SAME report frame
+    (columns, rounding, fences, outlier counts) with the quantile grid
+    estimated by ``approx_percentile`` (Greenwald-Khanna, SPARK-16283)
+    instead of exact ``percentile``.
+
+    Why this exists as code and not a docstring: exact ``percentile``
+    buffers every value into one per-column multiset merge — a
+    corpus-sized single-point state no 1000-executor cluster should
+    build. ``approx_percentile``'s summary is a MERGEABLE bounded
+    partial aggregate (map-side state is O(accuracy), independent of
+    input size) with a hard rank-error guarantee of n/accuracy.
+    Plan-pinned in ``tests/test_quality_approx.py``: the plan carries
+    ``approx_percentile`` and no exact ``percentile`` agg.
+
+    Guarantee carried to the output: each reported quantile is an
+    actual data value whose RANK is within n/accuracy of the target
+    rank, i.e. its value lies within the exact-percentile envelope
+    [percentile(q - 1/accuracy), percentile(q + 1/accuracy)] — the
+    error-bound test asserts exactly that envelope at two scales.
+    Fences/IQR/outlier counts inherit the estimator's displacement;
+    the exact op (the DuckDB-oracle twin) remains the registry
+    default."""
+    li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    grid = ",".join(str(q) for q in DQ09_GRID)
+    one = li.groupBy().agg(
+        *[
+            F.expr(
+                f"transform(approx_percentile({c}, array({grid}), {accuracy}),"
+                " x -> cast(x as double))"
+            ).alias(f"qs_{c}")
+            for c in PROFILE_COLS
+        ]
+    )
+    return _dq09_report(li, one)
 
 
 def _dq09_sql() -> str:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from .evidence import evidence_enabled
 
 K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -1331,6 +1332,12 @@ def ss09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked dataflow as everything else. Per (method, query):
     hits = |topK_exact ∩ topK_approx|, recall = hits / K.
 
+    No ``evidence`` flag here (see ``operators/evidence.py``): ss09 IS
+    the evidence — the exact baseline is its subject, not a sidecar.
+    Production runs it offline per corpus snapshot, never per serving
+    query; the serving-path ops (ss19/ss20) are the ones that drop
+    their inline exact legs via ``evidence=False``.
+
     Scale shape: the result frames are n_queries·K rows regardless of
     corpus size, so the intersection joins and the recall agg are
     trivially small; the cost IS the evaluated searches themselves.
@@ -2143,7 +2150,10 @@ def ss18_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse_rank) is C-per-query slim, and the full 32-dim vectors are
     joined back ONLY for the C·n_queries rerank rows. Both rank
     windows are keyed on query_id — parallelism = #queries, candidate
-    streams WindowGroupLimit-pruned map-side. FP contract: prefix and
+    streams WindowGroupLimit-pruned map-side. No ``evidence`` flag:
+    ``coarse_rank`` is a byproduct of the coarse stage the search runs
+    anyway — there is no extra exchange for production to drop (see
+    ``operators/evidence.py``). FP contract: prefix and
     full dots both fold ascending-index in both engines (ss01's
     contract); ranks compare raw doubles with neighbor_id tie-break;
     only the displayed cosine rounds (6 dp)."""
@@ -2273,7 +2283,9 @@ def _ss19_exact_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _persisted("ss19_exact", spark, sf_dir, _build)
 
 
-def ss19_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ss19_ann_filtered(
+    spark: SparkSession, sf_dir: str, evidence: bool | None = None
+) -> DataFrame:
     """Pre-filtered IVF top-K with inline exact-recall flag.
 
     Scale shape: ss02's plan with the predicate PUSHED INTO THE INDEX
@@ -2283,7 +2295,10 @@ def ss19_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     between scoring the corpus and scoring the qualifying slice). Cell
     assignment stays the ss02 broadcast-centroid pure map; the exact
     leg brute-forces only the FILTERED corpus and exists as the
-    recall oracle, exactly as ss09 carries its exact baseline."""
+    recall oracle, exactly as ss09 carries its exact baseline.
+    ``evidence=False`` is the production serving mode: the brute-force
+    exact leg (the corpus-sized theta join IVF exists to avoid) is
+    dropped from the plan (pinned) and ``in_exact`` from the schema."""
     vec = _vectors(spark, sf_dir)
     cent_arr = (
         vec.filter(F.col("vec_id") < N_CENTROIDS)
@@ -2328,6 +2343,12 @@ def ss19_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= K)
     )
+    if not evidence_enabled(evidence):
+        return ivf.select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     exact = F.broadcast(
         _ss19_exact_cached(spark, sf_dir).withColumn("flag", F.lit(1))
     )
@@ -2424,9 +2445,14 @@ def _sign_code_half(v, half: int):
     )
 
 
-def ss20_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ss20_ann_binary(
+    spark: SparkSession, sf_dir: str, evidence: bool | None = None
+) -> DataFrame:
     """Binary-quantization search: sign codes → Hamming top-C → exact
-    cosine rerank to top-K, with inline recall evidence.
+    cosine rerank to top-K, with inline recall evidence
+    (``evidence=False`` — the production serving mode — drops the
+    ground-truth leg from the plan and ``in_exact`` from the schema;
+    plan-pinned).
 
     Scale shape: the code build fuses into the embeddings scan (pure
     codegen folds, no UDF); the coarse scan is corpus × N_QUERIES
@@ -2472,6 +2498,8 @@ def ss20_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K)
         .select("query_id", "neighbor_id", "hamming", F.round("cosine", 6).alias("cosine"), "rank")
     )
+    if not evidence_enabled(evidence):
+        return reranked
     # K·N_QUERIES rows by construction — always broadcastable; shared
     # with ss09's recall legs via the session-persisted ground truth
     exact = F.broadcast(

@@ -52,14 +52,16 @@ from ..functions.hashing import (
     word_ngrams_sql,
 )
 from ..sources.registry import load_table
+from .evidence import evidence_enabled
 
 M_HLL = 256  # registers = 2^8; bucket = h & 255
-W_PAY = 22  # payload bits: (MOD - 1) >> 8 = 3_906_250 < 2^22
-# alpha_256 * m^2 * 2^30 — the fixed numerator of the raw estimate.
-# Computed once in Python and INLINED (repr) into both engines so the
-# double literal is parsed, not re-derived: E = C_EST / sum(1 << (30-Mj)).
-# (* 2^46 is a power-of-two scale — exact in IEEE, no rounding.)
-C_EST = (0.7213 / (1.0 + 1.079 / M_HLL)) * float(1 << 46)
+# W_PAY / C_EST are derived from the generic helpers BELOW their
+# definitions (assigned after them) so they track M_HLL — hard-coded
+# m=256 values went silently stale if the register count changed.
+# C_EST is alpha_m * m^2 * 2^30 — the fixed numerator of the raw
+# estimate, computed once in Python and INLINED (repr) into both
+# engines so the double literal is parsed, not re-derived:
+# E = C_EST / sum(1 << (30-Mj)). (A power-of-two scale — exact in IEEE.)
 
 HLL_SIGMA = 0.065  # 1.04 / sqrt(M_HLL): the standard-error coefficient
 
@@ -101,6 +103,12 @@ def _c_est(m: int) -> float:
     """alpha * m^2 * 2^30 (the raw-estimate numerator); the *2^(b+b+30)
     scale is a power of two — exact in IEEE, no rounding."""
     return _alpha(m) * float(1 << (2 * _b_bits(m) + 30))
+
+
+# default-m constants, derived so they track M_HLL (consumed by the
+# tests' independent Python model)
+W_PAY = _w_pay(M_HLL)
+C_EST = _c_est(M_HLL)
 
 
 def _hll_rho(h: Column, m: int = M_HLL) -> Column:
@@ -190,7 +198,9 @@ def _hll_est_sql(n_present: str, s_sparse: str, m: int = M_HLL) -> str:
 # ---------------------------------------------------------------------------
 
 
-def sk01_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sk01_hll_distinct(
+    spark: SparkSession, sf_dir: str, evidence: bool | None = None
+) -> DataFrame:
     """Per-language distinct 3-gram cardinality by HyperLogLog — the
     sizing pass a dedup stage runs BEFORE choosing MinHash/LSH
     parameters (dd15's calibration consumes exactly this estimate):
@@ -201,20 +211,24 @@ def sk01_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one fold to 5 rows). Nothing post-scan is corpus-sized; the
     shuffle moves registers, not shingles. ``n_exact`` (an exact
     countDistinct — the corpus-sized exchange HLL exists to avoid) and
-    ``rel_err_pct`` are the oracle-evidence leg; production drops them.
-    ``rel_err_pct`` is derived from the ALREADY-ROUNDED estimate, so
-    both engines divide identical doubles."""
+    ``rel_err_pct`` are the oracle-evidence leg; ``evidence=False``
+    (or SPARK_GRAFT_EVIDENCE=0) is the production mode that drops them
+    — plan-pinned: no gram-keyed exchange remains. ``rel_err_pct`` is
+    derived from the ALREADY-ROUNDED estimate, so both engines divide
+    identical doubles."""
     g = _docs(spark, sf_dir).select(
         "lang", F.explode(word_ngrams("text", 3)).alias("gram")
     )
     hashed = g.select("lang", poly_hash("gram").alias("h"))
     folded = _hll_fold(_hll_registers(hashed, ["lang"]), ["lang"])
-    exact = g.groupBy("lang").agg(F.countDistinct("gram").alias("n_exact"))
     est = folded.select(
         "lang",
         F.col("n_present").cast("int").alias("n_regs"),
         _hll_est(F.col("n_present"), F.col("s_sparse")).alias("hll_est"),
     )
+    if not evidence_enabled(evidence):
+        return est.select("lang", "hll_est", "n_regs")
+    exact = g.groupBy("lang").agg(F.countDistinct("gram").alias("n_exact"))
     return est.join(exact, "lang").select(
         "lang",
         "n_exact",
@@ -255,7 +269,12 @@ SK01_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
-def sk02_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sk02_countmin_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    evidence: bool | None = None,
+    watchlist: list[str] | None = None,
+) -> DataFrame:
     """Count-Min frequency estimates for the corpus's top-{TOPK_CM}
     words: the bounded-memory token-frequency profile (stopword-ratio
     gates, vocabulary drift alarms) that replaces an exact
@@ -269,9 +288,11 @@ def sk02_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size (the sketch property); the probe side
     broadcasts the 2048-row counter table into a map-side join against
     {TOPK_CM} keys. The exact word agg feeding ``n_exact`` (and the
-    candidate list) is the evidence leg: a deployment takes candidates
-    from a per-partition local top-k or an external watchlist and keeps
-    only the sketch."""
+    candidate list) is the evidence leg: ``evidence=False`` is the
+    production mode — candidates come from the caller's ``watchlist``
+    (an external keyword list / per-partition local top-k), only the
+    sketch is probed (output: word, cm_est), and the word-keyed
+    corpus exchange disappears from the plan (pinned)."""
     occ = _docs(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("word")
     )
@@ -292,6 +313,22 @@ def sk02_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(*[c for c in prefix.columns if c != "h"], "rc.r", "rc.c")
 
     cells = _cols(hashed).groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    if not evidence_enabled(evidence):
+        if not watchlist:
+            raise ValueError(
+                "sk02 with evidence=False probes an external watchlist — "
+                "pass watchlist=[...] (production supplies its keyword "
+                "list; the exact candidate agg is the evidence leg)"
+            )
+        wl = spark.createDataFrame([(w,) for w in watchlist], "word string")
+        keys = _cols(wl.select("word", poly_hash("word").alias("h")))
+        # LEFT join: a watchlist word may hash to an all-empty cell —
+        # its Count-Min estimate is 0, not a dropped row
+        return (
+            keys.join(F.broadcast(cells), ["r", "c"], "left")
+            .groupBy("word")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_est"))
+        )
     topk = (
         occ.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_exact"))
@@ -366,7 +403,9 @@ def _source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sk03_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sk03_hll_source_overlap(
+    spark: SparkSession, sf_dir: str, evidence: bool | None = None
+) -> DataFrame:
     """Pairwise content overlap between sources, from MERGED HLL
     sketches — the crawl-dump / feed overlap triage (how much of src_b
     is already in src_a?) that decides which sources to dedup jointly.
@@ -394,13 +433,27 @@ def sk03_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer (the tx12/dd02 exchange-reuse lesson; plan-pinned). At
     100 TB the pair stage costs the same as at 1 GB. ``exact_inter``
     (a gram-level self-join across source pairs — the quadratic join
-    the sketches replace) is the oracle-evidence leg; production drops
-    it AND the gram persist with it (the registers alone then need one
-    un-persisted corpus pass)."""
-    po = _source_grams(spark, sf_dir)
+    the sketches replace) is the oracle-evidence leg; ``evidence=False``
+    is the production mode that drops it AND the gram distinct+persist
+    with it — the registers then build from ONE un-persisted corpus
+    pass (HLL max-aggregation is duplicate-insensitive, so the distinct
+    was only ever for the exact leg's benefit), and the only exchange
+    left is (source, bucket)-keyed: capped at |sources| x m rows
+    post-map-combine regardless of corpus size (plan-pinned)."""
+    ev = evidence_enabled(evidence)
+
+    def _gram_stream(s: SparkSession, d: str) -> DataFrame:
+        # production register feed: no distinct, no persist — dups
+        # cannot move a max-aggregated register
+        return _docs(s, d).select(
+            "source", F.explode(word_ngrams("text", 3)).alias("gram")
+        )
+
+    po = _source_grams(spark, sf_dir) if ev else None
 
     def _build_dense(s: SparkSession, d: str) -> DataFrame:
-        hashed = po.select("source", poly_hash("gram").alias("h"))
+        grams = po if ev else _gram_stream(s, d)
+        hashed = grams.select("source", poly_hash("gram").alias("h"))
         regs = _hll_registers(hashed, ["source"])
         # densify so absent buckets merge as 0 (register frames are
         # tiny: |sources| x 256 rows — broadcast everywhere).
@@ -442,41 +495,43 @@ def sk03_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hll_est(F.col("n_present"), F.col("s_sparse")).alias("est_union"),
         )
     )
-    pa, pb = po.alias("pa"), po.alias("pb")
-    exact = (
-        pa.join(
-            pb,
-            (F.col("pa.gram") == F.col("pb.gram"))
-            & (F.col("pa.source") < F.col("pb.source")),
-        )
-        .groupBy(F.col("pa.source").alias("src_a"), F.col("pb.source").alias("src_b"))
-        .agg(F.count(F.lit(1)).alias("exact_inter"))
-    )
     ea = F.broadcast(singles.withColumnRenamed("source", "src_a").withColumnRenamed("est", "est_a"))
     eb = F.broadcast(singles.withColumnRenamed("source", "src_b").withColumnRenamed("est", "est_b"))
-    assembled = (
-        merged.join(ea, "src_a")
-        .join(eb, "src_b")
-        .join(F.broadcast(exact), ["src_a", "src_b"], "left")
-        .select(
-            "src_a",
-            "src_b",
-            "est_a",
-            "est_b",
-            "est_union",
-            F.round(
-                F.greatest(
-                    F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
-                )
-                + 1e-9,
-                6,
-            ).alias("est_inter"),
-            F.round(F.lit(HLL_SIGMA) * F.col("est_union") + 1e-9, 6).alias(
-                "noise_floor"
-            ),
+    est_cols = [
+        F.col("src_a"),
+        F.col("src_b"),
+        F.col("est_a"),
+        F.col("est_b"),
+        F.col("est_union"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+            )
+            + 1e-9,
+            6,
+        ).alias("est_inter"),
+        F.round(F.lit(HLL_SIGMA) * F.col("est_union") + 1e-9, 6).alias(
+            "noise_floor"
+        ),
+    ]
+    joined = merged.join(ea, "src_a").join(eb, "src_b")
+    if not ev:
+        assembled = joined.select(*est_cols)
+    else:
+        pa, pb = po.alias("pa"), po.alias("pb")
+        exact = (
+            pa.join(
+                pb,
+                (F.col("pa.gram") == F.col("pb.gram"))
+                & (F.col("pa.source") < F.col("pb.source")),
+            )
+            .groupBy(F.col("pa.source").alias("src_a"), F.col("pb.source").alias("src_b"))
+            .agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+        assembled = joined.join(F.broadcast(exact), ["src_a", "src_b"], "left").select(
+            *est_cols,
             F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long").alias("exact_inter"),
         )
-    )
     return assembled.withColumn(
         "resolvable",
         (F.col("est_inter") > 2 * F.col("noise_floor")).cast("int"),
@@ -551,7 +606,9 @@ SK03_SQL = f"""
 SK04_MS = [64, 256, 1024]
 
 
-def sk04_hll_precision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sk04_hll_precision_ladder(
+    spark: SparkSession, sf_dir: str, evidence: bool | None = None
+) -> DataFrame:
     """HLL precision calibration: the corpus-level distinct-shingle
     count estimated at m = 64 / 256 / 1024 registers side by side, with
     the theoretical error coefficient and the realized error — the
@@ -561,25 +618,65 @@ def sk04_hll_precision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sigma = 1.04/sqrt(m)); the sketch is 64 B–1 KiB per slice either
     way, so the real constraint at 100 TB is slice COUNT x m.
 
-    Scale shape: ONE hash pass over the shingle stream feeds all three
-    ladders (the per-m bucket/rank maps are codegen over the same
-    hashed column); each ladder is the sk01 partial-agg shape capped at
-    m rows per map partition. The exact leg (one countDistinct) is the
-    shared evidence baseline; production drops it."""
+    Scale shape: ONE corpus aggregation pass feeds all three ladders
+    (a union of three per-m passes gets column-pruned per branch, so
+    exchange reuse never fires — the r12 ADVICE finding; this is the
+    structural fix). Because every m divides the finest
+    (bucket_64 = bucket_1024 & 63), the shared pass groups by the
+    FINEST bucket and max-aggregates the three per-m ranks side by
+    side; the <= 1024-row shared register frame then EXPLODES into
+    (m, bucket_m, mj) rows and one register-sized re-agg per the max
+    associativity folds each rung — a single linear plan whose only
+    corpus-sized stage is the first partial agg (plan-pinned: ONE
+    documents scan with evidence off). The exact leg (one
+    countDistinct — the corpus-keyed exchange the ladder exists to
+    size-replace) is the evidence baseline; ``evidence=False`` is the
+    production mode that drops it."""
     g = _docs(spark, sf_dir).select(F.explode(word_ngrams("text", 3)).alias("gram"))
     hashed = g.select(poly_hash("gram").alias("h"))
-    exact = g.select(F.countDistinct("gram").alias("n_exact"))
-    out = None
-    for m in SK04_MS:
-        folded = _hll_fold(_hll_registers(hashed, [], m), [])
-        est = folded.select(
-            F.lit(m).alias("m"),
-            F.round(F.lit(1.04) / F.sqrt(F.lit(float(m))) * 100 + 1e-9, 2).alias(
-                "sigma_pct"
-            ),
-            _hll_est(F.col("n_present"), F.col("s_sparse"), m).alias("hll_est"),
+    fine = max(SK04_MS)
+    shared = (
+        hashed.select(
+            F.col("h").bitwiseAND(F.lit(fine - 1)).alias("bucket"),
+            *[_hll_rho(F.col("h"), m).alias(f"rho_{m}") for m in SK04_MS],
         )
-        out = est if out is None else out.unionByName(est)
+        .groupBy("bucket")
+        .agg(*[F.max(f"rho_{m}").alias(f"mj_{m}") for m in SK04_MS])
+    )
+    rungs = shared.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.col("bucket").bitwiseAND(F.lit(m - 1)).alias("bucket"),
+                        F.col(f"mj_{m}").alias("mj"),
+                    )
+                    for m in SK04_MS
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    folded = _hll_fold(rungs.groupBy("m", "bucket").agg(F.max("mj").alias("mj")), ["m"])
+
+    def _per_m(make) -> Column:
+        e = None
+        for m in SK04_MS:
+            e = (e.when if e is not None else F.when)(F.col("m") == m, make(m))
+        return e
+
+    out = folded.select(
+        F.col("m").cast("int").alias("m"),
+        _per_m(
+            lambda m: F.round(F.lit(1.04) / F.sqrt(F.lit(float(m))) * 100 + 1e-9, 2)
+        ).alias("sigma_pct"),
+        _per_m(
+            lambda m: _hll_est(F.col("n_present"), F.col("s_sparse"), m)
+        ).alias("hll_est"),
+    )
+    if not evidence_enabled(evidence):
+        return out
+    exact = g.select(F.countDistinct("gram").alias("n_exact"))
     return (
         out.crossJoin(F.broadcast(exact))
         .select(

@@ -53,8 +53,11 @@ def binary_manifest(files: DataFrame) -> DataFrame:
     pipeline materializes before any decode work. Pure codegen over the
     binary scan (substring/hex/md5 all JVM-side)."""
     magic = F.upper(F.hex(F.substring(F.col("content"), 1, 4)))
+    # shortest-first so each longer (more specific) prefix wraps the
+    # previous expression and is therefore evaluated FIRST: adding e.g.
+    # a RIFF-subtype magic "52494646AABB" must shadow plain "52494646"
     detected = F.lit("unknown")
-    for prefix, name in sorted(MAGIC.items(), key=lambda kv: -len(kv[0])):
+    for prefix, name in sorted(MAGIC.items(), key=lambda kv: len(kv[0])):
         detected = F.when(magic.startswith(prefix.upper()), name).otherwise(detected)
     # element_at on a split path is portable across local/HDFS/object-store URIs
     base = F.element_at(F.split(F.col("path"), "/"), -1)
