@@ -212,10 +212,23 @@ _DRIVER_PRIORITY = [
     # q45), mm10 (2x; mm13/mm15 keep the MJPEG decode chain), mm12
     # (2x; mm17 keeps perceptual hashing), tx16 (2x; tx17/tx18/tx21
     # keep the LM ladder), ss12 (2x; ss13/ss20 keep Hamming banding).
+    # Round-13 rotation: the 9 r12-certified ops whose defining source
+    # changed this round (tools/certified.py --changed: ss09/ss18/ss19/
+    # ss20 evidence-flag + docstring edits, sk01-sk04 evidence flag +
+    # sk04 single-pass restructure, dq09 report-assembly refactor) STAY
+    # in-window per the changed-since-certified policy. In: the three
+    # round-13 registrations web04/web05 (HTML->text extraction) and
+    # tx23 (fastText-shape classifier gate). Out, all unchanged
+    # multiply-certified with sibling coverage: ss05 (r5+r12; the exact
+    # brute-force baseline is embedded wholesale in in-window ss09's
+    # oracle, the Arrow batch surface stays via the mm decode chain +
+    # pytest), dd07 (r6/r7/r12; in-window dd17 applies cluster
+    # keep-best over the same pair cache, dd02/dd03 pair generation
+    # stays local-oracle-pinned), dd08 (r6/r7/r12; in-window dd20
+    # ranks the same dup-cluster graph, dd17 keeps the apply path).
     "q45_vtable_time_travel", "q27_asof_join",
-    "ss05_ann_bruteforce_arrow",
-    "dd07_near_dedup_apply", "dd08_dup_clusters",
     "tp01_full_pipeline", "ss09_ann_recall", "tx12_dup_span_profile",
+    "web04_html_extract", "web05_boilerplate_gate", "tx23_fasttext_gate",
     # deduplication (dd06 rotated out r10 — certified r1-r9, cosine
     # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
     # is its Arrow twin; dd02 out r11 — dd17 embeds its pair

@@ -1944,6 +1944,145 @@ TX22_SQL = f"""
 """
 
 
+def tx23_fasttext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape quality classifier gate — the CCNet / LLaMA-recipe
+    page filter ("keep if the classifier thinks it looks like the
+    curated corpus") the tx ladder lacked: a LINEAR scorer over hashed
+    bigram features (tx22's featurization), scoring EVERY document with
+    the class prior as bias, thresholded in log-odds space.
+
+    The weight table is trained by a fixed closed-form rule on a
+    labeled slice: per feature bucket f,
+    ``w_f = ln(cp+1) - ln(Tp) - ln(cn+1) + ln(Tn)`` (Laplace-smoothed
+    naive-Bayes log-odds; positives = the doc_id % 3 == 1 "curated"
+    slice, negatives = % 3 == 2 — the same deterministic stand-ins
+    tx22 uses for target/raw), and the per-doc score is the fastText
+    forward pass with a 1-dim embedding: the MEAN of its features'
+    weights plus the log-prior bias, kept iff score > 0. Real fastText
+    weights drop in by replacing the two count frames with the exported
+    model's per-bucket weight column (``W·x̄ + b`` is exactly this plan:
+    one B-row broadcast weight table left-joined into the feature
+    stream, one per-doc average) — nothing else changes.
+
+    Scale shape: featurization is the tx16/tx22 shuffle-free zip_with
+    map + poly-hash bucket fold; both count frames and the two totals
+    are B-row / 1-row broadcasts built by one partial-agg pass each;
+    the only corpus-sized exchange is the per-doc score agg (keyed
+    doc_id, map-side combined). Thresholding in LOG-ODDS space (no
+    sigmoid) keeps the cross-engine contract exp-free: every term is a
+    ±ln(integer), folded bucket-sorted, one division by the integer
+    feature count, rounded at 6 dp with the midpoint nudge.
+
+    Every TESTDATA doc carries >= 2 words so the bigram stream covers
+    all docs (pinned in tests); a production gate LEFT-joins the
+    verdict back onto the corpus so featureless docs score bias-only."""
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    feats = ws.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.expr(
+            "explode(zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+            " (a, b) -> concat(a, ' ', b)))"
+        ).alias("bg"),
+    ).select("doc_id", (poly_hash("bg") % DSIR_BUCKETS).alias("f"))
+    pos = (
+        feats.filter(F.col("doc_id") % 3 == 1)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("cp"))
+    )
+    neg = (
+        feats.filter(F.col("doc_id") % 3 == 2)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    tp = feats.filter(F.col("doc_id") % 3 == 1).groupBy().agg(
+        (F.count(F.lit(1)) + DSIR_BUCKETS).alias("tp")
+    )
+    tn = feats.filter(F.col("doc_id") % 3 == 2).groupBy().agg(
+        (F.count(F.lit(1)) + DSIR_BUCKETS).alias("tn")
+    )
+    prior = d.groupBy().agg(
+        F.sum((F.col("doc_id") % 3 == 1).cast("long")).alias("np"),
+        F.sum((F.col("doc_id") % 3 == 2).cast("long")).alias("nn"),
+    )
+    w = (
+        F.log(F.coalesce(F.col("cp"), F.lit(0)) + 1)
+        - F.log("tp")
+        - F.log(F.coalesce(F.col("cn"), F.lit(0)) + 1)
+        + F.log("tn")
+    )
+    scored = (
+        feats.join(pos, "f", "left")
+        .join(neg, "f", "left")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tn))
+        .select("doc_id", F.struct("f", w.alias("w")).alias("fw"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.aggregate(
+            F.array_sort(F.collect_list("fw")), F.lit(0.0), lambda a, s: a + s["w"]
+        ).alias("s"),
+    )
+    score = F.round(
+        F.col("s") / F.col("n_feats") + F.log("np") - F.log("nn") + 1e-9, 6
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "n_feats",
+            score.alias("score"),
+            (score > 0).cast("int").alias("keep"),
+        )
+    )
+
+
+TX23_SQL = f"""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, ({poly_hash_sql('bg')}) % {DSIR_BUCKETS} AS f
+        FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1])) AS bg
+            FROM ws WHERE len(ws) >= 2
+        )
+    ),
+    pos AS (SELECT f, count(*) AS cp FROM feats WHERE doc_id % 3 = 1 GROUP BY f),
+    neg AS (SELECT f, count(*) AS cn FROM feats WHERE doc_id % 3 = 2 GROUP BY f),
+    tp AS (SELECT count(*) + {DSIR_BUCKETS} AS tp FROM feats WHERE doc_id % 3 = 1),
+    tn AS (SELECT count(*) + {DSIR_BUCKETS} AS tn FROM feats WHERE doc_id % 3 = 2),
+    prior AS (
+        SELECT sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS np,
+               sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS nn
+        FROM documents
+    ),
+    scored AS (
+        SELECT feats.doc_id, feats.f,
+               ln(coalesce(cp, 0) + 1) - ln(tp)
+               - ln(coalesce(cn, 0) + 1) + ln(tn) AS w
+        FROM feats
+        LEFT JOIN pos USING (f)
+        LEFT JOIN neg USING (f)
+        CROSS JOIN tp CROSS JOIN tn
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_feats,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY f)),
+                   (a, c) -> a + c
+               ) AS s
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+           round(s / n_feats + ln(np) - ln(nn) + 1e-9, 6) AS score,
+           CAST(round(s / n_feats + ln(np) - ln(nn) + 1e-9, 6) > 0 AS INT) AS keep
+    FROM per_doc CROSS JOIN prior
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -1965,6 +2104,7 @@ QUERIES = {
     "tx20_ccnet_buckets": tx20_ccnet_buckets,
     "tx21_kneser_ney_xent": tx21_kneser_ney_xent,
     "tx22_dsir_logweight": tx22_dsir_logweight,
+    "tx23_fasttext_gate": tx23_fasttext_gate,
     "dd18_longest_dup_span": dd18_longest_dup_span,
 }
 
@@ -1989,5 +2129,6 @@ ORACLES = {
     "tx20_ccnet_buckets": TX20_SQL,
     "tx21_kneser_ney_xent": TX21_SQL,
     "tx22_dsir_logweight": TX22_SQL,
+    "tx23_fasttext_gate": TX23_SQL,
     "dd18_longest_dup_span": DD18_SQL,
 }

@@ -30,7 +30,7 @@ set — same plan shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
@@ -282,14 +282,224 @@ WEB03_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# web04/web05: HTML -> text extraction (the missing pre-text stage).
+# RefinedWeb §3.1 runs trafilatura, C4/CCNet run jusText-style block
+# gates, BEFORE any of the tx/dd text ops see a byte: raw crawl payloads
+# are markup, and the extraction quality decides everything downstream.
+# The TESTDATA corpus carries no HTML column, so each document's page is
+# SYNTHESIZED deterministically (the web01 URL pattern): the doc's text
+# becomes the content block, wrapped in a realistic boilerplate frame —
+# head/title, a link-farm <nav>, an optional link-heavy "related" box
+# (doc_id % 3 == 0), a <footer> — with an in-content anchor on the first
+# word for even doc_ids so content link density is nonzero. The
+# EXTRACTION machinery downstream (tag stripping, anchor-text
+# accounting, block segmentation, the density gate) is the real thing
+# and never sees the construction.
+# ---------------------------------------------------------------------------
+
+WEB05_MIN_BLOCK_CHARS = 30  # jusText's "short block" cut
+WEB05_MIN_EXTRACT = 40  # doc keep verdict: extracted main text floor
+
+
+def _with_html(d: DataFrame) -> DataFrame:
+    """Deterministic per-doc HTML, character-identical to `_HTML_SQL`."""
+    did = F.col("doc_id")
+    fw = F.element_at(F.split("text", " "), 1)
+    body_text = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<a href="/w">'), fw, F.lit("</a>"),
+            F.expr("substring(text, length(element_at(split(text, ' '), 1)) + 1)"),
+        ),
+    ).otherwise(F.col("text"))
+    related = F.when(
+        did % 3 == 0,
+        F.lit('<div class="rel"><a href="/r1">read more</a> <a href="/r2">also this</a> tiny</div>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("lang"), F.lit(" page</title></head><body>"),
+        F.lit('<nav><a href="/">home</a> <a href="/tag/0">tags</a> <a href="/arch">archive</a></nav>'),
+        F.lit('<div id="main"><p>'), body_text, F.lit("</p></div>"),
+        related,
+        F.lit('<footer><a href="/about">about</a> <a href="/legal">legal</a> copyright '),
+        F.col("source"), F.lit("</footer></body></html>"),
+    )
+    return d.withColumn("html", html)
+
+
+_HTML_SQL = """
+    '<html><head><title>' || lang || ' page</title></head><body>'
+    || '<nav><a href="/">home</a> <a href="/tag/0">tags</a> <a href="/arch">archive</a></nav>'
+    || '<div id="main"><p>'
+    || CASE WHEN doc_id % 2 = 0
+            THEN '<a href="/w">' || string_split(text, ' ')[1] || '</a>'
+                 || substr(text, length(string_split(text, ' ')[1]) + 1)
+            ELSE text END
+    || '</p></div>'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<div class="rel"><a href="/r1">read more</a> <a href="/r2">also this</a> tiny</div>'
+            ELSE '' END
+    || '<footer><a href="/about">about</a> <a href="/legal">legal</a> copyright '
+    || source || '</footer></body></html>'
+"""
+
+# anchor-text character count of a fragment (the link-density numerator
+# trafilatura/jusText gate on) — sum of lengths of <a ...>text</a> bodies
+_ANCHOR_RE = "<a [^>]*>([^<]*)</a>"
+
+
+def _anchor_chars(col: Column) -> Column:
+    return F.aggregate(
+        F.transform(
+            F.regexp_extract_all(col, F.lit(_ANCHOR_RE), 1), lambda x: F.length(x)
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+
+
+def _anchor_chars_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0, list_transform("
+        f"regexp_extract_all({expr}, '{_ANCHOR_RE}', 1), x -> CAST(length(x) AS INT))), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def web04_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document HTML extraction metrics — the trafilatura-style
+    document report: title, markup size vs visible-text size
+    (text-to-markup ratio — near-zero means a script/markup shell with
+    no prose), link count, anchor-text character share (link density —
+    the single strongest boilerplate signal), all from pure string
+    expressions.
+
+    Scale shape: one codegen map fused into the documents scan — tag
+    stripping, anchor accounting and the ratios are whole-stage-codegen
+    string ops; ZERO exchanges, zero UDFs (the web01 pattern; pinned).
+    Integer-first FP contract: every count is exact; the two ratios
+    divide exact integers and round at 4 dp with the house nudge."""
+    d = _with_html(_docs(spark, sf_dir).select("doc_id", "source", "lang", "text"))
+    plain = F.regexp_replace("html", "<[^>]*>", "")
+    n_links = (
+        (F.length("html") - F.length(F.regexp_replace("html", "<a href", "")))
+        / F.length(F.lit("<a href"))
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        F.length("html").cast("int").alias("html_chars"),
+        F.length(plain).cast("int").alias("text_chars"),
+        n_links.alias("n_links"),
+        _anchor_chars(F.col("html")).cast("int").alias("anchor_chars"),
+        F.round(
+            _anchor_chars(F.col("html")) / F.length(plain) + 1e-9, 4
+        ).alias("link_density"),
+        F.round(F.length(plain) / F.length("html") + 1e-9, 4).alias("markup_ratio"),
+    )
+
+
+WEB04_SQL = f"""
+    SELECT doc_id,
+           regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+           CAST(length(html) AS INT) AS html_chars,
+           CAST(length(plain) AS INT) AS text_chars,
+           CAST((length(html) - length(replace(html, '<a href', ''))) / length('<a href') AS INT) AS n_links,
+           CAST({_anchor_chars_sql('html')} AS INT) AS anchor_chars,
+           round({_anchor_chars_sql('html')} * 1.0 / length(plain) + 1e-9, 4) AS link_density,
+           round(length(plain) * 1.0 / length(html) + 1e-9, 4) AS markup_ratio
+    FROM (
+        SELECT doc_id, html, regexp_replace(html, '<[^>]*>', '', 'g') AS plain
+        FROM (SELECT doc_id, {_HTML_SQL} AS html FROM documents)
+    )
+"""
+
+
+def web05_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-shaped boilerplate removal as a per-doc verdict: segment
+    the page into blocks at block-level closing tags, score each block
+    (stripped text length, anchor-text chars), DROP link-dominated or
+    too-short blocks (link density > 1/2 — compared in INTEGERS as
+    2*anchor <= text — or text < {WEB05_MIN_BLOCK_CHARS} chars), and
+    report what extraction would keep: block counts, extracted main-text
+    size, its share of all visible text, and the page-level keep gate
+    (>= {WEB05_MIN_EXTRACT} extracted chars). The nav/related/footer
+    frames die to the density rule, the head/title to the short rule —
+    exactly the jusText/C4 behavior the synthetic page plants.
+
+    Scale shape: the ENTIRE segment->score->gate->reassemble pipeline
+    runs inside one row via higher-order functions (transform / filter /
+    aggregate over the block array) — one codegen map fused into the
+    scan, ZERO exchanges (pinned), no per-block explode/groupBy shuffle:
+    at 100 TB block-level extraction costs exactly one pass over the
+    payload bytes."""
+    d = _with_html(_docs(spark, sf_dir).select("doc_id", "source", "lang", "text"))
+    blocks = F.split("html", "</(nav|div|footer)>")
+    feats = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.length(F.regexp_replace(b, "<[^>]*>", "")).alias("tc"),
+            _anchor_chars(b).alias("ac"),
+        ),
+    )
+    kept = F.filter(
+        feats,
+        lambda s: (s["tc"] >= WEB05_MIN_BLOCK_CHARS) & (2 * s["ac"] <= s["tc"]),
+    )
+    total = F.aggregate(feats, F.lit(0), lambda a, s: a + s["tc"])
+    extract = F.aggregate(kept, F.lit(0), lambda a, s: a + s["tc"])
+    return d.select(
+        "doc_id",
+        F.size(feats).cast("int").alias("n_blocks"),
+        F.size(kept).cast("int").alias("n_kept"),
+        extract.cast("int").alias("extract_chars"),
+        F.round(extract / total + 1e-9, 4).alias("main_ratio"),
+        (extract >= WEB05_MIN_EXTRACT).cast("int").alias("keep"),
+    )
+
+
+WEB05_SQL = f"""
+    SELECT doc_id,
+           CAST(len(feats) AS INT) AS n_blocks,
+           CAST(len(kept) AS INT) AS n_kept,
+           CAST(extract_chars AS INT) AS extract_chars,
+           round(extract_chars * 1.0 / total_chars + 1e-9, 4) AS main_ratio,
+           CAST(extract_chars >= {WEB05_MIN_EXTRACT} AS INT) AS keep
+    FROM (
+        SELECT doc_id, feats, kept,
+               list_reduce(list_prepend(0, list_transform(kept, s -> s.tc)), (a, b) -> a + b) AS extract_chars,
+               list_reduce(list_prepend(0, list_transform(feats, s -> s.tc)), (a, b) -> a + b) AS total_chars
+        FROM (
+            SELECT doc_id, feats,
+                   list_filter(feats, s -> s.tc >= {WEB05_MIN_BLOCK_CHARS} AND 2 * s.ac <= s.tc) AS kept
+            FROM (
+                SELECT doc_id,
+                       list_transform(
+                           string_split_regex(html, '</(nav|div|footer)>'),
+                           b -> struct_pack(
+                               tc := CAST(length(regexp_replace(b, '<[^>]*>', '', 'g')) AS INT),
+                               ac := {_anchor_chars_sql('b')})
+                       ) AS feats
+                FROM (SELECT doc_id, {_HTML_SQL} AS html FROM documents)
+            )
+        )
+    )
+"""
+
+
 QUERIES = {
     "web01_url_parse": web01_url_parse,
     "web02_host_dup_rate": web02_host_dup_rate,
     "web03_url_blocklist": web03_url_blocklist,
+    "web04_html_extract": web04_html_extract,
+    "web05_boilerplate_gate": web05_boilerplate_gate,
 }
 
 ORACLES = {
     "web01_url_parse": WEB01_SQL,
     "web02_host_dup_rate": WEB02_SQL,
     "web03_url_blocklist": WEB03_SQL,
+    "web04_html_extract": WEB04_SQL,
+    "web05_boilerplate_gate": WEB05_SQL,
 }

@@ -130,6 +130,83 @@ def fold_hll_registers(regs: DataFrame) -> DataFrame:
     )
 
 
+QUANTILE_GRID = (0.5, 0.95, 0.99)
+QUANTILE_ACCURACY = 10_000
+
+
+def _quantile_agg_cols(grid=QUANTILE_GRID, accuracy: int = QUANTILE_ACCURACY):
+    qs = F.expr(
+        f"approx_percentile(value, array({','.join(str(q) for q in grid)}), {accuracy})"
+    )
+    return qs
+
+
+def _quantile_out_cols(grid=QUANTILE_GRID):
+    return [
+        F.round(F.col("qs").getItem(i) + 1e-9, 4).alias(f"p{int(q * 100):02d}")
+        for i, q in enumerate(grid)
+    ]
+
+
+def windowed_value_quantiles(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    accuracy: int = QUANTILE_ACCURACY,
+) -> DataFrame:
+    """Streaming value-distribution monitor: per-window p50/p95/p99 of
+    the event ``value`` via ``approx_percentile`` — the third monitor
+    next to the HLL (distinct users) and Count-Min (hot keys) ones, and
+    the streaming face of dq09's production estimator
+    (``dq09_quantile_profile_approx``): a latency/amount tail shifting
+    long before the mean moves is THE canonical streaming quality
+    alarm.
+
+    Why this state is streamable: the Greenwald-Khanna summary is a
+    MERGEABLE bounded partial aggregate — per open window the state is
+    O(accuracy) regardless of event volume (an exact per-window
+    percentile would buffer every value into state, the dq09 scale
+    trap). Contract: quantiles carry the summary's rank-error
+    guarantee (n/accuracy), asserted against the exact batch envelope
+    in the replay test, NOT bit-equality — summary compression is
+    merge-order-dependent, so stream and batch may legitimately pick
+    adjacent values."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            _quantile_agg_cols(accuracy=accuracy).alias("qs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            *_quantile_out_cols(),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+def batch_windowed_value_quantiles(
+    events: DataFrame, window: str = "5 minutes", accuracy: int = QUANTILE_ACCURACY
+) -> DataFrame:
+    """Replay-equivalence twin of :func:`windowed_value_quantiles` on a
+    batch DataFrame (same estimator, same rounding)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            _quantile_agg_cols(accuracy=accuracy).alias("qs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            *_quantile_out_cols(),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
 def windowed_countmin(
     events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

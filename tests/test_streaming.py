@@ -614,3 +614,59 @@ def test_streaming_countmin_equals_batch_and_probe_overestimates(spark):
         assert e >= true_n or e == 0, (w, u, e, true_n)
         if true_n > 0:
             assert e >= true_n, (w, u, e, true_n)  # seen users: proper overestimate
+
+
+def test_streaming_quantile_monitor_matches_batch_envelope(spark):
+    """The streaming per-window approx-quantile monitor must (a) emit
+    exactly the closed windows with exact n_events, and (b) produce
+    quantiles inside the exact-percentile rank-error envelope
+    [percentile(q - eps), percentile(q + eps)], eps = 1/accuracy + 2/n
+    (the dq09-approx guarantee; bit-equality is NOT the contract —
+    summary compression is merge-order-dependent)."""
+    from hive_lineage_spark.streaming.events import (
+        QUANTILE_ACCURACY,
+        QUANTILE_GRID,
+        batch_windowed_value_quantiles,
+        windowed_value_quantiles,
+    )
+
+    stream = windowed_value_quantiles(events_stream(spark, SF))
+    run_stream_to_memory(stream, "value_quants", output_mode="append")
+    got = {r["win_start"]: r for r in spark.sql("SELECT * FROM value_quants").collect()}
+    assert got, "no closed windows emitted"
+    batch = {
+        r["win_start"]: r
+        for r in batch_windowed_value_quantiles(load_events(spark, SF)).collect()
+    }
+    assert set(got) <= set(batch)  # the stream never invents windows
+    ev = load_events(spark, SF).withColumn("ts", F.col("ts").cast("timestamp"))
+    exact = {
+        r["w"]: r
+        for r in ev.groupBy(F.window("ts", "5 minutes").alias("win"))
+        .agg(
+            F.expr(
+                "percentile(value, array("
+                + ",".join(
+                    f"{max(0.0, q - 1.0 / QUANTILE_ACCURACY)},"
+                    f"{min(1.0, q + 1.0 / QUANTILE_ACCURACY)}"
+                    for q in QUANTILE_GRID
+                )
+                + "))"
+            ).alias("env"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("win.start").alias("w"), "env", "n")
+        .collect()
+    }
+    for w, row in got.items():
+        assert row["n_events"] == batch[w]["n_events"] == exact[w]["n"]
+        n = exact[w]["n"]
+        for i, q in enumerate(QUANTILE_GRID):
+            lo, hi = exact[w]["env"][2 * i], exact[w]["env"][2 * i + 1]
+            # widen by 2 rows of implementation slack (rank targeting
+            # differs between GK's ceil(qn) and interpolation at q(n-1))
+            span = (hi - lo) if hi > lo else 0.0
+            slack = 1e-4 + span + 2.0 / n * abs(hi if abs(hi) > abs(lo) else lo)
+            for src in (row, batch[w]):
+                got_q = src[f"p{int(q * 100):02d}"]
+                assert lo - slack <= got_q <= hi + slack, (w, q, got_q, lo, hi)

@@ -1,0 +1,42 @@
+"""tx23 fastText-shape classifier gate invariants: the closed-form
+naive-Bayes weights must separate the training slices (positives score
+higher on average than negatives), the verdict must be exactly the
+log-odds sign, and the feature count must equal the bigram count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_lineage_spark.operators.text import tx23_fasttext_gate
+from hive_lineage_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tx23_covers_corpus_and_verdict_is_sign(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rep = tx23_fasttext_gate(spark, SF)
+    assert rep.count() == docs.count()  # every doc has >= 2 words here
+    bad = rep.filter(
+        ((F.col("score") > 0) & (F.col("keep") != 1))
+        | ((F.col("score") <= 0) & (F.col("keep") != 0))
+    )
+    assert bad.count() == 0
+    joined = rep.join(
+        docs.select("doc_id", (F.size(F.split("text", " ")) - 1).alias("n_bigrams")),
+        "doc_id",
+    )
+    assert joined.filter(F.col("n_feats") != F.col("n_bigrams")).count() == 0
+
+
+def test_tx23_separates_training_slices(spark):
+    rep = tx23_fasttext_gate(spark, SF).withColumn("slice", F.col("doc_id") % 3)
+    means = {
+        r["slice"]: r["m"]
+        for r in rep.groupBy("slice").agg(F.avg("score").alias("m")).collect()
+    }
+    # positives (slice 1) must out-score negatives (slice 2); unseen
+    # docs (slice 0) land between the training extremes on average
+    assert means[1] > means[2]
+    assert means[2] < means[0] < means[1] or abs(means[0]) < abs(means[1])

@@ -1,0 +1,66 @@
+"""web04/web05 HTML->text extraction invariants: the synthetic page
+plants known boilerplate (nav / optional related box / footer / head)
+around the document text as the content block — the block gate must
+drop exactly the planted frames and keep the content, and the doc-level
+metrics must be mutually consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_lineage_spark.operators.web import (
+    WEB05_MIN_BLOCK_CHARS,
+    web04_html_extract,
+    web05_boilerplate_gate,
+)
+from hive_lineage_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_web04_metrics_consistent(spark):
+    rows = web04_html_extract(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        # the title is the planted '<lang> page'
+        assert r["title"].endswith(" page")
+        # stripped text is a strict subset of the markup
+        assert 0 < r["text_chars"] < r["html_chars"]
+        # every page plants 5 frame links (3 nav + 2 footer); the
+        # related box (+2) and the in-content anchor (+1) are mod-gated
+        assert 5 <= r["n_links"] <= 8
+        assert 0 < r["anchor_chars"] < r["text_chars"]
+        assert 0.0 < r["link_density"] < 1.0
+        assert 0.0 < r["markup_ratio"] < 1.0
+
+
+def test_web04_link_counts_follow_construction(spark):
+    df = web04_html_extract(spark, SF).withColumn(
+        "expected",
+        F.lit(5)
+        + (F.col("doc_id") % 3 == 0).cast("int") * 2
+        + (F.col("doc_id") % 2 == 0).cast("int"),
+    )
+    assert df.filter(F.col("n_links") != F.col("expected")).count() == 0
+
+
+def test_web05_gate_keeps_content_drops_frames(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    rep = web05_boilerplate_gate(spark, SF).join(docs, "doc_id")
+    rows = rep.collect()
+    assert len(rows) == 500
+    for r in rows:
+        # blocks: head+nav, content, [related], footer, trailing shell
+        expected_blocks = 4 + (1 if r["doc_id"] % 3 == 0 else 0)
+        assert r["n_blocks"] == expected_blocks, r
+        # ONLY the content block survives: nav/related die to link
+        # density, head/footer/shell to the short rule (min doc text is
+        # 47 chars > the 30-char block floor)
+        assert r["n_kept"] == 1, r
+        # extracted main text == the document text (plus the in-content
+        # anchor strip leaves the words intact)
+        assert abs(r["extract_chars"] - r["n_chars"]) <= 1, r
+        assert r["keep"] == 1
+        assert 0.0 < r["main_ratio"] < 1.0
+    assert WEB05_MIN_BLOCK_CHARS == 30

@@ -80,11 +80,14 @@ SHOW = [
     ("dd20_graph_rank", "shown: ONE Pregel superstep (the returned frame itself is a flat checkpoint scan). One BroadcastHashJoin (msg ⋈ ranks on the sender) + one partial/final ObjectHashAggregate on the destination; BOTH inputs are checkpoint scans (Scan ExistingRDD) — no live corpus pipeline inside a round, linear plan growth via checkpoint_tracked (lineage still resolves to documents)"),
     ("web01_url_parse", "the whole URL synthesize→parse→registrable-domain chain is ONE WholeStageCodegen span over the documents scan — zero exchanges, zero Python; ReadSchema reads only (doc_id, lang, source)"),
     ("web02_host_dup_rate", "the only exchanges key on the 8-byte text hash (dup detection, partial-agg combined) and the registrable domain (host-count-sized rollup); the dup-flag join is AQE-chosen"),
-    ("sk01_hll_distinct", "the register build is a partial/final HashAggregate pair on (lang, bucket) — every map partition emits ≤ 5×256 rows no matter how many shingles it scanned — then one lang-keyed fold; the only corpus-keyed exchange is the exact-countDistinct evidence leg production drops"),
+    ("sk01_hll_distinct", "the register build is a partial/final HashAggregate pair on (lang, bucket) — every map partition emits ≤ 5×256 rows no matter how many shingles it scanned — then one lang-keyed fold; the only corpus-keyed exchange is the exact-countDistinct evidence leg evidence=False drops (absence plan-pinned in tests/test_evidence.py)"),
     ("sk02_countmin_topk", "the counter build partial-aggregates onto ≤ 4×512 cells per map partition (the sketch property as a plan shape); probes are a BroadcastHashJoin of the 2048-row counter table into 20 keys; the exact candidate list is TakeOrderedAndProject"),
     ("sk03_hll_source_overlap", "the distinct-gram and dense-register frames are PERSISTED (every consumer reads InMemoryTableScan; no live corpus scan ahead of the first cached relation); densify, the pair self-join on bucket, estimate assembly and the exact-evidence join are ALL broadcast — no shuffle join anywhere in the 190-pair combinatorics"),
     ("dq09_quantile_profile", "two linear passes: one exact-percentile agg (the 100 TB swap is approx_percentile — a mergeable partial agg) and one fence-count agg with the 1-row fence frame broadcast; report is column-count-sized"),
-    ("sk04_hll_precision_ladder", "one hash pass feeds all three ladders (per-m bucket/rank maps are codegen over the same hashed column); each ladder partial-aggregates to <= m rows per map partition; the exact leg is the one shared countDistinct baseline"),
+    ("sk04_hll_precision_ladder", "ONE corpus aggregation pass feeds all three ladders: the finest-bucket register agg (partial-agg capped at 1024 rows per map partition) explodes into (m, bucket, mj) rungs re-aggregated register-sized — a single linear plan, one documents scan plus the exact-leg scan evidence=False drops"),
+    ("web04_html_extract", "the whole HTML synthesize→strip→anchor-account→ratio chain is ONE WholeStageCodegen span over the documents scan — zero exchanges, zero Python (web01's precedent, now over markup)"),
+    ("web05_boilerplate_gate", "jusText block extraction with NO explode/groupBy: segment/score/gate/reassemble all run inside one row via transform/filter/aggregate over the block array — one codegen map fused into the scan, zero exchanges"),
+    ("tx23_fasttext_gate", "the weight table is two B-row broadcast count frames + two 1-row totals LEFT-joined into the shuffle-free bigram feature stream; the only corpus-sized exchange is the per-doc score agg (doc_id-keyed, map-side combined) — the fastText forward pass as a plan"),
     ("sk05_source_intake_report", "one text-hash pass (partial-agg combined), the SHARED persisted (source, gram) frame (InMemoryTableScan — same artifact sk03 reads), register-sized HLL folds, source-count-sized rollups; the dup-flag join is AQE-chosen (web02's pattern)"),
 ]
 

@@ -59,6 +59,9 @@ PROBE = [
     ("dq09_quantile_profile", "one exact-percentile agg (sort-based; approx_percentile at scale) + one broadcast fence-count pass"),
     ("sk04_hll_precision_ladder", "one hash pass, three register-capped partial aggs + one exact baseline"),
     ("sk05_source_intake_report", "one hash pass + shared gram frame + register folds; rollups source-count-sized"),
+    ("web04_html_extract", "linear codegen string map fused into the scan; zero exchanges"),
+    ("web05_boilerplate_gate", "linear block HOF pipeline inside each row; zero exchanges"),
+    ("tx23_fasttext_gate", "linear bigram pass; B-row broadcast weight table; one doc-keyed score agg"),
 ]
 
 
