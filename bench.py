@@ -140,6 +140,7 @@ EXTRA = [
     "web04_html_extract",      # HTML->text extraction metrics, zero-exchange (round 13)
     "web05_boilerplate_gate",  # jusText block gate inside HOFs, zero-exchange (round 13)
     "tx23_fasttext_gate",      # fastText-shape linear quality classifier (round 13)
+    "web06_url_canonical_dedup",  # canonical-URL variant dedup, hash-keyed (round 13)
 ]
 
 

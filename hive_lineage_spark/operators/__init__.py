@@ -226,14 +226,18 @@ _DRIVER_PRIORITY = [
     # keep-best over the same pair cache, dd02/dd03 pair generation
     # stays local-oracle-pinned), dd08 (r6/r7/r12; in-window dd20
     # ranks the same dup-cluster graph, dd17 keeps the apply path).
+    # web06 (URL-canonical dedup) lands later in round 13 and certifies
+    # the same round; out for it: dd14 (certified r10+r12, unchanged —
+    # in-window sk02 keeps bounded-sketch membership semantics, dd10's
+    # decontamination join stays local-oracle- and pytest-pinned).
     "q45_vtable_time_travel", "q27_asof_join",
     "tp01_full_pipeline", "ss09_ann_recall", "tx12_dup_span_profile",
     "web04_html_extract", "web05_boilerplate_gate", "tx23_fasttext_gate",
+    "web06_url_canonical_dedup",
     # deduplication (dd06 rotated out r10 — certified r1-r9, cosine
     # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
     # is its Arrow twin; dd02 out r11 — dd17 embeds its pair
     # generation wholesale)
-    "dd14_bloom_decontaminate",
     "dd15_minhash_calibration",
     "dd16_cdc_chunks",
     "dd17_cluster_keep_best",

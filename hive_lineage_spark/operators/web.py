@@ -488,12 +488,66 @@ WEB05_SQL = f"""
 """
 
 
+def web06_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-variant dedup — the crawl-frontier
+    dedup every pipeline runs before fetching twice (and RefinedWeb's
+    first dedup pass): strip the query string (tracking/session
+    parameters: the `?sid=`/`ref=promo` variants web03 flags) and the
+    serving-subdomain prefix (www./cdn. mirrors of one origin), then
+    group documents whose URLs collapse to the same canonical form.
+    Downstream keeps one fetch per canonical URL; the `is_url_dup` flag
+    is the cheap upstream sibling of web02's content-hash dup signal
+    (URL-level catches mirrors BEFORE paying for the bytes; text-level
+    catches what URL-level structurally cannot).
+
+    Scale shape: canonicalization is a codegen regex map fused into the
+    scan; the group count keys on the 8-byte xxhash64 of the canonical
+    form (web02's discipline — never a corpus-sized wide-string
+    exchange), one partial agg + one hash-keyed join back. Cross-engine
+    note: the oracle groups on DuckDB's hash() — a DIFFERENT 64-bit
+    function, invisible in the output (the flag depends only on
+    canonical-string equality, identical absent an in-engine collision)."""
+    u = _with_url(_docs(spark, sf_dir).select("doc_id", "source", "lang")).select(
+        "doc_id", "url"
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace("url", r"\?.*$", ""), "^https://(www\\.|cdn\\.)", "https://"
+    )
+    c = u.withColumn("canon_url", canon).withColumn("ch", F.xxhash64("canon_url"))
+    groups = c.groupBy("ch").agg(F.count(F.lit(1)).alias("n_variants"))
+    return c.join(groups, "ch").select(
+        "doc_id",
+        "url",
+        "canon_url",
+        F.col("n_variants").cast("long").alias("n_variants"),
+        (F.col("n_variants") > 1).cast("int").alias("is_url_dup"),
+    )
+
+
+WEB06_SQL = f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    c AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(url, '\\?.*$', ''),
+                              '^https://(www\\.|cdn\\.)', 'https://') AS canon_url,
+               hash(regexp_replace(regexp_replace(url, '\\?.*$', ''),
+                                   '^https://(www\\.|cdn\\.)', 'https://')) AS ch
+        FROM u
+    ),
+    g AS (SELECT ch, CAST(count(*) AS BIGINT) AS n_variants FROM c GROUP BY ch)
+    SELECT doc_id, url, canon_url, n_variants,
+           CAST(n_variants > 1 AS INT) AS is_url_dup
+    FROM c JOIN g USING (ch)
+"""
+
+
 QUERIES = {
     "web01_url_parse": web01_url_parse,
     "web02_host_dup_rate": web02_host_dup_rate,
     "web03_url_blocklist": web03_url_blocklist,
     "web04_html_extract": web04_html_extract,
     "web05_boilerplate_gate": web05_boilerplate_gate,
+    "web06_url_canonical_dedup": web06_url_canonical_dedup,
 }
 
 ORACLES = {
@@ -502,4 +556,5 @@ ORACLES = {
     "web03_url_blocklist": WEB03_SQL,
     "web04_html_extract": WEB04_SQL,
     "web05_boilerplate_gate": WEB05_SQL,
+    "web06_url_canonical_dedup": WEB06_SQL,
 }

@@ -642,3 +642,11 @@ def test_web_ops_scan_fused_codegen(spark):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert keys and set(keys) <= {"th", "reg_domain"}, keys
     assert "ReadSchema: struct<doc_id:bigint,text:string" in plan or "text" in plan.split("ReadSchema:")[1].splitlines()[0]
+    # web06: canonicalization fuses into the scan; every exchange keys
+    # on the 8-byte canonical-URL hash, never the URL string
+    df = web.web06_url_canonical_dedup(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and set(keys) <= {"ch"}, keys
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

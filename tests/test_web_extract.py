@@ -64,3 +64,27 @@ def test_web05_gate_keeps_content_drops_frames(spark):
         assert r["keep"] == 1
         assert 0.0 < r["main_ratio"] < 1.0
     assert WEB05_MIN_BLOCK_CHARS == 30
+
+
+def test_web06_canonical_dedup_invariants(spark):
+    from hive_lineage_spark.operators.web import web06_url_canonical_dedup
+
+    rows = web06_url_canonical_dedup(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        # canonical form never carries a query string or www./cdn. prefix
+        assert "?" not in r["canon_url"]
+        assert not r["canon_url"].startswith("https://www.")
+        assert not r["canon_url"].startswith("https://cdn.")
+        assert r["canon_url"] in (r["url"].split("?")[0].replace("https://www.", "https://").replace("https://cdn.", "https://"),)
+        assert (r["n_variants"] > 1) == bool(r["is_url_dup"])
+    # the synthesis plants variant groups (www/cdn/query variants of the
+    # same canonical page) — the dedup signal must be non-trivial
+    n_dup = sum(r["is_url_dup"] for r in rows)
+    assert 0 < n_dup < 500
+    # group sizes are consistent: each canonical's row count == n_variants
+    from collections import Counter
+
+    sizes = Counter(r["canon_url"] for r in rows)
+    for r in rows:
+        assert sizes[r["canon_url"]] == r["n_variants"]

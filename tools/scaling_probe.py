@@ -62,6 +62,7 @@ PROBE = [
     ("web04_html_extract", "linear codegen string map fused into the scan; zero exchanges"),
     ("web05_boilerplate_gate", "linear block HOF pipeline inside each row; zero exchanges"),
     ("tx23_fasttext_gate", "linear bigram pass; B-row broadcast weight table; one doc-keyed score agg"),
+    ("web06_url_canonical_dedup", "linear canonicalization map; hash-keyed group agg + join back"),
 ]
 
 
