@@ -230,10 +230,22 @@ _DRIVER_PRIORITY = [
     # the same round; out for it: dd14 (certified r10+r12, unchanged —
     # in-window sk02 keeps bounded-sketch membership semantics, dd10's
     # decontamination join stays local-oracle- and pytest-pinned).
+    # Completing the r12-VERDICT item-6 prescription: the six UNCHANGED
+    # r12-certified newcomers rotate out (dd19/dd20 — dd15-dd18 keep the
+    # dedup family in-window, their plan/scale pins stay in pytest;
+    # web01/web02/web03 — incoming web04/web05/web06 exercise the same
+    # synthesize->parse machinery plus extraction/dedup on top; sk05 —
+    # sk01-sk04 keep every sketch mechanism it composes), and the freed
+    # slots refill OLDEST-GREEN-FIRST with the r01-certified SQL-surface
+    # ops q20/q21/q22/q23/q24/q26 (12 rounds since their last green row
+    # — re-certifying guards against silent drift; q24 is also a
+    # headline bench query).
     "q45_vtable_time_travel", "q27_asof_join",
     "tp01_full_pipeline", "ss09_ann_recall", "tx12_dup_span_profile",
     "web04_html_extract", "web05_boilerplate_gate", "tx23_fasttext_gate",
     "web06_url_canonical_dedup",
+    "q20_union_distinct", "q21_window_topk_per_group", "q22_rollup",
+    "q23_scalar_subquery", "q24_window_bucket_agg", "q26_json_extract",
     # deduplication (dd06 rotated out r10 — certified r1-r9, cosine
     # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
     # is its Arrow twin; dd02 out r11 — dd17 embeds its pair
@@ -242,8 +254,6 @@ _DRIVER_PRIORITY = [
     "dd16_cdc_chunks",
     "dd17_cluster_keep_best",
     "dd18_longest_dup_span",
-    "dd19_containment",
-    "dd20_graph_rank",
     # similarity search (ss01 rotated out r10 — certified 8x, exact
     # baseline embedded wholesale in ss09's recall oracle; ss07/ss08/
     # ss10 out in the second promotion — ss09/ss11/ss13 keep
@@ -281,7 +291,6 @@ _DRIVER_PRIORITY = [
     # unchanged 2x-certified with sibling coverage: mm14 (mm11/mm18/
     # mm20/mm22 keep audio), ss15 (ss16 composes the same norm-augment
     # inside IVF-MIPS), tp14 (tp12/tp13/tp15 keep sampling/planning).
-    "web01_url_parse", "web02_host_dup_rate", "web03_url_blocklist",
     # round-12 second registration (mergeable sketches — HLL / Count-Min)
     # certifies the same round it lands, per the web/r10/r11 pattern.
     # Out for them, all unchanged 2x-certified with sibling coverage:
@@ -295,7 +304,7 @@ _DRIVER_PRIORITY = [
     # it: tp12 (2x-certified, unchanged — tp13/tp15 keep sampling and
     # budget planning in-window).
     "sk01_hll_distinct", "sk02_countmin_topk", "sk03_hll_source_overlap",
-    "sk04_hll_precision_ladder", "sk05_source_intake_report",
+    "sk04_hll_precision_ladder",
     # dq09 (quantile/fence profile) also lands round-12; out: dq05
     # (2x-certified, unchanged — dq02's constraint report keeps
     # row-rule semantics certified, dq07/dq08/dq09 keep the gate
