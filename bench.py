@@ -141,6 +141,7 @@ EXTRA = [
     "web05_boilerplate_gate",  # jusText block gate inside HOFs, zero-exchange (round 13)
     "tx23_fasttext_gate",      # fastText-shape linear quality classifier (round 13)
     "web06_url_canonical_dedup",  # canonical-URL variant dedup, hash-keyed (round 13)
+    "ss21_ann_ivf_partitioned",  # stored-index IVF serving, DPP-pruned scan (round 13)
 ]
 
 

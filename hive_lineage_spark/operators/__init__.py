@@ -258,8 +258,13 @@ _DRIVER_PRIORITY = [
     # baseline embedded wholesale in ss09's recall oracle; ss07/ss08/
     # ss10 out in the second promotion — ss09/ss11/ss13 keep
     # IVF/PQ/rerank in-window; ss15/ss16/ss17 in from the r10 queue)
+    # ss21 (stored-index IVF serving via dynamic partition pruning)
+    # lands late in round 13 and certifies the same round; out for it:
+    # ss14 (certified r10+r12, unchanged — ss13/ss16/ss17 keep composed
+    # ANN serving in-window, the JL-projection path stays local-oracle-
+    # and pytest-pinned).
     "ss13_ann_ivfpq",
-    "ss14_ann_random_projection",
+    "ss21_ann_ivf_partitioned",
     "ss16_mips_ivf", "ss17_rank_fusion",
     "ss18_ann_matryoshka", "ss19_ann_filtered", "ss20_ann_binary",
     # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;

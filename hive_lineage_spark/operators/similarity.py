@@ -2566,6 +2566,115 @@ SS20_SQL = f"""
 """
 
 
+def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED IVF index: ss02's cell assignment written ONCE
+    per corpus snapshot as parquet PARTITIONED BY cell — the artifact a
+    production vector store actually serves from (FAISS's inverted
+    lists, expressed as a partitioned table). Built lazily on first use
+    (the ``load_events`` scratch pattern: write to a tmp dir, atomic
+    rename), then every serving query is a partition-pruned read."""
+    import os
+    import shutil
+
+    from ..sources.registry import scratch_key
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo, ".scratch", scratch_key(sf_dir), "ivf_index_v1")
+    if not os.path.exists(path):
+        vec = _vectors(spark, sf_dir)
+        cent_arr = (
+            vec.filter(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
+        )
+        assign = vec.crossJoin(F.broadcast(cent_arr)).select(
+            "vec_id", "v", "nrm",
+            F.array_min(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        (-_cosine(F.col("v"), c["cv"], F.col("nrm"), c["cn"])).alias("neg"),
+                        c["cent_id"].alias("cell"),
+                    ),
+                )
+            )["cell"].alias("cell"),
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        assign.write.partitionBy("cell").mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another process won the race
+    return spark.read.parquet(path)
+
+
+def ss21_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving from the STORED index via dynamic partition pruning —
+    the production lifecycle ss02 computes inline: build the inverted
+    lists once (``_ivf_index_stored``: assignment parquet partitioned by
+    cell), then each query batch joins its probe cells against the
+    index table and Spark's DPP turns the probe list into a PARTITION
+    FILTER on the scan — only the probed cells' files are ever read
+    (plan-pinned: ``dynamicpruning`` in PartitionFilters). At 100 TB
+    this is the difference between scanning the corpus per query batch
+    and reading N_PROBE/N_CENTROIDS of it; the same mechanism serves
+    any partitioned ANN layout (IVF cells, LSH buckets, date shards).
+
+    Results are bit-identical to ss02 (same assignment argmax, same
+    HOF cosine on the round-tripped doubles — parquet stores IEEE764
+    exactly), so the oracle is ss02's; what changes is the PHYSICAL
+    strategy, exactly as dd13 is dd12's production swap."""
+    idx = _ivf_index_stored(spark, sf_dir)
+    vec = _vectors(spark, sf_dir)
+    cent_arr = (
+        vec.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
+    )
+    neg_cells = F.array_sort(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                (-_cosine(F.col("v"), c["cv"], F.col("nrm"), c["cn"])).alias("neg"),
+                c["cent_id"].alias("cell"),
+            ),
+        )
+    )
+    probes = (
+        vec.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+            F.explode(
+                F.transform(F.slice(neg_cells, 1, N_PROBE), lambda s: s["cell"])
+            ).alias("cell"),
+        )
+    )
+    cands = (
+        idx.join(F.broadcast(probes), idx["cell"] == probes["cell"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+# identical results to ss02 by construction — the op differs only in
+# physical strategy (stored partitioned index + DPP-pruned serve scan)
+SS21_SQL = SS02_SQL
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -2589,6 +2698,7 @@ QUERIES = {
     "ss20_ann_binary": ss20_ann_binary,
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
+    "ss21_ann_ivf_partitioned": ss21_ann_ivf_partitioned,
 }
 
 # Operator-authored lineage through the Python barriers (lineage.analyze
@@ -2633,4 +2743,7 @@ ORACLES = {
     "dd12_semdedup": DD12_SQL,
     # dd13 is dd12 on the Arrow/BLAS kernel - identical output contract
     "dd13_semdedup_arrow": DD12_SQL,
+    # ss21 is ss02 served from the stored partitioned index (DPP scan) -
+    # identical output contract, different physical strategy
+    "ss21_ann_ivf_partitioned": SS21_SQL,
 }

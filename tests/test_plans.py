@@ -650,3 +650,22 @@ def test_web_ops_scan_fused_codegen(spark):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert keys and set(keys) <= {"ch"}, keys
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_ss21_serves_from_partition_pruned_index(spark):
+    """ss21: the stored IVF index is a cell-partitioned parquet table and
+    the serve join prunes it via DYNAMIC PARTITION PRUNING — the probe
+    list becomes a partition filter, so only the probed cells' files are
+    read (the 100 TB mechanism: N_PROBE/N_CENTROIDS of the index per
+    query batch, never the corpus)."""
+    from hive_lineage_spark.operators import similarity as SS
+
+    df = SS.ss21_ann_ivf_partitioned(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "ivf_index_v1" in plan, plan
+    # results are bit-identical to the inline ss02 computation
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, SS.ss02_ann_ivf(spark, SF).collect()))
+    assert got == want

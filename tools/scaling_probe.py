@@ -63,6 +63,7 @@ PROBE = [
     ("web05_boilerplate_gate", "linear block HOF pipeline inside each row; zero exchanges"),
     ("tx23_fasttext_gate", "linear bigram pass; B-row broadcast weight table; one doc-keyed score agg"),
     ("web06_url_canonical_dedup", "linear canonicalization map; hash-keyed group agg + join back"),
+    ("ss21_ann_ivf_partitioned", "DPP-pruned index scan: N_PROBE/N_CENTROIDS of the stored index per batch"),
 ]
 
 
