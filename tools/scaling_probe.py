@@ -57,7 +57,7 @@ PROBE = [
     ("sk02_countmin_topk", "linear token scan; counters capped at 4x512 cells"),
     ("sk03_hll_source_overlap", "linear scan into sketches; pair stage register-sized (exact evidence leg ~quadratic in overlap)"),
     ("dq09_quantile_profile", "one exact-percentile agg (sort-based; approx_percentile at scale) + one broadcast fence-count pass"),
-    ("sk04_hll_precision_ladder", "one hash pass, three register-capped partial aggs + one exact baseline"),
+    ("sk04_hll_precision_ladder", "ONE shared register agg pass + register-sized rung re-aggs + one exact baseline"),
     ("sk05_source_intake_report", "one hash pass + shared gram frame + register folds; rollups source-count-sized"),
     ("web04_html_extract", "linear codegen string map fused into the scan; zero exchanges"),
     ("web05_boilerplate_gate", "linear block HOF pipeline inside each row; zero exchanges"),
