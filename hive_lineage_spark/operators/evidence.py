@@ -14,8 +14,9 @@ docstring claim: each op takes ``evidence: bool | None = None``;
 (default ON, so the registry/oracle contract is unchanged — the driver
 never sets it). ``evidence=False`` (or ``SPARK_GRAFT_EVIDENCE=0``)
 removes the exact legs from the PLAN (plan-pinned in
-``tests/test_plans.py::test_evidence_off_*``: the corpus-keyed exchange
-is absent), and the evidence columns from the schema.
+``tests/test_evidence.py``: the corpus-keyed exchange is absent and the
+surviving columns are value-equal to oracle mode), and the evidence
+columns from the schema.
 
 Ops where the flag intentionally does NOT exist:
 
@@ -35,9 +36,15 @@ import os
 ENV_FLAG = "SPARK_GRAFT_EVIDENCE"
 
 
+_OFF_VALUES = {"0", "false", "off", "no"}
+
+
 def evidence_enabled(evidence: bool | None = None) -> bool:
     """Resolve an op's ``evidence`` kwarg: explicit argument wins,
-    otherwise the env flag (default ON — oracle mode)."""
+    otherwise the env flag (default ON — oracle mode). Every common
+    falsey spelling turns the legs off — a deploy setting
+    ``SPARK_GRAFT_EVIDENCE=false`` must not silently pay oracle-mode
+    cost at scale."""
     if evidence is not None:
         return bool(evidence)
-    return os.environ.get(ENV_FLAG, "1") != "0"
+    return os.environ.get(ENV_FLAG, "1").strip().lower() not in _OFF_VALUES

@@ -2576,10 +2576,16 @@ def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..sources.registry import scratch_key
+    from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(repo, ".scratch", scratch_key(sf_dir), "ivf_index_v1")
+    # cache key carries everything that shapes the index: the centroid
+    # count AND the source parquet's (mtime, size) — changing the
+    # constants or regenerating the data invalidates the stored index
+    # instead of silently serving stale cell assignments
+    st = os.stat(table_path(sf_dir, "embeddings"))
+    tag = f"ivf_index_c{N_CENTROIDS}_m{int(st.st_mtime)}_s{st.st_size}_v1"
+    path = os.path.join(repo, ".scratch", scratch_key(sf_dir), tag)
     if not os.path.exists(path):
         vec = _vectors(spark, sf_dir)
         cent_arr = (

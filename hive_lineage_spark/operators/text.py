@@ -1995,11 +1995,13 @@ def tx23_fasttext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("f")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
-    tp = feats.filter(F.col("doc_id") % 3 == 1).groupBy().agg(
-        (F.count(F.lit(1)) + DSIR_BUCKETS).alias("tp")
+    # totals fold off the B-row count frames (sum(cp) == the pos slice's
+    # feature count) — NOT off two more corpus featurization passes
+    tp = pos.groupBy().agg(
+        (F.coalesce(F.sum("cp"), F.lit(0)) + DSIR_BUCKETS).alias("tp")
     )
-    tn = feats.filter(F.col("doc_id") % 3 == 2).groupBy().agg(
-        (F.count(F.lit(1)) + DSIR_BUCKETS).alias("tn")
+    tn = neg.groupBy().agg(
+        (F.coalesce(F.sum("cn"), F.lit(0)) + DSIR_BUCKETS).alias("tn")
     )
     prior = d.groupBy().agg(
         F.sum((F.col("doc_id") % 3 == 1).cast("long")).alias("np"),

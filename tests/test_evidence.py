@@ -105,7 +105,6 @@ def test_sk04_evidence_off_single_corpus_pass(spark):
     assert plan.count("Scan parquet") == 1, plan
     on = SK.sk04_hll_precision_ladder(spark, SF, evidence=True)
     assert _plan(on).count("Scan parquet") == 2  # + the exact evidence leg
-    on = SK.sk04_hll_precision_ladder(spark, SF, evidence=True)
     assert _rows(off) == _rows(on, ["m", "sigma_pct", "hll_est"])
 
 

@@ -664,7 +664,7 @@ def test_ss21_serves_from_partition_pruned_index(spark):
     df.collect()
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower(), plan
-    assert "ivf_index_v1" in plan, plan
+    assert "ivf_index_c" in plan, plan  # the stored, fingerprint-tagged index
     # results are bit-identical to the inline ss02 computation
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, SS.ss02_ann_ivf(spark, SF).collect()))
