@@ -731,7 +731,9 @@ SK05_MAX_DUP_RATE = 0.2
 SK05_MIN_VOCAB = 100.0
 
 
-def sk05_source_intake_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sk05_source_intake_report(
+    spark: SparkSession, sf_dir: str, evidence: bool | None = None
+) -> DataFrame:
     """Per-source intake QA report — the one-page verdict a data team
     reads before ACCEPTING a crawl dump / feed into the corpus: volume
     (docs, languages, mean length), exact-duplicate rate (dd01's
@@ -740,6 +742,13 @@ def sk05_source_intake_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHARED persisted (source, gram) frame — one tokenize pass feeds
     sk03 and this report), and a fixed-threshold accept verdict
     (dup_rate <= {SK05_MAX_DUP_RATE}, vocab >= {SK05_MIN_VOCAB:g}).
+
+    ``evidence=False`` (the sk03 contract): the gram distinct+persist —
+    an artifact of sk03's exact-evidence leg — is skipped and the vocab
+    registers build from one un-persisted corpus pass (duplicate grams
+    cannot move a max-aggregated register, so values are identical;
+    plan-pinned). The dup-rate leg is the op's OWN signal, not
+    evidence, and runs in both modes.
 
     SCALE shape: one text-hash pass (map-side combined), one corpus
     scan into the shared gram frame, register-sized HLL folds, and
@@ -765,9 +774,14 @@ def sk05_source_intake_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.sum("n_chars").alias("sum_chars"),
     )
-    po = _source_grams(spark, sf_dir)
+    if evidence_enabled(evidence):
+        grams = _source_grams(spark, sf_dir)
+    else:
+        grams = _docs(spark, sf_dir).select(
+            "source", F.explode(word_ngrams("text", 3)).alias("gram")
+        )
     vocab = (
-        _hll_fold(_hll_registers(po.select("source", poly_hash("gram").alias("h")), ["source"]), ["source"])
+        _hll_fold(_hll_registers(grams.select("source", poly_hash("gram").alias("h")), ["source"]), ["source"])
         .select("source", _hll_est(F.col("n_present"), F.col("s_sparse")).alias("vocab_est"))
     )
     rep = (

@@ -130,3 +130,16 @@ def test_ss20_evidence_off_drops_exact_leg(spark):
     assert p_off.count("Scan parquet") < p_on.count("Scan parquet"), p_off
     assert _rows(off) == _rows(on, off.columns)
     clear_postings_cache()
+
+
+def test_sk05_evidence_off_skips_gram_persist(spark):
+    clear_postings_cache()
+    off = SK.sk05_source_intake_report(spark, SF, evidence=False)
+    plan = _plan(off)
+    # no persisted gram artifact, no distinct: the vocab registers build
+    # from one un-persisted pass; exchanges key on source/bucket/hash
+    assert "InMemoryTableScan" not in plan, plan
+    assert "gram" not in " | ".join(_exchange_keys(plan)), plan
+    on = SK.sk05_source_intake_report(spark, SF, evidence=True)
+    assert _rows(off) == _rows(on, off.columns)
+    clear_postings_cache()
