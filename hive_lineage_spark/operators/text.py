@@ -1985,22 +1985,30 @@ def tx23_fasttext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, b) -> concat(a, ' ', b)))"
         ).alias("bg"),
     ).select("doc_id", (poly_hash("bg") % DSIR_BUCKETS).alias("f"))
-    pos = (
-        feats.filter(F.col("doc_id") % 3 == 1)
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("cp"))
-    )
-    neg = (
-        feats.filter(F.col("doc_id") % 3 == 2)
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("cn"))
-    )
-    # totals fold off the B-row count frames (sum(cp) == the pos slice's
-    # feature count) — NOT off two more corpus featurization passes
-    tp = pos.groupBy().agg(
+    # THE MODEL is one persisted B-row artifact — both class counts in
+    # one corpus pass (train once, serve from the table: without the
+    # persist, Spark re-executed the featurize+count subtree per
+    # consumer — 12 corpus scans in the r13 first cut; tx12/dd02's
+    # exchange-reuse lesson applies to model tables too)
+    from .dedup import _persisted
+
+    def _build_model(s: SparkSession, dd: str) -> DataFrame:
+        return (
+            feats.filter(F.col("doc_id") % 3 != 0)
+            .groupBy("f")
+            .agg(
+                F.sum((F.col("doc_id") % 3 == 1).cast("long")).alias("cp"),
+                F.sum((F.col("doc_id") % 3 == 2).cast("long")).alias("cn"),
+            )
+        )
+
+    model = _persisted("tx23_model", spark, sf_dir, _build_model)
+    # totals fold off the B-row model frame (sum(cp) == the pos slice's
+    # feature count) — never off more corpus featurization passes
+    tp = model.groupBy().agg(
         (F.coalesce(F.sum("cp"), F.lit(0)) + DSIR_BUCKETS).alias("tp")
     )
-    tn = neg.groupBy().agg(
+    tn = model.groupBy().agg(
         (F.coalesce(F.sum("cn"), F.lit(0)) + DSIR_BUCKETS).alias("tn")
     )
     prior = d.groupBy().agg(
@@ -2014,8 +2022,7 @@ def tx23_fasttext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.log("tn")
     )
     scored = (
-        feats.join(pos, "f", "left")
-        .join(neg, "f", "left")
+        feats.join(F.broadcast(model), "f", "left")
         .crossJoin(F.broadcast(tp))
         .crossJoin(F.broadcast(tn))
         .select("doc_id", F.struct("f", w.alias("w")).alias("fw"))
