@@ -64,6 +64,13 @@ def default_table_resolver(path: str) -> str | None:
         return base[: -len(".parquet")]
     if base.endswith("_us") and ".scratch" in path:
         return base[: -len("_us")]
+    # the stored IVF index (operators/similarity._ivf_index_stored) is a
+    # derived, fingerprint-tagged copy of the embeddings table — resolve
+    # its serve scans back to `embeddings` so ss21's column lineage
+    # links the served index to its source instead of dead-ending at an
+    # anonymous .scratch directory
+    if base.startswith("ivf_index_") and ".scratch" in path:
+        return "embeddings"
     return None
 
 

@@ -246,11 +246,28 @@ _DRIVER_PRIORITY = [
     "web06_url_canonical_dedup",
     "q20_union_distinct", "q21_window_topk_per_group", "q22_rollup",
     "q23_scalar_subquery", "q24_window_bucket_agg", "q26_json_extract",
+    # Round-14 rotation, part 1 (VERDICT r13 items 1+7). In FIRST:
+    # sk05 — the r13 crack: its source changed (commit 8078349,
+    # evidence-flag extension) AFTER its r12 green row sealed, so its
+    # CURRENT code is driver-uncertified; changed-since-certified ops
+    # now redden test_no_silent_rotation_debt until they hold a slot.
+    # Then the oldest-green tail: q28/q29/q30/q41, r01-certified only,
+    # 13 rounds since their green row (ORC/CSV/JSON roundtrips +
+    # session window). Out, all 4x-certified (r10-r13) and unchanged:
+    # dd15 (dd16/dd17/dd18 keep the dedup family; its MinHash estimate
+    # vs exact-Jaccard calibration stays local-oracle- and
+    # pytest-pinned), ss16 (ss13/ss21 keep IVF serving, ss15's
+    # norm-augment reduction it composes stays pytest-pinned), ss17
+    # (ss19/ss20 keep multi-leg retrieve+rerank shapes), tx15 (incoming
+    # tp16 embeds the BPE trainer+encode map wholesale in its oracle),
+    # tx18 (tx21's Kneser-Ney keeps the held-out LM ladder in-window).
+    "sk05_source_intake_report",
+    "q28_orc_roundtrip", "q29_csv_roundtrip", "q30_json_roundtrip",
+    "q41_session_window",
     # deduplication (dd06 rotated out r10 — certified r1-r9, cosine
     # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
     # is its Arrow twin; dd02 out r11 — dd17 embeds its pair
-    # generation wholesale)
-    "dd15_minhash_calibration",
+    # generation wholesale; dd15 out r14, see above)
     "dd16_cdc_chunks",
     "dd17_cluster_keep_best",
     "dd18_longest_dup_span",
@@ -265,14 +282,11 @@ _DRIVER_PRIORITY = [
     # and pytest-pinned).
     "ss13_ann_ivfpq",
     "ss21_ann_ivf_partitioned",
-    "ss16_mips_ivf", "ss17_rank_fusion",
     "ss18_ann_matryoshka", "ss19_ann_filtered", "ss20_ann_binary",
     # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
     # tx12/tx13 rotated out mid-r10, tx14 out in the second promotion;
     # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
-    # ladder)
-    "tx15_bpe_train",
-    "tx18_backoff_xent",
+    # ladder; tx15/tx18 out r14, see the round-14 note above)
     "tx20_ccnet_buckets", "tx21_kneser_ney_xent",
     # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
     # decode harder paths; incoming mm16/mm17/mm18 run the real decode

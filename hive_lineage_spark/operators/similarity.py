@@ -2566,6 +2566,15 @@ SS20_SQL = f"""
 """
 
 
+# version of the stored-index ASSIGNMENT algorithm (folded into the
+# cache tag): bump whenever the cell-assignment expression inside
+# _ivf_index_stored changes semantics — the (mtime, size) fingerprint
+# only tracks the DATA, so without this a code change would silently
+# serve stale cell assignments from an existing .scratch index until
+# the ss02 parity test happened to run on that machine.
+_IVF_INDEX_ALGO_V = 1
+
+
 def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED IVF index: ss02's cell assignment written ONCE
     per corpus snapshot as parquet PARTITIONED BY cell — the artifact a
@@ -2580,13 +2589,26 @@ def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     # cache key carries everything that shapes the index: the centroid
-    # count AND the source parquet's (mtime, size) — changing the
-    # constants or regenerating the data invalidates the stored index
-    # instead of silently serving stale cell assignments
+    # count, the source parquet's (mtime, size), AND the assignment
+    # algorithm version — changing the constants, regenerating the
+    # data, or editing the assignment expression invalidates the stored
+    # index instead of silently serving stale cell assignments. Bump
+    # _IVF_INDEX_ALGO_V alongside ANY change to the assignment below
+    # (_vectors normalization, _cosine, the argmax/tie-break rule).
     st = os.stat(table_path(sf_dir, "embeddings"))
-    tag = f"ivf_index_c{N_CENTROIDS}_m{int(st.st_mtime)}_s{st.st_size}_v1"
-    path = os.path.join(repo, ".scratch", scratch_key(sf_dir), tag)
+    tag = (
+        f"ivf_index_c{N_CENTROIDS}_m{int(st.st_mtime)}_s{st.st_size}"
+        f"_v{_IVF_INDEX_ALGO_V}"
+    )
+    scratch_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir))
+    path = os.path.join(scratch_dir, tag)
     if not os.path.exists(path):
+        # sweep tmp dirs orphaned by a crash between write and rename
+        # (their pid-suffixed names never become a served index)
+        if os.path.isdir(scratch_dir):
+            for leftover in os.listdir(scratch_dir):
+                if leftover.startswith(f"{tag}.tmp-"):
+                    shutil.rmtree(os.path.join(scratch_dir, leftover), ignore_errors=True)
         vec = _vectors(spark, sf_dir)
         cent_arr = (
             vec.filter(F.col("vec_id") < N_CENTROIDS)
@@ -2611,7 +2633,13 @@ def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # another process won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+            # a lost concurrent-build race is only excusable when the
+            # winner's index actually exists; any other rename failure
+            # (permissions, partial write) must surface here, not as a
+            # confusing missing-path error from the read below
+            if not os.path.exists(path):
+                raise
     return spark.read.parquet(path)
 
 

@@ -2033,8 +2033,14 @@ def tx23_fasttext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list("fw")), F.lit(0.0), lambda a, s: a + s["w"]
         ).alias("s"),
     )
+    # Laplace-smoothed prior (matches the +1-smoothed weights): with an
+    # un-smoothed ln(np)-ln(nn), an empty training slice turns Spark's
+    # F.log(0) into NULL scores (and NULL keep verdicts) while DuckDB's
+    # ln(0) diverges — the gate and cross-engine parity both break on
+    # an edge-case corpus. Smoothing keeps the prior finite everywhere.
     score = F.round(
-        F.col("s") / F.col("n_feats") + F.log("np") - F.log("nn") + 1e-9, 6
+        F.col("s") / F.col("n_feats")
+        + F.log(F.col("np") + 1) - F.log(F.col("nn") + 1) + 1e-9, 6
     )
     return (
         per_doc.crossJoin(F.broadcast(prior))
@@ -2086,8 +2092,8 @@ TX23_SQL = f"""
         FROM scored GROUP BY doc_id
     )
     SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
-           round(s / n_feats + ln(np) - ln(nn) + 1e-9, 6) AS score,
-           CAST(round(s / n_feats + ln(np) - ln(nn) + 1e-9, 6) > 0 AS INT) AS keep
+           round(s / n_feats + ln(np + 1) - ln(nn + 1) + 1e-9, 6) AS score,
+           CAST(round(s / n_feats + ln(np + 1) - ln(nn + 1) + 1e-9, 6) > 0 AS INT) AS keep
     FROM per_doc CROSS JOIN prior
 """
 

@@ -669,3 +669,25 @@ def test_ss21_serves_from_partition_pruned_index(spark):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, SS.ss02_ann_ivf(spark, SF).collect()))
     assert got == want
+
+
+def test_ss21_lineage_resolves_index_to_embeddings(spark):
+    """The served index scan must NOT dead-end lineage at the anonymous
+    .scratch ivf_index_* directory: default_table_resolver maps it back
+    to `embeddings` (the index is a derived copy of that table), so
+    ss21's input tables and column lineage link the serve path to the
+    source corpus — a lineage framework's flagship op must itself be
+    fully lineage'd."""
+    from hive_lineage_spark.hook import LineageTracker, default_table_resolver
+    from hive_lineage_spark.operators import similarity as SS
+
+    df = SS.ss21_ann_ivf_partitioned(spark, SF)
+    df.collect()
+    ql = LineageTracker().track(df, name="ss21")
+    assert ql.result.input_tables == ["embeddings"], ql.result.input_tables
+    # neighbor ids come from the index side; the resolver ties them to
+    # the embeddings table, not a scratch directory
+    assert ql.column_map()["neighbor_id"] == {("embeddings", "vec_id")}
+    # the resolver rule itself, both the root and a partition subpath
+    assert default_table_resolver("/r/.scratch/sf0.001/ivf_index_c8_m1_s2_v1") == "embeddings"
+    assert default_table_resolver("/r/x/sf1/ivf_index_c8_m1_s2_v1") is None  # not scratch

@@ -115,3 +115,36 @@ def test_no_silent_rotation_debt():
         f"queued in a round whose CORRECTNESS already landed but still "
         f"not in _DRIVER_PRIORITY[:50]: {overdue}"
     )
+    # the round-13 sk05 lesson: never-certified debt was guarded but an
+    # op whose SOURCE changed after its last green row slipped through —
+    # the green row certifies the code as it was then, not as it is
+    # now. tools.certified.changed_since_certified blames each query's
+    # defining lines against the epoch its last CORRECTNESS round
+    # landed; any changed op must hold a window slot THE ROUND IT
+    # CHANGES.
+    from tools.certified import changed_debt
+
+    stale_certified = changed_debt(window)
+    assert not stale_certified, (
+        f"source changed after last green driver row but no window "
+        f"slot this round (tools/certified.py --changed): {stale_certified}"
+    )
+
+
+def test_changed_debt_reddens_synthetic_case():
+    """changed_debt must report a changed-since-certified op that lacks
+    a window slot (the guard test_no_silent_rotation_debt relies on
+    this — a helper that silently returned [] would green the suite
+    over real debt, exactly the r13 sk05 escape)."""
+    from tools.certified import changed_debt
+
+    rows = [
+        {"query": "zz98_changed_outside", "last_round": 3, "changed": True},
+        {"query": "zz97_changed_inside", "last_round": 3, "changed": True},
+        {"query": "zz96_unchanged", "last_round": 3, "changed": False},
+        {"query": "zz95_unknown", "last_round": None, "changed": None},
+    ]
+    window = {"zz97_changed_inside", "zz96_unchanged"}
+    assert changed_debt(window, rows=rows) == ["zz98_changed_outside"]
+    # in-window changed ops and unchanged ops are not debt
+    assert changed_debt({"zz98_changed_outside", "zz97_changed_inside"}, rows=rows) == []

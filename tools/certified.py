@@ -160,6 +160,22 @@ def changed_since_certified(repo_root: str = REPO_ROOT) -> list[dict]:
     return rows
 
 
+def changed_debt(window: set[str], rows: list[dict] | None = None,
+                 repo_root: str = REPO_ROOT) -> list[str]:
+    """Queries whose defining source changed AFTER their last green
+    driver row and that hold no slot in the current certification
+    window — the round-13 sk05 lesson: a green row certifies the code
+    as it was then, so a post-certification edit reopens the debt and
+    the op must rotate back in the round it changes. Pure function of
+    (rows, window) so the guard test can redden a synthetic case
+    without touching git state."""
+    if rows is None:
+        rows = changed_since_certified(repo_root)
+    return sorted(
+        r["query"] for r in rows if r["changed"] is True and r["query"] not in window
+    )
+
+
 def main() -> None:
     import sys
 
