@@ -299,9 +299,14 @@ _DRIVER_PRIORITY = [
     "mm21_phash_search", "mm22_audio_quality",
     # composed pipeline + training-prep (tp01 rotated out r10 —
     # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
-    # packing/chunking; tp12/tp13 in from the r10 queue)
-    "tp13_range_partition",
+    # packing/chunking; tp12/tp13 in from the r10 queue). Round-14:
+    # tp16 (token-exact packing — tx19's BPE encode counts driving
+    # tp03's layout) lands and certifies the same round; out for it:
+    # tp13 (4x-certified r10-r13, unchanged — tp15/tp16 keep the
+    # planning/packing family in-window, the range-partition balance
+    # audit stays local-oracle- and pytest-pinned).
     "tp15_doremi_reweight",
+    "tp16_token_exact_packing",
     # data-quality gates (dq01/dq02/dq03 rotated out during r10 —
     # dq03's drift is two dq01 profiles; dq04 keeps the volume gate,
     # dq05 in from the r10 queue)

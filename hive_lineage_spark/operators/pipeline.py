@@ -1334,6 +1334,102 @@ TP15_SQL = f"""
 """
 
 
+def tp16_token_exact_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-EXACT sequence packing — tp03's layout driven by the
+    TOKENIZER's counts instead of whitespace word counts, which is what
+    a production pretraining pipeline actually packs by (HF packing
+    operates on tokenized lengths; a word-count budget over- or
+    under-fills sequences by the corpus's tokens-per-word ratio).
+
+    Composition, not retraining: the per-doc token count comes from the
+    tx15-trained BPE vocabulary exactly as tx19 computes it — the final
+    symbol table IS a word→token-count map (``_bpe_stage``'s persisted
+    frame, built once per session and shared with tx19), each document
+    folds to ``Σ n_tok(word)`` through one broadcast hash join on the
+    distinct-word vocabulary, and tp03's sharded windowed-cumsum then
+    lays those exact lengths head-to-tail into ``PACK_BUDGET``-token
+    sequences (seq_id / offset / overflow, all-integer arithmetic).
+
+    Scale shape: the vocabulary join is map-side (vocab ≪ corpus); one
+    corpus-sized exchange for the per-doc partial agg and one on the
+    shard key for the cumsum window — parallelism = PACK_SHARDS by
+    construction, same as tp03; nothing new materializes per query.
+
+    Reference: n/a (LLM-pipeline scope; trainer = tx15 / Sennrich et
+    al. 2016, packing = tp03's layout)."""
+    from .text import BPE_MERGES, _bpe_stage
+
+    stage = _bpe_stage(spark, sf_dir, BPE_MERGES)
+    vocab = stage.select(
+        F.array_join("syms", "").alias("w"), F.size("syms").alias("n_tok")
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+        .join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").cast("int").alias("n_tokens"))
+    )
+    d = toks.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("long").alias("seq_id"),
+        F.pmod(start, F.lit(PACK_BUDGET)).cast("long").alias("offset"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.pmod(start, F.lit(PACK_BUDGET)) + F.col("n_tokens") - PACK_BUDGET).cast("long"),
+        ).alias("overflow"),
+    )
+
+
+def _tp16_sql() -> str:
+    from .text import BPE_MERGES, _bpe_chain_sql
+
+    return (
+        _bpe_chain_sql()
+        + f""",
+    vocab AS (
+        SELECT array_to_string(syms, '') AS w, len(syms) AS n_tok
+        FROM s{BPE_MERGES}
+    ),
+    wds AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, CAST(sum(n_tok) AS INT) AS n_tokens,
+               CAST(doc_id % {PACK_SHARDS} AS INT) AS shard
+        FROM wds JOIN vocab USING (w)
+        GROUP BY doc_id
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY n_tokens DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT) AS start
+        FROM tok
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+           CAST(start % {PACK_BUDGET} AS BIGINT) AS offset,
+           CAST(greatest(0, start % {PACK_BUDGET} + n_tokens - {PACK_BUDGET}) AS BIGINT) AS overflow
+    FROM c
+"""
+    )
+
+
+TP16_SQL = _tp16_sql()
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
@@ -1350,6 +1446,7 @@ QUERIES = {
     "tp13_range_partition": tp13_range_partition,
     "tp14_budget_waterfill": tp14_budget_waterfill,
     "tp15_doremi_reweight": tp15_doremi_reweight,
+    "tp16_token_exact_packing": tp16_token_exact_packing,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "dd17_cluster_keep_best": dd17_cluster_keep_best,
@@ -1374,6 +1471,7 @@ ORACLES = {
     "tp13_range_partition": TP13_SQL,
     "tp14_budget_waterfill": TP14_SQL,
     "tp15_doremi_reweight": TP15_SQL,
+    "tp16_token_exact_packing": TP16_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "dd17_cluster_keep_best": DD17_SQL,

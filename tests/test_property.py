@@ -606,3 +606,44 @@ def test_ss20_sign_code_matches_numpy_model(spark):
         hi = int(sum(1 << j for j in range(32) if v[j] > 0))
         lo = int(sum(1 << j for j in range(32) if v[32 + j] > 0))
         assert got[i] == (hi, lo), (i, got[i], (hi, lo))
+
+
+def test_tp16_token_exact_packing_invariants(spark):
+    """tp16 packs by the TOKENIZER's counts: (1) its per-doc n_tokens
+    must equal tx19's BPE encode count exactly (the composition is the
+    op's whole point — a drift here means it silently packs by some
+    other length); (2) within a shard, documents tile the token line
+    contiguously: ordered by global start = seq_id*B + offset, each
+    start is the previous start + previous n_tokens, and overflow is
+    exactly the part that crosses the B boundary; (3) the vocabulary
+    join must be broadcast (map-side) — the corpus never shuffles on
+    the word key."""
+    from pyspark.sql import functions as F
+
+    from hive_lineage_spark.operators.pipeline import (
+        PACK_BUDGET,
+        tp16_token_exact_packing,
+    )
+    from hive_lineage_spark.operators.text import tx19_bpe_apply
+
+    sf = "/root/testdata/sf0.001"
+    rep = tp16_token_exact_packing(spark, sf)
+    rows = rep.collect()
+    tx = {r["doc_id"]: r["n_tokens"] for r in tx19_bpe_apply(spark, sf).collect()}
+    assert len(rows) == len(tx)
+    for r in rows:
+        assert r["n_tokens"] == tx[r["doc_id"]], r
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["seq_id"] * PACK_BUDGET + r["offset"])
+        pos = 0
+        for r in rs:
+            start = r["seq_id"] * PACK_BUDGET + r["offset"]
+            assert start == pos, (shard, r, pos)
+            assert r["overflow"] == max(0, r["offset"] + r["n_tokens"] - PACK_BUDGET), r
+            pos += r["n_tokens"]
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

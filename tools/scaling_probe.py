@@ -64,6 +64,7 @@ PROBE = [
     ("tx23_fasttext_gate", "linear bigram pass; B-row broadcast weight table; one doc-keyed score agg"),
     ("web06_url_canonical_dedup", "linear canonicalization map; hash-keyed group agg + join back"),
     ("ss21_ann_ivf_partitioned", "DPP-pruned index scan: N_PROBE/N_CENTROIDS of the stored index per batch"),
+    ("tp16_token_exact_packing", "linear encode join (vocab broadcast) + per-shard cumsum window"),
 ]
 
 
