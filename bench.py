@@ -139,6 +139,7 @@ EXTRA = [
     "sk05_source_intake_report",  # per-source intake QA verdict (round 12)
     "web04_html_extract",      # HTML->text extraction metrics, zero-exchange (round 13)
     "tp16_token_exact_packing",  # BPE-token-exact sequence packing (round 14)
+    "web07_robots_compliance_gate",  # robots/licence/opt-out gate, zero-exchange (round 14)
     "web05_boilerplate_gate",  # jusText block gate inside HOFs, zero-exchange (round 13)
     "tx23_fasttext_gate",      # fastText-shape linear quality classifier (round 13)
     "web06_url_canonical_dedup",  # canonical-URL variant dedup, hash-keyed (round 13)

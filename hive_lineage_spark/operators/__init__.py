@@ -286,8 +286,14 @@ _DRIVER_PRIORITY = [
     # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
     # tx12/tx13 rotated out mid-r10, tx14 out in the second promotion;
     # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
-    # ladder; tx15/tx18 out r14, see the round-14 note above)
-    "tx20_ccnet_buckets", "tx21_kneser_ney_xent",
+    # ladder; tx15/tx18 out r14, see the round-14 note above). Round-14
+    # second registration: web07 (robots/licence/opt-out compliance
+    # gate) certifies the round it lands; out for it: tx20
+    # (4x-certified r10-r13, unchanged — tx21 keeps held-out LM
+    # scoring and tx22/tx23 keep model-based gating in-window, the
+    # per-lang tertile machinery stays local-oracle- and pytest-pinned).
+    "tx21_kneser_ney_xent",
+    "web07_robots_compliance_gate",
     # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
     # decode harder paths; incoming mm16/mm17/mm18 run the real decode
     # chain); the four r9-queue entries stay

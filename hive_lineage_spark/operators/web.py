@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import poly_hash, poly_hash_sql
 from ..sources.registry import load_table
 
 # two-level public suffixes the synthetic TLD mix exercises; a real
@@ -541,6 +542,124 @@ WEB06_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# web07: robots / licence / opt-out compliance gate — the filter every
+# crawl pipeline runs between the URL gate (web03) and fetch. C4 §2.1
+# and RefinedWeb §3.1 both document it: RFC 9309 robots-exclusion rules
+# per host, plus per-page licence and meta opt-out (noai/noindex)
+# signals. The TESTDATA corpus carries neither a robots cache nor page
+# metadata, so BOTH are synthesized deterministically (the web01/web04
+# fixture pattern): per-host rules derive from the registrable domain's
+# cross-engine polynomial hash, per-doc signals from doc_id residues.
+# The COMPLIANCE machinery — longest-match rule resolution, the
+# allow-override, licence classes, the verdict/reason assembly — is the
+# real thing and never sees the construction.
+# ---------------------------------------------------------------------------
+
+# licence classes a crawl manifest carries; nc/all-rights are dropped
+# (the C4/RefinedWeb compliance posture: train only on permissive or
+# unasserted licences)
+_LIC_BLOCKED = ("cc-by-nc", "all-rights-reserved")
+
+
+def web07_robots_compliance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots / licence / opt-out compliance gate: per document, which
+    compliance rules fire and the fetch-allowed verdict.
+
+    Synthesized rule set per registrable domain (h = poly_hash(domain)):
+    ``h % 3 == 0`` → a wildcard disallow on ``*/tag/*`` listing pages;
+    ``h % 5 == 0`` → a host-wide ``Disallow: /``; of those, odd ``h % 2``
+    hosts re-allow the ``/<lang>/s*`` section (``Allow`` override).
+    Resolution is RFC 9309 longest-match: the tag wildcard (longest
+    pattern) beats the section allow, which beats the 1-char host-wide
+    disallow; no match → allowed. Per-doc signals: licence class from
+    ``doc_id % 7`` (cc-by / cc-by-sa / cc-by-nc / all-rights-reserved /
+    none), blocked for {_LIC_BLOCKED}; ``doc_id % 19 == 0`` carries a
+    noai meta opt-out. Reasons concatenate in fixed rule order.
+
+    Scale shape (web03's precedent): the whole gate — URL synthesis,
+    parse, the host-hash rule derivation, longest-match resolution,
+    licence/opt-out CASEs, reason assembly — is ONE map fused into the
+    documents scan: zero exchanges, zero UDFs, zero joins. A production
+    robots cache (per-host fetched rules) swaps the hash-derived rules
+    for a broadcast join on reg_domain; the resolution expressions are
+    unchanged."""
+    d = _parsed(_with_url(_docs(spark, sf_dir).select("doc_id", "source", "lang")))
+    h = poly_hash(F.col("reg_domain"))
+    allow_pfx = F.concat(F.lit("/"), F.col("lang"), F.lit("/s"))
+    tag_hit = (h % 3 == 0) & F.col("path").contains("/tag/")
+    allow_hit = (h % 5 == 0) & (h % 2 == 1) & F.col("path").startswith(allow_pfx)
+    disall_hit = h % 5 == 0
+    robots_blocked = tag_hit | (disall_hit & ~allow_hit)
+    licence = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("cc-by"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("cc-by-sa"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("cc-by-nc"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("all-rights-reserved"))
+        .otherwise(F.lit("none"))
+    )
+    lic_blocked = licence.isin(*_LIC_BLOCKED)
+    meta_optout = F.col("doc_id") % 19 == 0
+    reasons = F.concat_ws(
+        ",",
+        F.when(tag_hit, F.lit("robots_tag_rule")),
+        F.when(disall_hit & ~allow_hit & ~tag_hit, F.lit("robots_disallow_all")),
+        F.when(lic_blocked, F.lit("licence")),
+        F.when(meta_optout, F.lit("meta_noai")),
+    )
+    return d.select(
+        "doc_id",
+        "url",
+        "reg_domain",
+        licence.alias("licence"),
+        robots_blocked.cast("int").alias("robots_blocked"),
+        meta_optout.cast("int").alias("meta_optout"),
+        (~(robots_blocked | lic_blocked | meta_optout)).cast("int").alias("allowed"),
+        reasons.alias("reasons"),
+    )
+
+
+WEB07_SQL = f"""
+    SELECT doc_id, url, reg_domain, licence,
+           CAST(tag_hit OR (disall_hit AND NOT allow_hit) AS INT) AS robots_blocked,
+           CAST(meta_optout AS INT) AS meta_optout,
+           CAST(NOT (tag_hit OR (disall_hit AND NOT allow_hit)
+                     OR lic_blocked OR meta_optout) AS INT) AS allowed,
+           concat_ws(',',
+               CASE WHEN tag_hit THEN 'robots_tag_rule' END,
+               CASE WHEN disall_hit AND NOT allow_hit AND NOT tag_hit
+                    THEN 'robots_disallow_all' END,
+               CASE WHEN lic_blocked THEN 'licence' END,
+               CASE WHEN meta_optout THEN 'meta_noai' END) AS reasons
+    FROM (
+        SELECT doc_id, url, reg_domain, path, lang,
+               h % 3 = 0 AND contains(path, '/tag/') AS tag_hit,
+               h % 5 = 0 AND h % 2 = 1
+                   AND starts_with(path, '/' || lang || '/s') AS allow_hit,
+               h % 5 = 0 AS disall_hit,
+               CASE WHEN doc_id % 7 = 0 THEN 'cc-by'
+                    WHEN doc_id % 7 = 1 THEN 'cc-by-sa'
+                    WHEN doc_id % 7 = 2 THEN 'cc-by-nc'
+                    WHEN doc_id % 7 = 3 THEN 'all-rights-reserved'
+                    ELSE 'none' END AS licence,
+               doc_id % 7 = 2 OR doc_id % 7 = 3 AS lic_blocked,
+               doc_id % 19 = 0 AS meta_optout
+        FROM (
+            SELECT doc_id, url, lang, reg_domain, path,
+                   {poly_hash_sql('reg_domain')} AS h
+            FROM (
+                SELECT doc_id, url, lang,
+                       {_reg_domain_sql()} AS reg_domain, path
+                FROM (
+                    SELECT doc_id, lang, url, {_PARSE_SQL}
+                    FROM (SELECT doc_id, lang, {_URL_SQL} AS url FROM documents)
+                )
+            )
+        )
+    )
+"""
+
+
 QUERIES = {
     "web01_url_parse": web01_url_parse,
     "web02_host_dup_rate": web02_host_dup_rate,
@@ -548,6 +667,7 @@ QUERIES = {
     "web04_html_extract": web04_html_extract,
     "web05_boilerplate_gate": web05_boilerplate_gate,
     "web06_url_canonical_dedup": web06_url_canonical_dedup,
+    "web07_robots_compliance_gate": web07_robots_compliance_gate,
 }
 
 ORACLES = {
@@ -557,4 +677,5 @@ ORACLES = {
     "web04_html_extract": WEB04_SQL,
     "web05_boilerplate_gate": WEB05_SQL,
     "web06_url_canonical_dedup": WEB06_SQL,
+    "web07_robots_compliance_gate": WEB07_SQL,
 }

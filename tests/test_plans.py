@@ -627,7 +627,8 @@ def test_web_ops_scan_fused_codegen(spark):
     from hive_lineage_spark.operators import web
 
     for name in ("web01_url_parse", "web03_url_blocklist",
-                 "web04_html_extract", "web05_boilerplate_gate"):
+                 "web04_html_extract", "web05_boilerplate_gate",
+                 "web07_robots_compliance_gate"):
         df = web.QUERIES[name](spark, SF)
         df.collect()
         plan = _plan(df)

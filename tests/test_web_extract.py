@@ -88,3 +88,58 @@ def test_web06_canonical_dedup_invariants(spark):
     sizes = Counter(r["canon_url"] for r in rows)
     for r in rows:
         assert sizes[r["canon_url"]] == r["n_variants"]
+
+
+def test_web07_compliance_gate_semantics(spark):
+    """web07: (1) the fixture must exercise EVERY rule — each reason
+    string appears on some doc at sf0.001 (a gate whose branches never
+    fire proves nothing); (2) longest-match resolution: a doc on a
+    disallow-all host whose path sits under the /<lang>/s allow section
+    is NOT robots-blocked unless the (longer) tag wildcard also fires;
+    (3) the verdict is exactly the disjunction of the three signals."""
+    from pyspark.sql import functions as F
+
+    from hive_lineage_spark.operators.web import (
+        _LIC_BLOCKED,
+        web07_robots_compliance_gate,
+    )
+
+    rep = web07_robots_compliance_gate(spark, "/root/testdata/sf0.001")
+    rows = rep.collect()
+    all_reasons = {r for row in rows for r in row["reasons"].split(",") if r}
+    assert all_reasons == {
+        "robots_tag_rule", "robots_disallow_all", "licence", "meta_noai"
+    }, all_reasons
+    # both verdicts occur
+    verdicts = {row["allowed"] for row in rows}
+    assert verdicts == {0, 1}, verdicts
+    for row in rows:
+        lic_blocked = row["licence"] in _LIC_BLOCKED
+        want_allowed = int(
+            not (row["robots_blocked"] or lic_blocked or row["meta_optout"])
+        )
+        assert row["allowed"] == want_allowed, row
+        # reasons and flags must agree
+        rs = set(row["reasons"].split(",")) - {""}
+        assert ("licence" in rs) == lic_blocked, row
+        assert ("meta_noai" in rs) == bool(row["meta_optout"]), row
+        assert bool(
+            rs & {"robots_tag_rule", "robots_disallow_all"}
+        ) == bool(row["robots_blocked"]), row
+    # the allow-override fires somewhere: some doc carries NO robots
+    # reason while sitting on a disallow-all host (reachable only via
+    # the /<lang>/s section allow) — pin by reconstructing host rules
+    from hive_lineage_spark.functions.hashing import MOD, MULT
+
+    def ph(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * MULT + ord(ch)) % MOD
+        return h
+
+    overridden = [
+        row for row in rows
+        if ph(row["reg_domain"]) % 5 == 0 and ph(row["reg_domain"]) % 2 == 1
+        and not row["robots_blocked"]
+    ]
+    assert overridden, "allow-override never exercised at sf0.001"

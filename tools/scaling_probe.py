@@ -65,6 +65,7 @@ PROBE = [
     ("web06_url_canonical_dedup", "linear canonicalization map; hash-keyed group agg + join back"),
     ("ss21_ann_ivf_partitioned", "DPP-pruned index scan: N_PROBE/N_CENTROIDS of the stored index per batch"),
     ("tp16_token_exact_packing", "linear encode join (vocab broadcast) + per-shard cumsum window"),
+    ("web07_robots_compliance_gate", "linear codegen gate fused into the scan; zero exchanges"),
 ]
 
 
