@@ -140,6 +140,7 @@ EXTRA = [
     "web04_html_extract",      # HTML->text extraction metrics, zero-exchange (round 13)
     "tp16_token_exact_packing",  # BPE-token-exact sequence packing (round 14)
     "web07_robots_compliance_gate",  # robots/licence/opt-out gate, zero-exchange (round 14)
+    "dd21_exact_dup_spans",    # exact maximal cross-doc spans via aligned runs (round 14)
     "web05_boilerplate_gate",  # jusText block gate inside HOFs, zero-exchange (round 13)
     "tx23_fasttext_gate",      # fastText-shape linear quality classifier (round 13)
     "web06_url_canonical_dedup",  # canonical-URL variant dedup, hash-keyed (round 13)

@@ -294,10 +294,16 @@ _DRIVER_PRIORITY = [
     # per-lang tertile machinery stays local-oracle- and pytest-pinned).
     "tx21_kneser_ney_xent",
     "web07_robots_compliance_gate",
+    # Round-14 third registration: dd21 (exact maximal duplicated
+    # spans, true Lee et al. 2022 semantics over dd18's fixed probe
+    # grid) certifies the round it lands; out for it: mm09
+    # (4x-certified r10-r13, unchanged — mm16/mm17/mm21/mm22 keep
+    # multimodal gating/search in-window, the CLIP-score pair gate
+    # stays local-oracle- and pytest-pinned).
+    "dd21_exact_dup_spans",
     # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
     # decode harder paths; incoming mm16/mm17/mm18 run the real decode
     # chain); the four r9-queue entries stay
-    "mm09_pair_curation",
     "mm11_audio_features",
     "mm15_video_shot_detect",
     "mm16_image_entropy", "mm17_image_phash", "mm18_audio_vad",

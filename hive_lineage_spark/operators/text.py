@@ -795,6 +795,165 @@ DD18_SQL = f"""
 """
 
 
+DD21_W0 = 4  # anchor width: spans shorter than this are below the
+# dedup-interesting threshold (dd18's smallest probe width)
+
+
+def _dd21_positional_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gh) sliding ``DD21_W0``-gram hashes WITH positions
+    — tx12's Horner fold shape, but keeping pos because dd21's run
+    detection needs alignment, not just membership. One tokenize +
+    broadcast vocab join + one per-doc window pass."""
+    from pyspark.sql import Window
+
+    from .dedup import MOD, MULT, _poly_hash_expr, _word_powers
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w_")
+    )
+    vocab = tok.select("w_").distinct().select(
+        "w_", _poly_hash_expr(F.col("w_")).alias("h"), _word_powers(F.col("w_")).alias("p")
+    )
+    tk = tok.join(F.broadcast(vocab), "w_").select("doc_id", "pos", "h", "p")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    acc = F.col("h")
+    last_p = None
+    for i in range(1, DD21_W0):
+        hi, last_p = F.lead("h", i).over(win), F.lead("p", i).over(win)
+        acc = (((acc * MULT + 32) % MOD) * last_p % MOD + hi) % MOD
+    return (
+        tk.select("doc_id", "pos", acc.alias("gh"), last_p.alias("_lp"))
+        .filter(F.col("_lp").isNotNull())
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "gh")
+        .repartition("gh")
+    )
+
+
+def dd21_exact_dup_spans(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
+    """Per-document EXACT maximal cross-document duplicated span at
+    TRUE Lee et al. 2022 semantics — arbitrary span length, not dd18's
+    fixed {4, 8, 16} probe widths: the longest run of words that occurs
+    verbatim in at least one OTHER document, in words, plus how many
+    distinct partner documents attain it.
+
+    The suffix-array formulation re-expressed relationally: two
+    documents share a verbatim span of length L ≥ w0 iff they match on
+    L−w0+1 CONSECUTIVE sliding w0-gram hashes at a CONSTANT alignment
+    offset δ = pos_a − pos_b — so maximal spans are exactly the maximal
+    runs in the (id_a, id_b, δ) anchor-match stream (gaps-and-islands:
+    pos − row_number is constant within a run), and
+    ``max_span = run_len + w0 − 1``. Exact under the same hash-perfect
+    assumption as dd02/dd18.
+
+    Scale shape: anchors come from ONE tokenize pass (persisted
+    positional gram frame, gh-partitioned); the distinct-doc dup filter
+    prunes the vocabulary-sized count table BEFORE the self-join, so
+    only grams that actually cross documents generate pairs; the pair
+    stream is then proportional to the corpus's TRUE duplicated-text
+    volume (what the op measures), keyed on the 8-byte hash, and the
+    run windows shuffle on (id_a, id_b, δ). ``df_cap`` is dd19's
+    saturated-corpus escape hatch: anchors hotter than the cap generate
+    no pairs — span RECALL on docs whose every shared anchor is hot is
+    lost, stated honestly; surviving runs stay exact. Default None =
+    exact (the registered oracle contract); on natural Heaps-law
+    corpora dup-gram dfs stay O(1) and the cap never binds.
+
+    Cross-op consistency (pinned in tests): dd18's ``max_dup_w`` equals
+    the largest probe width ≤ this op's ``max_span``."""
+    from pyspark.sql import Window
+
+    from .dedup import _persisted
+
+    g = _persisted("dd21_pgrams", spark, sf_dir, _dd21_positional_grams)
+    cnt = g.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("nd"), F.count(F.lit(1)).alias("df")
+    )
+    keep = cnt.filter(F.col("nd") > 1)
+    if df_cap is not None:
+        keep = keep.filter(F.col("df") <= df_cap)
+    dup_g = g.join(keep.select("gh"), "gh")
+    a, b = dup_g.alias("a"), dup_g.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        (F.col("a.pos") - F.col("b.pos")).cast("int").alias("delta"),
+        F.col("a.pos").alias("pos"),
+    )
+    win = Window.partitionBy("id_a", "id_b", "delta").orderBy("pos")
+    runs = (
+        matches.withColumn("grp", F.col("pos") - F.row_number().over(win))
+        .groupBy("id_a", "id_b", "delta", "grp")
+        .agg((F.count(F.lit(1)) + DD21_W0 - 1).alias("span"))
+    )
+    md = runs.groupBy("id_a").agg(F.max("span").alias("max_span"))
+    np_ = (
+        runs.join(md, "id_a")
+        .filter(F.col("span") == F.col("max_span"))
+        .groupBy("id_a")
+        .agg(F.countDistinct("id_b").alias("n_partners"))
+    )
+    prof = md.join(np_, "id_a")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(prof, F.col("doc_id") == F.col("id_a"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_span", F.lit(0)).cast("int").alias("max_span"),
+            F.coalesce("n_partners", F.lit(0)).cast("long").alias("n_partners"),
+        )
+    )
+
+
+DD21_SQL = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, {poly_hash_sql('gram')} AS gh
+        FROM (
+            SELECT doc_id, i,
+                   array_to_string(ws[CAST(i + 1 AS INT):CAST(i + {DD21_W0} AS INT)], ' ') AS gram
+            FROM d, unnest(range(len(ws) - {DD21_W0 - 1})) t(i)
+        )
+    ),
+    keep AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+    dg AS (SELECT g.* FROM g JOIN keep USING (gh)),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(a.pos - b.pos AS INT) AS delta, a.pos AS pos
+        FROM dg a JOIN dg b ON a.gh = b.gh AND a.doc_id <> b.doc_id
+    ),
+    runs AS (
+        SELECT id_a, id_b, delta, grp, count(*) + {DD21_W0 - 1} AS span
+        FROM (
+            SELECT id_a, id_b, delta, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY id_a, id_b, delta ORDER BY pos
+                   ) AS grp
+            FROM m
+        )
+        GROUP BY id_a, id_b, delta, grp
+    ),
+    md AS (SELECT id_a, max(span) AS max_span FROM runs GROUP BY id_a),
+    np AS (
+        SELECT r.id_a, count(DISTINCT r.id_b) AS n_partners
+        FROM runs r JOIN md USING (id_a)
+        WHERE r.span = md.max_span
+        GROUP BY r.id_a
+    )
+    SELECT d0.doc_id,
+           CAST(coalesce(md.max_span, 0) AS INT) AS max_span,
+           CAST(coalesce(np.n_partners, 0) AS BIGINT) AS n_partners
+    FROM documents d0
+    LEFT JOIN md ON d0.doc_id = md.id_a
+    LEFT JOIN np ON d0.doc_id = np.id_a
+"""
+
+
 def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring with a unigram model trained on
     the corpus itself: per document, the average token cross-entropy
@@ -2121,6 +2280,7 @@ QUERIES = {
     "tx22_dsir_logweight": tx22_dsir_logweight,
     "tx23_fasttext_gate": tx23_fasttext_gate,
     "dd18_longest_dup_span": dd18_longest_dup_span,
+    "dd21_exact_dup_spans": dd21_exact_dup_spans,
 }
 
 ORACLES = {
@@ -2146,4 +2306,5 @@ ORACLES = {
     "tx22_dsir_logweight": TX22_SQL,
     "tx23_fasttext_gate": TX23_SQL,
     "dd18_longest_dup_span": DD18_SQL,
+    "dd21_exact_dup_spans": DD21_SQL,
 }

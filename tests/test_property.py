@@ -647,3 +647,69 @@ def test_tp16_token_exact_packing_invariants(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dd21_exact_spans_match_text_ground_truth(spark, duck):
+    """dd21's whole point is TRUE Lee-et-al. semantics, so pin it to a
+    TEXT-exact ground truth: re-run the identical run-detection pipeline
+    in DuckDB keyed on the raw gram STRING instead of the polynomial
+    hash — any anchor-hash collision that corrupted a span would show
+    here (dd18's fixed-width probe is measurably collision-inflated on
+    this corpus: a 2^30 hash space over ~25k grams collides; runs of
+    consecutive aligned anchors make dd21 robust, and this test proves
+    the fixture is collision-clean end-to-end). Also pins the dd18
+    relationship one-sided — dd18's max_dup_w is >= the largest probe
+    width <= dd21's exact max_span (text-true spans always flag dd18;
+    the reverse direction can be hash-inflated) — and that the fixture
+    exercises span lengths between and beyond the {4,8,16} probe grid
+    (otherwise dd21 adds nothing over dd18 here)."""
+    from hive_lineage_spark.operators.text import (
+        DD21_W0,
+        DUP_WIDTHS,
+        dd18_longest_dup_span,
+        dd21_exact_dup_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spans = {r["doc_id"]: r for r in dd21_exact_dup_spans(spark, sf).collect()}
+    truth_sql = f"""
+    WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(ws[CAST(i+1 AS INT):CAST(i+{DD21_W0} AS INT)], ' ') AS gram
+      FROM d, unnest(range(len(ws) - {DD21_W0 - 1})) t(i)
+    ),
+    keep AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+    dg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+    m AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, CAST(a.pos-b.pos AS INT) delta, a.pos pos
+      FROM dg a JOIN dg b ON a.gram=b.gram AND a.doc_id<>b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, delta, grp, count(*)+{DD21_W0 - 1} AS span FROM (
+        SELECT id_a,id_b,delta,pos,
+               pos - row_number() OVER (PARTITION BY id_a,id_b,delta ORDER BY pos) grp
+        FROM m
+      ) GROUP BY 1,2,3,4
+    ),
+    md AS (SELECT id_a, max(span) max_span FROM runs GROUP BY 1),
+    np AS (SELECT r.id_a, count(DISTINCT r.id_b) n FROM runs r
+           JOIN md USING(id_a) WHERE r.span=md.max_span GROUP BY 1)
+    SELECT d0.doc_id, coalesce(md.max_span,0), coalesce(np.n,0)
+    FROM documents d0 LEFT JOIN md ON d0.doc_id=md.id_a
+    LEFT JOIN np ON d0.doc_id=np.id_a
+    """
+    truth = {int(r[0]): (int(r[1]), int(r[2])) for r in duck.execute(truth_sql).fetchall()}
+    assert set(spans) == set(truth)
+    for doc_id, row in spans.items():
+        assert (row["max_span"], row["n_partners"]) == truth[doc_id], (
+            doc_id, tuple(row), truth[doc_id],
+        )
+        assert row["max_span"] == 0 or row["max_span"] >= DD21_W0, row
+    d18 = {r["doc_id"]: r["max_dup_w"] for r in dd18_longest_dup_span(spark, sf).collect()}
+    for doc_id, row in spans.items():
+        want_w = max([w for w in DUP_WIDTHS if w <= row["max_span"]], default=0)
+        assert d18[doc_id] >= want_w, (doc_id, row["max_span"], d18[doc_id])
+    lens = {r["max_span"] for r in spans.values()}
+    assert any(l not in (0, 4, 8, 16) for l in lens), sorted(lens)
+    assert max(lens) > 16, sorted(lens)

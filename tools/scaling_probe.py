@@ -66,6 +66,7 @@ PROBE = [
     ("ss21_ann_ivf_partitioned", "DPP-pruned index scan: N_PROBE/N_CENTROIDS of the stored index per batch"),
     ("tp16_token_exact_packing", "linear encode join (vocab broadcast) + per-shard cumsum window"),
     ("web07_robots_compliance_gate", "linear codegen gate fused into the scan; zero exchanges"),
+    ("dd21_exact_dup_spans", "one tokenize pass; pair stream ~ true duplicated-text volume (df_cap escape hatch)"),
 ]
 
 
