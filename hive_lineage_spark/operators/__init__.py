@@ -301,10 +301,16 @@ _DRIVER_PRIORITY = [
     # multimodal gating/search in-window, the CLIP-score pair gate
     # stays local-oracle- and pytest-pinned).
     "dd21_exact_dup_spans",
+    # Round-14 fourth registration: ss22 (residual-encoded IVFPQ,
+    # FAISS's by_residual default; measured next to ss13 by ss09's new
+    # ivfpq_res leg) certifies the round it lands; out for it: mm11
+    # (4x-certified r10-r13, unchanged — mm18/mm20/mm22 keep the audio
+    # chain in-window, the windowed energy/ZCR features stay
+    # local-oracle- and pytest-pinned).
+    "ss22_ann_ivfpq_residual",
     # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
     # decode harder paths; incoming mm16/mm17/mm18 run the real decode
     # chain); the four r9-queue entries stay
-    "mm11_audio_features",
     "mm15_video_shot_detect",
     "mm16_image_entropy", "mm17_image_phash", "mm18_audio_vad",
     "mm20_audio_spectral",

@@ -1353,6 +1353,7 @@ def ss09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, fn in (
         ("ivf", ss02_ann_ivf),
         ("ivfpq", ss13_ann_ivfpq),
+        ("ivfpq_res", ss22_ann_ivfpq_residual),
         ("pq", ss08_ann_pq),
         ("pq_rerank", ss10_ann_pq_rerank),
         ("pq_trained", ss11_ann_pq_trained),
@@ -1401,6 +1402,8 @@ def _ss09_sql() -> str:
         leg("ivf", SS02_SQL)
         + " UNION ALL "
         + leg("ivfpq", SS13_SQL)
+        + " UNION ALL "
+        + leg("ivfpq_res", SS22_SQL)
         + " UNION ALL "
         + leg("pq", SS08_SQL)
         + " UNION ALL "
@@ -1656,6 +1659,241 @@ def _ss13_sql() -> str:
 
 
 SS13_SQL = _ss13_sql()
+
+
+# ---------------------------------------------------------------------------
+# ss22: IVFPQ with RESIDUAL encoding — FAISS's production default
+# (IndexIVFPQ, by_residual=true; Jégou et al. 2011 §IV.A "residual
+# vector quantization"). ss13 PQ-encodes RAW vectors, so every cell
+# shares one codebook centered on the corpus mean and the quantization
+# error carries the cell-to-cell spread; encoding the residual
+# r = v − centroid[cell] removes the coarse component first, which is
+# where PQ recall stops degrading on clustered data. The cost is the
+# known one: the query's ADC table is per PROBED CELL (the query
+# residual differs per cell), N_PROBE tables instead of 1 — still
+# query-sized, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+
+def _pq_res_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual codebook: one broadcast row — per subspace, the PQ_K
+    codewords (RESIDUAL sub-vectors of the first PQ_K corpus vectors,
+    each relative to its own cell's trained centroid) in code-id order
+    (the untrained-codebook stand-in precedent of ``_pq_cb``)."""
+    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+    cent = _km_centroids_cached(spark, sf_dir)
+    a = _km_assign(vec.filter(F.col("vec_id") < PQ_K), cent)
+    r = a.join(
+        F.broadcast(cent.select(F.col("cent_id").alias("cell"), "cv")), "cell"
+    ).select(
+        F.col("vec_id").alias("code_id"),
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
+    )
+    rows = r.select(
+        "code_id", F.array(*[_sub(F.col("r"), m) for m in range(PQ_M)]).alias("subs")
+    )
+    return rows.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("code_id", "subs"))).alias("cw")
+    )
+
+
+def _pq_res_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus residual-PQ codes (vec_id, cell, codes[M]) — the one
+    corpus-sized artifact of ss22, a few bytes per vector plus the cell
+    id, exactly FAISS's inverted-list payload."""
+    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+    cent = _km_centroids_cached(spark, sf_dir)
+    a = _km_assign(vec, cent).select("vec_id", "v", "cell")
+    withr = a.join(
+        F.broadcast(cent.select(F.col("cent_id").alias("cell"), "cv")), "cell"
+    ).withColumn("r", F.zip_with("v", "cv", lambda x, y: x - y))
+    cb = _pq_res_cb(spark, sf_dir)
+
+    def argmin_code(m):
+        return F.array_min(
+            F.transform(
+                "cw",
+                lambda c: F.struct(
+                    _sqdist(_sub(F.col("r"), m), c["subs"][m]).alias("d"),
+                    c["code_id"].alias("code"),
+                ),
+            )
+        )["code"]
+
+    return withr.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "cell",
+        F.array(*[argmin_code(m) for m in range(PQ_M)]).alias("codes"),
+    )
+
+
+def _pq_res_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual encode pass persisted per (session, sf_dir): ss22's
+    serve path and ss09's evaluation leg share one build (the
+    ``_pq_codes_cached`` lifecycle)."""
+    from .dedup import _persisted
+
+    return _persisted("pq_res_codes", spark, sf_dir, _pq_res_codes)
+
+
+def ss22_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with residual encoding — ss13's dataflow with the coarse
+    component removed before quantization (see the block comment): the
+    corpus artifact is (vec_id, cell, residual codes[M]); per query the
+    N_PROBE nearest cells are probed and an ADC table is built from the
+    QUERY'S RESIDUAL against that cell (q − centroid[cell]) — correct
+    because ||q − v||² = ||q_res − v_res||² when both are taken against
+    the same centroid. Candidates never touch a full vector.
+
+    Scale shape: identical to ss13 except the broadcast probe frame
+    carries N_QUERIES·N_PROBE ADC tables (one per probed cell) instead
+    of N_QUERIES — still query-sized; the one corpus-sized exchange
+    remains the per-query top-K.
+
+    Measured by ss09's ``ivfpq_res`` leg next to ``ivfpq`` — the
+    recall delta of by_residual on this corpus is a recorded number
+    (tests/test_ss22_residual.py), not a claim."""
+    cent = _km_centroids_cached(spark, sf_dir)
+    carr = _km_carr(cent)
+    rcb = _pq_res_cb(spark, sf_dir)
+    codes = _pq_res_codes_cached(spark, sf_dir)
+    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+    probes = (
+        vec.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(carr))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "v",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.transform(
+                                "cents",
+                                lambda c: F.struct(
+                                    _sqdist(F.col("v"), c["cv"]).alias("d"),
+                                    c["cent_id"].alias("cell"),
+                                ),
+                            )
+                        ),
+                        1,
+                        N_PROBE,
+                    ),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+    )
+    qres = probes.join(
+        F.broadcast(cent.select(F.col("cent_id").alias("cell"), "cv")), "cell"
+    ).withColumn("qr", F.zip_with("v", "cv", lambda x, y: x - y))
+
+    def sub_table(m):
+        return F.transform("cw", lambda c: _sqdist(_sub(F.col("qr"), m), c["subs"][m]))
+
+    qp = qres.crossJoin(F.broadcast(rcb)).select(
+        "query_id",
+        "cell",
+        F.array(*[sub_table(m) for m in range(PQ_M)]).alias("dtab"),
+    )
+    cand = (
+        codes.join(F.broadcast(qp), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "adist",
+            F.round(
+                F.aggregate(
+                    F.zip_with("dtab", "codes", lambda t, c: F.element_at(t, c.cast("int") + 1)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adist", "rank")
+    )
+
+
+def _ss22_sql() -> str:
+    return f"""
+    WITH {_vectors_sql()},
+    cinit AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {KM_K}),
+    {_km_round_sql('cinit', '0')},
+    {_km_round_sql('c0', '1')},
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_KM_DIST_SQL.format(a='e.v', b='c.cv')}, c.cent_id
+                   ) AS rk
+            FROM e CROSS JOIN c1 c
+        ) WHERE rk = 1
+    ),
+    res AS (
+        SELECT cells.vec_id, cells.cell,
+               list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS r
+        FROM cells
+        JOIN e ON e.vec_id = cells.vec_id
+        JOIN c1 c ON c.cent_id = cells.cell
+    ),
+    ms AS (SELECT CAST(t.m AS INT) AS m FROM unnest(range(0, {PQ_M})) t(m)),
+    rcb AS (SELECT vec_id AS code_id, r FROM res WHERE vec_id < {PQ_K}),
+    enc AS (
+        SELECT vec_id, m, code_id FROM (
+            SELECT res.vec_id, m.m, rcb.code_id,
+                   row_number() OVER (
+                       PARTITION BY res.vec_id, m.m
+                       ORDER BY {_PQ_SUBDIST.format(a='res.r', b='rcb.r', M=PQ_M)}, rcb.code_id
+                   ) AS rk
+            FROM res CROSS JOIN ms m CROSS JOIN rcb
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, c.cent_id AS cell
+        FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q CROSS JOIN c1 c
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_KM_DIST_SQL.format(a='q.v', b='c.cv')}, c.cent_id
+        ) <= {N_PROBE}
+    ),
+    qres AS (
+        SELECT p.query_id, p.cell,
+               list_transform(range(1, len(q.v) + 1), i -> q.v[i] - c.cv[i]) AS qr
+        FROM probes p
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN c1 c ON c.cent_id = p.cell
+    ),
+    qd AS (
+        SELECT qres.query_id, qres.cell, m.m, rcb.code_id,
+               {_PQ_SUBDIST.format(a='qres.qr', b='rcb.r', M=PQ_M)} AS d
+        FROM qres CROSS JOIN ms m CROSS JOIN rcb
+    ),
+    scored AS (
+        SELECT qd.query_id, enc.vec_id AS neighbor_id,
+               round(list_reduce(list(qd.d ORDER BY qd.m), (x, y) -> x + y), 6) AS adist
+        FROM enc
+        JOIN cells ON cells.vec_id = enc.vec_id
+        JOIN qd ON qd.cell = cells.cell AND qd.m = enc.m AND qd.code_id = enc.code_id
+        WHERE qd.query_id <> enc.vec_id
+        GROUP BY qd.query_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+        SELECT query_id, neighbor_id, adist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+"""
+
+
+SS22_SQL = _ss22_sql()
 SS09_SQL = _ss09_sql()
 
 
@@ -2733,6 +2971,7 @@ QUERIES = {
     "dd12_semdedup": dd12_semdedup,
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
     "ss21_ann_ivf_partitioned": ss21_ann_ivf_partitioned,
+    "ss22_ann_ivfpq_residual": ss22_ann_ivfpq_residual,
 }
 
 # Operator-authored lineage through the Python barriers (lineage.analyze
@@ -2780,4 +3019,5 @@ ORACLES = {
     # ss21 is ss02 served from the stored partitioned index (DPP scan) -
     # identical output contract, different physical strategy
     "ss21_ann_ivf_partitioned": SS21_SQL,
+    "ss22_ann_ivfpq_residual": SS22_SQL,
 }
