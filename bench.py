@@ -255,6 +255,19 @@ def main() -> None:
          lambda s, d: _sk.sk04_hll_precision_ladder(s, d, evidence=False)),
         ("ss20_ann_binary[ev=off]",
          lambda s, d: _ss.ss20_ann_binary(s, d, evidence=False)),
+        # round-14 (r13-VERDICT item 6): the remaining flagged ops, so
+        # every droppable evidence leg has a measured cost
+        ("sk01_hll_distinct[ev=off]",
+         lambda s, d: _sk.sk01_hll_distinct(s, d, evidence=False)),
+        ("sk02_countmin_topk[ev=off]",
+         # production mode REQUIRES a caller watchlist (the exact
+         # candidate agg is the evidence leg); a fixed 4-word probe
+         # keeps the timed work the sketch build, as deployed
+         lambda s, d: _sk.sk02_countmin_topk(
+             s, d, evidence=False,
+             watchlist=["the", "data", "spark", "zz-not-in-corpus"])),
+        ("ss19_ann_filtered[ev=off]",
+         lambda s, d: _ss.ss19_ann_filtered(s, d, evidence=False)),
     ):
         runs = []
         for _ in range(3):

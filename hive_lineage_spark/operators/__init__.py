@@ -292,7 +292,6 @@ _DRIVER_PRIORITY = [
     # (4x-certified r10-r13, unchanged — tx21 keeps held-out LM
     # scoring and tx22/tx23 keep model-based gating in-window, the
     # per-lang tertile machinery stays local-oracle- and pytest-pinned).
-    "tx21_kneser_ney_xent",
     "web07_robots_compliance_gate",
     # Round-14 third registration: dd21 (exact maximal duplicated
     # spans, true Lee et al. 2022 semantics over dd18's fixed probe
@@ -308,12 +307,27 @@ _DRIVER_PRIORITY = [
     # chain in-window, the windowed energy/ZCR features stay
     # local-oracle- and pytest-pinned).
     "ss22_ann_ivfpq_residual",
+    # Round-14 rotation, part 2 (VERDICT item 7's "+ q32-q38 as slots
+    # allow"): the rest of the r01-certified-only SQL-surface tail
+    # rotates in — pivot / set ops / grouping sets / EXISTS-IN
+    # subqueries / CTE chain / lateral explode / scalar functions, all
+    # 13 rounds since their single green row, all unchanged (re-certify
+    # against silent drift). Out, all 4x-certified (r10-r13) unchanged
+    # with sibling coverage: mm15 (mm21/mm22 keep decode-chain
+    # consumers; the MJPEG cut detector stays local-oracle- and
+    # pytest-pinned), mm16 (mm17 keeps image feature gating), mm18 +
+    # mm20 (mm22's clip gate keeps the audio chain certified; VAD and
+    # DFT-bin powers stay pytest-pinned), tx21 + tx22 (tx23's
+    # classifier gate keeps model-based text scoring in-window; the KN
+    # ladder and DSIR weights stay local-oracle- and pytest-pinned),
+    # dq06 (dq07/dq08/dq09 keep the data-quality gate family).
+    "q32_pivot", "q33_set_ops", "q34_grouping_sets",
+    "q35_exists_in_subqueries", "q36_cte_chain", "q37_lateral_explode",
+    "q38_scalar_functions",
     # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
     # decode harder paths; incoming mm16/mm17/mm18 run the real decode
-    # chain); the four r9-queue entries stay
-    "mm15_video_shot_detect",
-    "mm16_image_entropy", "mm17_image_phash", "mm18_audio_vad",
-    "mm20_audio_spectral",
+    # chain)
+    "mm17_image_phash",
     "mm21_phash_search", "mm22_audio_quality",
     # composed pipeline + training-prep (tp01 rotated out r10 —
     # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
@@ -352,9 +366,7 @@ _DRIVER_PRIORITY = [
     # row-rule semantics certified, dq07/dq08/dq09 keep the gate
     # family in-window).
     "dq09_quantile_profile",
-    "dq06_freshness_sla",
     "dq07_referential_integrity", "dq08_psi_drift",
-    "tx22_dsir_logweight",
 ]
 
 
