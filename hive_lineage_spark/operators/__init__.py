@@ -282,7 +282,7 @@ _DRIVER_PRIORITY = [
     # and pytest-pinned).
     "ss13_ann_ivfpq",
     "ss21_ann_ivf_partitioned",
-    "ss18_ann_matryoshka", "ss19_ann_filtered", "ss20_ann_binary",
+    "ss19_ann_filtered", "ss20_ann_binary",
     # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
     # tx12/tx13 rotated out mid-r10, tx14 out in the second promotion;
     # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
@@ -339,6 +339,13 @@ _DRIVER_PRIORITY = [
     # audit stays local-oracle- and pytest-pinned).
     "tp15_doremi_reweight",
     "tp16_token_exact_packing",
+    # Round-14 fifth registration: tp17 (no-split next-fit-decreasing
+    # packing — the applyInPandas capacity-reset recurrence, recursive-
+    # CTE oracle) certifies the round it lands; out for it: ss18
+    # (4x-certified r10-r13, unchanged — ss13/ss21/ss22 keep composed
+    # ANN serving in-window, the Matryoshka prefix+rerank path stays
+    # local-oracle- and pytest-pinned).
+    "tp17_no_split_packing",
     # data-quality gates (dq01/dq02/dq03 rotated out during r10 —
     # dq03's drift is two dq01 profiles; dq04 keeps the volume gate,
     # dq05 in from the r10 queue)

@@ -1430,6 +1430,100 @@ def _tp16_sql() -> str:
 TP16_SQL = _tp16_sql()
 
 
+def tp17_no_split_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT sequence packing (next-fit decreasing): tp03/tp16 lay
+    documents head-to-tail and SPLIT the doc straddling each budget
+    boundary (offset/overflow); many trainers forbid splits — every
+    sequence holds whole documents and the boundary gap is padding.
+    Per shard: order docs by (tokens desc, id), keep a running bin
+    fill, and open a new bin whenever the next doc would overflow;
+    emit (bin_id, offset) per doc plus a truncated flag for docs
+    longer than the budget (they occupy a bin alone).
+
+    WHY applyInPandas (the documented escape hatch, px02's pattern):
+    the bin fill is a CAPACITY-RESET recurrence — fill resets to zero
+    at data-dependent positions — which no window/cumsum combination
+    expresses (contrast tp03's pure running sum). The sequential loop
+    runs per shard inside one Arrow batch; shards are the unit of
+    parallelism exactly as in tp03/tp16 (PACK_SHARDS ≈ cluster cores
+    at scale), so the Python stage is one narrow pass after one
+    exchange on the shard key. All-integer arithmetic → bit-identical
+    DuckDB oracle, which replays the same recurrence as a recursive
+    CTE (one row per shard per step).
+
+    Reference: n/a (LLM-pipeline scope; next-fit-decreasing is the
+    standard streaming bin-packing baseline, 2-competitive)."""
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+            F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        )
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bin_id, offset, fill = [], [], 0
+        cur = -1
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if cur < 0 or fill + n > PACK_BUDGET:
+                cur += 1
+                fill = 0
+            bin_id.append(cur)
+            offset.append(fill)
+            fill += n
+        pdf["bin_id"] = pd.Series(bin_id, dtype="int64")
+        pdf["offset"] = pd.Series(offset, dtype="int64")
+        pdf["truncated"] = (pdf["n_tokens"] > PACK_BUDGET).astype("int32")
+        return pdf[["doc_id", "shard", "n_tokens", "bin_id", "offset", "truncated"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack,
+        schema="doc_id long, shard int, n_tokens int, bin_id long, offset long, truncated int",
+    )
+
+
+TP17_SQL = f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(doc_id % {PACK_SHARDS} AS INT) AS shard
+        FROM documents
+    ),
+    r AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY shard ORDER BY n_tokens DESC, doc_id ASC
+        ) AS INT) AS rk
+        FROM d
+    ),
+    rec AS (
+        SELECT shard, rk, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS bin_id,
+               CAST(0 AS BIGINT) AS off,
+               CAST(n_tokens AS BIGINT) AS fill
+        FROM r WHERE rk = 1
+        UNION ALL
+        SELECT r.shard, r.rk, r.doc_id, r.n_tokens,
+               CASE WHEN rec.fill + r.n_tokens > {PACK_BUDGET}
+                    THEN rec.bin_id + 1 ELSE rec.bin_id END,
+               CASE WHEN rec.fill + r.n_tokens > {PACK_BUDGET}
+                    THEN 0 ELSE rec.fill END,
+               CASE WHEN rec.fill + r.n_tokens > {PACK_BUDGET}
+                    THEN CAST(r.n_tokens AS BIGINT) ELSE rec.fill + r.n_tokens END
+        FROM rec JOIN r ON r.shard = rec.shard AND r.rk = rec.rk + 1
+    )
+    SELECT doc_id, shard, n_tokens, bin_id, off AS offset,
+           CAST(n_tokens > {PACK_BUDGET} AS INT) AS truncated
+    FROM rec
+"""
+
+
 QUERIES = {
     "tp01_full_pipeline": tp01_full_pipeline,
     "tp02_stratified_sample": tp02_stratified_sample,
@@ -1447,6 +1541,7 @@ QUERIES = {
     "tp14_budget_waterfill": tp14_budget_waterfill,
     "tp15_doremi_reweight": tp15_doremi_reweight,
     "tp16_token_exact_packing": tp16_token_exact_packing,
+    "tp17_no_split_packing": tp17_no_split_packing,
     "dd07_near_dedup_apply": dd07_near_dedup_apply,
     "dd08_dup_clusters": dd08_dup_clusters,
     "dd17_cluster_keep_best": dd17_cluster_keep_best,
@@ -1472,9 +1567,26 @@ ORACLES = {
     "tp14_budget_waterfill": TP14_SQL,
     "tp15_doremi_reweight": TP15_SQL,
     "tp16_token_exact_packing": TP16_SQL,
+    "tp17_no_split_packing": TP17_SQL,
     "dd07_near_dedup_apply": DD07_SQL,
     "dd08_dup_clusters": DD08_SQL,
     "dd17_cluster_keep_best": DD17_SQL,
     "tx05_hash_sample": TX05_SQL,
     "tx06_source_mix": TX06_SQL,
+}
+
+
+# Operator-authored lineage through tp17's applyInPandas barrier
+# (lineage.analyze ``declared``, px02's pattern): the shard key and
+# carried columns pass through; bin_id/offset/truncated derive from the
+# token counts (which derive from text).
+DECLARED = {
+    "tp17_no_split_packing": {
+        "doc_id": ["doc_id"],
+        "shard": ["doc_id"],
+        "n_tokens": ["text"],
+        "bin_id": ["text", "doc_id"],
+        "offset": ["text", "doc_id"],
+        "truncated": ["text"],
+    },
 }

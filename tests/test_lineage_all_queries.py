@@ -40,6 +40,7 @@ PYTHON_BARRIER = {
     "mm21_phash_search",
     "mm22_audio_quality",
     "dd06_embed_cosine_dup",
+    "tp17_no_split_packing",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
     "dd13_semdedup_arrow",

@@ -713,3 +713,51 @@ def test_dd21_exact_spans_match_text_ground_truth(spark, duck):
     lens = {r["max_span"] for r in spans.values()}
     assert any(l not in (0, 4, 8, 16) for l in lens), sorted(lens)
     assert max(lens) > 16, sorted(lens)
+
+
+def test_tp17_no_split_packing_invariants(spark):
+    """tp17: (1) NO doc is ever split — offset + n_tokens <= budget for
+    every non-truncated doc, and a truncated doc (longer than the
+    budget) sits alone at offset 0; (2) bins tile contiguously: within
+    each (shard, bin), docs ordered by offset are gap-free; (3) the
+    assignment IS next-fit-decreasing — a pure-Python replay of the
+    recurrence over the same (tokens desc, id) order reproduces every
+    (bin_id, offset); (4) the doc set and token counts match tp03's
+    (same corpus, same lengths — only the layout policy differs)."""
+    from hive_lineage_spark.operators.pipeline import (
+        PACK_BUDGET,
+        tp03_pack_sequences,
+        tp17_no_split_packing,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = tp17_no_split_packing(spark, sf).collect()
+    tp03 = {r["doc_id"]: r["n_tokens"] for r in tp03_pack_sequences(spark, sf).collect()}
+    assert {r["doc_id"] for r in rows} == set(tp03)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r["n_tokens"] == tp03[r["doc_id"]]
+        if r["truncated"]:
+            assert r["n_tokens"] > PACK_BUDGET and r["offset"] == 0, r
+        else:
+            assert r["offset"] + r["n_tokens"] <= PACK_BUDGET, r
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (-r["n_tokens"], r["doc_id"]))
+        cur, fill = -1, 0
+        for r in rs:
+            if cur < 0 or fill + r["n_tokens"] > PACK_BUDGET:
+                cur += 1
+                fill = 0
+            assert (r["bin_id"], r["offset"]) == (cur, fill), (shard, r, cur, fill)
+            fill += r["n_tokens"]
+        # contiguity per bin
+        bins: dict[int, list] = {}
+        for r in rs:
+            bins.setdefault(r["bin_id"], []).append(r)
+        for b, docs in bins.items():
+            docs.sort(key=lambda r: r["offset"])
+            pos = 0
+            for r in docs:
+                assert r["offset"] == pos, (shard, b, r)
+                pos += r["n_tokens"]

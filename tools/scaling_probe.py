@@ -68,6 +68,7 @@ PROBE = [
     ("web07_robots_compliance_gate", "linear codegen gate fused into the scan; zero exchanges"),
     ("dd21_exact_dup_spans", "one tokenize pass; pair stream ~ true duplicated-text volume (df_cap escape hatch)"),
     ("ss22_ann_ivfpq_residual", "linear encode pass (persisted) + pruned ADC scan; probe tables query-sized"),
+    ("tp17_no_split_packing", "one shard exchange + linear per-shard Arrow pass"),
 ]
 
 
