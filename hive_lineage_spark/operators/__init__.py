@@ -327,8 +327,15 @@ _DRIVER_PRIORITY = [
     # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
     # decode harder paths; incoming mm16/mm17/mm18 run the real decode
     # chain)
+    # Round-14 sixth registration: mm23 (cross-video near-dup via
+    # per-frame pHash + banded Hamming — the video-corpus analog of
+    # dd02/dd05) certifies the round it lands; out for it: mm21
+    # (3x-certified r11-r13, unchanged — mm17 keeps the pHash
+    # computation in-window and mm23 now exercises banded Hamming over
+    # pHashes end-to-end; the query-by-image top-K path stays
+    # local-oracle- and pytest-pinned).
     "mm17_image_phash",
-    "mm21_phash_search", "mm22_audio_quality",
+    "mm23_video_near_dup", "mm22_audio_quality",
     # composed pipeline + training-prep (tp01 rotated out r10 —
     # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
     # packing/chunking; tp12/tp13 in from the r10 queue). Round-14:

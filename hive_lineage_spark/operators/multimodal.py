@@ -2632,6 +2632,340 @@ MM22_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# mm23: cross-video near-duplicate detection — the video-corpus analog
+# of dd02/dd05: per-frame perceptual hashes (mm17's fixed-point DCT
+# pHash over REAL decoded MJPEG frames), banded-Hamming candidate
+# generation across videos (dd05/ss12's pigeonhole bands), and a
+# per-video-pair matched-frame verdict. This is what catches
+# re-encoded / brightness-shifted video copies that byte- or
+# text-hash dedup (dd01's shape) can never see: the fixture's clone
+# pairs are DIFFERENT JPEG bytes (a uniform chroma shift re-encoded)
+# whose luma pHashes still collide because the DC term is dropped.
+#
+# Fixture (`mjpeg_clones_v1`): one AVI per doc; docs (2k, 2k+1) share
+# base pattern k — same geometry and Y/Cr planes, the odd twin's Cb
+# plane shifted +5 (mod-251 base keeps the shift wrap-free). A uniform
+# chroma shift moves the decoded luma nearly uniformly, which lands in
+# the dropped DC coefficient: measured at the fixture, clone frames
+# hash at Hamming 0 (87% of frames; JPEG-quantization/clamp edge cases
+# tail higher), unrelated frames at ~24 of 63.
+# ---------------------------------------------------------------------------
+
+MM23_T = 6  # frame-match Hamming threshold (measured: clone frames 99% <= 6, unrelated min 8, mean ~31)
+MM23_MIN_FRAMES = 2  # minimum matched frames per side: one freak frame
+# collision must never flag a pair (measured: every false positive at
+# min=1 was a single-frame match on a 2-frame video)
+VPHASH_SCHEMA = "doc_id long, frame_no int, phash_hi long, phash_lo long"
+
+
+def _clone_mjpeg_fixture(sf_dir: str) -> str:
+    """One MJPEG AVI per document with clone PAIRS: docs (2k, 2k+1)
+    encode the same base-k pattern, the odd twin with a +5 Cb shift —
+    real re-encoded near-duplicates, byte-distinct, perceptually equal."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.jpeg import encode_jpeg
+    from ..sources.registry import scratch_key, table_path
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg_clones_v3")
+    out_file = os.path.join(out_dir, "mjpeg_clones.parquet")
+    if not os.path.exists(out_file):
+        doc_ids = (
+            pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+
+        def planes(doc_id: int, frame_no: int, w: int, h: int):
+            base = doc_id // 2
+            cbd = (doc_id % 2) * 5
+            # per-video gradient multipliers decorrelate the luma
+            # STRUCTURE across videos (a shared gradient differs only
+            # by a constant offset, which the dropped DC term erases —
+            # measured: it left unrelated hashes clustered)
+            gy, gx = 17 * (1 + base % 5), 29 * (1 + base % 7)
+            bh, bw = (h + 7) // 8, (w + 7) // 8
+            by, bx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+            yv = (base * 37 + frame_no * 41 + by * gy + bx * gx) % 256
+            cb = ((base * 19 + frame_no * 31 + by * 7 + bx * 11) % 251) + cbd
+            cr = (base * 23 + frame_no * 43 + by * 13 + bx * 3) % 256
+            ex = lambda p: np.repeat(np.repeat(p, 8, 0), 8, 1)[:h, :w].astype("uint8")  # noqa: E731
+            return ex(yv), ex(cb), ex(cr)
+
+        payloads = []
+        for d in doc_ids:
+            base = d // 2
+            n_frames = (base % 4) + 2
+            # 21..61 x 19..43 px (not multiples of 8): enough 8x8 blocks
+            # per frame that the DCT carries structure — at the mm10
+            # fixture's 8..16 px the hashes are degenerate and unrelated
+            # frames collide at Hamming <= 8 (measured r14)
+            w, h = (base % 6) * 8 + 21, (base % 4) * 8 + 19
+            frames = [
+                encode_jpeg(w, h, *planes(d, f, w, h)) for f in range(n_frames)
+            ]
+            payloads.append(encode_avi(w, h, frames))
+        tbl = pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()), "payload": pa.array(payloads, pa.binary())}
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = out_file + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, out_file)
+    return out_file
+
+
+def _vphash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: AVI walk → decode every frame → mm17's
+    all-integer DCT pHash per frame (identical grid/median/bit rules,
+    keyed by (doc_id, frame_no))."""
+    import numpy as np
+
+    from ..functions.jpeg import decode_jpeg
+
+    C = np.array(_PHASH_C, dtype=np.int64)
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            m = parse_avi_frames(payload)
+            for f, (off, size) in enumerate(m["frames"]):
+                img = decode_jpeg(payload[off : off + size])
+                w, h = img["width"], img["height"]
+                px = np.frombuffer(img["pixels"], dtype=np.uint8).astype(np.int64)
+                luma = px.reshape(h, w, 3).sum(axis=2)
+                xs = (np.arange(PHASH_G) * w) // PHASH_G
+                ys = (np.arange(PHASH_G) * h) // PHASH_G
+                g = luma[ys][:, xs]
+                m1 = C.T @ g.T
+                coef = m1 @ C
+                block = coef[:PHASH_K, :PHASH_K]
+                ac = np.array(
+                    [block[u, v] for v in range(PHASH_K) for u in range(PHASH_K) if (u, v) != (0, 0)],
+                    dtype=np.int64,
+                )
+                med = int(np.sort(ac)[(len(ac) - 1) // 2])
+                bits = (ac > med).astype(np.int64)
+                hi = int((bits[:31] << np.arange(31)).sum())
+                lo = int((bits[31:] << np.arange(32)).sum())
+                rows.append((doc_id, f, hi, lo))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "phash_hi", "phash_lo"])
+
+
+def _vphash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame pHash frame persisted per (session, sf_dir): both
+    sides of mm23's band join and the per-video frame counts read ONE
+    decode pass (the mm21_phash lifecycle)."""
+    from .dedup import _persisted
+
+    def build(s: SparkSession, d: str) -> DataFrame:
+        vids = s.read.parquet(_clone_mjpeg_fixture(d))
+        return vids.mapInPandas(_vphash_batches, schema=VPHASH_SCHEMA)
+
+    return _persisted("mm23_vphash", spark, sf_dir, build)
+
+
+def mm23_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video near-duplicate detection: per unordered video pair
+    that shares at least one 16-bit pHash band AND a frame pair within
+    Hamming ≤ {MM23_T}, the matched-frame counts on both sides and a
+    majority verdict (``near_dup`` = at least half of EACH video's
+    frames have a qualifying partner frame).
+
+    Scale shape: one narrow Arrow decode+hash pass (persisted), then
+    the dd05/ss12 machinery — frames explode to 4 pigeonhole bands,
+    candidates come from the band equi-join (never all pairs), a
+    multi-band match is kept only at its FIRST matching band so no
+    distinct() shuffle is needed, the Hamming gate runs in codegen
+    before any aggregation, and the pair agg is matched-pair-sized.
+    All shuffle keys are small integers; verdict arithmetic is
+    all-integer (2·matched ≥ n_frames)."""
+    ph = _vphash_cached(spark, sf_dir)
+    nf = ph.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_frames"))
+
+    def bands(df: DataFrame, p: str) -> DataFrame:
+        keys = [
+            F.col("phash_hi").bitwiseAND(F.lit(65535)),
+            F.shiftright("phash_hi", 16).bitwiseAND(F.lit(65535)),
+            F.col("phash_lo").bitwiseAND(F.lit(65535)),
+            F.shiftright("phash_lo", 16).bitwiseAND(F.lit(65535)),
+        ]
+        return df.select(
+            F.col("doc_id").alias(f"{p}_id"),
+            F.col("frame_no").alias(f"{p}_f"),
+            F.col("phash_hi").alias(f"{p}_hi"),
+            F.col("phash_lo").alias(f"{p}_lo"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), k.alias("key"))
+                        for b, k in enumerate(keys)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(f"{p}_id", f"{p}_f", f"{p}_hi", f"{p}_lo", "bk.band", "bk.key")
+
+    a, b = bands(ph, "a"), bands(ph, "b")
+
+    def band_key(p: str, i: int):
+        src = f"{p}_hi" if i < 2 else f"{p}_lo"
+        return F.shiftright(src, 16 * (i % 2)).bitwiseAND(F.lit(65535))
+
+    first_match = F.lit(True)
+    for i in range(3):
+        first_match = first_match & (
+            (F.col("band") <= F.lit(i)) | (band_key("a", i) != band_key("b", i))
+        )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter((F.col("a_id") < F.col("b_id")) & first_match)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+            + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo"))),
+        )
+        .filter(F.col("hamming") <= MM23_T)
+    )
+    pair = cand.groupBy("a_id", "b_id").agg(
+        F.countDistinct("a_f").cast("int").alias("matched_a"),
+        F.countDistinct("b_f").cast("int").alias("matched_b"),
+    )
+    nfa = nf.select(F.col("doc_id").alias("a_id"), F.col("n_frames").alias("n_frames_a"))
+    nfb = nf.select(F.col("doc_id").alias("b_id"), F.col("n_frames").alias("n_frames_b"))
+    return (
+        pair.join(nfa, "a_id")
+        .join(nfb, "b_id")
+        .select(
+            F.col("a_id").alias("vid_a"),
+            F.col("b_id").alias("vid_b"),
+            "n_frames_a",
+            "n_frames_b",
+            "matched_a",
+            "matched_b",
+            (
+                (F.col("matched_a") * 2 >= F.col("n_frames_a"))
+                & (F.col("matched_b") * 2 >= F.col("n_frames_b"))
+                & (F.col("matched_a") >= MM23_MIN_FRAMES)
+                & (F.col("matched_b") >= MM23_MIN_FRAMES)
+            ).cast("int").alias("near_dup"),
+        )
+    )
+
+
+def _mm23_sql() -> str:
+    flat_c = ", ".join(str(c) for row in _PHASH_C for c in row)  # row-major [x][u]
+    share = " OR ".join(
+        f"(({a} >> {16 * (i % 2)}) & 65535) = (({b} >> {16 * (i % 2)}) & 65535)"
+        for i, (a, b) in enumerate(
+            [("a.hi", "b.hi"), ("a.hi", "b.hi"), ("a.lo", "b.lo"), ("a.lo", "b.lo")]
+        )
+    )
+    return f"""
+    WITH dctc AS (
+        SELECT t.i // {PHASH_G} AS x, t.i % {PHASH_G} AS u,
+               ([{flat_c}])[t.i + 1] AS c
+        FROM unnest(range(0, {PHASH_G * PHASH_G})) t(i)
+    ),
+    m AS (
+        SELECT doc_id, doc_id // 2 AS base,
+               ((doc_id // 2) % 4) + 2 AS n_frames,
+               ((doc_id // 2) % 6) * 8 + 21 AS w,
+               ((doc_id // 2) % 4) * 8 + 19 AS h,
+               (doc_id % 2) * 5 AS cbd
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, base, cbd, w, h, CAST(t.f AS INT) AS frame_no
+        FROM m, unnest(range(0, n_frames)) t(f)
+    ),
+    -- only the PHASH_G x PHASH_G SAMPLED pixels are ever computed (the
+    -- grid's nearest-neighbor maps), not all w*h: one closed-form
+    -- block-value + color-conversion evaluation per grid cell
+    grid AS (
+        SELECT doc_id, frame_no, x, y,
+               least(greatest(floor(yv + 1.402 * (crv - 128) + 0.5), 0), 255)
+             + least(greatest(floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5), 0), 255)
+             + least(greatest(floor(yv + 1.772 * (cbv - 128) + 0.5), 0), 255) AS g
+        FROM (
+            SELECT f.doc_id, f.frame_no, x.x AS x, y.y AS y,
+                   (base * 37 + frame_no * 41
+                    + (((y.y * f.h) // {PHASH_G}) // 8) * 17 * (1 + base % 5)
+                    + (((x.x * f.w) // {PHASH_G}) // 8) * 29 * (1 + base % 7)) % 256 AS yv,
+                   ((base * 19 + frame_no * 31
+                    + (((y.y * f.h) // {PHASH_G}) // 8) * 7
+                    + (((x.x * f.w) // {PHASH_G}) // 8) * 11) % 251) + cbd AS cbv,
+                   (base * 23 + frame_no * 43
+                    + (((y.y * f.h) // {PHASH_G}) // 8) * 13
+                    + (((x.x * f.w) // {PHASH_G}) // 8) * 3) % 256 AS crv
+            FROM fr f,
+                 unnest(range(0, {PHASH_G})) x(x),
+                 unnest(range(0, {PHASH_G})) y(y)
+        )
+    ),
+    m1 AS (
+        SELECT grid.doc_id, grid.frame_no, d.u AS u, grid.y AS y, sum(grid.g * d.c) AS s
+        FROM grid JOIN dctc d ON d.x = grid.x
+        WHERE d.u < {PHASH_K}
+        GROUP BY grid.doc_id, grid.frame_no, d.u, grid.y
+    ),
+    coef AS (
+        SELECT m1.doc_id, m1.frame_no, m1.u AS u, d.u AS v, sum(m1.s * d.c) AS s
+        FROM m1 JOIN dctc d ON d.x = m1.y
+        WHERE d.u < {PHASH_K}
+        GROUP BY m1.doc_id, m1.frame_no, m1.u, d.u
+    ),
+    ac AS (
+        SELECT doc_id, frame_no, (v * {PHASH_K} + u) - 1 AS k, s
+        FROM coef WHERE NOT (u = 0 AND v = 0)
+    ),
+    med AS (
+        SELECT doc_id, frame_no, s AS median_ac FROM (
+            SELECT doc_id, frame_no, s,
+                   row_number() OVER (PARTITION BY doc_id, frame_no ORDER BY s ASC) AS rk
+            FROM ac
+        ) WHERE rk = {(PHASH_K * PHASH_K - 1 - 1) // 2 + 1}
+    ),
+    ph AS (
+        SELECT a.doc_id, a.frame_no,
+               CAST(sum(CASE WHEN a.k < 31 AND a.s > med.median_ac
+                             THEN 1 << a.k ELSE 0 END) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN a.k >= 31 AND a.s > med.median_ac
+                             THEN 1 << (a.k - 31) ELSE 0 END) AS BIGINT) AS lo
+        FROM ac a JOIN med ON a.doc_id = med.doc_id AND a.frame_no = med.frame_no
+        GROUP BY a.doc_id, a.frame_no
+    ),
+    nf AS (SELECT doc_id, CAST(count(*) AS INT) AS n_frames FROM ph GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.frame_no AS a_f, b.frame_no AS b_f,
+               bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
+             + bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND ({share})
+    ),
+    pair AS (
+        SELECT a_id, b_id,
+               CAST(count(DISTINCT a_f) AS INT) AS matched_a,
+               CAST(count(DISTINCT b_f) AS INT) AS matched_b
+        FROM cand WHERE hamming <= {MM23_T}
+        GROUP BY a_id, b_id
+    )
+    SELECT a_id AS vid_a, b_id AS vid_b,
+           na.n_frames AS n_frames_a, nb.n_frames AS n_frames_b,
+           matched_a, matched_b,
+           CAST(matched_a * 2 >= na.n_frames AND matched_b * 2 >= nb.n_frames
+                AND matched_a >= {MM23_MIN_FRAMES} AND matched_b >= {MM23_MIN_FRAMES} AS INT) AS near_dup
+    FROM pair
+    JOIN nf na ON pair.a_id = na.doc_id
+    JOIN nf nb ON pair.b_id = nb.doc_id
+"""
+
+
+MM23_SQL = _mm23_sql()
+
+
 QUERIES = {
     "mm01_decode_stub": mm01_decode_stub,
     "mm02_frame_sample": mm02_frame_sample,
@@ -2655,6 +2989,7 @@ QUERIES = {
     "mm20_audio_spectral": mm20_audio_spectral,
     "mm21_phash_search": mm21_phash_search,
     "mm22_audio_quality": mm22_audio_quality,
+    "mm23_video_near_dup": mm23_video_near_dup,
 }
 
 # Operator-authored lineage through the mapInPandas barrier (see
@@ -2798,4 +3133,5 @@ ORACLES = {
     "mm20_audio_spectral": MM20_SQL,
     "mm21_phash_search": MM21_SQL,
     "mm22_audio_quality": MM22_SQL,
+    "mm23_video_near_dup": MM23_SQL,
 }

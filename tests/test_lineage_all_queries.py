@@ -41,6 +41,7 @@ PYTHON_BARRIER = {
     "mm22_audio_quality",
     "dd06_embed_cosine_dup",
     "tp17_no_split_packing",
+    "mm23_video_near_dup",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
     "dd13_semdedup_arrow",

@@ -343,3 +343,42 @@ def test_non_avi_video_raises():
 
     with pytest.raises(NotImplementedError):
         parse_avi_frames(b"\x00\x00\x00 ftypisom not parseable mp4")
+
+
+def test_mm23_video_near_dup_quality_and_plan(spark):
+    """mm23 over the clone fixture: the 250 byte-distinct re-encoded
+    clone pairs (docs 2k/2k+1) must be found at >=95% recall with
+    >=90% precision (the fixture's measured pHash operating point:
+    clone frames Hamming <=6, unrelated ~31 — a decode, grid, DCT,
+    median or banding bug craters one side or the other), verdicts
+    must be exactly the majority+min-support arithmetic, and the plan
+    must generate candidates through the band equi-join — never a
+    cartesian product over frames."""
+    from pyspark.sql import functions as F
+
+    from hive_lineage_spark.operators.multimodal import (
+        MM23_MIN_FRAMES,
+        mm23_video_near_dup,
+    )
+
+    df = mm23_video_near_dup(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    flagged = {(r["vid_a"], r["vid_b"]) for r in rows if r["near_dup"] == 1}
+    clones = {(2 * k, 2 * k + 1) for k in range(250)}
+    recall = len(flagged & clones) / len(clones)
+    precision = len(flagged & clones) / max(len(flagged), 1)
+    assert recall >= 0.95, (recall, len(flagged & clones))
+    assert precision >= 0.90, (precision, len(flagged - clones))
+    for r in rows:
+        want = int(
+            r["matched_a"] * 2 >= r["n_frames_a"]
+            and r["matched_b"] * 2 >= r["n_frames_b"]
+            and r["matched_a"] >= MM23_MIN_FRAMES
+            and r["matched_b"] >= MM23_MIN_FRAMES
+        )
+        assert r["near_dup"] == want, r
+        assert r["vid_a"] < r["vid_b"], r
+        assert 0 < r["matched_a"] <= r["n_frames_a"], r
+        assert 0 < r["matched_b"] <= r["n_frames_b"], r
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan

@@ -69,6 +69,7 @@ PROBE = [
     ("dd21_exact_dup_spans", "one tokenize pass; pair stream ~ true duplicated-text volume (df_cap escape hatch)"),
     ("ss22_ann_ivfpq_residual", "linear encode pass (persisted) + pruned ADC scan; probe tables query-sized"),
     ("tp17_no_split_packing", "one shard exchange + linear per-shard Arrow pass"),
+    ("mm23_video_near_dup", "linear decode+hash pass; banded candidates ~ true near-dup volume"),
 ]
 
 
