@@ -2037,12 +2037,38 @@ _PHASH_C = [
 PHASH_SCHEMA = "doc_id long, width int, height int, median_ac long, phash_hi long, phash_lo long"
 
 
+def _phash_of_luma(luma, C):
+    """Shared pHash core (mm17 + mm23's per-frame twin): 32x32
+    nearest-neighbor grid -> exact int64 separable DCT -> top-left 8x8
+    block, DC dropped -> bit k = coef > lower median of the 63 AC
+    coefficients. One implementation so the hash RULES cannot drift
+    between the image and video workers (both oracles replay these
+    exact rules)."""
+    import numpy as np
+
+    h, w = luma.shape
+    xs = (np.arange(PHASH_G) * w) // PHASH_G
+    ys = (np.arange(PHASH_G) * h) // PHASH_G
+    g = luma[ys][:, xs]  # 32x32, g[y][x]
+    # m1[u][y] = SUM_x g[y][x]*C[x][u];  coef[u][v] = SUM_y m1[u][y]*C[y][v]
+    m1 = C.T @ g.T
+    coef = m1 @ C
+    block = coef[:PHASH_K, :PHASH_K]
+    ac = np.array(
+        [block[u, v] for v in range(PHASH_K) for u in range(PHASH_K) if (u, v) != (0, 0)],
+        dtype=np.int64,
+    )
+    med = int(np.sort(ac)[(len(ac) - 1) // 2])  # lower median of 63
+    bits = (ac > med).astype(np.int64)
+    hi = int((bits[:31] << np.arange(31)).sum())
+    lo = int((bits[31:] << np.arange(32)).sum())
+    return med, hi, lo
+
+
 def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: real decode → nearest-neighbor 32×32 luma
-    grid (mm12's integer floor maps) → exact int64 separable DCT
-    (T·G·Tᵀ with the fixed-point basis) → top-left 8×8 block, DC
-    dropped → bit k = coef > (lower) median of the 63 AC coefficients.
-    All-integer, so engine parity is exact with no FP contract."""
+    """mapInPandas worker: real decode → luma → the shared
+    ``_phash_of_luma`` rules. All-integer, so engine parity is exact
+    with no FP contract."""
     import numpy as np
 
     C = np.array(_PHASH_C, dtype=np.int64)  # [x][u]
@@ -2053,21 +2079,7 @@ def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             w, h = m["width"], m["height"]
             px = np.frombuffer(m["pixels"], dtype=np.uint8).astype(np.int64)
             luma = px.reshape(h, w, 3).sum(axis=2)
-            xs = (np.arange(PHASH_G) * w) // PHASH_G
-            ys = (np.arange(PHASH_G) * h) // PHASH_G
-            g = luma[ys][:, xs]  # 32×32, g[y][x]
-            # m1[u][y] = Σ_x g[y][x]·C[x][u];  coef[u][v] = Σ_y m1[u][y]·C[y][v]
-            m1 = C.T @ g.T          # [u][y]
-            coef = m1 @ C           # [u][v]
-            block = coef[:PHASH_K, :PHASH_K]
-            ac = np.array(
-                [block[u, v] for v in range(PHASH_K) for u in range(PHASH_K) if (u, v) != (0, 0)],
-                dtype=np.int64,
-            )
-            med = int(np.sort(ac)[(len(ac) - 1) // 2])  # lower median of 63
-            bits = (ac > med).astype(np.int64)
-            hi = int((bits[:31] << np.arange(31)).sum())
-            lo = int((bits[31:] << np.arange(32)).sum())
+            med, hi, lo = _phash_of_luma(luma, C)
             rows.append((doc_id, w, h, med, hi, lo))
         yield pd.DataFrame(
             rows, columns=["doc_id", "width", "height", "median_ac", "phash_hi", "phash_lo"]
@@ -2720,8 +2732,8 @@ def _clone_mjpeg_fixture(sf_dir: str) -> str:
 
 
 def _vphash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: AVI walk → decode every frame → mm17's
-    all-integer DCT pHash per frame (identical grid/median/bit rules,
+    """mapInPandas worker: AVI walk → decode every frame → the SHARED
+    ``_phash_of_luma`` rules per frame (one implementation with mm17,
     keyed by (doc_id, frame_no))."""
     import numpy as np
 
@@ -2738,20 +2750,7 @@ def _vphash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 w, h = img["width"], img["height"]
                 px = np.frombuffer(img["pixels"], dtype=np.uint8).astype(np.int64)
                 luma = px.reshape(h, w, 3).sum(axis=2)
-                xs = (np.arange(PHASH_G) * w) // PHASH_G
-                ys = (np.arange(PHASH_G) * h) // PHASH_G
-                g = luma[ys][:, xs]
-                m1 = C.T @ g.T
-                coef = m1 @ C
-                block = coef[:PHASH_K, :PHASH_K]
-                ac = np.array(
-                    [block[u, v] for v in range(PHASH_K) for u in range(PHASH_K) if (u, v) != (0, 0)],
-                    dtype=np.int64,
-                )
-                med = int(np.sort(ac)[(len(ac) - 1) // 2])
-                bits = (ac > med).astype(np.int64)
-                hi = int((bits[:31] << np.arange(31)).sum())
-                lo = int((bits[31:] << np.arange(32)).sum())
+                _, hi, lo = _phash_of_luma(luma, C)
                 rows.append((doc_id, f, hi, lo))
         yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "phash_hi", "phash_lo"])
 
@@ -2777,7 +2776,9 @@ def mm23_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames have a qualifying partner frame).
 
     Scale shape: one narrow Arrow decode+hash pass (persisted), then
-    the dd05/ss12 machinery — frames explode to 4 pigeonhole bands,
+    the dd05/ss12 machinery — frames explode to 8 pigeonhole bands
+    of 8 bits (candidate generation COMPLETE for Hamming <= 7,
+    covering the T={MM23_T} gate exactly),
     candidates come from the band equi-join (never all pairs), a
     multi-band match is kept only at its FIRST matching band so no
     distinct() shuffle is needed, the Hamming gate runs in codegen
@@ -2788,11 +2789,14 @@ def mm23_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nf = ph.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_frames"))
 
     def bands(df: DataFrame, p: str) -> DataFrame:
+        # 8 bands of 8 bits: the pigeonhole guarantee covers Hamming
+        # <= 7 >= MM23_T, so band candidate generation is COMPLETE for
+        # the advertised threshold (4x16-bit bands only guaranteed
+        # <= 3 — a qualifying pair could hide its diffs in all four)
         keys = [
-            F.col("phash_hi").bitwiseAND(F.lit(65535)),
-            F.shiftright("phash_hi", 16).bitwiseAND(F.lit(65535)),
-            F.col("phash_lo").bitwiseAND(F.lit(65535)),
-            F.shiftright("phash_lo", 16).bitwiseAND(F.lit(65535)),
+            F.shiftright("phash_hi", 8 * b).bitwiseAND(F.lit(255)) for b in range(4)
+        ] + [
+            F.shiftright("phash_lo", 8 * b).bitwiseAND(F.lit(255)) for b in range(4)
         ]
         return df.select(
             F.col("doc_id").alias(f"{p}_id"),
@@ -2812,11 +2816,11 @@ def mm23_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = bands(ph, "a"), bands(ph, "b")
 
     def band_key(p: str, i: int):
-        src = f"{p}_hi" if i < 2 else f"{p}_lo"
-        return F.shiftright(src, 16 * (i % 2)).bitwiseAND(F.lit(65535))
+        src = f"{p}_hi" if i < 4 else f"{p}_lo"
+        return F.shiftright(src, 8 * (i % 4)).bitwiseAND(F.lit(255))
 
     first_match = F.lit(True)
-    for i in range(3):
+    for i in range(7):
         first_match = first_match & (
             (F.col("band") <= F.lit(i)) | (band_key("a", i) != band_key("b", i))
         )
@@ -2859,10 +2863,8 @@ def mm23_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mm23_sql() -> str:
     flat_c = ", ".join(str(c) for row in _PHASH_C for c in row)  # row-major [x][u]
     share = " OR ".join(
-        f"(({a} >> {16 * (i % 2)}) & 65535) = (({b} >> {16 * (i % 2)}) & 65535)"
-        for i, (a, b) in enumerate(
-            [("a.hi", "b.hi"), ("a.hi", "b.hi"), ("a.lo", "b.lo"), ("a.lo", "b.lo")]
-        )
+        f"(({side} >> {8 * (i % 4)}) & 255) = (({side.replace('a.', 'b.')} >> {8 * (i % 4)}) & 255)"
+        for i, side in enumerate(["a.hi"] * 4 + ["a.lo"] * 4)
     )
     return f"""
     WITH dctc AS (
@@ -2996,6 +2998,15 @@ QUERIES = {
 # lineage.analyze ``declared``): every decode op carries doc_id through
 # unchanged and derives its stats from payload.
 DECLARED = {
+    # keyed by the BARRIER's output names (the per-frame pHash frame);
+    # vid_a/matched_*/near_dup derive from these downstream and resolve
+    # by propagation with role 'declared'
+    "mm23_video_near_dup": {
+        "doc_id": ["doc_id"],
+        "frame_no": ["doc_id", "payload"],
+        "phash_hi": ["payload"],
+        "phash_lo": ["payload"],
+    },
     "mm01_decode_stub": {
         "doc_id": ["doc_id"], "n_bytes": ["payload"], "sha16": ["payload"],
         "width": ["payload"], "height": ["payload"],

@@ -1581,12 +1581,15 @@ ORACLES = {
 # carried columns pass through; bin_id/offset/truncated derive from the
 # token counts (which derive from text).
 DECLARED = {
+    # bases name the BARRIER'S INPUT columns (lineage.analyze resolves
+    # them through the child's engine-proven lineage — n_tokens/shard
+    # themselves resolve to documents.text/doc_id upstream)
     "tp17_no_split_packing": {
         "doc_id": ["doc_id"],
-        "shard": ["doc_id"],
-        "n_tokens": ["text"],
-        "bin_id": ["text", "doc_id"],
-        "offset": ["text", "doc_id"],
-        "truncated": ["text"],
+        "shard": ["shard"],
+        "n_tokens": ["n_tokens"],
+        "bin_id": ["n_tokens", "doc_id"],
+        "offset": ["n_tokens", "doc_id"],
+        "truncated": ["n_tokens"],
     },
 }

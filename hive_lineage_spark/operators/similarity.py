@@ -2841,12 +2841,21 @@ def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir))
     path = os.path.join(scratch_dir, tag)
     if not os.path.exists(path):
-        # sweep tmp dirs orphaned by a crash between write and rename
-        # (their pid-suffixed names never become a served index)
+        # sweep tmp dirs orphaned by a CRASHED builder (pid no longer
+        # alive) — never a live concurrent builder's work-in-progress:
+        # deleting a live tmp mid-write would fail that process's write
+        # job, the exact race the rename-tolerance below preserves
         if os.path.isdir(scratch_dir):
             for leftover in os.listdir(scratch_dir):
-                if leftover.startswith(f"{tag}.tmp-"):
+                if not leftover.startswith(f"{tag}.tmp-"):
+                    continue
+                pid_s = leftover.rsplit("-", 1)[-1]
+                try:
+                    os.kill(int(pid_s), 0)
+                except (ValueError, ProcessLookupError):
                     shutil.rmtree(os.path.join(scratch_dir, leftover), ignore_errors=True)
+                except PermissionError:
+                    pass  # pid alive under another user — leave it
         vec = _vectors(spark, sf_dir)
         cent_arr = (
             vec.filter(F.col("vec_id") < N_CENTROIDS)

@@ -643,12 +643,16 @@ def _tx12_gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _multi_width_gram_hashes(d, DUP_WIDTHS).repartition("w", "gh")
 
 
-def _multi_width_gram_hashes(d: DataFrame, widths: tuple[int, ...]) -> DataFrame:
-    """(doc_id, w, gh) sliding gram hashes for every width in ONE
-    tokenize/vocab/window pass: the Horner fold to max(widths) yields
-    each smaller width's hash as an intermediate accumulator
+def _multi_width_gram_hashes(
+    d: DataFrame, widths: tuple[int, ...], emit_pos: bool = False
+) -> DataFrame:
+    """(doc_id[, pos], w, gh) sliding gram hashes for every width in
+    ONE tokenize/vocab/window pass: the Horner fold to max(widths)
+    yields each smaller width's hash as an intermediate accumulator
     (bit-identical to per-width ``hashed_ngrams_of(distinct=False)`` —
-    pinned in tests/test_property.py)."""
+    pinned in tests/test_property.py). ``emit_pos=True`` keeps the
+    gram's starting word position (dd21's run detection needs
+    alignment, not just membership) — same fold, one extra column."""
     from pyspark.sql import Window
 
     from .dedup import MOD, MULT, _poly_hash_expr, _word_powers
@@ -677,10 +681,11 @@ def _multi_width_gram_hashes(d: DataFrame, widths: tuple[int, ...]) -> DataFrame
     # window expressions must be materialized by a Project before the
     # Generate — an explode's child cannot contain window functions
     staged = tk.select(
-        "doc_id", *[e.alias(f"_wg{i}") for i, e in enumerate(per_width)]
+        "doc_id", "pos", *[e.alias(f"_wg{i}") for i, e in enumerate(per_width)]
     )
     exploded = staged.select(
         "doc_id",
+        "pos",
         F.explode(
             F.filter(
                 F.array(*[F.col(f"_wg{i}") for i in range(len(per_width))]),
@@ -688,8 +693,9 @@ def _multi_width_gram_hashes(d: DataFrame, widths: tuple[int, ...]) -> DataFrame
             )
         ).alias("wg"),
     )
+    cols = ["doc_id"] + (["pos"] if emit_pos else [])
     return exploded.select(
-        "doc_id", F.col("wg.w").alias("w"), F.col("wg.gh").alias("gh")
+        *cols, F.col("wg.w").alias("w"), F.col("wg.gh").alias("gh")
     )
 
 
@@ -801,30 +807,14 @@ DD21_W0 = 4  # anchor width: spans shorter than this are below the
 
 def _dd21_positional_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, gh) sliding ``DD21_W0``-gram hashes WITH positions
-    — tx12's Horner fold shape, but keeping pos because dd21's run
-    detection needs alignment, not just membership. One tokenize +
-    broadcast vocab join + one per-doc window pass."""
-    from pyspark.sql import Window
-
-    from .dedup import MOD, MULT, _poly_hash_expr, _word_powers
-
-    tok = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w_")
+    — the SAME ``_multi_width_gram_hashes`` fold tx12/dd18 run (one
+    implementation of the parity-critical Horner recurrence), with
+    ``emit_pos`` keeping the alignment dd21's run detection needs."""
+    g = _multi_width_gram_hashes(
+        _docs(spark, sf_dir).select("doc_id", "text"), (DD21_W0,), emit_pos=True
     )
-    vocab = tok.select("w_").distinct().select(
-        "w_", _poly_hash_expr(F.col("w_")).alias("h"), _word_powers(F.col("w_")).alias("p")
-    )
-    tk = tok.join(F.broadcast(vocab), "w_").select("doc_id", "pos", "h", "p")
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    acc = F.col("h")
-    last_p = None
-    for i in range(1, DD21_W0):
-        hi, last_p = F.lead("h", i).over(win), F.lead("p", i).over(win)
-        acc = (((acc * MULT + 32) % MOD) * last_p % MOD + hi) % MOD
     return (
-        tk.select("doc_id", "pos", acc.alias("gh"), last_p.alias("_lp"))
-        .filter(F.col("_lp").isNotNull())
-        .select("doc_id", F.col("pos").cast("int").alias("pos"), "gh")
+        g.select("doc_id", F.col("pos").cast("int").alias("pos"), "gh")
         .repartition("gh")
     )
 

@@ -99,12 +99,22 @@ def test_declared_lineage_resolves_barrier_columns(spark, name):
         checked += 1
         assert UNKNOWN not in c.bases, f"{name}.{out_col} still unmappable"
         assert c.bases, (name, out_col)
-    assert checked, f"{name}: no declared column reaches the result"
-    for c in ql.result.columns:
-        assert UNKNOWN not in c.bases, f"{name}.{c.name} still unmappable"
-    # the report must surface the weaker provenance
     declared_roles = {
         c.name for c in ql.result.columns if getattr(c, "role", None) == "declared"
     }
-    assert set(DECLARED[name]) & declared_roles, declared_roles
+    if checked:
+        # the report must surface the weaker provenance on the
+        # surviving declared columns themselves
+        assert set(DECLARED[name]) & declared_roles, declared_roles
+    else:
+        # barrier output fully consumed downstream (mm23: the per-frame
+        # pHash frame feeds joins/aggs and none of its names survive):
+        # the declarations must still be doing real work — some result
+        # column must carry the propagated 'declared' role
+        assert declared_roles, (
+            f"{name}: no declared name survives AND nothing propagated "
+            f"with role declared — the declarations are vacuous"
+        )
+    for c in ql.result.columns:
+        assert UNKNOWN not in c.bases, f"{name}.{c.name} still unmappable"
     assert ql.result.input_tables, name
