@@ -583,8 +583,19 @@ def web07_robots_compliance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents scan: zero exchanges, zero UDFs, zero joins. A production
     robots cache (per-host fetched rules) swaps the hash-derived rules
     for a broadcast join on reg_domain; the resolution expressions are
-    unchanged."""
-    d = _parsed(_with_url(_docs(spark, sf_dir).select("doc_id", "source", "lang")))
+    unchanged. The SAME expression tree gates a document STREAM
+    unchanged (``streaming.events.streaming_compliance_gate``) — a
+    stateless codegen map needs no watermark or state."""
+    return compliance_gate_cols(
+        _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    )
+
+
+def compliance_gate_cols(d: DataFrame) -> DataFrame:
+    """web07's full gate as a pure column-expression pipeline over any
+    frame with (doc_id, source, lang) — batch and streaming share it
+    verbatim (it is one stateless codegen map)."""
+    d = _parsed(_with_url(d))
     h = poly_hash(F.col("reg_domain"))
     allow_pfx = F.concat(F.lit("/"), F.col("lang"), F.lit("/s"))
     tag_hit = (h % 3 == 0) & F.col("path").contains("/tag/")

@@ -635,3 +635,17 @@ def streaming_span_dedup(docs: DataFrame, seg_w: int = 8) -> DataFrame:
     return segs.groupBy("gh").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_compliance_gate(docs: DataFrame) -> DataFrame:
+    """Streaming face of web07's robots/licence/opt-out gate: the
+    batch op is ONE stateless whole-stage-codegen map fused into the
+    scan (zero exchanges), so the identical expression tree gates a
+    document STREAM with no watermark, no state and no changes — the
+    crawl-frontier deployment shape (score each candidate URL as it is
+    discovered, before fetch). Per arriving doc: licence class, robots
+    verdict, opt-out flag, allowed verdict and fixed-order reasons,
+    exactly the batch columns (pinned equal in tests)."""
+    from ..operators.web import compliance_gate_cols
+
+    return compliance_gate_cols(docs.select("doc_id", "source", "lang"))

@@ -666,3 +666,37 @@ def test_streaming_quantile_monitor_matches_batch_envelope(spark):
                 got_q = src[f"p{int(q * 100):02d}"]
                 # 1e-4 absorbs the report's 4-dp rounding of the value
                 assert lo - 1e-4 <= got_q <= hi + 1e-4, (w, q, got_q, lo, hi)
+
+
+def test_streaming_compliance_gate_equals_batch_web07(spark, tmp_path):
+    """web07's gate is one stateless codegen map, so its streaming face
+    must emit EXACTLY the batch rows across arbitrary micro-batch
+    boundaries — no state, no watermark, no reordering effects."""
+    from hive_lineage_spark.operators.web import web07_robots_compliance_gate
+    from hive_lineage_spark.streaming.events import streaming_compliance_gate
+
+    staging = str(tmp_path / "docs")
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source", "lang")
+    )
+    docs.repartition(3).write.parquet(staging)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(staging)
+
+    q = (
+        streaming_compliance_gate(stream)
+        .writeStream.format("memory")
+        .queryName("web07_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM web07_stream").collect()}
+    want = {tuple(r) for r in web07_robots_compliance_gate(spark, SF).collect()}
+    assert got == want and got
