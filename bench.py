@@ -144,6 +144,7 @@ EXTRA = [
     "ss22_ann_ivfpq_residual",  # residual-encoded IVFPQ (FAISS by_residual) (round 14)
     "tp17_no_split_packing",   # no-split next-fit packing (applyInPandas) (round 14)
     "mm23_video_near_dup",     # cross-video pHash near-dup, banded Hamming (round 14)
+    "web08_politeness_schedule",  # per-host crawl-delay frontier schedule (round 14)
     "web05_boilerplate_gate",  # jusText block gate inside HOFs, zero-exchange (round 13)
     "tx23_fasttext_gate",      # fastText-shape linear quality classifier (round 13)
     "web06_url_canonical_dedup",  # canonical-URL variant dedup, hash-keyed (round 13)

@@ -264,11 +264,17 @@ _DRIVER_PRIORITY = [
     "sk05_source_intake_report",
     "q28_orc_roundtrip", "q29_csv_roundtrip", "q30_json_roundtrip",
     "q41_session_window",
+    # Round-14 seventh registration: web08 (per-host crawl-politeness
+    # frontier scheduling — the step after web03/web07's gates)
+    # certifies the round it lands; out for it: dd16 (4x-certified
+    # r10-r13, unchanged — dd17/dd18/dd21 keep the dedup family
+    # in-window, the content-defined-chunking profile stays
+    # local-oracle- and pytest-pinned).
+    "web08_politeness_schedule",
     # deduplication (dd06 rotated out r10 — certified r1-r9, cosine
     # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
     # is its Arrow twin; dd02 out r11 — dd17 embeds its pair
-    # generation wholesale; dd15 out r14, see above)
-    "dd16_cdc_chunks",
+    # generation wholesale; dd15/dd16 out r14, see above)
     "dd17_cluster_keep_best",
     "dd18_longest_dup_span",
     # similarity search (ss01 rotated out r10 — certified 8x, exact

@@ -671,6 +671,72 @@ WEB07_SQL = f"""
 """
 
 
+def web08_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness frontier scheduling — the step after the gates
+    (web03 URL rules, web07 robots/licence): turn the allowed frontier
+    into a per-host FETCH SCHEDULE that honours each host's crawl
+    delay. RFC 9309's Crawl-delay (and every polite crawler's default
+    rate limit) is per HOST, so the frontier partitions by registrable
+    domain: within a host, pages are fetched shallow-first (path_depth
+    asc, doc_id tiebreak — the BFS frontier prioritization crawlers
+    default to), the k-th fetch is scheduled at ``k·crawl_delay_ms``,
+    and hosts shard across ``WEB08_WORKERS`` fetch workers by domain
+    hash (every host's requests serialize on one worker — politeness
+    holds under parallelism by construction). Crawl delays derive
+    deterministically from the domain hash (500·(1 + h mod 4) ms — the
+    500 ms–2 s production band); a real deployment joins fetched
+    robots.txt delays instead, same plan.
+
+    Scale shape: ONE exchange on reg_domain for the per-host rank
+    window; the delay/worker derivation and the schedule arithmetic
+    are codegen over the URL-synthesis scan; output is frontier-sized
+    with all-integer scheduling columns (bit-identical oracle)."""
+    from pyspark.sql import Window
+
+    d = _parsed(_with_url(_docs(spark, sf_dir).select("doc_id", "source", "lang")))
+    h = poly_hash(F.col("reg_domain"))
+    delay = (500 * (1 + h % 4)).cast("long")
+    w = Window.partitionBy("reg_domain").orderBy(F.asc("path_depth"), F.asc("doc_id"))
+    rank = F.row_number().over(w) - 1
+    return d.select(
+        "doc_id",
+        "url",
+        "reg_domain",
+        delay.alias("crawl_delay_ms"),
+        (h % WEB08_WORKERS).cast("int").alias("worker"),
+        rank.cast("int").alias("fetch_rank"),
+        (rank * delay).cast("long").alias("scheduled_ms"),
+    )
+
+
+WEB08_WORKERS = 16
+
+WEB08_SQL = f"""
+    WITH p AS (
+        SELECT doc_id, url, lang, path,
+               {_reg_domain_sql()} AS reg_domain,
+               CAST(len(string_split(path, '/')) - 1 AS INT) AS path_depth
+        FROM (
+            SELECT doc_id, lang, url, {_PARSE_SQL}
+            FROM (SELECT doc_id, lang, {_URL_SQL} AS url FROM documents)
+        )
+    ),
+    hh AS (
+        SELECT *, {poly_hash_sql('reg_domain')} AS h FROM p
+    )
+    SELECT doc_id, url, reg_domain,
+           CAST(500 * (1 + h % 4) AS BIGINT) AS crawl_delay_ms,
+           CAST(h % {WEB08_WORKERS} AS INT) AS worker,
+           CAST(row_number() OVER (
+               PARTITION BY reg_domain ORDER BY path_depth ASC, doc_id ASC
+           ) - 1 AS INT) AS fetch_rank,
+           CAST((row_number() OVER (
+               PARTITION BY reg_domain ORDER BY path_depth ASC, doc_id ASC
+           ) - 1) * 500 * (1 + h % 4) AS BIGINT) AS scheduled_ms
+    FROM hh
+"""
+
+
 QUERIES = {
     "web01_url_parse": web01_url_parse,
     "web02_host_dup_rate": web02_host_dup_rate,
@@ -679,6 +745,7 @@ QUERIES = {
     "web05_boilerplate_gate": web05_boilerplate_gate,
     "web06_url_canonical_dedup": web06_url_canonical_dedup,
     "web07_robots_compliance_gate": web07_robots_compliance_gate,
+    "web08_politeness_schedule": web08_politeness_schedule,
 }
 
 ORACLES = {
@@ -689,4 +756,5 @@ ORACLES = {
     "web05_boilerplate_gate": WEB05_SQL,
     "web06_url_canonical_dedup": WEB06_SQL,
     "web07_robots_compliance_gate": WEB07_SQL,
+    "web08_politeness_schedule": WEB08_SQL,
 }

@@ -143,3 +143,41 @@ def test_web07_compliance_gate_semantics(spark):
         and not row["robots_blocked"]
     ]
     assert overridden, "allow-override never exercised at sf0.001"
+
+
+def test_web08_schedule_politeness_invariants(spark):
+    """web08: (1) within a host, fetches are spaced EXACTLY
+    crawl_delay_ms apart starting at 0 (the politeness contract);
+    (2) the order is shallow-first (path_depth ascending along
+    fetch_rank, doc_id tiebreak); (3) all of a host's requests land on
+    ONE worker (serialization under parallelism — the property that
+    makes per-host rate limits hold on a cluster); (4) delays sit in
+    the 500 ms-2 s band; (5) the plan's only exchange keys on the
+    registrable domain (the rank window), everything else codegen."""
+    from hive_lineage_spark.operators.web import web08_politeness_schedule
+
+    df = web08_politeness_schedule(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        assert 500 <= r["crawl_delay_ms"] <= 2000 and r["crawl_delay_ms"] % 500 == 0, r
+        by_host.setdefault(r["reg_domain"], []).append(r)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["fetch_rank"])
+        assert [r["fetch_rank"] for r in rs] == list(range(len(rs))), host
+        delay = rs[0]["crawl_delay_ms"]
+        workers = {r["worker"] for r in rs}
+        assert len(workers) == 1, (host, workers)
+        prev_depth = -1
+        for r in rs:
+            assert r["crawl_delay_ms"] == delay, (host, r)
+            assert r["scheduled_ms"] == r["fetch_rank"] * delay, r
+            depth = r["url"].split("://", 1)[1].split("?")[0].count("/") - 1
+            assert depth >= prev_depth, (host, r)
+            prev_depth = depth
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and set(keys) <= {"reg_domain"}, keys
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
