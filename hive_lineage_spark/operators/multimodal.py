@@ -2770,7 +2770,7 @@ def _vphash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm23_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-video near-duplicate detection: per unordered video pair
-    that shares at least one 16-bit pHash band AND a frame pair within
+    that shares at least one 8-bit pHash band AND a frame pair within
     Hamming ≤ {MM23_T}, the matched-frame counts on both sides and a
     majority verdict (``near_dup`` = at least half of EACH video's
     frames have a qualifying partner frame).

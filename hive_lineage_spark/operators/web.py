@@ -591,10 +591,11 @@ def web07_robots_compliance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def compliance_gate_cols(d: DataFrame) -> DataFrame:
-    """web07's full gate as a pure column-expression pipeline over any
-    frame with (doc_id, source, lang) — batch and streaming share it
-    verbatim (it is one stateless codegen map)."""
+def _compliance_flags(d: DataFrame) -> tuple[DataFrame, dict[str, Column]]:
+    """The gate's rule expressions over a parsed frame — ONE source of
+    truth for web07 (the per-doc report), web08 (which schedules only
+    the ALLOWED frontier) and the streaming face. Returns the parsed
+    frame plus the flag expressions (all pure codegen)."""
     d = _parsed(_with_url(d))
     h = poly_hash(F.col("reg_domain"))
     allow_pfx = F.concat(F.lit("/"), F.col("lang"), F.lit("/s"))
@@ -611,39 +612,53 @@ def compliance_gate_cols(d: DataFrame) -> DataFrame:
     )
     lic_blocked = licence.isin(*_LIC_BLOCKED)
     meta_optout = F.col("doc_id") % 19 == 0
+    flags = {
+        "tag_hit": tag_hit,
+        "disall_hit": disall_hit,
+        "allow_hit": allow_hit,
+        "robots_blocked": robots_blocked,
+        "licence": licence,
+        "lic_blocked": lic_blocked,
+        "meta_optout": meta_optout,
+        "allowed": ~(robots_blocked | lic_blocked | meta_optout),
+    }
+    return d, flags
+
+
+def compliance_gate_cols(d: DataFrame) -> DataFrame:
+    """web07's full gate as a pure column-expression pipeline over any
+    frame with (doc_id, source, lang) — batch and streaming share it
+    verbatim (it is one stateless codegen map)."""
+    d, fl = _compliance_flags(d)
     reasons = F.concat_ws(
         ",",
-        F.when(tag_hit, F.lit("robots_tag_rule")),
-        F.when(disall_hit & ~allow_hit & ~tag_hit, F.lit("robots_disallow_all")),
-        F.when(lic_blocked, F.lit("licence")),
-        F.when(meta_optout, F.lit("meta_noai")),
+        F.when(fl["tag_hit"], F.lit("robots_tag_rule")),
+        F.when(
+            fl["disall_hit"] & ~fl["allow_hit"] & ~fl["tag_hit"],
+            F.lit("robots_disallow_all"),
+        ),
+        F.when(fl["lic_blocked"], F.lit("licence")),
+        F.when(fl["meta_optout"], F.lit("meta_noai")),
     )
     return d.select(
         "doc_id",
         "url",
         "reg_domain",
-        licence.alias("licence"),
-        robots_blocked.cast("int").alias("robots_blocked"),
-        meta_optout.cast("int").alias("meta_optout"),
-        (~(robots_blocked | lic_blocked | meta_optout)).cast("int").alias("allowed"),
+        fl["licence"].alias("licence"),
+        fl["robots_blocked"].cast("int").alias("robots_blocked"),
+        fl["meta_optout"].cast("int").alias("meta_optout"),
+        fl["allowed"].cast("int").alias("allowed"),
         reasons.alias("reasons"),
     )
 
 
-WEB07_SQL = f"""
-    SELECT doc_id, url, reg_domain, licence,
-           CAST(tag_hit OR (disall_hit AND NOT allow_hit) AS INT) AS robots_blocked,
-           CAST(meta_optout AS INT) AS meta_optout,
-           CAST(NOT (tag_hit OR (disall_hit AND NOT allow_hit)
-                     OR lic_blocked OR meta_optout) AS INT) AS allowed,
-           concat_ws(',',
-               CASE WHEN tag_hit THEN 'robots_tag_rule' END,
-               CASE WHEN disall_hit AND NOT allow_hit AND NOT tag_hit
-                    THEN 'robots_disallow_all' END,
-               CASE WHEN lic_blocked THEN 'licence' END,
-               CASE WHEN meta_optout THEN 'meta_noai' END) AS reasons
-    FROM (
-        SELECT doc_id, url, reg_domain, path, lang,
+def _gate_flagged_sql() -> str:
+    """Shared DuckDB subquery: parsed URLs + the gate's rule flags —
+    WEB07_SQL reports them per doc, WEB08_SQL filters on the allowed
+    verdict before scheduling (one source of truth, mirroring
+    ``_compliance_flags``)."""
+    return f"""
+        SELECT doc_id, url, reg_domain, path, lang, h,
                h % 3 = 0 AND contains(path, '/tag/') AS tag_hit,
                h % 5 = 0 AND h % 2 = 1
                    AND starts_with(path, '/' || lang || '/s') AS allow_hit,
@@ -666,16 +681,31 @@ WEB07_SQL = f"""
                     FROM (SELECT doc_id, lang, {_URL_SQL} AS url FROM documents)
                 )
             )
-        )
-    )
+        )"""
+
+
+WEB07_SQL = f"""
+    SELECT doc_id, url, reg_domain, licence,
+           CAST(tag_hit OR (disall_hit AND NOT allow_hit) AS INT) AS robots_blocked,
+           CAST(meta_optout AS INT) AS meta_optout,
+           CAST(NOT (tag_hit OR (disall_hit AND NOT allow_hit)
+                     OR lic_blocked OR meta_optout) AS INT) AS allowed,
+           concat_ws(',',
+               CASE WHEN tag_hit THEN 'robots_tag_rule' END,
+               CASE WHEN disall_hit AND NOT allow_hit AND NOT tag_hit
+                    THEN 'robots_disallow_all' END,
+               CASE WHEN lic_blocked THEN 'licence' END,
+               CASE WHEN meta_optout THEN 'meta_noai' END) AS reasons
+    FROM ({_gate_flagged_sql()})
 """
 
 
 def web08_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-politeness frontier scheduling — the step after the gates
-    (web03 URL rules, web07 robots/licence): turn the allowed frontier
-    into a per-host FETCH SCHEDULE that honours each host's crawl
-    delay. RFC 9309's Crawl-delay (and every polite crawler's default
+    """Crawl-politeness frontier scheduling WITH the compliance gate
+    composed: only documents web07's robots/licence/opt-out gate ALLOWS
+    enter the frontier (the gate expressions are shared, one source of
+    truth), and the allowed frontier becomes a per-host FETCH SCHEDULE
+    that honours each host's crawl delay. RFC 9309's Crawl-delay (and every polite crawler's default
     rate limit) is per HOST, so the frontier partitions by registrable
     domain: within a host, pages are fetched shallow-first (path_depth
     asc, doc_id tiebreak — the BFS frontier prioritization crawlers
@@ -688,12 +718,15 @@ def web08_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots.txt delays instead, same plan.
 
     Scale shape: ONE exchange on reg_domain for the per-host rank
-    window; the delay/worker derivation and the schedule arithmetic
-    are codegen over the URL-synthesis scan; output is frontier-sized
-    with all-integer scheduling columns (bit-identical oracle)."""
+    window; the compliance gate (web07's expressions — shared via
+    ``_compliance_flags``, ONE source of truth), the delay/worker
+    derivation and the schedule arithmetic are codegen over the
+    URL-synthesis scan; output is allowed-frontier-sized with
+    all-integer scheduling columns (bit-identical oracle)."""
     from pyspark.sql import Window
 
-    d = _parsed(_with_url(_docs(spark, sf_dir).select("doc_id", "source", "lang")))
+    d, fl = _compliance_flags(_docs(spark, sf_dir).select("doc_id", "source", "lang"))
+    d = d.filter(fl["allowed"])
     h = poly_hash(F.col("reg_domain"))
     delay = (500 * (1 + h % 4)).cast("long")
     w = Window.partitionBy("reg_domain").orderBy(F.asc("path_depth"), F.asc("doc_id"))
@@ -712,30 +745,27 @@ def web08_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEB08_WORKERS = 16
 
 WEB08_SQL = f"""
-    WITH p AS (
-        SELECT doc_id, url, lang, path,
-               {_reg_domain_sql()} AS reg_domain,
+    WITH fl AS ({_gate_flagged_sql()}),
+    allowed AS (
+        SELECT doc_id, url, reg_domain, h,
                CAST(len(string_split(path, '/')) - 1 AS INT) AS path_depth
-        FROM (
-            SELECT doc_id, lang, url, {_PARSE_SQL}
-            FROM (SELECT doc_id, lang, {_URL_SQL} AS url FROM documents)
-        )
+        FROM fl
+        WHERE NOT (tag_hit OR (disall_hit AND NOT allow_hit)
+                   OR lic_blocked OR meta_optout)
     ),
-    hh AS (
-        SELECT *, {poly_hash_sql('reg_domain')} AS h FROM p
+    ranked AS (
+        SELECT doc_id, url, reg_domain,
+               CAST(500 * (1 + h % 4) AS BIGINT) AS crawl_delay_ms,
+               CAST(h % {WEB08_WORKERS} AS INT) AS worker,
+               CAST(row_number() OVER (
+                   PARTITION BY reg_domain ORDER BY path_depth ASC, doc_id ASC
+               ) - 1 AS INT) AS fetch_rank
+        FROM allowed
     )
-    SELECT doc_id, url, reg_domain,
-           CAST(500 * (1 + h % 4) AS BIGINT) AS crawl_delay_ms,
-           CAST(h % {WEB08_WORKERS} AS INT) AS worker,
-           CAST(row_number() OVER (
-               PARTITION BY reg_domain ORDER BY path_depth ASC, doc_id ASC
-           ) - 1 AS INT) AS fetch_rank,
-           CAST((row_number() OVER (
-               PARTITION BY reg_domain ORDER BY path_depth ASC, doc_id ASC
-           ) - 1) * 500 * (1 + h % 4) AS BIGINT) AS scheduled_ms
-    FROM hh
+    SELECT doc_id, url, reg_domain, crawl_delay_ms, worker, fetch_rank,
+           CAST(fetch_rank * crawl_delay_ms AS BIGINT) AS scheduled_ms
+    FROM ranked
 """
-
 
 QUERIES = {
     "web01_url_parse": web01_url_parse,

@@ -152,12 +152,24 @@ def test_web08_schedule_politeness_invariants(spark):
     fetch_rank, doc_id tiebreak); (3) all of a host's requests land on
     ONE worker (serialization under parallelism — the property that
     makes per-host rate limits hold on a cluster); (4) delays sit in
-    the 500 ms-2 s band; (5) the plan's only exchange keys on the
-    registrable domain (the rank window), everything else codegen."""
-    from hive_lineage_spark.operators.web import web08_politeness_schedule
+    the 500 ms-2 s band; (5) the gate is COMPOSED — the scheduled set
+    is exactly web07's allowed set, so blocked URLs never consume a
+    fetch slot or inflate a host's ranks; (6) the plan's only exchange
+    keys on the registrable domain (the rank window), everything else
+    codegen."""
+    from hive_lineage_spark.operators.web import (
+        web07_robots_compliance_gate,
+        web08_politeness_schedule,
+    )
 
-    df = web08_politeness_schedule(spark, "/root/testdata/sf0.001")
+    df = web08_politeness_schedule(spark, SF)
     rows = df.collect()
+    allowed = {
+        r["doc_id"]
+        for r in web07_robots_compliance_gate(spark, SF).collect()
+        if r["allowed"] == 1
+    }
+    assert {r["doc_id"] for r in rows} == allowed and allowed
     by_host: dict[str, list] = {}
     for r in rows:
         assert 500 <= r["crawl_delay_ms"] <= 2000 and r["crawl_delay_ms"] % 500 == 0, r
