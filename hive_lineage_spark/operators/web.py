@@ -669,7 +669,15 @@ def _gate_flagged_sql() -> str:
                     WHEN doc_id % 7 = 3 THEN 'all-rights-reserved'
                     ELSE 'none' END AS licence,
                doc_id % 7 = 2 OR doc_id % 7 = 3 AS lic_blocked,
-               doc_id % 19 = 0 AS meta_optout
+               doc_id % 19 = 0 AS meta_optout,
+               h % 3 = 0 AND contains(path, '/tag/')
+                   OR (h % 5 = 0 AND NOT (h % 5 = 0 AND h % 2 = 1
+                       AND starts_with(path, '/' || lang || '/s'))) AS robots_blocked,
+               NOT (h % 3 = 0 AND contains(path, '/tag/')
+                    OR (h % 5 = 0 AND NOT (h % 5 = 0 AND h % 2 = 1
+                        AND starts_with(path, '/' || lang || '/s')))
+                    OR doc_id % 7 = 2 OR doc_id % 7 = 3
+                    OR doc_id % 19 = 0) AS allowed
         FROM (
             SELECT doc_id, url, lang, reg_domain, path,
                    {poly_hash_sql('reg_domain')} AS h
@@ -686,10 +694,9 @@ def _gate_flagged_sql() -> str:
 
 WEB07_SQL = f"""
     SELECT doc_id, url, reg_domain, licence,
-           CAST(tag_hit OR (disall_hit AND NOT allow_hit) AS INT) AS robots_blocked,
+           CAST(robots_blocked AS INT) AS robots_blocked,
            CAST(meta_optout AS INT) AS meta_optout,
-           CAST(NOT (tag_hit OR (disall_hit AND NOT allow_hit)
-                     OR lic_blocked OR meta_optout) AS INT) AS allowed,
+           CAST(allowed AS INT) AS allowed,
            concat_ws(',',
                CASE WHEN tag_hit THEN 'robots_tag_rule' END,
                CASE WHEN disall_hit AND NOT allow_hit AND NOT tag_hit
@@ -750,8 +757,7 @@ WEB08_SQL = f"""
         SELECT doc_id, url, reg_domain, h,
                CAST(len(string_split(path, '/')) - 1 AS INT) AS path_depth
         FROM fl
-        WHERE NOT (tag_hit OR (disall_hit AND NOT allow_hit)
-                   OR lic_blocked OR meta_optout)
+        WHERE allowed
     ),
     ranked AS (
         SELECT doc_id, url, reg_domain,

@@ -94,7 +94,7 @@ SHOW = [
     ("ss22_ann_ivfpq_residual", "residual ADC: probe frame carries N_QUERIES*N_PROBE per-cell tables (broadcast); codes artifact joins map-side; the only wide exchange is the per-query top-K"),
     ("tp17_no_split_packing", "ONE exchange on the shard key feeding FlatMapGroupsInPandas — the capacity-reset recurrence runs per shard inside an Arrow batch; scan reads only doc_id + text"),
     ("mm23_video_near_dup", "ONE narrow decode+hash Arrow pass (persisted, both join sides read it); candidates from the 8-bit band equi-join, never all frame pairs; Hamming gate in codegen before the pair agg"),
-    ("web08_politeness_schedule", "ONE exchange on reg_domain for the per-host rank window; delay/worker derivation + schedule arithmetic all codegen over the scan"),
+    ("web08_politeness_schedule", "web07's compliance gate composed as a codegen Filter BEFORE the reg_domain rank-window exchange (only the allowed frontier shuffles); delay/worker derivation + schedule arithmetic all codegen over the scan"),
     ("tx23_fasttext_gate", "THE MODEL is one persisted B-row frame (both class counts, one corpus pass — train once, serve from the table) broadcast-LEFT-joined into the shuffle-free bigram feature stream with the totals folded off the same frame; the only corpus-sized exchange is the per-doc score agg (doc_id-keyed, map-side combined) — the fastText forward pass as a plan"),
     ("sk05_source_intake_report", "one text-hash pass (partial-agg combined), the SHARED persisted (source, gram) frame (InMemoryTableScan — same artifact sk03 reads), register-sized HLL folds, source-count-sized rollups; the dup-flag join is AQE-chosen (web02's pattern)"),
 ]

@@ -70,7 +70,7 @@ PROBE = [
     ("ss22_ann_ivfpq_residual", "linear encode pass (persisted) + pruned ADC scan; probe tables query-sized"),
     ("tp17_no_split_packing", "one shard exchange + linear per-shard Arrow pass"),
     ("mm23_video_near_dup", "linear decode+hash pass; banded candidates ~ true near-dup volume"),
-    ("web08_politeness_schedule", "linear codegen map + one host-keyed rank window"),
+    ("web08_politeness_schedule", "linear codegen gate+map; only the allowed frontier enters the host-keyed rank window"),
 ]
 
 
