@@ -65,12 +65,22 @@ def default_table_resolver(path: str) -> str | None:
     if base.endswith("_us") and ".scratch" in path:
         return base[: -len("_us")]
     # the stored IVF index (operators/similarity._ivf_index_stored) is a
-    # derived, fingerprint-tagged copy of the embeddings table — resolve
-    # its serve scans back to `embeddings` so ss21's column lineage
-    # links the served index to its source instead of dead-ending at an
-    # anonymous .scratch directory
-    if base.startswith("ivf_index_") and ".scratch" in path:
-        return "embeddings"
+    # derived, fingerprint-tagged copy of its source table — the tag
+    # encodes that table (`ivf_index_<table>_c..._m..._s..._v...`), so
+    # resolve serve scans back to it and ss21's column lineage links the
+    # served index to its true source instead of dead-ending at an
+    # anonymous .scratch directory (or mis-attributing an index built
+    # from a different table to `embeddings`)
+    m = re.match(r"ivf_index_(.+)_c\d+_m\d+_s\d+_v\d+$", base)
+    if m and ".scratch" in path:
+        return m.group(1)
+    # the WARC fixture shards (operators/web._warc_fixture) are the
+    # named table re-serialized as WARC containers — resolve the
+    # binaryFile scan back to that table so web09's lineage links the
+    # ingested records to their source rows
+    m = re.match(r"warc_(.+)_v\d+$", base)
+    if m and ".scratch" in path:
+        return m.group(1)
     return None
 
 

@@ -415,10 +415,10 @@ def all_declared() -> dict[str, dict[str, list[str]]]:
     name → {output column → input columns of the Python barrier}.
     Consumed by ``LineageTracker.track(df, declared=...)``; provenance
     of these edges is marked ``declared`` (engine-unprovable)."""
-    from . import dedup, multimodal, pandas_ops, pipeline, similarity
+    from . import dedup, multimodal, pandas_ops, pipeline, similarity, web
 
     merged: dict[str, dict[str, list[str]]] = {}
-    for mod in (dedup, similarity, multimodal, pandas_ops, pipeline):
+    for mod in (dedup, similarity, multimodal, pandas_ops, pipeline, web):
         merged.update(getattr(mod, "DECLARED", {}))
     return merged
 

@@ -2146,9 +2146,9 @@ def _mm17_sql() -> str:
            CAST(max(m.h) AS INT) AS height,
            CAST(max(med.median_ac) AS BIGINT) AS median_ac,
            CAST(sum(CASE WHEN a.k < 31 AND a.s > med.median_ac
-                         THEN 1 << a.k ELSE 0 END) AS BIGINT) AS phash_hi,
+                         THEN CAST(1 AS BIGINT) << a.k ELSE 0 END) AS BIGINT) AS phash_hi,
            CAST(sum(CASE WHEN a.k >= 31 AND a.s > med.median_ac
-                         THEN 1 << (a.k - 31) ELSE 0 END) AS BIGINT) AS phash_lo
+                         THEN CAST(1 AS BIGINT) << (a.k - 31) ELSE 0 END) AS BIGINT) AS phash_lo
     FROM ac a
     JOIN med ON a.doc_id = med.doc_id
     JOIN m ON a.doc_id = m.doc_id
@@ -2655,7 +2655,7 @@ MM22_SQL = f"""
 # pairs are DIFFERENT JPEG bytes (a uniform chroma shift re-encoded)
 # whose luma pHashes still collide because the DC term is dropped.
 #
-# Fixture (`mjpeg_clones_v1`): one AVI per doc; docs (2k, 2k+1) share
+# Fixture (`mjpeg_clones_v3`): one AVI per doc; docs (2k, 2k+1) share
 # base pattern k — same geometry and Y/Cr planes, the odd twin's Cb
 # plane shifted +5 (mod-251 base keeps the shift wrap-free). A uniform
 # chroma shift moves the decoded luma nearly uniformly, which lands in
@@ -2934,9 +2934,9 @@ def _mm23_sql() -> str:
     ph AS (
         SELECT a.doc_id, a.frame_no,
                CAST(sum(CASE WHEN a.k < 31 AND a.s > med.median_ac
-                             THEN 1 << a.k ELSE 0 END) AS BIGINT) AS hi,
+                             THEN CAST(1 AS BIGINT) << a.k ELSE 0 END) AS BIGINT) AS hi,
                CAST(sum(CASE WHEN a.k >= 31 AND a.s > med.median_ac
-                             THEN 1 << (a.k - 31) ELSE 0 END) AS BIGINT) AS lo
+                             THEN CAST(1 AS BIGINT) << (a.k - 31) ELSE 0 END) AS BIGINT) AS lo
         FROM ac a JOIN med ON a.doc_id = med.doc_id AND a.frame_no = med.frame_no
         GROUP BY a.doc_id, a.frame_no
     ),

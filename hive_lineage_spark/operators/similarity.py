@@ -2812,6 +2812,12 @@ SS20_SQL = f"""
 # the ss02 parity test happened to run on that machine.
 _IVF_INDEX_ALGO_V = 1
 
+# a tmp build dir must sit untouched this long before the orphan sweep
+# may consider it (second guard on top of the pid probe — covers shared
+# filesystems where the builder pid lives on another machine, and local
+# pid reuse where a dead builder's pid now names an unrelated process)
+_IVF_TMP_STALE_S = 15 * 60
+
 
 def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED IVF index: ss02's cell assignment written ONCE
@@ -2826,36 +2832,54 @@ def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    # cache key carries everything that shapes the index: the centroid
-    # count, the source parquet's (mtime, size), AND the assignment
-    # algorithm version — changing the constants, regenerating the
-    # data, or editing the assignment expression invalidates the stored
-    # index instead of silently serving stale cell assignments. Bump
-    # _IVF_INDEX_ALGO_V alongside ANY change to the assignment below
-    # (_vectors normalization, _cosine, the argmax/tie-break rule).
+    # cache key carries everything that shapes the index: the SOURCE
+    # TABLE (hook.default_table_resolver parses it back out so lineage
+    # attributes the served scan to the right table — an index built
+    # from another source must never resolve to `embeddings`), the
+    # centroid count, the source parquet's (mtime, size), AND the
+    # assignment algorithm version — changing the constants,
+    # regenerating the data, or editing the assignment expression
+    # invalidates the stored index instead of silently serving stale
+    # cell assignments. Bump _IVF_INDEX_ALGO_V alongside ANY change to
+    # the assignment below (_vectors normalization, _cosine, the
+    # argmax/tie-break rule).
     st = os.stat(table_path(sf_dir, "embeddings"))
     tag = (
-        f"ivf_index_c{N_CENTROIDS}_m{int(st.st_mtime)}_s{st.st_size}"
+        f"ivf_index_embeddings_c{N_CENTROIDS}_m{int(st.st_mtime)}_s{st.st_size}"
         f"_v{_IVF_INDEX_ALGO_V}"
     )
     scratch_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir))
     path = os.path.join(scratch_dir, tag)
     if not os.path.exists(path):
-        # sweep tmp dirs orphaned by a CRASHED builder (pid no longer
-        # alive) — never a live concurrent builder's work-in-progress:
-        # deleting a live tmp mid-write would fail that process's write
-        # job, the exact race the rename-tolerance below preserves
-        if os.path.isdir(scratch_dir):
-            for leftover in os.listdir(scratch_dir):
-                if not leftover.startswith(f"{tag}.tmp-"):
-                    continue
-                pid_s = leftover.rsplit("-", 1)[-1]
-                try:
-                    os.kill(int(pid_s), 0)
-                except (ValueError, ProcessLookupError):
-                    shutil.rmtree(os.path.join(scratch_dir, leftover), ignore_errors=True)
-                except PermissionError:
-                    pass  # pid alive under another user — leave it
+        # sweep tmp dirs orphaned by a CRASHED builder — never a live
+        # concurrent builder's work-in-progress: deleting a live tmp
+        # mid-write would fail that process's write job, the exact race
+        # the rename-tolerance below preserves. Two independent guards
+        # must BOTH clear: the recorded pid is dead (os.kill probe —
+        # meaningless for a REMOTE builder on a shared filesystem, and
+        # wrong after local pid reuse) AND the dir has sat untouched
+        # past the staleness horizon (a live builder's write job keeps
+        # refreshing mtimes; a remote builder younger than the horizon
+        # is left alone even though its pid probe "fails").
+        import time
+
+        for leftover in os.listdir(scratch_dir) if os.path.isdir(scratch_dir) else ():
+            if not leftover.startswith(f"{tag}.tmp-"):
+                continue
+            full = os.path.join(scratch_dir, leftover)
+            try:
+                age_s = time.time() - os.stat(full).st_mtime
+            except OSError:
+                continue  # raced with another sweeper — already gone
+            if age_s < _IVF_TMP_STALE_S:
+                continue
+            pid_s = leftover.rsplit("-", 1)[-1]
+            try:
+                os.kill(int(pid_s), 0)
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(full, ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another user — leave it
         vec = _vectors(spark, sf_dir)
         cent_arr = (
             vec.filter(F.col("vec_id") < N_CENTROIDS)

@@ -773,6 +773,328 @@ WEB08_SQL = f"""
     FROM ranked
 """
 
+# ---------------------------------------------------------------------------
+# web09: WARC container ingestion — the actual CommonCrawl entry path a
+# production pipeline hits FIRST: crawl output ships as WARC 1.0
+# containers (ISO 28500), one warcinfo record leading a stream of
+# framed response records, optionally gzip-compressed. web01-web08
+# start from an already-split page stream; web09 closes the gap with a
+# pure-stdlib record walker (`functions/warc.py`) over the binaryFile
+# source (`sources/binary.py`), composing each response payload
+# straight into web04's extraction expressions.
+#
+# Fixture (`warc_documents_v1` — the mm23 clone-fixture pattern): the
+# documents table re-serialized as real WARC shards, one response
+# record per doc carrying the web04 synthetic page as its HTTP body,
+# sharded docs-0000..0007 by doc_id % 8 with shard 0 gzipped (the
+# CommonCrawl .warc.gz face; offsets describe the decompressed stream).
+# The WALKER — header parse, Content-Length framing, warc-type
+# dispatch, gzip handling, HTTP split — is the real thing and never
+# sees the construction; the DuckDB oracle RECONSTRUCTS every record's
+# framing (header/block byte lengths, per-shard running offsets) in
+# closed form from the same documents rows.
+# ---------------------------------------------------------------------------
+
+W09_SHARDS = 8
+W09_SCHEMA = (
+    "doc_id long, file string, rec_offset long, rec_len long, "
+    "url string, http_status int, html string"
+)
+
+
+def _py_url(doc_id: int, source: str, lang: str) -> str:
+    """`_with_url`/`_URL_SQL`'s construction in Python, character for
+    character — the fixture encoder's side of the cross-engine contract."""
+    sub = ("", "www.", "cdn.")[doc_id % 3]
+    tld = ("com", "org", "co.uk", "com.cn", "net")[doc_id % 5]
+    path = f"/{lang}"
+    if doc_id % 4 >= 1:
+        path += f"/s{doc_id % 23}"
+    if doc_id % 4 >= 2:
+        path += f"/t{doc_id % 7}"
+    if doc_id % 4 >= 3:
+        path += f"/p{doc_id % 11}"
+    if doc_id % 13 == 0:
+        path += f"/tag/{doc_id % 5}"
+    if doc_id % 6 == 0 and doc_id % 17 == 0:
+        q = f"?sid={doc_id}&ref=promo"
+    elif doc_id % 6 == 0:
+        q = f"?sid={doc_id}"
+    elif doc_id % 17 == 0:
+        q = "?ref=promo"
+    else:
+        q = ""
+    return f"https://{sub}{lang}.{source}hub.{tld}{path}{q}"
+
+
+def _py_html(doc_id: int, source: str, lang: str, text: str) -> str:
+    """`_with_html`/`_HTML_SQL`'s page in Python, character for character."""
+    if doc_id % 2 == 0:
+        fw = text.split(" ")[0]
+        body = f'<a href="/w">{fw}</a>' + text[len(fw):]
+    else:
+        body = text
+    rel = (
+        '<div class="rel"><a href="/r1">read more</a> <a href="/r2">also this</a> tiny</div>'
+        if doc_id % 3 == 0
+        else ""
+    )
+    return (
+        f"<html><head><title>{lang} page</title></head><body>"
+        '<nav><a href="/">home</a> <a href="/tag/0">tags</a> <a href="/arch">archive</a></nav>'
+        f'<div id="main"><p>{body}</p></div>{rel}'
+        '<footer><a href="/about">about</a> <a href="/legal">legal</a> copyright '
+        f"{source}</footer></body></html>"
+    )
+
+
+def _warc_shard_name(shard: int) -> str:
+    return f"docs-{shard:04d}.warc" + (".gz" if shard == 0 else "")
+
+
+def _warc_fixture(sf_dir: str) -> str:
+    """The documents table as real WARC containers, built once per
+    sf_dir under .scratch (atomic tmp-dir + rename, the
+    `_ivf_index_stored` lifecycle). Shard 0 is gzipped with mtime=0 so
+    the fixture bytes are deterministic."""
+    import gzip
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..functions.warc import encode_response_record, encode_warcinfo
+    from ..sources.registry import scratch_key, table_path
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "warc_documents_v1")
+    if not os.path.isdir(out_dir):
+        tbl = pq.read_table(
+            table_path(sf_dir, "documents"), columns=["doc_id", "source", "lang", "text"]
+        )
+        rows = sorted(
+            zip(
+                tbl.column("doc_id").to_pylist(),
+                tbl.column("source").to_pylist(),
+                tbl.column("lang").to_pylist(),
+                tbl.column("text").to_pylist(),
+            )
+        )
+        shards: dict[int, list[bytes]] = {}
+        for did, src, lang, text in rows:  # doc_id-ascending within each shard
+            shards.setdefault(did % W09_SHARDS, []).append(
+                encode_response_record(
+                    _py_url(did, src, lang),
+                    f"<urn:hls:doc:{did}>",
+                    _py_html(did, src, lang, text).encode("utf-8"),
+                )
+            )
+        tmp = f"{out_dir}.tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for s in range(W09_SHARDS):
+            data = encode_warcinfo() + b"".join(shards.get(s, []))
+            if s == 0:
+                data = gzip.compress(data, mtime=0)
+            with open(os.path.join(tmp, _warc_shard_name(s)), "wb") as f:
+                f.write(data)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(out_dir):  # see _ivf_index_stored
+                raise
+    return out_dir
+
+
+def _warc_record_batches(batches):
+    """mapInPandas worker: one linear walk per container — gunzip if
+    the name says so, split records by Content-Length framing, keep the
+    responses, split HTTP status from body. O(file bytes), no state
+    across files."""
+    import pandas as pd
+
+    from ..functions.warc import maybe_gunzip, split_http_response, walk_warc
+
+    cols = ["doc_id", "file", "rec_offset", "rec_len", "url", "http_status", "html"]
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            name = str(path).rsplit("/", 1)[-1]
+            data = maybe_gunzip(name, bytes(content))
+            for rec in walk_warc(data):
+                if rec["type"] != "response":
+                    continue
+                status, body = split_http_response(rec["block"])
+                rid = rec["headers"].get("warc-record-id", "")
+                rows.append(
+                    (
+                        int(rid.rsplit(":", 1)[-1].rstrip(">")),
+                        name,
+                        rec["offset"],
+                        rec["length"],
+                        rec["headers"].get("warc-target-uri", ""),
+                        status,
+                        body.decode("utf-8"),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def web09_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion composed into web04's extraction: split real WARC
+    containers into response records (framing offsets/lengths, target
+    URI, HTTP status), then run the extraction metrics over each
+    record's HTML payload — the end-to-end CommonCrawl entry stage.
+
+    Scale shape: the binaryFile scan parallelizes across containers
+    (CommonCrawl ships ~1 GB .warc.gz files in the tens of thousands
+    per snapshot — file-count ≫ executor-count, and the 2 GiB
+    JVM-byte-array bound is `sources/binary.py`'s documented boundary);
+    the walker is ONE linear Arrow-batched pass per container with no
+    state across files and output ∝ record count, never payload-squared;
+    the extraction metrics are the SAME whole-stage-codegen string
+    expressions web04 runs (octet_length/regexp on the payload column)
+    — no shuffle anywhere in the plan (record streams feed downstream
+    gates/dedup exactly where web04's output does today)."""
+    from ..sources.binary import read_binary_dir
+
+    files = read_binary_dir(spark, _warc_fixture(sf_dir), "*.warc*")
+    recs = files.select("path", "content").mapInPandas(
+        _warc_record_batches, schema=W09_SCHEMA
+    )
+    plain = F.regexp_replace("html", "<[^>]*>", "")
+    return recs.select(
+        "doc_id",
+        "file",
+        "rec_offset",
+        "rec_len",
+        "url",
+        "http_status",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        F.octet_length("html").cast("int").alias("html_bytes"),
+        F.octet_length(plain).cast("int").alias("text_bytes"),
+        F.round(F.octet_length(plain) / F.octet_length("html") + 1e-9, 4).alias(
+            "markup_ratio"
+        ),
+    )
+
+
+# the oracle reconstructs every record's BYTE FRAMING in closed form:
+# build the same header/block strings the fixture encoder writes
+# (strlen = UTF-8 bytes, matching Spark's octet_length), then running
+# per-shard offsets behind the constant warcinfo lead record
+_W09_CRLF = "chr(13) || chr(10)"
+_W09_WINFO_BODY = (
+    f"'software: hive-lineage-spark/0.1' || {_W09_CRLF} "
+    f"|| 'format: WARC File Format 1.0' || {_W09_CRLF}"
+)
+_W09_BLOCK = (
+    f"'HTTP/1.1 200 OK' || {_W09_CRLF} || 'Content-Type: text/html' "
+    f"|| {_W09_CRLF} || {_W09_CRLF} || html"
+)
+
+WEB09_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, {_URL_SQL} AS url, {_HTML_SQL} AS html,
+               'docs-' || lpad(CAST(doc_id % {W09_SHARDS} AS VARCHAR), 4, '0')
+                       || CASE WHEN doc_id % {W09_SHARDS} = 0 THEN '.warc.gz' ELSE '.warc' END AS file
+        FROM documents
+    ),
+    framed AS (
+        SELECT doc_id, url, html, file,
+               strlen({_W09_BLOCK}) AS blen,
+               strlen('WARC/1.0' || {_W09_CRLF} || 'WARC-Type: response' || {_W09_CRLF}
+                      || 'WARC-Target-URI: ' || url || {_W09_CRLF}
+                      || 'WARC-Record-ID: <urn:hls:doc:' || CAST(doc_id AS VARCHAR) || '>' || {_W09_CRLF}
+                      || 'Content-Type: application/http;msgtype=response' || {_W09_CRLF}
+                      || 'Content-Length: ' || CAST(strlen({_W09_BLOCK}) AS VARCHAR)
+                      || {_W09_CRLF} || {_W09_CRLF}) AS hlen,
+               strlen('WARC/1.0' || {_W09_CRLF} || 'WARC-Type: warcinfo' || {_W09_CRLF}
+                      || 'Content-Type: application/warc-fields' || {_W09_CRLF}
+                      || 'Content-Length: ' || CAST(strlen({_W09_WINFO_BODY}) AS VARCHAR)
+                      || {_W09_CRLF} || {_W09_CRLF} || {_W09_WINFO_BODY}
+                      || {_W09_CRLF} || {_W09_CRLF}) AS wlen
+        FROM base
+    )
+    SELECT doc_id, file,
+           CAST(wlen + coalesce(sum(hlen + blen + 4) OVER (
+               PARTITION BY file ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset,
+           CAST(hlen + blen + 4 AS BIGINT) AS rec_len,
+           url, CAST(200 AS INT) AS http_status,
+           regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+           CAST(strlen(html) AS INT) AS html_bytes,
+           CAST(strlen(regexp_replace(html, '<[^>]*>', '', 'g')) AS INT) AS text_bytes,
+           round(strlen(regexp_replace(html, '<[^>]*>', '', 'g')) * 1.0 / strlen(html) + 1e-9, 4) AS markup_ratio
+    FROM framed
+"""
+
+
+# operator-authored lineage through the walker barrier: every record
+# column derives from the container bytes, the shard name from the path
+DECLARED = {
+    "web09_warc_extract": {
+        "doc_id": ["content"],
+        "file": ["path"],
+        "rec_offset": ["content"],
+        "rec_len": ["content"],
+        "url": ["content"],
+        "http_status": ["content"],
+        "html": ["content"],
+    },
+}
+
+
+def web10_frontier_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """web08's politeness schedule with a PER-HOST FRONTIER CAP — the
+    mega-host escape hatch: a wikipedia-class host with 10^7 frontier
+    URLs makes web08's per-host rank window one straggler partition,
+    and scheduling past the politeness horizon is useless anyway (the
+    k-th fetch waits k·delay; past k = {W10_CAP} the next crawl cycle
+    re-frontiers the rest). Capping top-H shallow-first per host turns
+    the full-window sort into WindowGroupLimit partial/final: every
+    map task sheds rows past rank H BEFORE the reg_domain exchange, so
+    the shuffle carries at most H rows per host per task instead of
+    the mega-host's whole frontier. web08 stays the exact default;
+    this is the documented hot-host swap (dd13/ss21's
+    production-twin pattern).
+
+    Scale shape: identical to web08 (gate filters before the single
+    reg_domain exchange) plus the group-limit prune; plan-pinned:
+    WindowGroupLimit present AND the partial mode runs before the
+    exchange."""
+    from pyspark.sql import Window
+
+    d, fl = _compliance_flags(_docs(spark, sf_dir).select("doc_id", "source", "lang"))
+    d = d.filter(fl["allowed"])
+    h = poly_hash(F.col("reg_domain"))
+    delay = (500 * (1 + h % 4)).cast("long")
+    w = Window.partitionBy("reg_domain").orderBy(F.asc("path_depth"), F.asc("doc_id"))
+    rank = F.row_number().over(w)
+    return (
+        d.withColumn("rn", rank)
+        .filter(F.col("rn") <= W10_CAP)  # row_number filter → WindowGroupLimit
+        .select(
+            "doc_id",
+            "url",
+            "reg_domain",
+            delay.alias("crawl_delay_ms"),
+            (h % WEB08_WORKERS).cast("int").alias("worker"),
+            (F.col("rn") - 1).cast("int").alias("fetch_rank"),
+            ((F.col("rn") - 1) * delay).cast("long").alias("scheduled_ms"),
+        )
+    )
+
+
+W10_CAP = 8  # per-host frontier budget (politeness horizon: 8·delay)
+
+# web08's schedule, capped: identical rank/delay/worker derivation, the
+# survivors are exactly the top-{W10_CAP} shallow-first rows per host
+WEB10_SQL = f"""
+    SELECT * FROM ({WEB08_SQL}) WHERE fetch_rank < {W10_CAP}
+"""
+
+
 QUERIES = {
     "web01_url_parse": web01_url_parse,
     "web02_host_dup_rate": web02_host_dup_rate,
@@ -782,6 +1104,8 @@ QUERIES = {
     "web06_url_canonical_dedup": web06_url_canonical_dedup,
     "web07_robots_compliance_gate": web07_robots_compliance_gate,
     "web08_politeness_schedule": web08_politeness_schedule,
+    "web09_warc_extract": web09_warc_extract,
+    "web10_frontier_cap": web10_frontier_cap,
 }
 
 ORACLES = {
@@ -793,4 +1117,6 @@ ORACLES = {
     "web06_url_canonical_dedup": WEB06_SQL,
     "web07_robots_compliance_gate": WEB07_SQL,
     "web08_politeness_schedule": WEB08_SQL,
+    "web09_warc_extract": WEB09_SQL,
+    "web10_frontier_cap": WEB10_SQL,
 }

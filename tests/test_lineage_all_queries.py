@@ -42,6 +42,7 @@ PYTHON_BARRIER = {
     "dd06_embed_cosine_dup",
     "tp17_no_split_packing",
     "mm23_video_near_dup",
+    "web09_warc_extract",
     "px02_grouped_zscore",
     "ss05_ann_bruteforce_arrow",
     "dd13_semdedup_arrow",

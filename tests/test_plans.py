@@ -665,11 +665,38 @@ def test_ss21_serves_from_partition_pruned_index(spark):
     df.collect()
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower(), plan
-    assert "ivf_index_c" in plan, plan  # the stored, fingerprint-tagged index
+    assert "ivf_index_embeddings_c" in plan, plan  # the stored, fingerprint-tagged index
     # results are bit-identical to the inline ss02 computation
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, SS.ss02_ann_ivf(spark, SF).collect()))
     assert got == want
+
+
+def test_ss21_algo_version_invalidates_stored_index(spark, monkeypatch):
+    """Stale-tag simulation: the stored index's cache tag must include
+    the assignment-algorithm version, so a code change (simulated by
+    bumping _IVF_INDEX_ALGO_V) BUILDS A NEW INDEX instead of silently
+    serving stale cell assignments from the existing .scratch dir —
+    the (mtime, size) fingerprint only tracks the data."""
+    import os
+    import shutil
+
+    from hive_lineage_spark.operators import similarity as SS
+    from hive_lineage_spark.sources.registry import scratch_key
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scratch = os.path.join(repo, ".scratch", scratch_key(SF))
+    SS._ivf_index_stored(spark, SF).count()  # current-version index exists
+    monkeypatch.setattr(SS, "_IVF_INDEX_ALGO_V", 999)
+    v999 = [d for d in os.listdir(scratch) if d.startswith("ivf_index_") and d.endswith("_v999")]
+    assert not v999  # nothing stale can satisfy the bumped version
+    try:
+        SS._ivf_index_stored(spark, SF).count()
+        v999 = [d for d in os.listdir(scratch) if d.startswith("ivf_index_") and d.endswith("_v999")]
+        assert len(v999) == 1, v999  # the bump forced a fresh build
+    finally:
+        for d in v999:
+            shutil.rmtree(os.path.join(scratch, d), ignore_errors=True)
 
 
 def test_ss21_lineage_resolves_index_to_embeddings(spark):
@@ -689,6 +716,10 @@ def test_ss21_lineage_resolves_index_to_embeddings(spark):
     # neighbor ids come from the index side; the resolver ties them to
     # the embeddings table, not a scratch directory
     assert ql.column_map()["neighbor_id"] == {("embeddings", "vec_id")}
-    # the resolver rule itself, both the root and a partition subpath
-    assert default_table_resolver("/r/.scratch/sf0.001/ivf_index_c8_m1_s2_v1") == "embeddings"
-    assert default_table_resolver("/r/x/sf1/ivf_index_c8_m1_s2_v1") is None  # not scratch
+    # the resolver rule itself: the SOURCE TABLE is parsed out of the
+    # tag (an index built from another table must resolve to THAT table,
+    # never blanket-attributed to embeddings), and non-scratch paths
+    # never match
+    assert default_table_resolver("/r/.scratch/sf0.001/ivf_index_embeddings_c8_m1_s2_v1") == "embeddings"
+    assert default_table_resolver("/r/.scratch/sf0.001/ivf_index_documents_c8_m1_s2_v1") == "documents"
+    assert default_table_resolver("/r/x/sf1/ivf_index_embeddings_c8_m1_s2_v1") is None  # not scratch

@@ -30,6 +30,37 @@ def test_tx23_covers_corpus_and_verdict_is_sign(spark):
     assert joined.filter(F.col("n_feats") != F.col("n_bigrams")).count() == 0
 
 
+def test_tx23_empty_training_slice_stays_finite(spark, tmp_path):
+    """Reddens the pre-r14 unsmoothed prior: a corpus where one training
+    slice is EMPTY (here: no negatives — every doc_id % 3 is 0 or 1)
+    used to turn the prior's F.log(0) into NULL scores and NULL keep
+    verdicts in Spark while DuckDB's ln(0) diverged. The Laplace-
+    smoothed prior (ln(np+1) − ln(nn+1)) must keep every score finite
+    and every verdict non-null on exactly that corpus."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            # doc_ids 0,1,3,4,6,7: slices {0, 1} only — the negative
+            # training slice (% 3 == 2) is empty
+            "doc_id": pa.array([0, 1, 3, 4, 6, 7], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma", "beta gamma delta", "alpha beta",
+                 "gamma delta", "beta beta gamma", "delta alpha beta"]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    rows = tx23_fasttext_gate(spark, str(tmp_path)).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["score"] is not None and math.isfinite(r["score"]), r
+        assert r["keep"] in (0, 1), r
+
+
 def test_tx23_separates_training_slices(spark):
     rep = tx23_fasttext_gate(spark, SF).withColumn("slice", F.col("doc_id") % 3)
     means = {

@@ -193,3 +193,131 @@ def test_web08_schedule_politeness_invariants(spark):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert keys and set(keys) <= {"reg_domain"}, keys
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# web09: WARC container ingestion (+ the pure-stdlib codec it rides on)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_codec_roundtrip():
+    """Pure-python encode → walk round trip: record framing (offsets,
+    lengths, trailers), type dispatch, header recovery, HTTP split."""
+    from hive_lineage_spark.functions.warc import (
+        encode_response_record,
+        encode_warcinfo,
+        split_http_response,
+        walk_warc,
+    )
+
+    recs = [
+        encode_warcinfo(),
+        encode_response_record("https://a.example/x", "<urn:hls:doc:7>", b"<html>seven</html>"),
+        encode_response_record("https://b.example/y?q=1", "<urn:hls:doc:8>", b"<html>eight</html>"),
+    ]
+    data = b"".join(recs)
+    got = list(walk_warc(data))
+    assert [g["type"] for g in got] == ["warcinfo", "response", "response"]
+    off = 0
+    for g, raw in zip(got, recs):
+        assert g["offset"] == off and g["length"] == len(raw), g
+        off += len(raw)
+    assert off == len(data)  # the walk consumed every byte
+    status, body = split_http_response(got[1]["block"])
+    assert status == 200 and body == b"<html>seven</html>"
+    assert got[2]["headers"]["warc-target-uri"] == "https://b.example/y?q=1"
+
+
+def test_warc_codec_truncated_and_gzip():
+    """A record cut mid-block must raise loudly (never parse garbage);
+    .gz names decompress transparently (concatenated members — the
+    CommonCrawl layout)."""
+    import gzip
+
+    import pytest
+
+    from hive_lineage_spark.functions.warc import (
+        encode_response_record,
+        maybe_gunzip,
+        walk_warc,
+    )
+
+    rec = encode_response_record("https://a.example/x", "<urn:hls:doc:1>", b"<p>hi</p>")
+    with pytest.raises(ValueError, match="truncated"):
+        list(walk_warc(rec[:-6]))  # loses part of the block + trailer
+    with pytest.raises(ValueError, match="not a WARC record"):
+        list(walk_warc(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n"))
+    # two independently-gzipped members, one stream — the per-record
+    # member layout CommonCrawl ships
+    data = gzip.compress(rec, mtime=0) + gzip.compress(rec, mtime=0)
+    plain = maybe_gunzip("f.warc.gz", data)
+    assert [g["offset"] for g in walk_warc(plain)] == [0, len(rec)]
+    assert maybe_gunzip("f.warc", rec) == rec  # pass-through
+
+
+def test_web09_framing_matches_real_container_bytes(spark):
+    """The op's (rec_offset, rec_len) must index into the ACTUAL shard
+    files: slicing the container at the reported framing yields a
+    record that starts with the WARC version line, carries the
+    reported URI, and ends with the spec trailer — for the plain AND
+    the gzipped shard."""
+    import gzip
+    import os
+
+    from hive_lineage_spark.operators.web import _warc_fixture, web09_warc_extract
+
+    rows = web09_warc_extract(spark, SF).collect()
+    assert len(rows) == 500
+    fdir = _warc_fixture(SF)
+    blobs = {}
+    for r in rows:
+        if r["file"] not in blobs:
+            raw = open(os.path.join(fdir, r["file"]), "rb").read()
+            blobs[r["file"]] = gzip.decompress(raw) if r["file"].endswith(".gz") else raw
+        data = blobs[r["file"]]
+        rec = data[r["rec_offset"] : r["rec_offset"] + r["rec_len"]]
+        assert rec.startswith(b"WARC/1.0\r\nWARC-Type: response\r\n"), r
+        assert f"WARC-Target-URI: {r['url']}\r\n".encode() in rec, r
+        assert rec.endswith(b"\r\n\r\n"), r
+        assert r["http_status"] == 200 and r["title"].endswith(" page"), r
+    # both container faces exercised
+    assert any(f.endswith(".warc.gz") for f in blobs) and any(
+        f.endswith(".warc") for f in blobs
+    )
+
+
+def test_web10_cap_prunes_before_exchange(spark):
+    """web10: (1) per host at most W10_CAP rows, and they are EXACTLY
+    web08's first W10_CAP ranks (same order, same schedule arithmetic);
+    (2) the plan runs WindowGroupLimit in Partial mode BEFORE the
+    reg_domain exchange — the mega-host shuffle shed."""
+    from hive_lineage_spark.operators.web import (
+        W10_CAP,
+        web08_politeness_schedule,
+        web10_frontier_cap,
+    )
+
+    capped = web10_frontier_cap(spark, SF).collect()
+    full = web08_politeness_schedule(spark, SF).collect()
+    want = {
+        (r["doc_id"], r["fetch_rank"], r["scheduled_ms"], r["worker"])
+        for r in full
+        if r["fetch_rank"] < W10_CAP
+    }
+    got = {(r["doc_id"], r["fetch_rank"], r["scheduled_ms"], r["worker"]) for r in capped}
+    assert got == want and got
+    per_host: dict[str, int] = {}
+    for r in capped:
+        per_host[r["reg_domain"]] = per_host.get(r["reg_domain"], 0) + 1
+    assert max(per_host.values()) <= W10_CAP
+    # at least one host actually got pruned (the fixture has hot hosts)
+    full_per_host: dict[str, int] = {}
+    for r in full:
+        full_per_host[r["reg_domain"]] = full_per_host.get(r["reg_domain"], 0) + 1
+    assert max(full_per_host.values()) > W10_CAP
+    plan = web10_frontier_cap(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("WindowGroupLimit")
+    assert partial >= 0 and ", Final" in plan and ", Partial" in plan
+    # textual tree order: Final ... Exchange ... Partial (bottom-up
+    # execution = Partial runs first, before the shuffle)
+    assert plan.find(", Final") < plan.find("Exchange hashpartitioning(reg_domain") < plan.find(", Partial")
