@@ -2819,13 +2819,23 @@ _IVF_INDEX_ALGO_V = 1
 _IVF_TMP_STALE_S = 15 * 60
 
 
-def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_index_stored(
+    spark: SparkSession, sf_dir: str, variant: str = "", pred=None
+) -> DataFrame:
     """The MATERIALIZED IVF index: ss02's cell assignment written ONCE
     per corpus snapshot as parquet PARTITIONED BY cell — the artifact a
     production vector store actually serves from (FAISS's inverted
     lists, expressed as a partitioned table). Built lazily on first use
     (the ``load_events`` scratch pattern: write to a tmp dir, atomic
-    rename), then every serving query is a partition-pruned read."""
+    rename), then every serving query is a partition-pruned read.
+
+    ``variant``/``pred`` carve the SAME build over a corpus slice —
+    ss23's incremental lifecycle stores a ``base`` index and a
+    ``delta`` index (the arriving batch's lists, built from the batch
+    only). The centroid model is always the FROZEN full-table one:
+    index maintenance updates inverted lists, never the coarse
+    quantizer (FAISS ``add``/``remove_ids`` semantics — retraining
+    centroids is a new index version, not maintenance)."""
     import os
     import shutil
 
@@ -2836,17 +2846,18 @@ def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TABLE (hook.default_table_resolver parses it back out so lineage
     # attributes the served scan to the right table — an index built
     # from another source must never resolve to `embeddings`), the
-    # centroid count, the source parquet's (mtime, size), AND the
-    # assignment algorithm version — changing the constants,
-    # regenerating the data, or editing the assignment expression
-    # invalidates the stored index instead of silently serving stale
-    # cell assignments. Bump _IVF_INDEX_ALGO_V alongside ANY change to
-    # the assignment below (_vectors normalization, _cosine, the
-    # argmax/tie-break rule).
+    # centroid count, the source parquet's (mtime, size), the corpus
+    # slice variant, AND the assignment algorithm version — changing
+    # the constants, regenerating the data, or editing the assignment
+    # expression invalidates the stored index instead of silently
+    # serving stale cell assignments. Bump _IVF_INDEX_ALGO_V alongside
+    # ANY change to the assignment below (_vectors normalization,
+    # _cosine, the argmax/tie-break rule).
     st = os.stat(table_path(sf_dir, "embeddings"))
     tag = (
         f"ivf_index_embeddings_c{N_CENTROIDS}_m{int(st.st_mtime)}_s{st.st_size}"
-        f"_v{_IVF_INDEX_ALGO_V}"
+        + (f"_{variant}" if variant else "")
+        + f"_v{_IVF_INDEX_ALGO_V}"
     )
     scratch_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir))
     path = os.path.join(scratch_dir, tag)
@@ -2881,12 +2892,19 @@ def _ivf_index_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             except PermissionError:
                 pass  # pid alive under another user — leave it
         vec = _vectors(spark, sf_dir)
+        # the coarse quantizer reads the FULL table even for slice
+        # variants (frozen model — see the docstring); only the
+        # assigned rows are slice-filtered, so a delta build scans the
+        # batch plus the constant-size centroid rows: O(batch)
         cent_arr = (
-            vec.filter(F.col("vec_id") < N_CENTROIDS)
+            _vectors(spark, sf_dir)
+            .filter(F.col("vec_id") < N_CENTROIDS)
             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
             .groupBy()
             .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
         )
+        if pred is not None:
+            vec = vec.filter(pred)
         assign = vec.crossJoin(F.broadcast(cent_arr)).select(
             "vec_id", "v", "nrm",
             F.array_min(
@@ -2980,6 +2998,148 @@ def ss21_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 SS21_SQL = SS02_SQL
 
 
+# ---------------------------------------------------------------------------
+# ss23: INCREMENTAL maintenance of ss21's stored index — dd11's
+# postings discipline lifted to the vector index: the cold build runs
+# once over the base corpus, then each change-feed commit costs
+# O(batch) (assign the arriving vectors against the frozen centroids,
+# append their cell-partition files) plus a tombstone list for retired
+# vec_ids, anti-joined at serve time. Deterministic CDC stand-ins
+# mirror dd11: vec_id % 4 == 3 is the arriving batch, base vec_ids
+# with vec_id % 10 == 7 are retired. Algebra: cell assignment is
+# per-vector independent under a FROZEN quantizer, so
+# (base ∖ deleted) ∪ assign(arriving) == assign(final snapshot)
+# exactly — pinned by the fingerprint test and the oracle (which
+# batch-builds the final snapshot).
+# ---------------------------------------------------------------------------
+
+SS23_LATE_MOD, SS23_LATE_REM = 4, 3  # vec_id % 4 == 3 → the arriving batch
+SS23_DEL_MOD, SS23_DEL_REM = 10, 7  # vec_id % 10 == 7 (of the base) → retired
+
+
+def _ss23_arriving_pred():
+    return F.pmod(F.col("vec_id"), F.lit(SS23_LATE_MOD)) == SS23_LATE_REM
+
+
+def ss23_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving from an INCREMENTALLY MAINTAINED stored index: the
+    base index (built once, cell-partitioned parquet) plus the arriving
+    batch's delta index (same layout, built from the batch only) minus
+    the retirement tombstones — the production lifecycle a continuously
+    ingesting corpus needs, where ss21's full rebuild per commit is the
+    thing being avoided.
+
+    Scale shape: the delta build scans ONLY the batch (frozen broadcast
+    centroids — the coarse quantizer is model state, not index state);
+    serving probes BOTH index tables through the same
+    dynamic-partition-pruned equi-join as ss21 (plan-pinned: two
+    ``dynamicpruning`` scans), so a query batch reads N_PROBE cells of
+    each, never either corpus; tombstones are a broadcast-sized
+    anti-join on the candidate stream (delete-file semantics — a
+    compaction folding them into rewritten partitions is the vtable
+    retention job's shape). Results are bit-identical to ss02 over the
+    final snapshot (same assignment argmax, same HOF cosine), so the
+    oracle batch-builds that snapshot — a green row proves
+    incremental ≡ full rebuild end-to-end."""
+    late = _ss23_arriving_pred()
+    base_idx = _ivf_index_stored(spark, sf_dir, variant="base", pred=~late)
+    delta_idx = _ivf_index_stored(spark, sf_dir, variant="delta", pred=late)
+    vec = _vectors(spark, sf_dir)
+    drops = vec.filter(
+        ~late & (F.pmod(F.col("vec_id"), F.lit(SS23_DEL_MOD)) == SS23_DEL_REM)
+    ).select("vec_id")
+    cent_arr = (
+        vec.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
+    )
+    neg_cells = F.array_sort(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                (-_cosine(F.col("v"), c["cv"], F.col("nrm"), c["cn"])).alias("neg"),
+                c["cent_id"].alias("cell"),
+            ),
+        )
+    )
+    probes = (
+        vec.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+            F.explode(
+                F.transform(F.slice(neg_cells, 1, N_PROBE), lambda s: s["cell"])
+            ).alias("cell"),
+        )
+    )
+
+    def serve(idx: DataFrame) -> DataFrame:
+        # per-index probe join so Spark plants a DPP filter on EACH
+        # partitioned scan (a pre-union join would have to prune
+        # through the Union, which the rule does not guarantee)
+        return (
+            idx.join(F.broadcast(probes), idx["cell"] == probes["cell"])
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .withColumn("cosine", _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")))
+            .select("query_id", "vec_id", "cosine")
+        )
+
+    cands = serve(base_idx).join(drops, "vec_id", "left_anti").unionByName(
+        serve(delta_idx)
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+# the oracle batch-builds the FINAL snapshot (base minus retired, plus
+# arriving — i.e. everything except retired base rows) and serves it
+# with ss02's exact algorithm: incremental maintenance must reproduce
+# this row for row
+SS23_SQL = f"""
+    WITH {_vectors_sql()},
+    cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id < {N_CENTROIDS}),
+    assign_scored AS (
+        SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
+               {_DOT_SQL.format(a='e.v', b='cent.cv')} / (e.nrm * cent.cn) AS sim
+        FROM e CROSS JOIN cent
+    ),
+    assign AS (
+        SELECT vec_id, v, nrm, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rk
+            FROM assign_scored
+            WHERE NOT (vec_id % {SS23_LATE_MOD} <> {SS23_LATE_REM}
+                       AND vec_id % {SS23_DEL_MOD} = {SS23_DEL_REM})
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rk
+            FROM assign_scored WHERE vec_id < {N_QUERIES}
+        ) WHERE rk <= {N_PROBE}
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='p.qv', b='a.v')} / (p.qn * a.nrm) AS cosine
+        FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM cands
+    ) WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "ss01_ann_bruteforce": ss01_ann_bruteforce,
     "ss02_ann_ivf": ss02_ann_ivf,
@@ -3005,6 +3165,7 @@ QUERIES = {
     "dd13_semdedup_arrow": dd13_semdedup_arrow,
     "ss21_ann_ivf_partitioned": ss21_ann_ivf_partitioned,
     "ss22_ann_ivfpq_residual": ss22_ann_ivfpq_residual,
+    "ss23_ann_ivf_incremental": ss23_ann_ivf_incremental,
 }
 
 # Operator-authored lineage through the Python barriers (lineage.analyze
@@ -3053,4 +3214,7 @@ ORACLES = {
     # identical output contract, different physical strategy
     "ss21_ann_ivf_partitioned": SS21_SQL,
     "ss22_ann_ivfpq_residual": SS22_SQL,
+    # ss23 serves the incrementally-maintained index; the oracle
+    # batch-builds the final snapshot (incremental ≡ rebuild)
+    "ss23_ann_ivf_incremental": SS23_SQL,
 }

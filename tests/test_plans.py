@@ -699,6 +699,49 @@ def test_ss21_algo_version_invalidates_stored_index(spark, monkeypatch):
             shutil.rmtree(os.path.join(scratch, d), ignore_errors=True)
 
 
+def test_ss23_incremental_index_equals_rebuild(spark):
+    """The maintained index contents — (base ∖ tombstones) ∪ delta —
+    must equal a batch rebuild of the final snapshot, vector for
+    vector. Cell assignment is per-vector independent under the frozen
+    quantizer, so the FULL stored index restricted to the snapshot IS
+    that rebuild; any drift here (a delta assigned against different
+    centroids, a tombstone leak) breaks the equality."""
+    from pyspark.sql import functions as F
+
+    from hive_lineage_spark.operators import similarity as SS
+
+    late = F.pmod(F.col("vec_id"), F.lit(SS.SS23_LATE_MOD)) == SS.SS23_LATE_REM
+    dropped = (~late) & (F.pmod(F.col("vec_id"), F.lit(SS.SS23_DEL_MOD)) == SS.SS23_DEL_REM)
+    base = SS._ivf_index_stored(spark, SF, variant="base", pred=~late)
+    delta = SS._ivf_index_stored(spark, SF, variant="delta", pred=late)
+    maintained = (
+        base.filter(~dropped).select("vec_id", "cell")
+        .unionByName(delta.select("vec_id", "cell"))
+    )
+    rebuild = SS._ivf_index_stored(spark, SF).filter(~dropped).select("vec_id", "cell")
+    got = sorted(map(tuple, maintained.collect()))
+    want = sorted(map(tuple, rebuild.collect()))
+    assert got == want and got
+    # the tombstones actually retired something
+    assert len(got) < SS._ivf_index_stored(spark, SF).count()
+
+
+def test_ss23_serves_both_indexes_partition_pruned(spark):
+    """ss23's serve plan must dynamic-partition-prune BOTH stored
+    indexes (base + delta) — the probe list becomes a partition filter
+    on each scan, so a query batch reads N_PROBE cells of each, never
+    either corpus."""
+    from hive_lineage_spark.operators import similarity as SS
+
+    df = SS.ss23_ann_ivf_incremental(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert plan.lower().count("dynamicpruning") >= 2, plan
+    read = set(df.inputFiles())
+    assert any("_base_v" in p for p in read), read
+    assert any("_delta_v" in p for p in read), read
+
+
 def test_ss21_lineage_resolves_index_to_embeddings(spark):
     """The served index scan must NOT dead-end lineage at the anonymous
     .scratch ivf_index_* directory: default_table_resolver maps it back
