@@ -2247,6 +2247,305 @@ TX23_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# tx24/tx25: unigram-LM (SentencePiece-style) tokenizer — Kudo 2018,
+# the OTHER production tokenizer family next to BPE (tx15/tx19): seed a
+# candidate-piece vocabulary from substring counts, then refine it with
+# EM rounds that re-segment the corpus under the current piece
+# probabilities. This implementation runs HARD EM (Viterbi E-step —
+# each word takes its single best segmentation; Kudo §3.2's lattice
+# expectation specializes to this under a deterministic argmax), with a
+# FIXED number of unrolled rounds (ss06's deterministic-iteration
+# precedent) so the DuckDB oracle replays the identical rounds.
+#
+# Cross-engine FP contract: piece scores are ln(count) − ln(total) —
+# pure ln(integer) differences (the tx16/tx21/tx22/tx23 contract); a
+# segmentation's cost folds those terms LEFT-TO-RIGHT in both engines
+# (Spark: the DP adds the entry cost to the prefix cost; DuckDB: the
+# path CTE accumulates in path order), so every segmentation's cost is
+# bit-identical and the argmin agrees. Ties break by (fewer pieces,
+# lexicographically smallest piece-length string) — a total order both
+# engines express exactly, and one a left-to-right DP may carry
+# because equal piece counts mean equal-length digit strings (prefix
+# order survives equal-suffix extension).
+#
+# Scale shape: training runs on the DISTINCT-WORD frame (vocab-sized —
+# one corpus exchange builds (word, freq), everything after is
+# sublinear); the candidate model is a piece-keyed table joined
+# BROADCAST into the per-word entry stream; the Viterbi DP is one
+# higher-order aggregate per word (O(len·P_MAX) per word, zero
+# shuffles); each EM round adds one vocab-sized piece agg. The encode
+# composition (tx25) joins the word→token-count map broadcast into the
+# corpus word stream — one doc_id-keyed agg, the tx19 shape.
+# Fixture-sized constants: P_MAX=4, SEED_MIN=2, R=2 rounds
+# (SentencePiece defaults: 16-char pieces, ~1M seed, EM to shrink to
+# vocab_size — same dataflow, bigger tables).
+# ---------------------------------------------------------------------------
+
+TX24_P_MAX = 4  # max piece length considered by the seeder/segmenter
+TX24_SEED_MIN = 2  # seed keeps substrings with corpus count >= this...
+# ...except single chars, which ALWAYS stay (Kudo: character coverage —
+# every word must remain segmentable in every round)
+_TX24_INF = 1e18  # unreachable-position sentinel in the DP
+
+
+def _tx24_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, f): distinct words with total corpus occurrence counts —
+    the ONE corpus-sized exchange of the whole trainer, PERSISTED
+    (vocab-sized): both EM rounds' entry/count streams and both
+    segmentation joins read this frame — without the persist Spark
+    re-executed the corpus explode+agg per consumer (the tx23_model
+    lesson; measured 10.3 s → 1.6 s at sf0.1)."""
+    from .dedup import _persisted
+
+    def build(s: SparkSession, d: str) -> DataFrame:
+        return (
+            _docs(s, d)
+            .select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
+
+    return _persisted("tx24_words", spark, sf_dir, build)
+
+
+def _tx24_subs(words: DataFrame) -> DataFrame:
+    """Every positional substring occurrence (word, end e, len j,
+    piece) with the word's corpus frequency — vocab-sized × O(len·P)."""
+    return (
+        words.select("word", "f", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("e"))
+        .select(
+            "word", "f", "e",
+            F.explode(F.sequence(F.lit(1), F.least(F.lit(TX24_P_MAX), F.col("e")))).alias("j"),
+        )
+        .withColumn("piece", F.expr("substring(word, e - j + 1, j)"))
+    )
+
+
+def _tx24_segment(words: DataFrame, entries: DataFrame) -> DataFrame:
+    """Viterbi segmentation of each word under the current model: one
+    higher-order-function DP per word over its sorted (e, j, cost,
+    piece) entries. dp[pos] = (cost, n_pieces, lens, pieces) with
+    struct-least comparison — exactly the (cost, np, lens) total order
+    the oracle's path enumeration sorts by; pieces rides along (equal
+    lens ⇒ identical segmentation). Returns (word, f, np, ps)."""
+    per_word = (
+        entries.groupBy("word")
+        .agg(F.array_sort(F.collect_list(F.struct("e", "j", "cost", "piece"))).alias("es"))
+        .join(words, "word")
+    )
+    init = F.transform(
+        F.sequence(F.lit(0), F.length("word")),
+        lambda pos: F.struct(
+            F.when(pos == 0, F.lit(0.0)).otherwise(F.lit(_TX24_INF)).alias("cost"),
+            F.lit(0).alias("np"),
+            F.lit("").alias("lens"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+    )
+
+    def step(acc, s):
+        prev = F.element_at(acc, (s["e"] - s["j"] + 1).cast("int"))
+        cand = F.struct(
+            (prev["cost"] + s["cost"]).alias("cost"),
+            (prev["np"] + 1).alias("np"),
+            F.concat(prev["lens"], s["j"].cast("string")).alias("lens"),
+            F.array_append(prev["ps"], s["piece"]).alias("ps"),
+        )
+        return F.transform(
+            acc, lambda x, i: F.when(i == s["e"].cast("int"), F.least(x, cand)).otherwise(x)
+        )
+
+    best = F.element_at(F.aggregate(F.col("es"), init, step), F.length("word") + 1)
+    return per_word.select(
+        "word", "f", best["np"].alias("np"), best["ps"].alias("ps")
+    )
+
+
+def _tx24_counts(seg: DataFrame) -> DataFrame:
+    """Piece counts out of a segmentation round: every use of a piece,
+    weighted by the word's corpus frequency (vocab-sized agg)."""
+    return (
+        seg.select("f", F.explode("ps").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("f").alias("c"))
+    )
+
+
+def _tx24_entries(subs: DataFrame, model: DataFrame) -> DataFrame:
+    """DP entries for one round: substring occurrences that exist in
+    the round's model, costed ln(total) − ln(count) (≥ 0). The model
+    and its 1-row total both broadcast."""
+    total = model.groupBy().agg(F.sum("c").alias("t"))
+    return (
+        subs.join(F.broadcast(model), "piece")
+        .crossJoin(F.broadcast(total))
+        .select("word", "e", "j", (F.log("t") - F.log("c")).alias("cost"), "piece")
+    )
+
+
+def _tx24_final_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-R segmentation (word, f, np, ps), persisted once per
+    (session, sf_dir): tx24 reads its counts, tx25 its per-word token
+    counts — one training run serves both (the tx23_model lifecycle)."""
+    from .dedup import _persisted
+
+    def build(s: SparkSession, d: str) -> DataFrame:
+        words = _tx24_words(s, d)
+        subs = _tx24_subs(words)
+        c0 = subs.groupBy("piece").agg(F.sum("f").alias("c"))
+        m0 = c0.filter((F.col("c") >= TX24_SEED_MIN) | (F.length("piece") == 1))
+        # persist the round boundary: without it seg2's plan nests
+        # seg1's whole DP inside its own (Catalyst pays seconds
+        # optimizing the doubled expression tree — SF-independent
+        # compile cost, the plan-size twin of the tx23 rescan lesson)
+        m1 = _persisted(
+            "tx24_m1", s, d,
+            lambda s2, d2: _tx24_counts(_tx24_segment(words, _tx24_entries(subs, m0))),
+        )
+        return _tx24_segment(words, _tx24_entries(subs, m1))
+
+    return _persisted("tx24_seg", spark, sf_dir, build)
+
+
+def tx24_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer trainer: the final vocabulary after R=2
+    hard-EM rounds — per piece, its usage count in the final
+    segmentation of the corpus and its log-probability
+    ln(count) − ln(total). Reference has no tokenizer ops (its scope is
+    plan analysis) — LLM-pipeline scope, the Kudo 2018 counterpart of
+    tx15's BPE trainer."""
+    c2 = _tx24_counts(_tx24_final_seg(spark, sf_dir))
+    t2 = c2.groupBy().agg(F.sum("c").alias("t"))
+    return c2.crossJoin(F.broadcast(t2)).select(
+        "piece",
+        F.col("c").cast("long").alias("cnt"),
+        F.round(F.log("c") - F.log("t") + 1e-9, 6).alias("logp"),
+    )
+
+
+def tx25_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode composition (the tx19 shape for the unigram family):
+    tokenize every document with tx24's trained vocabulary — per doc,
+    word count, total token count under the final segmentation, and
+    tokens-per-word. The per-word token counts broadcast into the
+    corpus word stream; one doc_id-keyed agg."""
+    d = _docs(spark, sf_dir)
+    wnp = _tx24_final_seg(spark, sf_dir).select("word", "np")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .join(F.broadcast(wnp), "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("np").alias("n_tokens"))
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("n_tokens") / F.col("n_words") + 1e-9, 4).alias("tokens_per_word"),
+        )
+    )
+
+
+# The oracle replays the SAME two rounds with full path enumeration per
+# distinct word (words are short; the recursive CTE explores every
+# segmentation and sorts by the shared (cost, np, lens) order — the
+# DP's optimum by construction). Costs accumulate left-to-right in path
+# order, matching the DP's prefix+entry adds bit for bit.
+_TX24_CORE_SQL = f"""
+    wct AS (
+        SELECT word, count(*) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    ),
+    subs AS (
+        SELECT word, f, e, j,
+               substr(word, CAST(e - j + 1 AS INT), CAST(j AS INT)) AS piece
+        FROM (
+            SELECT word, f, e,
+                   unnest(range(1, least({TX24_P_MAX}, e) + 1)) AS j
+            FROM (
+                SELECT word, f, unnest(range(1, len(word) + 1)) AS e
+                FROM wct
+            )
+        )
+    ),
+    c0 AS (SELECT piece, sum(f) AS c FROM subs GROUP BY piece),
+    m0 AS (SELECT piece, c FROM c0 WHERE c >= {TX24_SEED_MIN} OR length(piece) = 1),
+    t0 AS (SELECT sum(c) AS t FROM m0),
+    e1 AS (
+        SELECT s.word, s.e, s.j, ln(t.t) - ln(m.c) AS cost, s.piece
+        FROM subs s JOIN m0 m USING (piece) CROSS JOIN t0 t
+    ),
+    paths1 AS (
+        SELECT word, len(word) AS wl, 0 AS pos, CAST(0.0 AS DOUBLE) AS cost,
+               0 AS np, '' AS lens, []::VARCHAR[] AS ps
+        FROM (SELECT DISTINCT word FROM wct)
+        UNION ALL
+        SELECT p.word, p.wl, CAST(e.e AS INT), p.cost + e.cost, p.np + 1,
+               p.lens || CAST(e.j AS VARCHAR), list_append(p.ps, e.piece)
+        FROM paths1 p JOIN e1 e ON e.word = p.word AND e.e = p.pos + e.j
+    ),
+    seg1 AS (
+        SELECT word, np, ps FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY word ORDER BY cost ASC, np ASC, lens ASC) AS rk
+            FROM paths1 WHERE pos = wl
+        ) WHERE rk = 1
+    ),
+    m1 AS (
+        SELECT piece, sum(f) AS c
+        FROM (SELECT w.f, unnest(s.ps) AS piece FROM seg1 s JOIN wct w USING (word))
+        GROUP BY piece
+    ),
+    t1 AS (SELECT sum(c) AS t FROM m1),
+    e2 AS (
+        SELECT s.word, s.e, s.j, ln(t.t) - ln(m.c) AS cost, s.piece
+        FROM subs s JOIN m1 m USING (piece) CROSS JOIN t1 t
+    ),
+    paths2 AS (
+        SELECT word, len(word) AS wl, 0 AS pos, CAST(0.0 AS DOUBLE) AS cost,
+               0 AS np, '' AS lens, []::VARCHAR[] AS ps
+        FROM (SELECT DISTINCT word FROM wct)
+        UNION ALL
+        SELECT p.word, p.wl, CAST(e.e AS INT), p.cost + e.cost, p.np + 1,
+               p.lens || CAST(e.j AS VARCHAR), list_append(p.ps, e.piece)
+        FROM paths2 p JOIN e2 e ON e.word = p.word AND e.e = p.pos + e.j
+    ),
+    seg2 AS (
+        SELECT word, np, ps FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY word ORDER BY cost ASC, np ASC, lens ASC) AS rk
+            FROM paths2 WHERE pos = wl
+        ) WHERE rk = 1
+    )"""
+
+TX24_SQL = f"""
+    WITH RECURSIVE {_TX24_CORE_SQL},
+    c2 AS (
+        SELECT piece, sum(f) AS c
+        FROM (SELECT w.f, unnest(s.ps) AS piece FROM seg2 s JOIN wct w USING (word))
+        GROUP BY piece
+    ),
+    t2 AS (SELECT sum(c) AS t FROM c2)
+    SELECT piece, CAST(c AS BIGINT) AS cnt,
+           round(ln(c) - ln(t) + 1e-9, 6) AS logp
+    FROM c2 CROSS JOIN t2
+"""
+
+TX25_SQL = f"""
+    WITH RECURSIVE {_TX24_CORE_SQL},
+    stream AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.np) AS BIGINT) AS n_tokens,
+           round(sum(s.np) * 1.0 / count(*) + 1e-9, 4) AS tokens_per_word
+    FROM stream JOIN seg2 s USING (word)
+    GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_lang_id": tx02_lang_id,
@@ -2269,6 +2568,8 @@ QUERIES = {
     "tx21_kneser_ney_xent": tx21_kneser_ney_xent,
     "tx22_dsir_logweight": tx22_dsir_logweight,
     "tx23_fasttext_gate": tx23_fasttext_gate,
+    "tx24_unigram_lm_train": tx24_unigram_lm_train,
+    "tx25_unigram_encode": tx25_unigram_encode,
     "dd18_longest_dup_span": dd18_longest_dup_span,
     "dd21_exact_dup_spans": dd21_exact_dup_spans,
 }
@@ -2295,6 +2596,8 @@ ORACLES = {
     "tx21_kneser_ney_xent": TX21_SQL,
     "tx22_dsir_logweight": TX22_SQL,
     "tx23_fasttext_gate": TX23_SQL,
+    "tx24_unigram_lm_train": TX24_SQL,
+    "tx25_unigram_encode": TX25_SQL,
     "dd18_longest_dup_span": DD18_SQL,
     "dd21_exact_dup_spans": DD21_SQL,
 }
