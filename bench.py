@@ -149,6 +149,11 @@ EXTRA = [
     "tx23_fasttext_gate",      # fastText-shape linear quality classifier (round 13)
     "web06_url_canonical_dedup",  # canonical-URL variant dedup, hash-keyed (round 13)
     "ss21_ann_ivf_partitioned",  # stored-index IVF serving, DPP-pruned scan (round 13)
+    "web09_warc_extract",      # WARC record walk -> extraction metrics (round 15)
+    "web10_frontier_cap",      # capped politeness schedule, WindowGroupLimit (round 15)
+    "ss23_ann_ivf_incremental",  # base+delta stored-index serving, tombstones (round 15)
+    "tx24_unigram_lm_train",   # unigram-LM hard-EM trainer (HOF Viterbi) (round 15)
+    "tx25_unigram_encode",     # corpus encode under the unigram vocab (round 15)
 ]
 
 

@@ -189,204 +189,56 @@ from pyspark.sql import DataFrame, SparkSession
 # star-agg keeps grouped aggregation in-window).
 ROTATION_QUEUE: dict[str, int] = {}
 
+# Round-15 rotation. IN: the five round-15 registrations (web09 WARC
+# ingestion, web10 frontier cap, ss23 incremental IVF maintenance,
+# tx24/tx25 unigram-LM trainer+encode — certify the round they land,
+# the r10-r14 pattern) plus the OLDEST-GREEN tail per the staleness
+# policy: q39 (green only r01 — 14 rounds), q40/q42 (r03), and the
+# entire r04 cohort (q25/q43/dd01/dd04/dd05/tx05/tx06/ss03/ss04/tx01/
+# tx04/mm02/mm03/mm04/px01/px02 — 11 rounds since their last green
+# row; re-certifying guards against silent drift). OUT, all
+# multiply-certified and unchanged since their last green row
+# (tools/certified.py --changed), semantics kept in-window:
+#   q20-q24/q26, q28-q30/q41, q32-q38 (re-certified r14 after their
+#     r01 rows — now the freshest greens in the registry; the SQL
+#     surface stays local-oracle- and pytest-pinned, q24 stays a
+#     HEADLINE bench query),
+#   q45/q27 (3x r12-r14; vtable time travel re-enters via the vtable
+#     pytest suite, as-of join stays skew-benched + local-oracle),
+#   tp01 (3x r12-r14; tp15/tp16/tp17 keep the pipeline family),
+#   ss09 (3x r12-r14; its exact/IVF/PQ legs are in-window via
+#     ss13/ss19-ss23, the recall report stays a bench EXTRA),
+#   tx12 (3x r12-r14; dd18/dd21 keep span machinery, tx12 stays a
+#     HEADLINE bench query),
+#   sk05 (2x r12+r14; sk01-sk04 keep every sketch it composes),
+#   web06 (2x r13+r14; web01-web10 keep the crawl ladder, canonical-
+#     URL dedup stays local-oracle- and pytest-pinned).
 _DRIVER_PRIORITY = [
-    # §2.4 reference parity (q01/q02/q03 rotated out r10 — certified
-    # r1-r9, scan/project semantics kept by q04/q18; q08/q09/q11/q31
-    # rotated out in the r10 second promotion, see ROTATION_QUEUE
-    # comment)
-    # q04/q12/q13/q51 rotated out r11 (certified r1-r10 / r8-r10; see
-    # the promotion note above); q44/q14 rotated out r12 for dd19/dd20
-    # (see the ROTATION_QUEUE note).
-    # Round-12 changed-since-certified rotation (tools/certified.py
-    # --changed; policy in README): slots go FIRST to queries whose
-    # defining source changed after their last green driver row — a
-    # green row certifies the code as it was THEN. In: q45 (changed
-    # r3→, vtable time travel, §2.4), q27 (changed r4→, as-of join),
-    # ss05 (changed r5→, Arrow brute-force), dd07/dd08 (changed r7→,
-    # pair-cache consumers), tp01/ss09/tx12 (changed r9→, incl. the
-    # r11 exchange-reuse fix tx12 and this round's shared-exact-leg
-    # ss09). Out, all UNCHANGED since their last green row: q17/q18/
-    # q19 (11x certified; star-broadcast, pruning, and insert-readback
-    # stay plan-/listener-pinned in tests/test_plans.py +
-    # tests/test_lineage.py), q50 (6x; vtable semantics re-enter via
-    # q45), mm10 (2x; mm13/mm15 keep the MJPEG decode chain), mm12
-    # (2x; mm17 keeps perceptual hashing), tx16 (2x; tx17/tx18/tx21
-    # keep the LM ladder), ss12 (2x; ss13/ss20 keep Hamming banding).
-    # Round-13 rotation: the 9 r12-certified ops whose defining source
-    # changed this round (tools/certified.py --changed: ss09/ss18/ss19/
-    # ss20 evidence-flag + docstring edits, sk01-sk04 evidence flag +
-    # sk04 single-pass restructure, dq09 report-assembly refactor) STAY
-    # in-window per the changed-since-certified policy. In: the three
-    # round-13 registrations web04/web05 (HTML->text extraction) and
-    # tx23 (fastText-shape classifier gate). Out, all unchanged
-    # multiply-certified with sibling coverage: ss05 (r5+r12; the exact
-    # brute-force baseline is embedded wholesale in in-window ss09's
-    # oracle, the Arrow batch surface stays via the mm decode chain +
-    # pytest), dd07 (r6/r7/r12; in-window dd17 applies cluster
-    # keep-best over the same pair cache, dd02/dd03 pair generation
-    # stays local-oracle-pinned), dd08 (r6/r7/r12; in-window dd20
-    # ranks the same dup-cluster graph, dd17 keeps the apply path).
-    # web06 (URL-canonical dedup) lands later in round 13 and certifies
-    # the same round; out for it: dd14 (certified r10+r12, unchanged —
-    # in-window sk02 keeps bounded-sketch membership semantics, dd10's
-    # decontamination join stays local-oracle- and pytest-pinned).
-    # Completing the r12-VERDICT item-6 prescription: the six UNCHANGED
-    # r12-certified newcomers rotate out (dd19/dd20 — dd15-dd18 keep the
-    # dedup family in-window, their plan/scale pins stay in pytest;
-    # web01/web02/web03 — incoming web04/web05/web06 exercise the same
-    # synthesize->parse machinery plus extraction/dedup on top; sk05 —
-    # sk01-sk04 keep every sketch mechanism it composes), and the freed
-    # slots refill OLDEST-GREEN-FIRST with the r01-certified SQL-surface
-    # ops q20/q21/q22/q23/q24/q26 (12 rounds since their last green row
-    # — re-certifying guards against silent drift; q24 is also a
-    # headline bench query).
-    "q45_vtable_time_travel", "q27_asof_join",
-    "tp01_full_pipeline", "ss09_ann_recall", "tx12_dup_span_profile",
+    # round-15 registrations (certify the round they land)
+    "web09_warc_extract", "web10_frontier_cap", "ss23_ann_ivf_incremental",
+    "tx24_unigram_lm_train", "tx25_unigram_encode",
+    # oldest-green drain: q39 last green r01; q40/q42 r03; the rest r04
+    "q39_percentiles", "q40_approx_sketches", "q42_array_agg",
+    "q25_sessionization", "q43_range_join_bucketized",
+    "dd01_exact_dedup", "dd04_simhash", "dd05_simhash_pairs",
+    "tx05_hash_sample", "tx06_source_mix", "ss03_ann_lsh", "ss04_ann_sq8",
+    "tx01_token_stats", "tx04_fingerprint",
+    "mm02_frame_sample", "mm03_audio_window_stub", "mm04_resize_stub",
+    "px01_pandas_udf_readability", "px02_grouped_zscore",
+    # holdovers (window history in the rotation comments above; the
+    # full per-round ledger is tools/certified.py --changed)
     "web04_html_extract", "web05_boilerplate_gate", "tx23_fasttext_gate",
-    "web06_url_canonical_dedup",
-    "q20_union_distinct", "q21_window_topk_per_group", "q22_rollup",
-    "q23_scalar_subquery", "q24_window_bucket_agg", "q26_json_extract",
-    # Round-14 rotation, part 1 (VERDICT r13 items 1+7). In FIRST:
-    # sk05 — the r13 crack: its source changed (commit 8078349,
-    # evidence-flag extension) AFTER its r12 green row sealed, so its
-    # CURRENT code is driver-uncertified; changed-since-certified ops
-    # now redden test_no_silent_rotation_debt until they hold a slot.
-    # Then the oldest-green tail: q28/q29/q30/q41, r01-certified only,
-    # 13 rounds since their green row (ORC/CSV/JSON roundtrips +
-    # session window). Out, all 4x-certified (r10-r13) and unchanged:
-    # dd15 (dd16/dd17/dd18 keep the dedup family; its MinHash estimate
-    # vs exact-Jaccard calibration stays local-oracle- and
-    # pytest-pinned), ss16 (ss13/ss21 keep IVF serving, ss15's
-    # norm-augment reduction it composes stays pytest-pinned), ss17
-    # (ss19/ss20 keep multi-leg retrieve+rerank shapes), tx15 (incoming
-    # tp16 embeds the BPE trainer+encode map wholesale in its oracle),
-    # tx18 (tx21's Kneser-Ney keeps the held-out LM ladder in-window).
-    "sk05_source_intake_report",
-    "q28_orc_roundtrip", "q29_csv_roundtrip", "q30_json_roundtrip",
-    "q41_session_window",
-    # Round-14 seventh registration: web08 (per-host crawl-politeness
-    # frontier scheduling — the step after web03/web07's gates)
-    # certifies the round it lands; out for it: dd16 (4x-certified
-    # r10-r13, unchanged — dd17/dd18/dd21 keep the dedup family
-    # in-window, the content-defined-chunking profile stays
-    # local-oracle- and pytest-pinned).
     "web08_politeness_schedule",
-    # deduplication (dd06 rotated out r10 — certified r1-r9, cosine
-    # dedup kept by dd12/dd13; dd12 out in the second promotion, dd13
-    # is its Arrow twin; dd02 out r11 — dd17 embeds its pair
-    # generation wholesale; dd15/dd16 out r14, see above)
-    "dd17_cluster_keep_best",
-    "dd18_longest_dup_span",
-    # similarity search (ss01 rotated out r10 — certified 8x, exact
-    # baseline embedded wholesale in ss09's recall oracle; ss07/ss08/
-    # ss10 out in the second promotion — ss09/ss11/ss13 keep
-    # IVF/PQ/rerank in-window; ss15/ss16/ss17 in from the r10 queue)
-    # ss21 (stored-index IVF serving via dynamic partition pruning)
-    # lands late in round 13 and certifies the same round; out for it:
-    # ss14 (certified r10+r12, unchanged — ss13/ss16/ss17 keep composed
-    # ANN serving in-window, the JL-projection path stays local-oracle-
-    # and pytest-pinned).
-    "ss13_ann_ivfpq",
-    "ss21_ann_ivf_partitioned",
+    "dd17_cluster_keep_best", "dd18_longest_dup_span",
+    "ss13_ann_ivfpq", "ss21_ann_ivf_partitioned",
     "ss19_ann_filtered", "ss20_ann_binary",
-    # text analysis (tx02/tx07 rotated out r10 — certified 8x/6x;
-    # tx12/tx13 rotated out mid-r10, tx14 out in the second promotion;
-    # tx15/tx16 in from the r9 queue, tx17-tx21 are the round-10 LM
-    # ladder; tx15/tx18 out r14, see the round-14 note above). Round-14
-    # second registration: web07 (robots/licence/opt-out compliance
-    # gate) certifies the round it lands; out for it: tx20
-    # (4x-certified r10-r13, unchanged — tx21 keeps held-out LM
-    # scoring and tx22/tx23 keep model-based gating in-window, the
-    # per-lang tertile machinery stays local-oracle- and pytest-pinned).
-    "web07_robots_compliance_gate",
-    # Round-14 third registration: dd21 (exact maximal duplicated
-    # spans, true Lee et al. 2022 semantics over dd18's fixed probe
-    # grid) certifies the round it lands; out for it: mm09
-    # (4x-certified r10-r13, unchanged — mm16/mm17/mm21/mm22 keep
-    # multimodal gating/search in-window, the CLIP-score pair gate
-    # stays local-oracle- and pytest-pinned).
-    "dd21_exact_dup_spans",
-    # Round-14 fourth registration: ss22 (residual-encoded IVFPQ,
-    # FAISS's by_residual default; measured next to ss13 by ss09's new
-    # ivfpq_res leg) certifies the round it lands; out for it: mm11
-    # (4x-certified r10-r13, unchanged — mm18/mm20/mm22 keep the audio
-    # chain in-window, the windowed energy/ZCR features stay
-    # local-oracle- and pytest-pinned).
+    "web07_robots_compliance_gate", "dd21_exact_dup_spans",
     "ss22_ann_ivfpq_residual",
-    # Round-14 rotation, part 2 (VERDICT item 7's "+ q32-q38 as slots
-    # allow"): the rest of the r01-certified-only SQL-surface tail
-    # rotates in — pivot / set ops / grouping sets / EXISTS-IN
-    # subqueries / CTE chain / lateral explode / scalar functions, all
-    # 13 rounds since their single green row, all unchanged (re-certify
-    # against silent drift). Out, all 4x-certified (r10-r13) unchanged
-    # with sibling coverage: mm15 (mm21/mm22 keep decode-chain
-    # consumers; the MJPEG cut detector stays local-oracle- and
-    # pytest-pinned), mm16 (mm17 keeps image feature gating), mm18 +
-    # mm20 (mm22's clip gate keeps the audio chain certified; VAD and
-    # DFT-bin powers stay pytest-pinned), tx21 + tx22 (tx23's
-    # classifier gate keeps model-based text scoring in-window; the KN
-    # ladder and DSIR weights stay local-oracle- and pytest-pinned),
-    # dq06 (dq07/dq08/dq09 keep the data-quality gate family).
-    "q32_pivot", "q33_set_ops", "q34_grouping_sets",
-    "q35_exists_in_subqueries", "q36_cte_chain", "q37_lateral_explode",
-    "q38_scalar_functions",
-    # multimodal: mm05/mm06/mm07/mm08 rotated out during r10 (mm10/mm13
-    # decode harder paths; incoming mm16/mm17/mm18 run the real decode
-    # chain)
-    # Round-14 sixth registration: mm23 (cross-video near-dup via
-    # per-frame pHash + banded Hamming — the video-corpus analog of
-    # dd02/dd05) certifies the round it lands; out for it: mm21
-    # (3x-certified r11-r13, unchanged — mm17 keeps the pHash
-    # computation in-window and mm23 now exercises banded Hamming over
-    # pHashes end-to-end; the query-by-image top-K path stays
-    # local-oracle- and pytest-pinned).
-    "mm17_image_phash",
-    "mm23_video_near_dup", "mm22_audio_quality",
-    # composed pipeline + training-prep (tp01 rotated out r10 —
-    # certified 7x; tp06/tp08 rotated out during r10, tp03/tp11 keep
-    # packing/chunking; tp12/tp13 in from the r10 queue). Round-14:
-    # tp16 (token-exact packing — tx19's BPE encode counts driving
-    # tp03's layout) lands and certifies the same round; out for it:
-    # tp13 (4x-certified r10-r13, unchanged — tp15/tp16 keep the
-    # planning/packing family in-window, the range-partition balance
-    # audit stays local-oracle- and pytest-pinned).
-    "tp15_doremi_reweight",
-    "tp16_token_exact_packing",
-    # Round-14 fifth registration: tp17 (no-split next-fit-decreasing
-    # packing — the applyInPandas capacity-reset recurrence, recursive-
-    # CTE oracle) certifies the round it lands; out for it: ss18
-    # (4x-certified r10-r13, unchanged — ss13/ss21/ss22 keep composed
-    # ANN serving in-window, the Matryoshka prefix+rerank path stays
-    # local-oracle- and pytest-pinned).
-    "tp17_no_split_packing",
-    # data-quality gates (dq01/dq02/dq03 rotated out during r10 —
-    # dq03's drift is two dq01 profiles; dq04 keeps the volume gate,
-    # dq05 in from the r10 queue)
-    # round-12 registrations (host/URL curation) certify the same
-    # round they land, per the r10/r11 pattern. Out for them, all
-    # unchanged 2x-certified with sibling coverage: mm14 (mm11/mm18/
-    # mm20/mm22 keep audio), ss15 (ss16 composes the same norm-augment
-    # inside IVF-MIPS), tp14 (tp12/tp13/tp15 keep sampling/planning).
-    # round-12 second registration (mergeable sketches — HLL / Count-Min)
-    # certifies the same round it lands, per the web/r10/r11 pattern.
-    # Out for them, all unchanged 2x-certified with sibling coverage:
-    # mm13 (mm15 keeps the MJPEG 4:2:0 decode chain in-window), mm19
-    # (mm16/mm17/mm21 keep image feature extraction), tx17 (tx18/tx21
-    # keep the held-out cross-entropy ladder).
-    # sk04 (precision ladder) lands with them; out: tx19 (2x-certified,
-    # unchanged — tx15 keeps the BPE family in-window, the encode path
-    # stays pytest- and local-oracle-pinned).
-    # sk05 (intake report) composes dd01/web02/sk01's signals; out for
-    # it: tp12 (2x-certified, unchanged — tp13/tp15 keep sampling and
-    # budget planning in-window).
+    "mm17_image_phash", "mm23_video_near_dup", "mm22_audio_quality",
+    "tp15_doremi_reweight", "tp16_token_exact_packing", "tp17_no_split_packing",
     "sk01_hll_distinct", "sk02_countmin_topk", "sk03_hll_source_overlap",
     "sk04_hll_precision_ladder",
-    # dq09 (quantile/fence profile) also lands round-12; out: dq05
-    # (2x-certified, unchanged — dq02's constraint report keeps
-    # row-rule semantics certified, dq07/dq08/dq09 keep the gate
-    # family in-window).
-    "dq09_quantile_profile",
-    "dq07_referential_integrity", "dq08_psi_drift",
+    "dq09_quantile_profile", "dq07_referential_integrity", "dq08_psi_drift",
 ]
 
 
