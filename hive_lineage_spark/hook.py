@@ -71,7 +71,10 @@ def default_table_resolver(path: str) -> str | None:
     # served index to its true source instead of dead-ending at an
     # anonymous .scratch directory (or mis-attributing an index built
     # from a different table to `embeddings`)
-    m = re.match(r"ivf_index_(.+)_c\d+_m\d+_s\d+_v\d+$", base)
+    # tag grammar: ivf_index_<table>_c<N>_m<mtime>_s<size>[_<variant>]_v<V>
+    # (the optional variant is ss23's base/delta slice — those served
+    # scans must resolve to the source table too)
+    m = re.match(r"ivf_index_(.+)_c\d+_m\d+_s\d+(?:_[a-z0-9]+)?_v\d+$", base)
     if m and ".scratch" in path:
         return m.group(1)
     # the WARC fixture shards (operators/web._warc_fixture) are the

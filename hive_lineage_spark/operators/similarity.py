@@ -2932,24 +2932,13 @@ def _ivf_index_stored(
     return spark.read.parquet(path)
 
 
-def ss21_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF serving from the STORED index via dynamic partition pruning —
-    the production lifecycle ss02 computes inline: build the inverted
-    lists once (``_ivf_index_stored``: assignment parquet partitioned by
-    cell), then each query batch joins its probe cells against the
-    index table and Spark's DPP turns the probe list into a PARTITION
-    FILTER on the scan — only the probed cells' files are ever read
-    (plan-pinned: ``dynamicpruning`` in PartitionFilters). At 100 TB
-    this is the difference between scanning the corpus per query batch
-    and reading N_PROBE/N_CENTROIDS of it; the same mechanism serves
-    any partitioned ANN layout (IVF cells, LSH buckets, date shards).
-
-    Results are bit-identical to ss02 (same assignment argmax, same
-    HOF cosine on the round-tripped doubles — parquet stores IEEE764
-    exactly), so the oracle is ss02's; what changes is the PHYSICAL
-    strategy, exactly as dd13 is dd12's production swap."""
-    idx = _ivf_index_stored(spark, sf_dir)
-    vec = _vectors(spark, sf_dir)
+def _ivf_cent_probes(vec: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ss02's frozen-quantizer probe construction, shared by the
+    stored-index serving ops (ss21/ss23): the broadcast one-row centroid
+    array and the per-query top-N_PROBE cell list. One source of truth —
+    a tie-break or argmax change here is exactly what
+    ``_IVF_INDEX_ALGO_V`` versions, and it must hit every serving op at
+    once, never drift between copies."""
     cent_arr = (
         vec.filter(F.col("vec_id") < N_CENTROIDS)
         .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
@@ -2975,6 +2964,27 @@ def ss21_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell"),
         )
     )
+    return cent_arr, probes
+
+
+def ss21_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving from the STORED index via dynamic partition pruning —
+    the production lifecycle ss02 computes inline: build the inverted
+    lists once (``_ivf_index_stored``: assignment parquet partitioned by
+    cell), then each query batch joins its probe cells against the
+    index table and Spark's DPP turns the probe list into a PARTITION
+    FILTER on the scan — only the probed cells' files are ever read
+    (plan-pinned: ``dynamicpruning`` in PartitionFilters). At 100 TB
+    this is the difference between scanning the corpus per query batch
+    and reading N_PROBE/N_CENTROIDS of it; the same mechanism serves
+    any partitioned ANN layout (IVF cells, LSH buckets, date shards).
+
+    Results are bit-identical to ss02 (same assignment argmax, same
+    HOF cosine on the round-tripped doubles — parquet stores IEEE764
+    exactly), so the oracle is ss02's; what changes is the PHYSICAL
+    strategy, exactly as dd13 is dd12's production swap."""
+    idx = _ivf_index_stored(spark, sf_dir)
+    _, probes = _ivf_cent_probes(_vectors(spark, sf_dir))
     cands = (
         idx.join(F.broadcast(probes), idx["cell"] == probes["cell"])
         .filter(F.col("query_id") != F.col("vec_id"))
@@ -3048,31 +3058,7 @@ def ss23_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = vec.filter(
         ~late & (F.pmod(F.col("vec_id"), F.lit(SS23_DEL_MOD)) == SS23_DEL_REM)
     ).select("vec_id")
-    cent_arr = (
-        vec.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
-    )
-    neg_cells = F.array_sort(
-        F.transform(
-            "cents",
-            lambda c: F.struct(
-                (-_cosine(F.col("v"), c["cv"], F.col("nrm"), c["cn"])).alias("neg"),
-                c["cent_id"].alias("cell"),
-            ),
-        )
-    )
-    probes = (
-        vec.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cent_arr))
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"),
-            F.explode(
-                F.transform(F.slice(neg_cells, 1, N_PROBE), lambda s: s["cell"])
-            ).alias("cell"),
-        )
-    )
+    _, probes = _ivf_cent_probes(vec)
 
     def serve(idx: DataFrame) -> DataFrame:
         # per-index probe join so Spark plants a DPP filter on EACH
@@ -3085,7 +3071,12 @@ def ss23_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id", "cosine")
         )
 
-    cands = serve(base_idx).join(drops, "vec_id", "left_anti").unionByName(
+    # tombstones pinned broadcast: Spark's size estimate for the
+    # filtered embeddings scan is the full file size, which at corpus
+    # scale would tip the anti-join to a sort-merge shuffle of the
+    # whole candidate stream — the hint keeps delete-file semantics a
+    # broadcast probe regardless of estimates
+    cands = serve(base_idx).join(F.broadcast(drops), "vec_id", "left_anti").unionByName(
         serve(delta_idx)
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -2302,6 +2302,12 @@ def _tx24_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             _docs(s, d)
             .select(F.explode(F.split("text", " ")).alias("word"))
+            # drop empty tokens (double/leading spaces): Spark's
+            # sequence(1, 0) on a zero-length word runs DESCENDING
+            # (step defaults to -1) where DuckDB's range(1, 1) is
+            # empty — the one cross-engine divergence in the whole
+            # trainer, so the empty word is excluded in BOTH engines
+            .filter(F.length("word") > 0)
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("f"))
         )
@@ -2434,6 +2440,7 @@ def tx25_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     wnp = _tx24_final_seg(spark, sf_dir).select("word", "np")
     return (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)  # match the trainer's word stream
         .join(F.broadcast(wnp), "word")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_words"), F.sum("np").alias("n_tokens"))
@@ -2455,6 +2462,7 @@ _TX24_CORE_SQL = f"""
     wct AS (
         SELECT word, count(*) AS f
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
         GROUP BY word
     ),
     subs AS (
@@ -2535,7 +2543,9 @@ TX24_SQL = f"""
 TX25_SQL = f"""
     WITH RECURSIVE {_TX24_CORE_SQL},
     stream AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> ''
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,

@@ -1050,7 +1050,7 @@ def web10_frontier_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     mega-host escape hatch: a wikipedia-class host with 10^7 frontier
     URLs makes web08's per-host rank window one straggler partition,
     and scheduling past the politeness horizon is useless anyway (the
-    k-th fetch waits k·delay; past k = {W10_CAP} the next crawl cycle
+    k-th fetch waits k·delay; past k = W10_CAP the next crawl cycle
     re-frontiers the rest). Capping top-H shallow-first per host turns
     the full-window sort into WindowGroupLimit partial/final: every
     map task sheds rows past rank H BEFORE the reg_domain exchange, so
@@ -1089,7 +1089,7 @@ def web10_frontier_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 W10_CAP = 8  # per-host frontier budget (politeness horizon: 8·delay)
 
 # web08's schedule, capped: identical rank/delay/worker derivation, the
-# survivors are exactly the top-{W10_CAP} shallow-first rows per host
+# survivors are exactly the top-W10_CAP shallow-first rows per host
 WEB10_SQL = f"""
     SELECT * FROM ({WEB08_SQL}) WHERE fetch_rank < {W10_CAP}
 """

@@ -740,6 +740,13 @@ def test_ss23_serves_both_indexes_partition_pruned(spark):
     read = set(df.inputFiles())
     assert any("_base_v" in p for p in read), read
     assert any("_delta_v" in p for p in read), read
+    # both variant-tagged index scans resolve to the source table —
+    # the maintained index is fully lineage'd, like ss21's
+    from hive_lineage_spark.hook import LineageTracker
+
+    ql = LineageTracker().track(df, name="ss23")
+    assert ql.result.input_tables == ["embeddings"], ql.result.input_tables
+    assert ql.column_map()["neighbor_id"] == {("embeddings", "vec_id")}
 
 
 def test_ss21_lineage_resolves_index_to_embeddings(spark):
@@ -765,4 +772,8 @@ def test_ss21_lineage_resolves_index_to_embeddings(spark):
     # never match
     assert default_table_resolver("/r/.scratch/sf0.001/ivf_index_embeddings_c8_m1_s2_v1") == "embeddings"
     assert default_table_resolver("/r/.scratch/sf0.001/ivf_index_documents_c8_m1_s2_v1") == "documents"
+    # ss23's slice variants carry a tag segment between _s and _v —
+    # their served scans must resolve to the source table too
+    assert default_table_resolver("/r/.scratch/sf0.001/ivf_index_embeddings_c8_m1_s2_base_v1") == "embeddings"
+    assert default_table_resolver("/r/.scratch/sf0.001/ivf_index_embeddings_c8_m1_s2_delta_v1") == "embeddings"
     assert default_table_resolver("/r/x/sf1/ivf_index_embeddings_c8_m1_s2_v1") is None  # not scratch
