@@ -97,6 +97,10 @@ SHOW = [
     ("web08_politeness_schedule", "web07's compliance gate composed as a codegen Filter BEFORE the reg_domain rank-window exchange (only the allowed frontier shuffles); delay/worker derivation + schedule arithmetic all codegen over the scan"),
     ("tx23_fasttext_gate", "THE MODEL is one persisted B-row frame (both class counts, one corpus pass — train once, serve from the table) broadcast-LEFT-joined into the shuffle-free bigram feature stream with the totals folded off the same frame; the only corpus-sized exchange is the per-doc score agg (doc_id-keyed, map-side combined) — the fastText forward pass as a plan"),
     ("sk05_source_intake_report", "one text-hash pass (partial-agg combined), the SHARED persisted (source, gram) frame (InMemoryTableScan — same artifact sk03 reads), register-sized HLL folds, source-count-sized rollups; the dup-flag join is AQE-chosen (web02's pattern)"),
+    ("web09_warc_extract", "binaryFile scan (path+content pruned) feeding ONE MapInPandas record walk; the extraction metrics (octet_length/regexp) are a codegen Project ON TOP of the barrier — no shuffle anywhere in the plan"),
+    ("web10_frontier_cap", "WindowGroupLimit PARTIAL below the single reg_domain Exchange, FINAL above — every map task sheds rows past rank H before the shuffle (the mega-host shed); the compliance gate stays a codegen Filter before both"),
+    ("ss23_ann_ivf_incremental", "TWO stored-index scans (base + delta cell-partitioned parquet), EACH with its own dynamicpruning PartitionFilter from the broadcast probe join; tombstones a BroadcastHashJoin LeftAnti on the candidate stream; embeddings appears only for centroids/probes/tombstones (constant-size frames)"),
+    ("tx24_unigram_lm_train", "ONE corpus exchange (the persisted word-frequency agg, InMemoryTableScan downstream); both EM rounds are vocab-sized — broadcast model joins into the substring stream, the Viterbi DP a single HOF aggregate projection, piece-count partial aggs; no UDF, no barrier"),
 ]
 
 

@@ -71,6 +71,11 @@ PROBE = [
     ("tp17_no_split_packing", "one shard exchange + linear per-shard Arrow pass"),
     ("mm23_video_near_dup", "linear decode+hash pass; banded candidates ~ true near-dup volume"),
     ("web08_politeness_schedule", "linear codegen gate+map; only the allowed frontier enters the host-keyed rank window"),
+    ("web09_warc_extract", "linear container walk (one Arrow pass per file) + codegen extraction"),
+    ("web10_frontier_cap", "web08's gate+map; WindowGroupLimit sheds past rank H map-side"),
+    ("ss23_ann_ivf_incremental", "probe-pruned reads of base+delta indexes; index builds amortized"),
+    ("tx24_unigram_lm_train", "one corpus word agg; EM rounds vocab-sized (fixed here)"),
+    ("tx25_unigram_encode", "linear word stream + broadcast vocab join + doc agg"),
 ]
 
 
