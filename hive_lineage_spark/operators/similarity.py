@@ -29,13 +29,19 @@ N_CENTROIDS = 8
 N_PROBE = 2
 
 
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+def vectors_of(e: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm) off any frame carrying (vec_id, embedding) —
+    the change-feed maintenance path assigns ARBITRARY arriving frames
+    (a vtable commit), not just the registry table."""
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     return v.withColumn(
         "nrm",
         F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
     )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vectors_of(load_table(spark, sf_dir, "embeddings"))
 
 
 def _cosine(va, vb, na, nb):
@@ -2806,11 +2812,32 @@ SS20_SQL = f"""
 
 # version of the stored-index ASSIGNMENT algorithm (folded into the
 # cache tag): bump whenever the cell-assignment expression inside
-# _ivf_index_stored changes semantics — the (mtime, size) fingerprint
+# ivf_assign changes semantics — the (mtime, size) fingerprint
 # only tracks the DATA, so without this a code change would silently
 # serve stale cell assignments from an existing .scratch index until
 # the ss02 parity test happened to run on that machine.
 _IVF_INDEX_ALGO_V = 1
+
+
+def ivf_assign(vec: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Cell assignment of ANY (vec_id, v, nrm) frame against the frozen
+    broadcast centroid array — ss02's argmax expression, the one
+    definition `_IVF_INDEX_ALGO_V` versions. The stored-index builder
+    uses it for base/delta/full slices; the vtable change-feed
+    maintenance path (tests/test_vtable.py) assigns arriving commits
+    with it directly."""
+    return vec.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "v", "nrm",
+        F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (-_cosine(F.col("v"), c["cv"], F.col("nrm"), c["cn"])).alias("neg"),
+                    c["cent_id"].alias("cell"),
+                ),
+            )
+        )["cell"].alias("cell"),
+    )
 
 # a tmp build dir must sit untouched this long before the orphan sweep
 # may consider it (second guard on top of the pid probe — covers shared
@@ -2905,18 +2932,7 @@ def _ivf_index_stored(
         )
         if pred is not None:
             vec = vec.filter(pred)
-        assign = vec.crossJoin(F.broadcast(cent_arr)).select(
-            "vec_id", "v", "nrm",
-            F.array_min(
-                F.transform(
-                    "cents",
-                    lambda c: F.struct(
-                        (-_cosine(F.col("v"), c["cv"], F.col("nrm"), c["cn"])).alias("neg"),
-                        c["cent_id"].alias("cell"),
-                    ),
-                )
-            )["cell"].alias("cell"),
-        )
+        assign = ivf_assign(vec, cent_arr)
         tmp = f"{path}.tmp-{os.getpid()}"
         assign.write.partitionBy("cell").mode("overwrite").parquet(tmp)
         try:

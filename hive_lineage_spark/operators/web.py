@@ -783,16 +783,20 @@ WEB08_SQL = f"""
 # source (`sources/binary.py`), composing each response payload
 # straight into web04's extraction expressions.
 #
-# Fixture (`warc_documents_v1` — the mm23 clone-fixture pattern): the
+# Fixture (`warc_documents_v2` — the mm23 clone-fixture pattern): the
 # documents table re-serialized as real WARC shards, one response
 # record per doc carrying the web04 synthetic page as its HTTP body,
 # sharded docs-0000..0007 by doc_id % 8 with shard 0 gzipped (the
 # CommonCrawl .warc.gz face; offsets describe the decompressed stream).
-# The WALKER — header parse, Content-Length framing, warc-type
-# dispatch, gzip handling, HTTP split — is the real thing and never
-# sees the construction; the DuckDB oracle RECONSTRUCTS every record's
-# framing (header/block byte lengths, per-shard running offsets) in
-# closed form from the same documents rows.
+# Docs with doc_id % 5 == 0 additionally carry a `metadata` record
+# BEFORE their response (CommonCrawl interleaves request/metadata/
+# response records), so the type dispatch runs against genuinely mixed
+# containers, not just the warcinfo lead. The WALKER — header parse,
+# Content-Length framing, warc-type dispatch, gzip handling, HTTP
+# split — is the real thing and never sees the construction; the
+# DuckDB oracle RECONSTRUCTS every record's framing (header/block byte
+# lengths, per-shard running offsets INCLUDING the skipped metadata
+# records) in closed form from the same documents rows.
 # ---------------------------------------------------------------------------
 
 W09_SHARDS = 8
@@ -866,8 +870,10 @@ def _warc_fixture(sf_dir: str) -> str:
     from ..functions.warc import encode_response_record, encode_warcinfo
     from ..sources.registry import scratch_key, table_path
 
+    from ..functions.warc import CRLF, encode_warc_record
+
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "warc_documents_v1")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "warc_documents_v2")
     if not os.path.isdir(out_dir):
         tbl = pq.read_table(
             table_path(sf_dir, "documents"), columns=["doc_id", "source", "lang", "text"]
@@ -882,9 +888,19 @@ def _warc_fixture(sf_dir: str) -> str:
         )
         shards: dict[int, list[bytes]] = {}
         for did, src, lang, text in rows:  # doc_id-ascending within each shard
-            shards.setdefault(did % W09_SHARDS, []).append(
+            url = _py_url(did, src, lang)
+            recs = shards.setdefault(did % W09_SHARDS, [])
+            if did % 5 == 0:  # interleaved non-response record (skipped)
+                recs.append(
+                    encode_warc_record(
+                        "metadata",
+                        [("WARC-Target-URI", url)],
+                        f"fetchTimeMs: {did % 1000}{CRLF}".encode("utf-8"),
+                    )
+                )
+            recs.append(
                 encode_response_record(
-                    _py_url(did, src, lang),
+                    url,
                     f"<urn:hls:doc:{did}>",
                     _py_html(did, src, lang, text).encode("utf-8"),
                 )
@@ -992,6 +1008,7 @@ _W09_BLOCK = (
     f"'HTTP/1.1 200 OK' || {_W09_CRLF} || 'Content-Type: text/html' "
     f"|| {_W09_CRLF} || {_W09_CRLF} || html"
 )
+_W09_META_BODY = f"'fetchTimeMs: ' || CAST(doc_id % 1000 AS VARCHAR) || {_W09_CRLF}"
 
 WEB09_SQL = f"""
     WITH base AS (
@@ -1009,6 +1026,12 @@ WEB09_SQL = f"""
                       || 'Content-Type: application/http;msgtype=response' || {_W09_CRLF}
                       || 'Content-Length: ' || CAST(strlen({_W09_BLOCK}) AS VARCHAR)
                       || {_W09_CRLF} || {_W09_CRLF}) AS hlen,
+               CASE WHEN doc_id % 5 = 0 THEN strlen(
+                   'WARC/1.0' || {_W09_CRLF} || 'WARC-Type: metadata' || {_W09_CRLF}
+                   || 'WARC-Target-URI: ' || url || {_W09_CRLF}
+                   || 'Content-Length: ' || CAST(strlen({_W09_META_BODY}) AS VARCHAR)
+                   || {_W09_CRLF} || {_W09_CRLF} || {_W09_META_BODY}
+                   || {_W09_CRLF} || {_W09_CRLF}) ELSE 0 END AS mlen,
                strlen('WARC/1.0' || {_W09_CRLF} || 'WARC-Type: warcinfo' || {_W09_CRLF}
                       || 'Content-Type: application/warc-fields' || {_W09_CRLF}
                       || 'Content-Length: ' || CAST(strlen({_W09_WINFO_BODY}) AS VARCHAR)
@@ -1017,7 +1040,7 @@ WEB09_SQL = f"""
         FROM base
     )
     SELECT doc_id, file,
-           CAST(wlen + coalesce(sum(hlen + blen + 4) OVER (
+           CAST(wlen + mlen + coalesce(sum(mlen + hlen + blen + 4) OVER (
                PARTITION BY file ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset,
            CAST(hlen + blen + 4 AS BIGINT) AS rec_len,

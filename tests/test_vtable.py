@@ -668,3 +668,52 @@ def test_dq03_drift_gate_time_travel(spark):
     assert rows["l_quantity"]["n_rows_b"] == li.count()
     # schema drift never fabricates null-drift: only common columns profiled
     assert "ship_bucket" not in rows
+
+
+def test_change_feed_maintains_ivf_index(spark, root):
+    """ss23's lifecycle driven by the ACTUAL vtable change feed (not the
+    deterministic stand-ins): embeddings land commit by commit; the
+    arriving commit is read via read_vtable_changes, assigned against
+    the FROZEN centroids with the same ivf_assign the stored-index
+    builder uses, and (base ∖ tombstones) ∪ assign(arriving) must equal
+    a full assignment of the final snapshot — cell for cell."""
+    from hive_lineage_spark.operators.similarity import (
+        N_CENTROIDS,
+        ivf_assign,
+        vectors_of,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    late = F.pmod(F.col("vec_id"), F.lit(4)) == 3
+    write_vtable(emb.filter(~late), root, mode="overwrite")
+    write_vtable(emb.filter(late), root, mode="append")
+
+    # frozen quantizer: centroids from the FULL table, never recomputed
+    cent_arr = (
+        vectors_of(emb)
+        .filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
+    )
+    base_idx = ivf_assign(vectors_of(read_vtable(spark, root, version=0)), cent_arr)
+    arriving = read_vtable_changes(spark, root, from_version=1).select(
+        "vec_id", "embedding"
+    )
+    drops = read_vtable(spark, root, version=0).filter(
+        F.pmod(F.col("vec_id"), F.lit(10)) == 7
+    ).select("vec_id")
+    maintained = (
+        base_idx.join(drops, "vec_id", "left_anti")
+        .unionByName(ivf_assign(vectors_of(arriving), cent_arr))
+        .select("vec_id", "cell")
+    )
+    snapshot = read_vtable(spark, root).join(drops, "vec_id", "left_anti")
+    want = {
+        tuple(r)
+        for r in ivf_assign(vectors_of(snapshot), cent_arr).select("vec_id", "cell").collect()
+    }
+    got = {tuple(r) for r in maintained.collect()}
+    assert got == want and got, "maintained vector index must equal a full rebuild"

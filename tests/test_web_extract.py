@@ -284,6 +284,18 @@ def test_web09_framing_matches_real_container_bytes(spark):
     assert any(f.endswith(".warc.gz") for f in blobs) and any(
         f.endswith(".warc") for f in blobs
     )
+    # the containers are genuinely MIXED-record (CommonCrawl's layout):
+    # every doc_id % 5 == 0 doc planted a metadata record the walker
+    # must skip — verify the dispatch against a direct record walk
+    from hive_lineage_spark.functions.warc import walk_warc
+
+    types = {}
+    for data in blobs.values():
+        for rec in walk_warc(data):
+            types[rec["type"]] = types.get(rec["type"], 0) + 1
+    assert types["warcinfo"] == len(blobs)
+    assert types["response"] == 500
+    assert types["metadata"] == sum(1 for r in rows if r["doc_id"] % 5 == 0) > 0
 
 
 def test_web10_cap_prunes_before_exchange(spark):
