@@ -956,6 +956,37 @@ def _warc_record_batches(batches):
         yield pd.DataFrame(rows, columns=cols)
 
 
+def warc_records(files: DataFrame) -> DataFrame:
+    """The record barrier over a binaryFile frame (batch OR streaming —
+    the walk is per-container stateless, so the same stage serves both
+    faces): one Arrow pass per container row, one output row per
+    response record."""
+    return files.select("path", "content").mapInPandas(
+        _warc_record_batches, schema=W09_SCHEMA
+    )
+
+
+def warc_extract_cols(recs: DataFrame) -> DataFrame:
+    """web04's extraction metrics over the record stream's HTML payload
+    — pure codegen string expressions, shared verbatim by the batch op
+    and the streaming face."""
+    plain = F.regexp_replace("html", "<[^>]*>", "")
+    return recs.select(
+        "doc_id",
+        "file",
+        "rec_offset",
+        "rec_len",
+        "url",
+        "http_status",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        F.octet_length("html").cast("int").alias("html_bytes"),
+        F.octet_length(plain).cast("int").alias("text_bytes"),
+        F.round(F.octet_length(plain) / F.octet_length("html") + 1e-9, 4).alias(
+            "markup_ratio"
+        ),
+    )
+
+
 def web09_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion composed into web04's extraction: split real WARC
     containers into response records (framing offsets/lengths, target
@@ -975,24 +1006,7 @@ def web09_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.binary import read_binary_dir
 
     files = read_binary_dir(spark, _warc_fixture(sf_dir), "*.warc*")
-    recs = files.select("path", "content").mapInPandas(
-        _warc_record_batches, schema=W09_SCHEMA
-    )
-    plain = F.regexp_replace("html", "<[^>]*>", "")
-    return recs.select(
-        "doc_id",
-        "file",
-        "rec_offset",
-        "rec_len",
-        "url",
-        "http_status",
-        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
-        F.octet_length("html").cast("int").alias("html_bytes"),
-        F.octet_length(plain).cast("int").alias("text_bytes"),
-        F.round(F.octet_length(plain) / F.octet_length("html") + 1e-9, 4).alias(
-            "markup_ratio"
-        ),
-    )
+    return warc_extract_cols(warc_records(files))
 
 
 # the oracle reconstructs every record's BYTE FRAMING in closed form:

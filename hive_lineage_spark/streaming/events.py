@@ -637,6 +637,19 @@ def streaming_span_dedup(docs: DataFrame, seg_w: int = 8) -> DataFrame:
     )
 
 
+def streaming_warc_extract(files: DataFrame) -> DataFrame:
+    """Streaming face of web09's WARC ingestion: containers land as a
+    binaryFile STREAM (the shape of a live crawl writing shards into a
+    landing prefix), each micro-batch walks its containers' records and
+    projects the same extraction metrics — the walk is per-container
+    stateless (one Arrow pass, no cross-file state), so batch and
+    stream emit identical rows across arbitrary micro-batch boundaries
+    (pinned equal in tests, the web07-gate precedent)."""
+    from ..operators.web import warc_extract_cols, warc_records
+
+    return warc_extract_cols(warc_records(files))
+
+
 def streaming_compliance_gate(docs: DataFrame) -> DataFrame:
     """Streaming face of web07's robots/licence/opt-out gate: the
     batch op is ONE stateless whole-stage-codegen map fused into the

@@ -700,3 +700,35 @@ def test_streaming_compliance_gate_equals_batch_web07(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM web07_stream").collect()}
     want = {tuple(r) for r in web07_robots_compliance_gate(spark, SF).collect()}
     assert got == want and got
+
+
+def test_streaming_warc_extract_equals_batch_web09(spark, tmp_path):
+    """web09's record walk is per-container stateless, so its streaming
+    face (containers landing as a binaryFile stream, one per trigger)
+    must emit EXACTLY the batch rows — framing offsets included."""
+    from hive_lineage_spark.operators.web import _warc_fixture, web09_warc_extract
+    from hive_lineage_spark.streaming.events import streaming_warc_extract
+
+    fdir = _warc_fixture(SF)
+    # file streams need an explicit schema; binaryFile's is fixed
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", "1")
+        .load(fdir)
+    )
+    q = (
+        streaming_warc_extract(stream)
+        .writeStream.format("memory")
+        .queryName("web09_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM web09_stream").collect()}
+    want = {tuple(r) for r in web09_warc_extract(spark, SF).collect()}
+    assert got == want and got
