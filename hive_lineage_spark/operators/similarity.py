@@ -2819,6 +2819,20 @@ SS20_SQL = f"""
 _IVF_INDEX_ALGO_V = 1
 
 
+def cent_arr_of(vec: DataFrame) -> DataFrame:
+    """The frozen coarse quantizer as ONE broadcast-ready row: the
+    N_CENTROIDS lowest vec_ids collapsed into a sorted (cent_id, cv,
+    cn) struct array. Single definition for the stored-index builder,
+    the probe constructor and the change-feed maintenance path — a
+    centroid-selection or sort-rule change must hit all three at once."""
+    return (
+        vec.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
+    )
+
+
 def ivf_assign(vec: DataFrame, cent_arr: DataFrame) -> DataFrame:
     """Cell assignment of ANY (vec_id, v, nrm) frame against the frozen
     broadcast centroid array — ss02's argmax expression, the one
@@ -2923,13 +2937,7 @@ def _ivf_index_stored(
         # variants (frozen model — see the docstring); only the
         # assigned rows are slice-filtered, so a delta build scans the
         # batch plus the constant-size centroid rows: O(batch)
-        cent_arr = (
-            _vectors(spark, sf_dir)
-            .filter(F.col("vec_id") < N_CENTROIDS)
-            .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
-            .groupBy()
-            .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
-        )
+        cent_arr = cent_arr_of(_vectors(spark, sf_dir))
         if pred is not None:
             vec = vec.filter(pred)
         assign = ivf_assign(vec, cent_arr)
@@ -2955,12 +2963,7 @@ def _ivf_cent_probes(vec: DataFrame) -> tuple[DataFrame, DataFrame]:
     a tie-break or argmax change here is exactly what
     ``_IVF_INDEX_ALGO_V`` versions, and it must hit every serving op at
     once, never drift between copies."""
-    cent_arr = (
-        vec.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
-    )
+    cent_arr = cent_arr_of(vec)
     neg_cells = F.array_sort(
         F.transform(
             "cents",

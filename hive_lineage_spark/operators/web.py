@@ -867,10 +867,13 @@ def _warc_fixture(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
-    from ..functions.warc import encode_response_record, encode_warcinfo
+    from ..functions.warc import (
+        CRLF,
+        encode_response_record,
+        encode_warc_record,
+        encode_warcinfo,
+    )
     from ..sources.registry import scratch_key, table_path
-
-    from ..functions.warc import CRLF, encode_warc_record
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "warc_documents_v2")

@@ -678,7 +678,7 @@ def test_change_feed_maintains_ivf_index(spark, root):
     builder uses, and (base ∖ tombstones) ∪ assign(arriving) must equal
     a full assignment of the final snapshot — cell for cell."""
     from hive_lineage_spark.operators.similarity import (
-        N_CENTROIDS,
+        cent_arr_of,
         ivf_assign,
         vectors_of,
     )
@@ -691,13 +691,7 @@ def test_change_feed_maintains_ivf_index(spark, root):
     write_vtable(emb.filter(late), root, mode="append")
 
     # frozen quantizer: centroids from the FULL table, never recomputed
-    cent_arr = (
-        vectors_of(emb)
-        .filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("cents"))
-    )
+    cent_arr = cent_arr_of(vectors_of(emb))
     base_idx = ivf_assign(vectors_of(read_vtable(spark, root, version=0)), cent_arr)
     arriving = read_vtable_changes(spark, root, from_version=1).select(
         "vec_id", "embedding"
