@@ -761,3 +761,159 @@ def test_tp17_no_split_packing_invariants(spark):
             for r in docs:
                 assert r["offset"] == pos, (shard, b, r)
                 pos += r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# WARC codec properties (functions/warc.py): arbitrary record streams
+# round-trip, arbitrary truncations fail loudly — the two contracts the
+# web09 walker stands on.
+# ---------------------------------------------------------------------------
+
+_uri_chars = st.text(
+    alphabet=string.ascii_letters + string.digits + ":/?&=.-_%",
+    min_size=1, max_size=60,
+)
+_bodies = st.binary(max_size=300)
+
+
+@given(
+    recs=st.lists(st.tuples(_uri_chars, _bodies), min_size=1, max_size=8),
+    with_info=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_arbitrary_records(recs, with_info):
+    from hive_lineage_spark.functions.warc import (
+        encode_response_record,
+        encode_warcinfo,
+        split_http_response,
+        walk_warc,
+    )
+
+    blobs = [encode_warcinfo()] if with_info else []
+    blobs += [
+        encode_response_record(f"https://{u}", f"<urn:hls:doc:{i}>", b)
+        for i, (u, b) in enumerate(recs)
+    ]
+    data = b"".join(blobs)
+    got = list(walk_warc(data))
+    assert len(got) == len(blobs)
+    off = 0
+    for g, raw in zip(got, blobs):
+        assert (g["offset"], g["length"]) == (off, len(raw))
+        off += len(raw)
+    assert off == len(data)
+    resp = [g for g in got if g["type"] == "response"]
+    assert len(resp) == len(recs)
+    for g, (u, b) in zip(resp, recs):
+        status, body = split_http_response(g["block"])
+        assert status == 200 and body == b
+        assert g["headers"]["warc-target-uri"] == f"https://{u}"
+
+
+@given(
+    uri=_uri_chars, body=st.binary(min_size=1, max_size=200),
+    cut=st.integers(min_value=1, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_any_truncation_raises(uri, body, cut):
+    """Cutting ANY suffix off a valid record must raise — never yield a
+    silently short parse (offsets feeding downstream range reads)."""
+    from hive_lineage_spark.functions.warc import encode_response_record, walk_warc
+
+    rec = encode_response_record(f"https://{uri}", "<urn:hls:doc:0>", body)
+    cut = min(cut, len(rec) - 1)
+    with pytest.raises(ValueError):
+        leftover = list(walk_warc(rec[: len(rec) - cut]))
+        # a cut that lands exactly between records can't happen for a
+        # single record — anything short of full length must raise
+        raise AssertionError(f"parsed {len(leftover)} records from a truncated stream")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi property: the HOF DP must equal a direct Python
+# reference (enumerate every segmentation, same cost model, same
+# (cost, np, lens) tie order) on arbitrary corpora — the same identity
+# the DuckDB oracle pins, but against an INDEPENDENT implementation and
+# on adversarial words (repeats, shared substrings, single chars).
+# ---------------------------------------------------------------------------
+
+
+def _py_unigram_reference(word_freqs: dict[str, int]):
+    """Pure-python replay of tx24's two hard-EM rounds."""
+    import math
+
+    P, SEED_MIN = 4, 2
+
+    def subs_of(w):
+        return [
+            (e, j, w[e - j : e])
+            for e in range(1, len(w) + 1)
+            for j in range(1, min(P, e) + 1)
+        ]
+
+    def best_seg(w, model, total):
+        cands = []
+
+        def rec(pos, cost, lens, ps):
+            if pos == len(w):
+                cands.append((cost, len(ps), lens, ps))
+                return
+            for j in range(1, min(P, len(w) - pos) + 1):
+                p = w[pos : pos + j]
+                if p in model:
+                    rec(pos + j, cost + (math.log(total) - math.log(model[p])),
+                        lens + str(j), ps + [p])
+
+        rec(0, 0.0, "", [])
+        return min(cands, key=lambda c: (c[0], c[1], c[2]))
+
+    c0: dict[str, int] = {}
+    for w, f in word_freqs.items():
+        for _, _, p in subs_of(w):
+            c0[p] = c0.get(p, 0) + f
+    m0 = {p: c for p, c in c0.items() if c >= SEED_MIN or len(p) == 1}
+    t0 = sum(m0.values())
+    c1: dict[str, int] = {}
+    for w, f in word_freqs.items():
+        for p in best_seg(w, m0, t0)[3]:
+            c1[p] = c1.get(p, 0) + f
+    t1 = sum(c1.values())
+    out = {}
+    for w, f in word_freqs.items():
+        seg = best_seg(w, c1, t1)
+        out[w] = (seg[1], seg[3])
+    return out
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=7), min_size=1, max_size=8
+    ),
+    reps=st.lists(st.integers(min_value=1, max_value=4), min_size=8, max_size=8),
+)
+@settings(max_examples=12, deadline=None)
+def test_tx24_viterbi_matches_python_reference(spark, tmp_path_factory, words, reps):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_lineage_spark.operators.text import _tx24_final_seg
+
+    freqs: dict[str, int] = {}
+    for w, r in zip(words, reps):
+        freqs[w] = freqs.get(w, 0) + r
+    docs = []
+    for i, (w, f) in enumerate(sorted(freqs.items())):
+        docs.extend([w] * f)
+    # one doc carrying the whole stream (word order irrelevant)
+    tmp = tmp_path_factory.mktemp("tx24prop")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([" ".join(docs)])}),
+        str(tmp / "documents.parquet"),
+    )
+    got = {
+        r["word"]: (r["np"], list(r["ps"]))
+        for r in _tx24_final_seg(spark, str(tmp)).collect()
+    }
+    want = _py_unigram_reference(freqs)
+    assert got == want
