@@ -154,6 +154,7 @@ EXTRA = [
     "ss23_ann_ivf_incremental",  # base+delta stored-index serving, tombstones (round 15)
     "tx24_unigram_lm_train",   # unigram-LM hard-EM trainer (HOF Viterbi) (round 15)
     "tx25_unigram_encode",     # corpus encode under the unigram vocab (round 15)
+    "web11_frontier_refresh",  # freshness-class refetch gate, zero-exchange (round 15)
 ]
 
 

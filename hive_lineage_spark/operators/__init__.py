@@ -213,10 +213,17 @@ ROTATION_QUEUE: dict[str, int] = {}
 #   sk05 (2x r12+r14; sk01-sk04 keep every sketch it composes),
 #   web06 (2x r13+r14; web01-web10 keep the crawl ladder, canonical-
 #     URL dedup stays local-oracle- and pytest-pinned).
+# Round-15 late promotion (the r10-r14 certify-the-round-it-lands
+# pattern): web11 (frontier refresh — the freshness gate closing the
+# crawl-operations loop, local-oracle green at both scales) moves in;
+# out for it: ss13 (5x-certified r8/r10/r12/r13/r14, unchanged —
+# ss22 keeps IVFPQ in-window and ss21/ss23 keep composed stored-index
+# ANN serving; ss13's composed probe stays local-oracle- and
+# pytest-pinned and a bench EXTRA row).
 _DRIVER_PRIORITY = [
     # round-15 registrations (certify the round they land)
     "web09_warc_extract", "web10_frontier_cap", "ss23_ann_ivf_incremental",
-    "tx24_unigram_lm_train", "tx25_unigram_encode",
+    "tx24_unigram_lm_train", "tx25_unigram_encode", "web11_frontier_refresh",
     # oldest-green drain: q39 last green r01; q40/q42 r03; the rest r04
     "q39_percentiles", "q40_approx_sketches", "q42_array_agg",
     "q25_sessionization", "q43_range_join_bucketized",
@@ -230,7 +237,7 @@ _DRIVER_PRIORITY = [
     "web04_html_extract", "web05_boilerplate_gate", "tx23_fasttext_gate",
     "web08_politeness_schedule",
     "dd17_cluster_keep_best", "dd18_longest_dup_span",
-    "ss13_ann_ivfpq", "ss21_ann_ivf_partitioned",
+    "ss21_ann_ivf_partitioned",
     "ss19_ann_filtered", "ss20_ann_binary",
     "web07_robots_compliance_gate", "dd21_exact_dup_spans",
     "ss22_ann_ivfpq_residual",

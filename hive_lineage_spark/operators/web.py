@@ -1128,6 +1128,104 @@ def web10_frontier_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 W10_CAP = 8  # per-host frontier budget (politeness horizon: 8·delay)
 
+
+# ---------------------------------------------------------------------------
+# web11: frontier refresh — the stage that closes the crawl OPERATIONS
+# loop: discover (web01) → gate (web03) → comply (web07) → schedule
+# (web08/web10) → fetch → ...and next cycle, decide WHICH known URLs
+# are due for refetch. Production crawlers (the Googlebot scheduling
+# literature; Cho & Garcia-Molina 2003 "Effective page refresh
+# policies") budget refreshes by per-host freshness class and each
+# page's observed change rate: news-class hosts re-crawl in hours,
+# archives in months, and a page that never changes earns a longer
+# TTL. The TESTDATA corpus carries no fetch ledger, so last-fetch age
+# and change class derive deterministically (the web01/web07 fixture
+# pattern): age from the URL's polynomial hash, host class from the
+# registrable domain's hash, change class from doc_id residues. The
+# POLICY machinery — class TTLs, change-rate TTL stretch, due verdict,
+# overdue prioritization — is the real thing and never sees the
+# construction.
+# ---------------------------------------------------------------------------
+
+# freshness TTL (hours) by host class: news / active / static / archive
+_W11_TTLS = (6, 24, 168, 720)
+
+
+def web11_frontier_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven refresh gate over the known-URL ledger: per
+    ALLOWED url (web07's gate composed — refetching a disallowed URL
+    is both wasted budget and non-compliant), the host's freshness
+    class and TTL, the page's change-class TTL stretch (a page
+    observed never to change earns 2×/4× its class TTL), the hours
+    since last fetch, the due-for-refetch verdict and the overdue
+    ratio the next cycle's scheduler (web08/web10) sorts by.
+
+    Scale shape (web07's precedent): the ledger scan IS the plan — the
+    gate, class derivation, TTL arithmetic and verdict are one
+    whole-stage-codegen map fused into the scan; zero exchanges, zero
+    joins (plan-pinned). A real deployment joins a fetch-history table
+    keyed by url hash instead of the hash-derived stand-ins — one
+    broadcast-or-bucketed join, policy expressions unchanged. Exact
+    integer contract: ages/TTLs are integer hours, the due verdict an
+    integer compare; only the overdue ratio divides (rounded 4 dp with
+    the house nudge)."""
+    d, fl = _compliance_flags(_docs(spark, sf_dir).select("doc_id", "source", "lang"))
+    d = d.filter(fl["allowed"])
+    hh = poly_hash(F.col("reg_domain"))
+    host_class = F.pmod(hh, F.lit(4))
+    ttl = (
+        F.when(host_class == 0, F.lit(_W11_TTLS[0]))
+        .when(host_class == 1, F.lit(_W11_TTLS[1]))
+        .when(host_class == 2, F.lit(_W11_TTLS[2]))
+        .otherwise(F.lit(_W11_TTLS[3]))
+    )
+    # change class 0/1/2 → TTL × 1/2/4 (slower-changing pages wait);
+    # a CASE multiplier, not F.shiftleft — the Python shiftleft only
+    # takes a literal bit count (the r12 gotcha)
+    change_mult = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(1))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit(2))
+        .otherwise(F.lit(4))
+    )
+    eff_ttl = (ttl * change_mult).cast("long")
+    age_h = F.pmod(poly_hash(F.col("url")), F.lit(721)).cast("long")
+    return d.select(
+        "doc_id",
+        "url",
+        "reg_domain",
+        host_class.cast("int").alias("host_class"),
+        eff_ttl.alias("ttl_h"),
+        age_h.alias("age_h"),
+        (age_h >= eff_ttl).cast("int").alias("due"),
+        F.round(age_h / eff_ttl + 1e-9, 4).alias("overdue_ratio"),
+    )
+
+
+WEB11_SQL = f"""
+    WITH fl AS ({_gate_flagged_sql()}),
+    allowed AS (
+        SELECT doc_id, url, reg_domain, h FROM fl WHERE allowed
+    ),
+    policy AS (
+        SELECT doc_id, url, reg_domain,
+               h % 4 AS host_class,
+               CAST((CASE WHEN h % 4 = 0 THEN {_W11_TTLS[0]}
+                          WHEN h % 4 = 1 THEN {_W11_TTLS[1]}
+                          WHEN h % 4 = 2 THEN {_W11_TTLS[2]}
+                          ELSE {_W11_TTLS[3]} END)
+                    * (CASE WHEN doc_id % 3 = 0 THEN 1
+                            WHEN doc_id % 3 = 1 THEN 2
+                            ELSE 4 END) AS BIGINT) AS ttl_h,
+               CAST(({poly_hash_sql('url')}) % 721 AS BIGINT) AS age_h
+        FROM allowed
+    )
+    SELECT doc_id, url, reg_domain,
+           CAST(host_class AS INT) AS host_class, ttl_h, age_h,
+           CAST(age_h >= ttl_h AS INT) AS due,
+           round(age_h * 1.0 / ttl_h + 1e-9, 4) AS overdue_ratio
+    FROM policy
+"""
+
 # web08's schedule, capped: identical rank/delay/worker derivation, the
 # survivors are exactly the top-W10_CAP shallow-first rows per host
 WEB10_SQL = f"""
@@ -1146,6 +1244,7 @@ QUERIES = {
     "web08_politeness_schedule": web08_politeness_schedule,
     "web09_warc_extract": web09_warc_extract,
     "web10_frontier_cap": web10_frontier_cap,
+    "web11_frontier_refresh": web11_frontier_refresh,
 }
 
 ORACLES = {
@@ -1159,4 +1258,5 @@ ORACLES = {
     "web08_politeness_schedule": WEB08_SQL,
     "web09_warc_extract": WEB09_SQL,
     "web10_frontier_cap": WEB10_SQL,
+    "web11_frontier_refresh": WEB11_SQL,
 }

@@ -333,3 +333,36 @@ def test_web10_cap_prunes_before_exchange(spark):
     # textual tree order: Final ... Exchange ... Partial (bottom-up
     # execution = Partial runs first, before the shuffle)
     assert plan.find(", Final") < plan.find("Exchange hashpartitioning(reg_domain") < plan.find(", Partial")
+
+
+def test_web11_refresh_policy_invariants(spark):
+    """web11: (1) the refresh set is exactly web07's allowed set (the
+    gate is composed — disallowed URLs never re-enter the frontier);
+    (2) TTLs are the class table stretched by the change class only;
+    (3) the due verdict is exactly age >= ttl; (4) the plan is one
+    codegen map — zero exchanges, zero joins (web07's shape)."""
+    from hive_lineage_spark.operators.web import (
+        _W11_TTLS,
+        web07_robots_compliance_gate,
+        web11_frontier_refresh,
+    )
+
+    rows = web11_frontier_refresh(spark, SF).collect()
+    allowed = {
+        r["doc_id"]
+        for r in web07_robots_compliance_gate(spark, SF).collect()
+        if r["allowed"] == 1
+    }
+    assert {r["doc_id"] for r in rows} == allowed and allowed
+    base = set(_W11_TTLS)
+    for r in rows:
+        mult = (1, 2, 4)[r["doc_id"] % 3]
+        assert r["ttl_h"] // mult in base and r["ttl_h"] % mult == 0, r
+        assert 0 <= r["age_h"] <= 720, r
+        assert r["due"] == int(r["age_h"] >= r["ttl_h"]), r
+        assert (r["overdue_ratio"] >= 1.0) == (r["due"] == 1) or r["age_h"] == r["ttl_h"], r
+    # both verdicts occur (the policy actually splits the frontier)
+    assert {r["due"] for r in rows} == {0, 1}
+    plan = web11_frontier_refresh(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -76,6 +76,7 @@ PROBE = [
     ("ss23_ann_ivf_incremental", "probe-pruned reads of base+delta indexes; index builds amortized"),
     ("tx24_unigram_lm_train", "one corpus word agg; EM rounds vocab-sized (fixed here)"),
     ("tx25_unigram_encode", "linear word stream + broadcast vocab join + doc agg"),
+    ("web11_frontier_refresh", "linear codegen gate+policy map; zero exchanges"),
 ]
 
 
