@@ -911,9 +911,16 @@ def test_tx24_viterbi_matches_python_reference(spark, tmp_path_factory, words, r
                   "text": pa.array([" ".join(docs)])}),
         str(tmp / "documents.parquet"),
     )
-    got = {
-        r["word"]: (r["np"], list(r["ps"]))
-        for r in _tx24_final_seg(spark, str(tmp)).collect()
-    }
+    try:
+        got = {
+            r["word"]: (r["np"], list(r["ps"]))
+            for r in _tx24_final_seg(spark, str(tmp)).collect()
+        }
+    finally:
+        # every hypothesis example uses a fresh sf_dir — release the
+        # session-scoped persisted frames (_persisted's contract)
+        from hive_lineage_spark.operators.dedup import clear_postings_cache
+
+        clear_postings_cache()
     want = _py_unigram_reference(freqs)
     assert got == want

@@ -702,7 +702,7 @@ def test_streaming_compliance_gate_equals_batch_web07(spark, tmp_path):
     assert got == want and got
 
 
-def test_streaming_warc_extract_equals_batch_web09(spark, tmp_path):
+def test_streaming_warc_extract_equals_batch_web09(spark):
     """web09's record walk is per-container stateless, so its streaming
     face (containers landing as a binaryFile stream, one per trigger)
     must emit EXACTLY the batch rows — framing offsets included."""
