@@ -146,6 +146,8 @@ def split_http_response(block: bytes) -> tuple[int, bytes]:
     parts = status_line.split(" ", 2)
     if len(parts) < 2 or not parts[0].startswith("HTTP/"):
         raise ValueError(f"malformed HTTP status line: {status_line!r}")
+    if not parts[1].isdigit():
+        raise ValueError(f"non-numeric HTTP status code in line: {status_line!r}")
     return int(parts[1]), block[sep + 4 :]
 
 

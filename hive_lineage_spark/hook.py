@@ -81,7 +81,9 @@ def default_table_resolver(path: str) -> str | None:
     # named table re-serialized as WARC containers — resolve the
     # binaryFile scan back to that table so web09's lineage links the
     # ingested records to their source rows
-    m = re.match(r"warc_(.+)_v\d+$", base)
+    # tag grammar: warc_<table>_m<mtime>_s<size>_v<V> (the fingerprint
+    # segments are the source parquet's snapshot identity — strip them)
+    m = re.match(r"warc_(.+)_m\d+_s\d+_v\d+$", base)
     if m and ".scratch" in path:
         return m.group(1)
     return None

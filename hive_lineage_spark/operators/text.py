@@ -2267,7 +2267,16 @@ TX23_SQL = f"""
 # lexicographically smallest piece-length string) — a total order both
 # engines express exactly, and one a left-to-right DP may carry
 # because equal piece counts mean equal-length digit strings (prefix
-# order survives equal-suffix extension).
+# order survives equal-suffix extension). One assumption underpins the
+# DP-vs-path-enumeration equivalence: prefixes with DISTINCT costs stay
+# distinct after adding a shared suffix. fl(a+c)=fl(b+c) with a<b is
+# possible in principle (FP addition is monotone, not strictly), but
+# needs |a−b| below half an ulp of the sum — and these costs are sums
+# of ln(int)−ln(int) terms whose pairwise gaps sit many orders of
+# magnitude above ulp scale at fixture word lengths, so a discarded
+# strictly-worse prefix cannot re-tie the kept one. If piece scores
+# ever become near-degenerate (e.g. astronomically large counts),
+# revisit: keep all prefixes within 0 ulp per position instead.
 #
 # Scale shape: training runs on the DISTINCT-WORD frame (vocab-sized —
 # one corpus exchange builds (word, freq), everything after is
@@ -2460,10 +2469,22 @@ def tx25_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, matching the DP's prefix+entry adds bit for bit.
 _TX24_CORE_SQL = f"""
     wct AS (
+        -- path enumeration explores ~1.9^len segmentations per word
+        -- (tetranacci at P_MAX=4): a single URL-length token would make
+        -- this oracle run forever. Guard loudly — len(word) <= 40 keeps
+        -- the worst word under ~1e11 paths never reached at fixture
+        -- scale (fixture words are prose-length); the Spark DP itself
+        -- is O(len·P_MAX) and has no such bound.
         SELECT word, count(*) AS f
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         WHERE word <> ''
         GROUP BY word
+        -- the guard lives in HAVING (always evaluated as a filter) —
+        -- an unused projected column gets pruned and never fires
+        HAVING CASE WHEN len(word) > 40 THEN CAST(
+            error('tx24 oracle: word longer than 40 chars (' || word ||
+                  ') - recursive path enumeration intractable') AS BOOLEAN)
+        ELSE TRUE END
     ),
     subs AS (
         SELECT word, f, e, j,

@@ -783,7 +783,8 @@ WEB08_SQL = f"""
 # source (`sources/binary.py`), composing each response payload
 # straight into web04's extraction expressions.
 #
-# Fixture (`warc_documents_v2` — the mm23 clone-fixture pattern): the
+# Fixture (`warc_documents_m<mtime>_s<size>_v2` — the mm23 clone-fixture pattern,
+# source-fingerprinted like the IVF index tag): the
 # documents table re-serialized as real WARC shards, one response
 # record per doc carrying the web04 synthetic page as its HTTP body,
 # sharded docs-0000..0007 by doc_id % 8 with shard 0 gzipped (the
@@ -876,7 +877,18 @@ def _warc_fixture(sf_dir: str) -> str:
     from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "warc_documents_v2")
+    # the fixture name folds in the source parquet's (mtime, size) —
+    # the `_ivf_index_stored` fingerprint discipline — so regenerating
+    # the documents table in place invalidates the shards instead of
+    # silently serving stale bytes while the oracle reads fresh rows
+    # (hook.default_table_resolver strips the fingerprint back out)
+    st = os.stat(table_path(sf_dir, "documents"))
+    out_dir = os.path.join(
+        repo,
+        ".scratch",
+        scratch_key(sf_dir),
+        f"warc_documents_m{int(st.st_mtime)}_s{st.st_size}_v2",
+    )
     if not os.path.isdir(out_dir):
         tbl = pq.read_table(
             table_path(sf_dir, "documents"), columns=["doc_id", "source", "lang", "text"]
@@ -925,11 +937,21 @@ def _warc_fixture(sf_dir: str) -> str:
     return out_dir
 
 
+def _doc_id_of_record_id(rid: str):
+    """doc_id out of the FIXTURE's record-id grammar
+    (``<urn:hls:doc:N>``) — None for any other id scheme (real WARCs
+    use ``<urn:uuid:...>``; those records still flow through with a
+    null doc_id instead of crashing the walker)."""
+    tail = rid.rsplit(":", 1)[-1].rstrip(">")
+    return int(tail) if tail.isdigit() else None
+
+
 def _warc_record_batches(batches):
     """mapInPandas worker: one linear walk per container — gunzip if
     the name says so, split records by Content-Length framing, keep the
     responses, split HTTP status from body. O(file bytes), no state
-    across files."""
+    across files. Payloads decode with replacement (real crawls carry
+    mislabeled charsets; a mojibake row beats a dead container)."""
     import pandas as pd
 
     from ..functions.warc import maybe_gunzip, split_http_response, walk_warc
@@ -947,13 +969,13 @@ def _warc_record_batches(batches):
                 rid = rec["headers"].get("warc-record-id", "")
                 rows.append(
                     (
-                        int(rid.rsplit(":", 1)[-1].rstrip(">")),
+                        _doc_id_of_record_id(rid),
                         name,
                         rec["offset"],
                         rec["length"],
                         rec["headers"].get("warc-target-uri", ""),
                         status,
-                        body.decode("utf-8"),
+                        body.decode("utf-8", "replace"),
                     )
                 )
         yield pd.DataFrame(rows, columns=cols)

@@ -255,6 +255,47 @@ def test_warc_codec_truncated_and_gzip():
     assert maybe_gunzip("f.warc", rec) == rec  # pass-through
 
 
+def test_warc_walker_tolerates_foreign_records():
+    """The walker is framed as the actual CommonCrawl entry path, so it
+    must not crash on ids/status lines outside the fixture grammar:
+    urn:uuid record ids yield a null doc_id (not a ValueError), and a
+    non-numeric HTTP status raises a CONTEXTUAL error naming the line."""
+    import pytest
+
+    from hive_lineage_spark.functions.warc import split_http_response
+    from hive_lineage_spark.operators.web import _doc_id_of_record_id
+
+    assert _doc_id_of_record_id("<urn:hls:doc:42>") == 42
+    assert _doc_id_of_record_id("<urn:uuid:3f0d5a44-9fa3-44a5>") is None
+    assert _doc_id_of_record_id("") is None
+    with pytest.raises(ValueError, match="non-numeric HTTP status"):
+        split_http_response(b"HTTP/1.1 OK\r\nX: y\r\n\r\nbody")
+
+
+def test_warc_fixture_fingerprints_source_snapshot():
+    """The fixture dir name folds in the documents parquet's (mtime,
+    size) — regenerating the table in place must invalidate the shards
+    (the `_ivf_index_stored` discipline), never silently serve stale
+    bytes while the oracle reads fresh rows. The resolver strips the
+    fingerprint back out; the OLD un-fingerprinted tag must no longer
+    resolve (a stale pre-fix dir must not claim table lineage)."""
+    import os
+
+    from hive_lineage_spark.hook import default_table_resolver
+    from hive_lineage_spark.operators.web import _warc_fixture
+    from hive_lineage_spark.sources.registry import table_path
+
+    fdir = _warc_fixture(SF)
+    st = os.stat(table_path(SF, "documents"))
+    assert os.path.basename(fdir) == f"warc_documents_m{int(st.st_mtime)}_s{st.st_size}_v2"
+    assert (
+        default_table_resolver(f"/r/.scratch/sf0.001/{os.path.basename(fdir)}")
+        == "documents"
+    )
+    assert default_table_resolver("/r/.scratch/sf0.001/warc_documents_v2") is None
+    assert default_table_resolver(f"/r/x/{os.path.basename(fdir)}") is None  # not scratch
+
+
 def test_web09_framing_matches_real_container_bytes(spark):
     """The op's (rec_offset, rec_len) must index into the ACTUAL shard
     files: slicing the container at the reported framing yields a
