@@ -155,6 +155,7 @@ EXTRA = [
     "tx24_unigram_lm_train",   # unigram-LM hard-EM trainer (HOF Viterbi) (round 15)
     "tx25_unigram_encode",     # corpus encode under the unigram vocab (round 15)
     "web11_frontier_refresh",  # freshness-class refetch gate, zero-exchange (round 15)
+    "tx26_langid_gate",        # trained K-class NB language-ID gate (round 16)
 ]
 
 

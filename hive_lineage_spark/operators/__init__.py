@@ -187,7 +187,10 @@ from pyspark.sql import DataFrame, SparkSession
 # agg, certified r1-r11; the partial/final aggregate split stays
 # plan-pinned in tests/test_plans.py + docs/PLANS.md, and q17's
 # star-agg keeps grouped aggregation in-window).
-ROTATION_QUEUE: dict[str, int] = {}
+ROTATION_QUEUE: dict[str, int] = {
+    # round-16 registrations, declared for the r16 window rotation
+    "tx26_langid_gate": 16,
+}
 
 # Round-15 rotation. IN: the five round-15 registrations (web09 WARC
 # ingestion, web10 frontier cap, ss23 incremental IVF maintenance,

@@ -102,6 +102,7 @@ SHOW = [
     ("ss23_ann_ivf_incremental", "TWO stored-index scans (base + delta cell-partitioned parquet), EACH with its own dynamicpruning PartitionFilter from the broadcast probe join; tombstones a BroadcastHashJoin LeftAnti on the candidate stream; embeddings appears only for centroids/probes/tombstones (constant-size frames)"),
     ("tx24_unigram_lm_train", "ONE corpus exchange (the persisted word-frequency agg, InMemoryTableScan downstream); both EM rounds are vocab-sized — broadcast model joins into the substring stream, the Viterbi DP a single HOF aggregate projection, piece-count partial aggs; no UDF, no barrier"),
     ("web11_frontier_refresh", "the whole refresh policy — compliance gate, host-class/change-class TTLs, age derivation, due verdict — is ONE codegen span fused into the scan; zero exchanges, zero joins (web07's shape)"),
+    ("tx26_langid_gate", "tx23's train-once-serve-from-the-table shape at K classes: the persisted ≤B×K model + vocab/total/prior folds broadcast into the deduped (doc, feature) stream (BroadcastHashJoin ×3 — no SortMergeJoin anywhere); corpus exchanges are the (doc, f) pre-agg (map-side combined) and the K-rows-per-doc argmax window"),
 ]
 
 

@@ -77,6 +77,7 @@ PROBE = [
     ("tx24_unigram_lm_train", "one corpus word agg; EM rounds vocab-sized (fixed here)"),
     ("tx25_unigram_encode", "linear word stream + broadcast vocab join + doc agg"),
     ("web11_frontier_refresh", "linear codegen gate+policy map; zero exchanges"),
+    ("tx26_langid_gate", "one (doc,feature) pre-agg exchange; broadcast NB model; K-row/doc window"),
 ]
 
 
