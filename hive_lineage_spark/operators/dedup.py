@@ -52,7 +52,11 @@ COSINE_T = 0.5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # fan_out: dedup's pre-exchange work (shingle walks, rolling hashes,
+    # signature perms) is the dominant per-row cost — distribute it when
+    # the source is an unsplittable single-row-group file (r16, guide
+    # §2.5; no-op on well-split inputs)
+    return load_table(spark, sf_dir, "documents", fan_out=True)
 
 
 # ---------------------------------------------------------------------------

@@ -481,7 +481,7 @@ def _image_fixture(sf_dir: str) -> str:
     from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "images_v2")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "images_v3")
     out_file = os.path.join(out_dir, "images.parquet")
     if not os.path.exists(out_file):
         doc_ids = (
@@ -497,7 +497,7 @@ def _image_fixture(sf_dir: str) -> str:
         tbl = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})
         os.makedirs(out_dir, exist_ok=True)
         tmp = out_file + ".tmp"
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=max(64, tbl.num_rows // 64))
         os.replace(tmp, out_file)
     return out_file
 
@@ -765,7 +765,7 @@ def _audio_fixture(sf_dir: str) -> str:
     from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "audio_v1")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "audio_v2")
     out_file = os.path.join(out_dir, "audio.parquet")
     if not os.path.exists(out_file):
         doc_ids = (
@@ -781,7 +781,7 @@ def _audio_fixture(sf_dir: str) -> str:
         tbl = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})
         os.makedirs(out_dir, exist_ok=True)
         tmp = out_file + ".tmp"
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=max(64, tbl.num_rows // 64))
         os.replace(tmp, out_file)
     return out_file
 
@@ -1140,7 +1140,7 @@ def _video_fixture(sf_dir: str) -> str:
     from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "video_v1")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "video_v2")
     out_file = os.path.join(out_dir, "video.parquet")
     if not os.path.exists(out_file):
         doc_ids = (
@@ -1159,7 +1159,7 @@ def _video_fixture(sf_dir: str) -> str:
         tbl = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})
         os.makedirs(out_dir, exist_ok=True)
         tmp = out_file + ".tmp"
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=max(64, tbl.num_rows // 64))
         os.replace(tmp, out_file)
     return out_file
 
@@ -1290,7 +1290,7 @@ def _mjpeg_fixture(sf_dir: str) -> str:
     from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg_v1")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg_v2")
     out_file = os.path.join(out_dir, "mjpeg.parquet")
     if not os.path.exists(out_file):
         doc_ids = (
@@ -1312,7 +1312,7 @@ def _mjpeg_fixture(sf_dir: str) -> str:
         )
         os.makedirs(out_dir, exist_ok=True)
         tmp = out_file + ".tmp"
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=max(64, tbl.num_rows // 64))
         os.replace(tmp, out_file)
     return out_file
 
@@ -1599,7 +1599,7 @@ def _mjpeg420_fixture(sf_dir: str) -> str:
     from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg420_v2")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg420_v3")
     out_file = os.path.join(out_dir, "mjpeg420.parquet")
     if not os.path.exists(out_file):
         doc_ids = (
@@ -1628,7 +1628,7 @@ def _mjpeg420_fixture(sf_dir: str) -> str:
         )
         os.makedirs(out_dir, exist_ok=True)
         tmp = out_file + ".tmp"
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=max(64, tbl.num_rows // 64))
         os.replace(tmp, out_file)
     return out_file
 
@@ -2655,7 +2655,7 @@ MM22_SQL = f"""
 # pairs are DIFFERENT JPEG bytes (a uniform chroma shift re-encoded)
 # whose luma pHashes still collide because the DC term is dropped.
 #
-# Fixture (`mjpeg_clones_v3`): one AVI per doc; docs (2k, 2k+1) share
+# Fixture (`mjpeg_clones_v4`): one AVI per doc; docs (2k, 2k+1) share
 # base pattern k — same geometry and Y/Cr planes, the odd twin's Cb
 # plane shifted +5 (mod-251 base keeps the shift wrap-free). A uniform
 # chroma shift moves the decoded luma nearly uniformly, which lands in
@@ -2683,7 +2683,7 @@ def _clone_mjpeg_fixture(sf_dir: str) -> str:
     from ..sources.registry import scratch_key, table_path
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg_clones_v3")
+    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "mjpeg_clones_v4")
     out_file = os.path.join(out_dir, "mjpeg_clones.parquet")
     if not os.path.exists(out_file):
         doc_ids = (
@@ -2726,7 +2726,7 @@ def _clone_mjpeg_fixture(sf_dir: str) -> str:
         )
         os.makedirs(out_dir, exist_ok=True)
         tmp = out_file + ".tmp"
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=max(64, tbl.num_rows // 64))
         os.replace(tmp, out_file)
     return out_file
 

@@ -41,7 +41,11 @@ def vectors_of(e: DataFrame) -> DataFrame:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return vectors_of(load_table(spark, sf_dir, "embeddings"))
+    # fan_out: the ANN surface's pre-exchange work (norms, per-cell
+    # distance HOFs, projection folds) runs on the embeddings scan; the
+    # test table is a single-row-group file = one task without the
+    # fan-out (r16, guide §2.5; no-op on well-split inputs)
+    return vectors_of(load_table(spark, sf_dir, "embeddings", fan_out=True))
 
 
 def _cosine(va, vb, na, nb):
@@ -670,17 +674,34 @@ def dd12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is ss06's broadcast map; the self-join
     shuffles on the cell id once, and the pair filter runs inside the
     join's whole-stage codegen. Output: (keep_id, drop_id, cosine) with
-    keep = lower vec_id, the paper's keep-one-representative rule."""
+    keep = lower vec_id, the paper's keep-one-representative rule.
+
+    Join parallelism (r16, guide §2.5 salting): a cell-keyed self-join
+    can use at most #cells tasks, and the per-pair work is CPU-dense
+    while the shuffled bytes are tiny — so when cells < cores (true at
+    test scale with KM_K cells; false in production, where a trained
+    quantizer has cells ≫ cores and S collapses to 1) one side is
+    salted with a deterministic vec_id chunk and the other replicated S
+    ways, turning the within-cell pair space into S·#cells independent
+    work units with the identical pair set."""
     vec = _vectors(spark, sf_dir)
     cent = _km_centroids_cached(spark, sf_dir)
     assigned = _km_assign(vec.select("vec_id", "v"), cent).join(
         vec.select("vec_id", "nrm"), "vec_id"
     ).select("vec_id", "v", "nrm", "cell")
-    a, b = assigned.alias("a"), assigned.alias("b")
+    par = spark.sparkContext.defaultParallelism
+    s = max(1, (4 * par) // KM_K)
+    a = assigned.withColumn(
+        "chunk", F.pmod("vec_id", F.lit(s)).cast("int")
+    ).alias("a")
+    b = assigned.withColumn(
+        "chunk", F.explode(F.sequence(F.lit(0), F.lit(s - 1)).cast("array<int>"))
+    ).alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn(

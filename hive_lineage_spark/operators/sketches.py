@@ -71,7 +71,11 @@ TOPK_CM = 20
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # fan_out: every sketch op's dominant cost is the pre-exchange gram
+    # explode + hash (the partial aggs ship only register/counter-sized
+    # state) — on a single-row-group source that all runs in ONE task
+    # without the scan fan-out (r16, guide §2.5 unsplittable input)
+    return load_table(spark, sf_dir, "documents", fan_out=True)
 
 
 # ---------------------------------------------------------------------------

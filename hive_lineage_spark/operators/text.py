@@ -31,7 +31,11 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # fan_out: the text ladder's dominant cost is pre-exchange per-row
+    # work (gram walks, char hashes, HOF folds) — on the single-row-group
+    # test tables that all runs in ONE task without the scan fan-out
+    # (r16, guide §2.5 unsplittable input; no-op on well-split inputs)
+    return load_table(spark, sf_dir, "documents", fan_out=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1027,8 +1031,10 @@ def tx14_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     All evidence is computed in ONE pass over the tokenized array with
     higher-order functions (no explode, no shuffle — the gate fuses
     into the scan); rule booleans compare the ROUNDED evidence so both
-    engines decide boundaries on identical doubles."""
-    d = _docs(spark, sf_dir)
+    engines decide boundaries on identical doubles. Pristine scan (no
+    fan_out): the zero-exchange shape IS this op's contract — it scales
+    by input splits, and the plan pin asserts no Exchange at all."""
+    d = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
     n_words = F.size(ws)
     mwl = F.round(

@@ -30,8 +30,31 @@ def get_spark(app_name: str = "hive_lineage_spark", cpus: int | None = None) -> 
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing's 1 MB minPartitionSize floor merges CPU-dense
+        # but byte-tiny shuffle partitions (per-pair HOF compares over
+        # array columns) down to single-digit task counts; 64 KB keeps
+        # those parallel while still merging degenerate fragments. At
+        # production shuffle sizes partitions sit far above either floor,
+        # so the constant is inert there (r16, guide §2.2/§2.5).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCE_BYTES", str(64 * 1024)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # File-split sizing (r16, guide §6): Spark sizes scan splits as
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum))
+        # with minPartitionNum already = defaultParallelism (scale-
+        # adaptive). The 4 MB openCostInBytes default floors split size,
+        # which collapses small CPU-heavy inputs (the fixture parquet of
+        # the decode operators) to ONE task; 16 KB models the real open
+        # cost on local/page-cached storage and lets the bytes/cores term
+        # govern. At production scale bytes/cores ≫ openCost, so this
+        # constant is inert there — the adaptive term decides either way.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(16 * 1024)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -46,12 +46,77 @@ def scratch_key(sf_dir: str) -> str:
     return (os.path.basename(norm) or "sf") + "-" + hashlib.sha1(norm.encode()).hexdigest()[:8]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """``fan_out=True`` is for operators whose PRE-exchange per-row work
+    is heavy (gram hashing, rolling hashes, HOF encoders): when the
+    source parquet is effectively unsplittable (fewer row groups than
+    cores — the driver-generated tables are single-row-group files, so
+    every scan is one task no matter the split sizing), insert one
+    round-robin repartition right after the scan so the compute
+    distributes (guide §2.5's unsplittable-input rule). On inputs with
+    enough row groups/files the condition is false and NO exchange is
+    added — production corpora ship thousands of splits, so this is a
+    no-op there by construction."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = load_events(spark, sf_dir)
+        path = _events_us_file(sf_dir)
+    else:
+        path = table_path(sf_dir, name)
+        df = spark.read.parquet(path)
+    if fan_out:
+        df = fan_out_scan(df, spark, path)
+    return df
+
+
+_SPLITTABLE_UNITS: dict[str, int] = {}
+
+
+def splittable_units(path: str) -> int:
+    """Independently readable chunks of a parquet location = row groups
+    summed across files (a row group is Spark's atomic scan unit; a
+    single-row-group file reads as ONE task regardless of split
+    sizing). Footer-metadata only — no data read; cached per path."""
+    n = _SPLITTABLE_UNITS.get(path)
+    if n is None:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+        n = 0
+        for f in files:
+            try:
+                n += pq.ParquetFile(f).metadata.num_row_groups
+            except Exception:  # noqa: BLE001 — unreadable footer: count the file
+                n += 1
+        n = max(n, 1)
+        _SPLITTABLE_UNITS[path] = n
+    return n
+
+
+def fan_out_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Round-robin repartition AFTER an unsplittable scan, only when the
+    input cannot feed at least half the cluster's cores by row-group
+    parallelism alone. The repartition exchange moves the table once —
+    the price the optimization guide sanctions for single-unsplittable-
+    file inputs — and is skipped entirely on well-laid-out inputs."""
+    par = spark.sparkContext.defaultParallelism
+    if splittable_units(path) * 2 >= par:
+        return df
+    return df.repartition(par)
+
+
+def _events_us_file(sf_dir: str) -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, ".scratch", scratch_key(sf_dir), "events_us2", "events.parquet")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,9 +130,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pyarrow.parquet as pq
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_dir = os.path.join(repo, ".scratch", scratch_key(sf_dir), "events_us")
-    out_file = os.path.join(out_dir, "events.parquet")
+    out_file = _events_us_file(sf_dir)
+    out_dir = os.path.dirname(out_file)
     if not os.path.exists(out_file):
         import pyarrow as pa
 
@@ -81,7 +145,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl = tbl.cast(pa.schema(fields), safe=False)
         os.makedirs(out_dir, exist_ok=True)
         tmp = out_file + ".tmp"
-        pq.write_table(tbl, tmp)
+        # row-grouped so the scan parallelizes (a single row group is
+        # one task no matter how the file is split — r16, guide §6)
+        pq.write_table(tbl, tmp, row_group_size=max(1024, tbl.num_rows // 64))
         os.replace(tmp, out_file)
     return spark.read.parquet(out_file)
 
