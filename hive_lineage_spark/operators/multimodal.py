@@ -1446,7 +1446,7 @@ def mm09_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles."""
     from ..functions.hashing import poly_hash
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
     ws = F.split("text", " ")
     # per word: (bucket, sign) from one polynomial hash — sign is bit 6
     # of the hash ((h // DIM) % 2), expressed integer-only as h % 2DIM

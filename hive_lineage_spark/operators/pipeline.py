@@ -1364,7 +1364,7 @@ def tp16_token_exact_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("syms", "").alias("w"), F.size("syms").alias("n_tok")
     )
     toks = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", fan_out=True)
         .select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
         .join(F.broadcast(vocab), "w")
         .groupBy("doc_id")

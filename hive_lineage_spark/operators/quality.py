@@ -26,7 +26,7 @@ def dq01_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     null count, distinct count, rounded min/max — ONE aggregation pass
     over the scan (all metrics partial-agg'd together), then a map-side
     melt of the single metrics row into per-column report rows."""
-    li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True).select(*PROFILE_COLS)
     one = _one_pass_profile(li, PROFILE_COLS)
     melted = one.select(
         "n_rows",
@@ -715,7 +715,7 @@ def dq09_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested against this op's error bound) and one fence-count agg
     with the 1-row fence frame broadcast. The report is column-count
     sized."""
-    li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True).select(*PROFILE_COLS)
     grid = ",".join(str(q) for q in DQ09_GRID)
     one = li.groupBy().agg(
         *[
@@ -817,7 +817,7 @@ def dq09_quantile_profile_approx(
     Fences/IQR/outlier counts inherit the estimator's displacement;
     the exact op (the DuckDB-oracle twin) remains the registry
     default."""
-    li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True).select(*PROFILE_COLS)
     grid = ",".join(str(q) for q in DQ09_GRID)
     one = li.groupBy().agg(
         *[
