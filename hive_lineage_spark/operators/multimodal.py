@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 
+
+def _read_fixture(spark: SparkSession, path: str) -> DataFrame:
+    """Fixture scan with the conditional split-aware fan-out: decode
+    operators do all their work (mapInPandas/mapInArrow codecs) right on
+    the scan output, and the fixtures are single small files Spark packs
+    into one or two splits — the repartition (hash on doc_id, no
+    round-robin pre-sort) distributes the decode; a no-op on inputs with
+    enough splits (r16, guide §2.5)."""
+    from ..sources.registry import fan_out_scan
+
+    return fan_out_scan(spark.read.parquet(path), spark, path, key="doc_id")
+
+
 DECODE_SCHEMA = "doc_id long, n_bytes long, sha16 string, width int, height int"
 
 
@@ -542,7 +555,7 @@ def mm05_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape is identical to mm01 (one narrow Python stage, no
     shuffle); only the codec inside the worker changed from a stand-in
     to a real parser."""
-    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    imgs = _read_fixture(spark, _image_fixture(sf_dir))
     return imgs.mapInPandas(_decode_real_batches, schema=DECODE_REAL_SCHEMA)
 
 
@@ -635,7 +648,7 @@ def mm06_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → resize → stats on real pixels, one narrow Python stage
     over the image fixture — the shape a 100 TB image-preprocessing job
     takes (no shuffle; scale by adding input splits)."""
-    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    imgs = _read_fixture(spark, _image_fixture(sf_dir))
     return imgs.mapInPandas(_resize_real_batches, schema=RESIZE_REAL_SCHEMA)
 
 
@@ -825,7 +838,7 @@ def mm07_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: binary WAV payloads → Arrow
     ``mapInPandas`` → pure-stdlib RIFF parsing → typed sample stats.
     Same scale shape as mm05: one narrow Python stage, no shuffle."""
-    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    wavs = _read_fixture(spark, _audio_fixture(sf_dir))
     return wavs.mapInPandas(_decode_audio_batches, schema=DECODE_AUDIO_SCHEMA)
 
 
@@ -912,7 +925,7 @@ def mm11_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per clip. The decode and the feature fold share one pass so
     sample arrays never leave the worker. Reference has no audio ops
     (hivehook/ is lineage-only) — LLM-pipeline scope."""
-    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    wavs = _read_fixture(spark, _audio_fixture(sf_dir))
     return wavs.mapInPandas(_audio_feature_batches, schema=AUDIO_FEATURES_SCHEMA)
 
 
@@ -1003,7 +1016,7 @@ def mm12_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The gradient bits are resolution-invariant by construction (the
     floor maps always land on the same 9×8 grid), which is what makes
     the hash a near-dup key rather than a byte checksum."""
-    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    imgs = _read_fixture(spark, _image_fixture(sf_dir))
     return imgs.mapInPandas(_dhash_batches, schema=DHASH_SCHEMA)
 
 
@@ -1206,7 +1219,7 @@ def mm08_video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     every Nth frame's (offset, size, byte checksum). Same narrow
     one-stage shape as mm05/mm07; a production pipeline hands the
     sampled (offset, size) slices to the frame decoder."""
-    vids = spark.read.parquet(_video_fixture(sf_dir))
+    vids = _read_fixture(spark, _video_fixture(sf_dir))
     return vids.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
 
 
@@ -1363,7 +1376,7 @@ def mm10_video_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same narrow one-Python-stage shape as mm05/mm08 (no shuffle — the
     op scales by adding input splits); only the codec work per row grew
     from byte checksums to a real entropy-decode + IDCT."""
-    vids = spark.read.parquet(_mjpeg_fixture(sf_dir))
+    vids = _read_fixture(spark, _mjpeg_fixture(sf_dir))
     return vids.mapInPandas(_frame_pixel_batches, schema=FRAME_PIXEL_SCHEMA)
 
 
@@ -1639,7 +1652,7 @@ def mm13_video_420_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-res chroma, pinned replication upsample) → per-frame pixel
     stats. Same narrow no-shuffle mapInPandas shape as mm10 — scales
     by input splits."""
-    vids = spark.read.parquet(_mjpeg420_fixture(sf_dir))
+    vids = _read_fixture(spark, _mjpeg420_fixture(sf_dir))
     return vids.mapInPandas(_frame_pixel_batches, schema=FRAME_PIXEL_SCHEMA)
 
 
@@ -1742,7 +1755,7 @@ def mm14_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as mm07 — the DSP cost rides inside the Python batch and the
     op scales by input splits; a polyphase/sinc resampler drops in by
     replacing the kernel, dataflow unchanged."""
-    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    wavs = _read_fixture(spark, _audio_fixture(sf_dir))
     return wavs.mapInPandas(_resample_batches, schema=RESAMPLE_SCHEMA)
 
 
@@ -1840,7 +1853,7 @@ def mm15_video_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag. Narrow no-shuffle mapInPandas over the video scan (mm10's
     fixture and shape); at 100 TB the op scales by input splits and
     the per-shot frame sampler consumes is_cut downstream."""
-    vids = spark.read.parquet(_mjpeg_fixture(sf_dir))
+    vids = _read_fixture(spark, _mjpeg_fixture(sf_dir))
     return vids.mapInPandas(_shot_batches, schema=SHOT_SCHEMA)
 
 
@@ -1954,7 +1967,7 @@ def mm16_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits alone. The oracle recomputes the histogram from the
     fixture's closed-form byte stream and folds the same entropy sum in
     SQL."""
-    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    imgs = _read_fixture(spark, _image_fixture(sf_dir))
     return imgs.mapInPandas(_entropy_batches, schema=ENTROPY_SCHEMA)
 
 
@@ -2095,7 +2108,7 @@ def mm17_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the grid, the separable fixed-point DCT, the
     median cut and the bit packing in closed form from the fixture's
     byte formula."""
-    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    imgs = _read_fixture(spark, _image_fixture(sf_dir))
     return imgs.mapInPandas(_phash_batches, schema=PHASH_SCHEMA)
 
 
@@ -2224,7 +2237,7 @@ def mm18_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⌈n_windows/2⌉ segments per clip. The oracle replays the windowing,
     the gate and the run grouping as SQL gaps-and-islands (island id =
     w − row_number), pinning segment boundaries exactly."""
-    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    wavs = _read_fixture(spark, _audio_fixture(sf_dir))
     return wavs.mapInPandas(_vad_batches, schema=VAD_SCHEMA)
 
 
@@ -2323,7 +2336,7 @@ def mm19_vit_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding batcher (tp03-style packing over patches) consumes. The
     oracle replays crop, grid and stats in closed form from the
     fixture's byte formula."""
-    imgs = spark.read.parquet(_image_fixture(sf_dir))
+    imgs = _read_fixture(spark, _image_fixture(sf_dir))
     return imgs.mapInPandas(_patch_batches, schema=PATCH_SCHEMA)
 
 
@@ -2419,7 +2432,7 @@ def mm20_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form from the fixture's sample formula, so the bin powers
     are bit-identical — a float FFT could not promise that across
     engines."""
-    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    wavs = _read_fixture(spark, _audio_fixture(sf_dir))
     return wavs.mapInPandas(_spectral_batches, schema=SPEC_SCHEMA)
 
 
@@ -2600,7 +2613,7 @@ def mm22_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per clip, zero exchanges; scale by adding input splits. The oracle
     replays channel-0 extraction, thresholds, and the quiet-run
     gaps-and-islands in closed form from the fixture's sample formula."""
-    wavs = spark.read.parquet(_audio_fixture(sf_dir))
+    wavs = _read_fixture(spark, _audio_fixture(sf_dir))
     return wavs.mapInPandas(_audio_quality_batches, schema=AQ_SCHEMA)
 
 
@@ -2762,7 +2775,7 @@ def _vphash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _persisted
 
     def build(s: SparkSession, d: str) -> DataFrame:
-        vids = s.read.parquet(_clone_mjpeg_fixture(d))
+        vids = _read_fixture(s, _clone_mjpeg_fixture(d))
         return vids.mapInPandas(_vphash_batches, schema=VPHASH_SCHEMA)
 
     return _persisted("mm23_vphash", spark, sf_dir, build)

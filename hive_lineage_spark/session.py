@@ -43,17 +43,17 @@ def get_spark(app_name: str = "hive_lineage_spark", cpus: int | None = None) -> 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # File-split sizing (r16, guide §6): Spark sizes scan splits as
-        # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum))
-        # with minPartitionNum already = defaultParallelism (scale-
-        # adaptive). The 4 MB openCostInBytes default floors split size,
-        # which collapses small CPU-heavy inputs (the fixture parquet of
-        # the decode operators) to ONE task; 16 KB models the real open
-        # cost on local/page-cached storage and lets the bytes/cores term
-        # govern. At production scale bytes/cores ≫ openCost, so this
-        # constant is inert there — the adaptive term decides either way.
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum)).
+        # An earlier r16 iteration lowered openCostInBytes to 16 KB to
+        # parallelize the small CPU-dense fixture scans, but interleaved
+        # A/B showed it taxing every cheap scan (tiny splits → task
+        # overhead: q24 +0.25s, q25 +0.6s, mm01 +0.4s) while the decode
+        # operators are served better by the split-aware scan fan-out in
+        # sources/registry.py. Default (4 MB) retained; env-overridable
+        # for experiments.
         .config(
             "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(16 * 1024)),
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(4 * 1024 * 1024)),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

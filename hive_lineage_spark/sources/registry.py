@@ -51,14 +51,15 @@ def load_table(
 ) -> DataFrame:
     """``fan_out=True`` is for operators whose PRE-exchange per-row work
     is heavy (gram hashing, rolling hashes, HOF encoders): when the
-    source parquet is effectively unsplittable (fewer row groups than
+    source parquet is effectively unsplittable (fewer scan units than
     cores — the driver-generated tables are single-row-group files, so
     every scan is one task no matter the split sizing), insert one
-    round-robin repartition right after the scan so the compute
-    distributes (guide §2.5's unsplittable-input rule). On inputs with
-    enough row groups/files the condition is false and NO exchange is
-    added — production corpora ship thousands of splits, so this is a
-    no-op there by construction."""
+    repartition right after the scan so the compute distributes (guide
+    §2.5's unsplittable-input rule), hashed on the table's key column
+    so no round-robin pre-sort is paid. On inputs with enough
+    splits/files the condition is false and NO exchange is added —
+    production corpora ship thousands of splits, so this is a no-op
+    there by construction."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
@@ -68,20 +69,33 @@ def load_table(
         path = table_path(sf_dir, name)
         df = spark.read.parquet(path)
     if fan_out:
-        df = fan_out_scan(df, spark, path)
+        df = fan_out_scan(df, spark, path, key=_TABLE_KEYS.get(name))
     return df
 
 
-_SPLITTABLE_UNITS: dict[str, int] = {}
+# unique-ish column per table for hash fan-out (skips round-robin's
+# sort-before-repartition); lineitem's orderkey repeats ~4x — far more
+# distinct values than partitions, so the hash still spreads evenly
+_TABLE_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+}
 
 
-def splittable_units(path: str) -> int:
-    """Independently readable chunks of a parquet location = row groups
-    summed across files (a row group is Spark's atomic scan unit; a
-    single-row-group file reads as ONE task regardless of split
-    sizing). Footer-metadata only — no data read; cached per path."""
-    n = _SPLITTABLE_UNITS.get(path)
-    if n is None:
+_SCAN_FILE_META: dict[str, list[tuple[int, int]]] = {}
+
+
+def _scan_file_meta(path: str) -> list[tuple[int, int]]:
+    """Per parquet file of a location: (bytes, row_groups). Footer
+    metadata only — no data read; cached per path."""
+    meta = _SCAN_FILE_META.get(path)
+    if meta is None:
         import glob
 
         import pyarrow.parquet as pq
@@ -91,26 +105,66 @@ def splittable_units(path: str) -> int:
             if os.path.isfile(path)
             else sorted(glob.glob(os.path.join(path, "*.parquet")))
         )
-        n = 0
+        meta = []
         for f in files:
             try:
-                n += pq.ParquetFile(f).metadata.num_row_groups
-            except Exception:  # noqa: BLE001 — unreadable footer: count the file
-                n += 1
-        n = max(n, 1)
-        _SPLITTABLE_UNITS[path] = n
-    return n
+                rg = pq.ParquetFile(f).metadata.num_row_groups
+            except Exception:  # noqa: BLE001 — unreadable footer: one unit
+                rg = 1
+            meta.append((os.path.getsize(f), max(rg, 1)))
+        _SCAN_FILE_META[path] = meta
+    return meta
 
 
-def fan_out_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
-    """Round-robin repartition AFTER an unsplittable scan, only when the
-    input cannot feed at least half the cluster's cores by row-group
-    parallelism alone. The repartition exchange moves the table once —
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    try:
+        raw = str(spark.conf.get(key))
+    except Exception:  # noqa: BLE001 — conf missing in stripped sessions
+        return default
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    return int(digits) if digits else default
+
+
+def effective_scan_units(spark: SparkSession, path: str) -> int:
+    """How many tasks Spark's split packing will actually give this scan:
+    per file, min(byte-splits under maxSplitBytes, row groups) — a row
+    group is the atomic scan unit, and split sizing
+    (min(maxPartitionBytes, max(openCostInBytes, totalCharged/cores)))
+    decides whether the row groups land in distinct tasks. Mirrors
+    FilePartition.maxSplitBytes so the fan-out decision tracks whatever
+    the session's I/O confs are."""
+    meta = _scan_file_meta(path)
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+    total = sum(sz + open_cost for sz, _ in meta)
+    max_split = max(min(max_pb, max(open_cost, total // par)), 1)
+    return sum(min((sz + max_split - 1) // max_split or 1, rg) for sz, rg in meta)
+
+
+def fan_out_scan(
+    df: DataFrame, spark: SparkSession, path: str, key: str | None = None
+) -> DataFrame:
+    """Repartition AFTER an effectively unsplittable scan, only when the
+    input cannot feed at least half the cluster's cores through Spark's
+    own split packing. The repartition exchange moves the table once —
     the price the optimization guide sanctions for single-unsplittable-
-    file inputs — and is skipped entirely on well-laid-out inputs."""
-    par = spark.sparkContext.defaultParallelism
-    if splittable_units(path) * 2 >= par:
+    file inputs — and is skipped entirely on well-laid-out inputs
+    (production corpora ship thousands of splits, so this is a no-op
+    there by construction). With ``key`` (a unique-ish column) the
+    fan-out hash-partitions on it, which skips round-robin's
+    sort-before-repartition pass; without one it falls back to
+    round-robin. ``SPARK_GRAFT_FANOUT=0`` disables it (A/B
+    instrumentation and an operational escape hatch)."""
+    if os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
         return df
+    par = spark.sparkContext.defaultParallelism
+    if effective_scan_units(spark, path) * 2 >= par:
+        return df
+    if key is not None and os.environ.get("SPARK_GRAFT_FANOUT_HASH", "1") != "0":
+        from pyspark.sql import functions as F
+
+        return df.repartition(par, F.col(key))
     return df.repartition(par)
 
 
