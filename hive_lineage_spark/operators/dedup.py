@@ -164,17 +164,36 @@ def hashed_ngrams_of(d: DataFrame, n: int, distinct: bool = True) -> DataFrame:
 _POSTINGS_CACHE: dict = {}
 
 
-def _persisted(tag: str, spark: SparkSession, sf_dir: str, builder) -> DataFrame:
+def _persisted(
+    tag: str, spark: SparkSession, sf_dir: str, builder, ckpt: bool = False
+) -> DataFrame:
     """Persist a derived index once per (session, sf_dir, tag) — exactly
     as a production pipeline materializes its shingle/signature indexes.
     Long-lived sessions must release via ``clear_postings_cache()``
     (bench and tests do) — persisted RDDs otherwise pin executor
-    storage for the life of the session."""
+    storage for the life of the session.
+
+    ``ckpt=True`` materializes through the lineage-tracked
+    ``localCheckpoint`` instead of ``persist``: same storage semantics,
+    but the frame's logical plan is TRUNCATED to a leaf. Required for
+    recursively built indexes (the BPE merge stages) whose composed
+    plan otherwise grows exponentially with depth — persist bounds
+    re-execution but every downstream query still re-analyzes the full
+    plan tree (guide §3.3's materialize-to-truncate rule). Checkpointed
+    frames are released by dropping the reference (ContextCleaner), so
+    ``clear_postings_cache``'s unpersist guard stays correct."""
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key not in _POSTINGS_CACHE:
-        from pyspark.storagelevel import StorageLevel
+        if ckpt:
+            from ..plans.capture import checkpoint_tracked
 
-        _POSTINGS_CACHE[key] = builder(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+            _POSTINGS_CACHE[key] = checkpoint_tracked(builder(spark, sf_dir))
+        else:
+            from pyspark.storagelevel import StorageLevel
+
+            _POSTINGS_CACHE[key] = builder(spark, sf_dir).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
     return _POSTINGS_CACHE[key]
 
 
@@ -200,28 +219,51 @@ def clear_postings_cache() -> None:
     clear_checkpoint_registry()
 
 
-def _verify_pairs(cand: DataFrame, po: DataFrame, sizes: DataFrame | None = None) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs against the full
-    postings index (shared by the prefix-filter and LSH paths).
-    ``sizes`` (doc_id, n_grams) may be supplied by the caller — the
-    TESTDATA paths pass the session-persisted frame so per-doc gram
-    counts aggregate once per session instead of once per query."""
-    pa = po.select(F.col("doc_id").alias("id_a"), "gh")
-    pb = po.select(F.col("doc_id").alias("pb_id"), F.col("gh").alias("gh_b"))
-    inter = (
-        cand.join(pa, "id_a")
-        .join(pb, (F.col("id_b") == F.col("pb_id")) & (F.col("gh") == F.col("gh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+def _gram_arrays_of(po: DataFrame) -> DataFrame:
+    """(doc_id, ghs) per-doc gram-set arrays from a DISTINCT (doc_id,
+    gh) postings frame — the verification-side layout: one corpus
+    groupBy instead of the per-verification postings exchanges."""
+    return po.groupBy("doc_id").agg(F.sort_array(F.collect_list("gh")).alias("ghs"))
+
+
+def _gram_arrays_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc gram arrays persisted per (session, sf_dir) — the
+    read-side twin of the postings index that every verification
+    consumes (dd02/dd03), so the corpus-sized array build runs once."""
+    return _persisted(
+        "gram_arrays", spark, sf_dir, lambda s, d: _gram_arrays_of(_postings_cached(s, d))
     )
-    if sizes is None:
-        sizes = po.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+
+
+def _verify_pairs(
+    cand: DataFrame, po: DataFrame, arrays: DataFrame | None = None
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (shared by the
+    prefix-filter, LSH and incremental paths). r16 rewrite (guide §2.3
+    /§2.4): the old form joined the candidate set against the postings
+    TWICE — two corpus-sized exchanges plus a candidate×grams
+    intermediate per run. Verification only needs each pair's two gram
+    SETS side by side, so it now joins the (pair-count-sized) candidate
+    frame with a per-doc gram-ARRAY table and computes
+    |A∩B| = size(array_intersect) in one codegen projection; the gram
+    arrays are a persisted session index (``_gram_arrays_cached``) on
+    the TESTDATA paths, an inline aggregation otherwise. n_grams =
+    size(ghs) exactly (postings are distinct), so jaccard is the same
+    integer ratio as before, rounded identically."""
+    if arrays is None:
+        arrays = _gram_arrays_of(po)
+    aa = arrays.select(F.col("doc_id").alias("id_a"), F.col("ghs").alias("ghs_a"))
+    ab = arrays.select(F.col("doc_id").alias("id_b"), F.col("ghs").alias("ghs_b"))
+    inter = F.size(F.array_intersect("ghs_a", "ghs_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("ghs_a") + F.size("ghs_b") - F.col("inter")),
+        )
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -314,7 +356,7 @@ def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
-    return _verify_pairs(cand, po, sizes=sizes)
+    return _verify_pairs(cand, po, arrays=_gram_arrays_cached(spark, sf_dir))
 
 
 DD02_SQL = f"""
@@ -677,12 +719,28 @@ DD20_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
-def _minhash_bands(po: DataFrame) -> DataFrame:
-    """(doc_id, band, key) LSH bucket rows: 32 min-aggregate MinHash
-    signatures (pure codegen — no array folds) banded 16×2."""
-    sig = po.groupBy("doc_id").agg(
+def _minhash_sig(po: DataFrame) -> DataFrame:
+    """(doc_id, m0..m31) MinHash signatures: 32 plain min-aggregates
+    over the hashed postings (pure codegen — no array folds)."""
+    return po.groupBy("doc_id").agg(
         *[F.min(minhash_perm(F.col("gh"), i)).alias(f"m{i}") for i in range(N_HASHES)]
     )
+
+
+def _minhash_sig_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus signature table persisted per (session, sf_dir): the
+    materialized artifact dd03's bands are cut from and dd15's
+    calibration reads back — without it dd15 re-ran the corpus-sized
+    32-min aggregation every execution (r16, guide §2.4: two operators
+    keyed the same way share one materialization)."""
+    return _persisted(
+        "mh_sig", spark, sf_dir, lambda s, d: _minhash_sig(_postings_cached(s, d))
+    )
+
+
+def _minhash_bands_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH bucket rows banded 16×2 from a
+    (doc_id, m0..m31) signature frame — a pure projection."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -701,6 +759,12 @@ def _minhash_bands(po: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def _minhash_bands(po: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH bucket rows: 32 min-aggregate MinHash
+    signatures (pure codegen — no array folds) banded 16×2."""
+    return _minhash_bands_from_sig(_minhash_sig(po))
+
+
 def _minhash_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash bucket rows, persisted per (session, sf_dir) like
     the postings and SimHash signatures: the band frame feeds BOTH sides
@@ -711,7 +775,10 @@ def _minhash_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (the thing dd11 maintains incrementally)."""
     return _persisted(
         "mh_bands", spark, sf_dir,
-        lambda s, d: _minhash_bands(_postings_cached(s, d)),
+        # cut the bands from the persisted signature table (not the raw
+        # postings) so the 32-min agg is computed once per session and
+        # shared with dd15's calibration read (r16)
+        lambda s, d: _minhash_bands_from_sig(_minhash_sig_cached(s, d)),
     )
 
 
@@ -738,7 +805,7 @@ def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact verification of candidates via the shared postings verifier
-    return _verify_pairs(cand, po, sizes=_sizes_cached(spark, sf_dir))
+    return _verify_pairs(cand, po, arrays=_gram_arrays_cached(spark, sf_dir))
 
 
 def _poly_hash_expr(g):
@@ -1016,7 +1083,7 @@ def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    ver = _verify_pairs(cand, po)
+    ver = _verify_pairs(cand, po, arrays=_gram_arrays_cached(spark, sf_dir))
     w = Window.partitionBy("id_b").orderBy(F.desc("jaccard"), F.asc("id_a"))
     return (
         ver.withColumn("rk", F.row_number().over(w))
@@ -1375,11 +1442,11 @@ def dd15_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-persisted index dd03/dd09/dd11 maintain. est_j is an exact
     binary rational (k/32), so no FP contract is needed beyond dd02's
     4-dp jaccard round."""
-    po = _postings_cached(spark, sf_dir)
     pairs = dd02_pairs_cached(spark, sf_dir)
-    sig = po.groupBy("doc_id").agg(
-        *[F.min(minhash_perm(F.col("gh"), i)).alias(f"m{i}") for i in range(N_HASHES)]
-    )
+    # read the session-persisted signature table (shared with dd03's
+    # bands) instead of re-aggregating the postings per run: the warm
+    # cost drops to two pair-set-sized joins (r16)
+    sig = _minhash_sig_cached(spark, sf_dir)
     sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)])
     sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_HASHES)])
     matches = sum(

@@ -89,14 +89,31 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 
+def _dup_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component labels of the verified near-dup pair graph, persisted
+    per (session, sf_dir) like ``dd02_pairs_cached`` one level below:
+    the label table is the cluster-decision artifact BOTH dd08 (cluster
+    stats) and dd17 (keep-best apply) consume — unshared, each ran the
+    full multi-round pointer-jumping fixpoint (~8 checkpointed jobs)
+    per execution (r16, guide §2.4)."""
+    from .dedup import _persisted
+
+    def build(s: SparkSession, d: str) -> DataFrame:
+        pairs = dd02_pairs_cached(s, d).select("id_a", "id_b")
+        edges = pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        return connected_components(edges)
+
+    return _persisted("dup_cc_labels", spark, sf_dir, build)
+
+
 def dd08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the near-dup pair
     graph (``connected_components`` fixpoint propagation), reported as
     per-cluster stats. Deterministic, so the oracle replays it with a
     recursive CTE."""
-    pairs = dd02_pairs_cached(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-    labels = connected_components(edges)
+    labels = _dup_labels_cached(spark, sf_dir)
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("min_member"),
@@ -922,9 +939,7 @@ def dd17_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only clustered doc_ids — duplicate-sized, not corpus-sized —
     ever shuffle. Deterministic, so the oracle replays components with
     a recursive CTE and the policy with the same window."""
-    pairs = dd02_pairs_cached(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-    labels = connected_components(edges)
+    labels = _dup_labels_cached(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node"), "n_chars"
     )

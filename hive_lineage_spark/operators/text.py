@@ -1178,7 +1178,12 @@ def _bpe_stage(spark: SparkSession, sf_dir: str, i: int) -> DataFrame:
             )
         )
 
-    return _persisted(f"bpe_s{i}", spark, sf_dir, build)
+    # ckpt=True: stage i's plan embeds stage i-1's TWICE (the symbol
+    # table and the argmax-merge side), so the composed plan grows
+    # ~2^i — 122K explain lines at i=6 — and every tx15/tx19/tp16 run
+    # re-paid seconds of driver-side plan analysis on warm caches.
+    # Checkpointing truncates each stage to a leaf (r16, guide §3.3).
+    return _persisted(f"bpe_s{i}", spark, sf_dir, build, ckpt=True)
 
 
 def _bpe_best(spark: SparkSession, sf_dir: str, i: int) -> DataFrame:
@@ -1468,14 +1473,15 @@ def tx17_heldout_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     train_tok = tok.filter(F.col("doc_id") % 3 != 0)
+    # top-cap via orderBy+limit (TakeOrderedAndProject): per-partition
+    # partial top-K instead of the single-task global row_number window;
+    # (cnt desc, w) is a total order, so the selected set is identical
+    # (r16, guide §2.5 — same swap in tx18/tx21)
     cnt = (
         train_tok.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("w")))
-        )
-        .filter(F.col("rk") <= TX17_VOCAB_CAP)
-        .drop("rk")
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(TX17_VOCAB_CAP)
     )
     tot = train_tok.groupBy().agg(F.count(F.lit(1)).alias("t"))
     tf = (
@@ -1597,14 +1603,13 @@ def tx18_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_tok = d.filter(F.col("doc_id") % 3 != 0).select(
         F.explode(F.split("text", " ")).alias("w")
     )
+    # top-cap via orderBy+limit — parallel TakeOrderedAndProject, not a
+    # single-task global window; (u desc, w) totally orders, identical set
     uni = (
         train_tok.groupBy("w")
         .agg(F.count(F.lit(1)).alias("u"))
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.col("u").desc(), F.col("w")))
-        )
-        .filter(F.col("rk") <= TX18_VOCAB_CAP)
-        .drop("rk")
+        .orderBy(F.col("u").desc(), F.col("w"))
+        .limit(TX18_VOCAB_CAP)
     )
     vocab = uni.select("w")
     train_bg = (
@@ -1842,13 +1847,13 @@ def tx21_kneser_ney_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_tok = d.filter(F.col("doc_id") % 3 != 0).select(
         F.explode(F.split("text", " ")).alias("w")
     )
+    # top-cap via orderBy+limit — parallel TakeOrderedAndProject, not a
+    # single-task global window; (u desc, w) totally orders, identical set
     vocab = (
         train_tok.groupBy("w")
         .agg(F.count(F.lit(1)).alias("u"))
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.col("u").desc(), F.col("w")))
-        )
-        .filter(F.col("rk") <= TX21_VOCAB_CAP)
+        .orderBy(F.col("u").desc(), F.col("w"))
+        .limit(TX21_VOCAB_CAP)
         .select("w")
     )
     train_bg = (
