@@ -62,8 +62,12 @@ def default_table_resolver(path: str) -> str | None:
     base = os.path.basename(path.rstrip("/"))
     if base.endswith(".parquet"):
         return base[: -len(".parquet")]
-    if base.endswith("_us") and ".scratch" in path:
-        return base[: -len("_us")]
+    # µs-normalized scratch copies carry an optional cache-busting
+    # version suffix (`events_us` → `events_us2` when the fixture's
+    # layout changed in r16) — strip `_us<digits?>` as one unit
+    m = re.match(r"(.+)_us\d*$", base)
+    if m and ".scratch" in path:
+        return m.group(1)
     # the stored IVF index (operators/similarity._ivf_index_stored) is a
     # derived, fingerprint-tagged copy of its source table — the tag
     # encodes that table (`ivf_index_<table>_c..._m..._s..._v...`), so

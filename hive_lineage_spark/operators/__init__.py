@@ -188,8 +188,8 @@ from pyspark.sql import DataFrame, SparkSession
 # plan-pinned in tests/test_plans.py + docs/PLANS.md, and q17's
 # star-agg keeps grouped aggregation in-window).
 ROTATION_QUEUE: dict[str, int] = {
-    # round-16 registrations, declared for the r16 window rotation
-    "tx26_langid_gate": 16,
+    # empty: tx26_langid_gate (the one r16 registration) holds an r16
+    # window slot directly
 }
 
 # Round-15 rotation. IN: the five round-15 registrations (web09 WARC
@@ -223,32 +223,48 @@ ROTATION_QUEUE: dict[str, int] = {
 # ss22 keeps IVFPQ in-window and ss21/ss23 keep composed stored-index
 # ANN serving; ss13's composed probe stays local-oracle- and
 # pytest-pinned and a bench EXTRA row).
+# Round-16 rotation (an OPTIMIZATION round: no new semantics, but the
+# r16 performance work — scan fan-out, array-intersect verification,
+# shared signature/label artifacts, BPE stage checkpointing, top-cap
+# TakeOrderedAndProject — touches the defining lines of 31 certified
+# ops; the changed-ops-hold-a-slot rule (test_no_silent_rotation_debt)
+# puts ALL of them in the r16 window so the driver re-certifies exactly
+# what changed). IN: the 26 changed out-of-window ops, the 5
+# changed-in-window holdovers (dd17/mm17/mm22/tp16/dq09), tx26 (the one
+# r16 registration, previously queued), and an 18-op oldest-green drain
+# (the full remaining r05 cohort, then r06 per the staleness policy).
+# OUT, all multiply-certified and UNCHANGED since their last green row:
+# the r15 registrations (web09/web10/ss23/tx24/tx25/web11, green r15),
+# the r15-drained r01-r04 cohort (q39/q40/q42/q25/q43/dd01/dd04/dd05/
+# tx05/tx06/ss03/ss04/tx01/tx04/mm02/mm03/mm04/px01/px02), and
+# unchanged holdovers (web04/web05/web07/web08/tx23/dd18/dd21/ss19-ss22/
+# mm23/tp15/tp17/sk01-sk05/dq07/dq08).
 _DRIVER_PRIORITY = [
-    # round-15 registrations (certify the round they land)
-    "web09_warc_extract", "web10_frontier_cap", "ss23_ann_ivf_incremental",
-    "tx24_unigram_lm_train", "tx25_unigram_encode", "web11_frontier_refresh",
-    # oldest-green drain: q39 last green r01; q40/q42 r03; the rest r04
-    "q39_percentiles", "q40_approx_sketches", "q42_array_agg",
-    "q25_sessionization", "q43_range_join_bucketized",
-    "dd01_exact_dedup", "dd04_simhash", "dd05_simhash_pairs",
-    "tx05_hash_sample", "tx06_source_mix", "ss03_ann_lsh", "ss04_ann_sq8",
-    "tx01_token_stats", "tx04_fingerprint",
-    "mm02_frame_sample", "mm03_audio_window_stub", "mm04_resize_stub",
-    "px01_pandas_udf_readability", "px02_grouped_zscore",
-    # holdovers (window history in the rotation comments above; the
-    # full per-round ledger is tools/certified.py --changed)
-    "web04_html_extract", "web05_boilerplate_gate", "tx23_fasttext_gate",
-    "web08_politeness_schedule",
-    "dd17_cluster_keep_best", "dd18_longest_dup_span",
-    "ss21_ann_ivf_partitioned",
-    "ss19_ann_filtered", "ss20_ann_binary",
-    "web07_robots_compliance_gate", "dd21_exact_dup_spans",
-    "ss22_ann_ivfpq_residual",
-    "mm17_image_phash", "mm23_video_near_dup", "mm22_audio_quality",
-    "tp15_doremi_reweight", "tp16_token_exact_packing", "tp17_no_split_packing",
-    "sk01_hll_distinct", "sk02_countmin_topk", "sk03_hll_source_overlap",
-    "sk04_hll_precision_ladder",
-    "dq09_quantile_profile", "dq07_referential_integrity", "dq08_psi_drift",
+    # r16 registration (from ROTATION_QUEUE)
+    "tx26_langid_gate",
+    # changed ops, rotation-priority order (tools/certified.py --changed)
+    "dd09_incremental_dedup", "dd12_semdedup", "tx14_gopher_gate",
+    "mm05_decode_image", "mm06_decode_resize", "mm07_decode_audio",
+    "mm08_video_frame_index", "dq01_profile",
+    "dd02_ngram_jaccard", "dd03_minhash_lsh",
+    "tx17_heldout_xent", "mm10_video_frame_pixels", "mm12_image_dhash",
+    "mm13_video_420_pixels", "mm14_audio_resample", "mm19_vit_patches",
+    "dd08_dup_clusters", "dd15_minhash_calibration",
+    "tx18_backoff_xent", "tx21_kneser_ney_xent",
+    "mm09_pair_curation", "mm11_audio_features", "mm15_video_shot_detect",
+    "mm16_image_entropy", "mm18_audio_vad", "mm20_audio_spectral",
+    # changed holdovers already in the r15 window
+    "dd17_cluster_keep_best", "mm17_image_phash", "mm22_audio_quality",
+    "tp16_token_exact_packing", "dq09_quantile_profile",
+    # oldest-green drain: the remaining r05 cohort...
+    "q46_view_lineage", "q47_date_spine", "dd10_decontaminate",
+    "dd11_incremental_postings", "tp02_stratified_sample",
+    "tp04_weighted_mixture", "tp05_stratified_sample_hc",
+    "tp07_shuffle_shards", "tx08_redact_pii", "tx11_span_dedup",
+    # ...then the r06 cohort
+    "ss02_ann_ivf", "ss06_kmeans", "mm01_decode_stub",
+    "tx03_quality_score", "tx09_repetition", "tx10_tfidf_terms",
+    "q48_unpivot", "q49_rolling_range",
 ]
 
 

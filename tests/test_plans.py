@@ -353,15 +353,20 @@ def test_dq08_post_scan_frames_bin_sized(spark):
     assert keys <= {"bin", "na"}, keys
 
 
-def test_pair_curation_single_join_no_python(spark):
+def test_pair_curation_single_join_no_python(spark, monkeypatch):
     """mm09: the caption encoder must fuse into the documents scan (pure
     map) and the only data movement is the pair-id equi-join of the two
     corpus-sized sides — no cartesian, no Python stage, and at most the
-    join's own exchanges (broadcast at test SF leaves zero)."""
+    join's own exchanges (broadcast at test SF leaves zero). Pinned with
+    the r16 scan fan-out disabled: the pin asserts the PRODUCTION shape,
+    where thousands of input splits make the conditional fan-out a no-op
+    by construction (test fixtures are single-row-group files, so the
+    fan-out would add its one repartition here)."""
     import re
 
     from hive_lineage_spark.operators import multimodal as mm
 
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT", "0")
     df = mm.mm09_pair_curation(spark, SF)
     df.collect()
     plan = _plan(df).split("== Initial Plan ==")[0]
@@ -393,22 +398,32 @@ def test_ss09_exact_leg_and_pq_codes_are_cached(spark):
     clear_postings_cache()
 
 
-def test_real_decode_ops_are_single_python_stage(spark):
+def test_real_decode_ops_are_single_python_stage(spark, monkeypatch):
     """mm05/mm06/mm07 are one narrow mapInPandas stage over the fixture
     scan: no exchange, no join — the shape that scales by adding input
-    splits."""
+    splits. Pinned with the r16 scan fan-out disabled (production inputs
+    ship enough splits that the conditional fan-out is a no-op there by
+    construction); a second pass pins that WITH fan-out enabled the only
+    added node is the one distribute-the-decode repartition exchange."""
     from hive_lineage_spark.operators import multimodal as mm
 
-    for q in (
+    ops = (
         mm.mm05_decode_image,
         mm.mm06_decode_resize,
         mm.mm07_decode_audio,
         mm.mm10_video_frame_pixels,
         mm.mm11_audio_features,
         mm.mm12_image_dhash,
-    ):
+    )
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT", "0")
+    for q in ops:
         plan = _plan(q(spark, SF))
         assert "Exchange" not in plan, (q.__name__, plan)
+        assert "MapInPandas" in plan, (q.__name__, plan)
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT", "1")
+    for q in ops[:1]:  # one representative: the fan-out is shared code
+        plan = _plan(q(spark, SF))
+        assert plan.count("Exchange") <= 1, (q.__name__, plan)
         assert "MapInPandas" in plan, (q.__name__, plan)
 
 
