@@ -237,8 +237,17 @@ ROTATION_QUEUE: dict[str, int] = {
 # the r15 registrations (web09/web10/ss23/tx24/tx25/web11, green r15),
 # the r15-drained r01-r04 cohort (q39/q40/q42/q25/q43/dd01/dd04/dd05/
 # tx05/tx06/ss03/ss04/tx01/tx04/mm02/mm03/mm04/px01/px02), and
-# unchanged holdovers (web04/web05/web07/web08/tx23/dd18/dd21/ss19-ss22/
+# unchanged holdovers (web04/web05/web07/web08/tx23/dd18/ss19-ss22/
 # mm23/tp15/tp17/sk01-sk05/dq07/dq08).
+# Late-r16 second optimization pass: dd19 (gram-array verification),
+# dd21 (single-pass span profile), ss09 (persisted leg shortlists, one
+# joined pipeline), ss17 (shared leg shortlists) change defining lines
+# and take slots; the tx24/tx25 checkpoint edit lives in helpers
+# outside their certified ranges but both were re-oracled this round.
+# OUT for them (drain deferral, all multiply-certified and unchanged):
+# tx09/tx10/q48/q49 — the youngest r06-drain entries; their families
+# stay covered (tx12-window span ops, q46/q47 keep the sql_extra
+# cohort) and all four remain local-oracle- and pytest-pinned.
 _DRIVER_PRIORITY = [
     # r16 registration (from ROTATION_QUEUE)
     "tx26_langid_gate",
@@ -256,6 +265,9 @@ _DRIVER_PRIORITY = [
     # changed holdovers already in the r15 window
     "dd17_cluster_keep_best", "mm17_image_phash", "mm22_audio_quality",
     "tp16_token_exact_packing", "dq09_quantile_profile",
+    # late-r16 second-pass changes (rotation-priority order)
+    "dd19_containment", "ss17_rank_fusion", "ss09_ann_recall",
+    "dd21_exact_dup_spans",
     # oldest-green drain: the remaining r05 cohort...
     "q46_view_lineage", "q47_date_spine", "dd10_decontaminate",
     "dd11_incremental_postings", "tp02_stratified_sample",
@@ -263,8 +275,7 @@ _DRIVER_PRIORITY = [
     "tp07_shuffle_shards", "tx08_redact_pii", "tx11_span_dedup",
     # ...then the r06 cohort
     "ss02_ann_ivf", "ss06_kmeans", "mm01_decode_stub",
-    "tx03_quality_score", "tx09_repetition", "tx10_tfidf_terms",
-    "q48_unpivot", "q49_rolling_range",
+    "tx03_quality_score",
 ]
 
 

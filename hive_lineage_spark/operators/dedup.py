@@ -426,9 +426,13 @@ def dd19_containment(
     Scale shape: candidate volume is Σ_{g ∈ cprefix(A)} df(g) — the
     containment prefix holds each doc's RAREST grams (low df by
     construction), so hot shingles never generate probes; the exact
-    verification joins candidates back through the persisted postings
-    index (shared with dd02/dd03), and sizes come from the persisted
-    per-doc count frame. All shuffle keys are 8-byte hashes.
+    verification computes |A∩B| from the persisted per-doc gram-ARRAY
+    index (``_gram_arrays_cached``, the r16 ``_verify_pairs`` layout —
+    shared with dd02/dd03/dd09/dd11) in one codegen projection over the
+    pair-count-sized candidate frame, instead of the two corpus-sized
+    postings joins the pre-r16 form ran per execution; na/nb are
+    size(ghs) = the exact distinct-gram counts. All shuffle keys are
+    8-byte hashes.
 
     ``df_cap``: the saturated-corpus escape hatch (SCALE.md round-12
     probe: on a vocabulary-saturated corpus every gram's df grows with
@@ -441,7 +445,6 @@ def dd19_containment(
     On natural (Heaps-law) corpora rare-gram dfs stay O(1) and the cap
     never binds."""
     po = _postings_cached(spark, sf_dir)
-    sizes = _sizes_cached(spark, sf_dir)
     cpre = _persisted("cpre_contain", spark, sf_dir, _containment_prefix)
     if df_cap is not None:
         cpre = cpre.filter(F.col("df") <= df_cap)
@@ -451,19 +454,15 @@ def dd19_containment(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    pa = po.select(F.col("doc_id").alias("id_a"), "gh")
-    pb = po.select(F.col("doc_id").alias("pb_id"), F.col("gh").alias("gh_b"))
-    inter = (
-        cand.join(pa, "id_a")
-        .join(pb, (F.col("id_b") == F.col("pb_id")) & (F.col("gh") == F.col("gh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    ga = _gram_arrays_cached(spark, sf_dir)
+    aa = ga.select(F.col("doc_id").alias("id_a"), F.col("ghs").alias("ghs_a"))
+    ab = ga.select(F.col("doc_id").alias("id_b"), F.col("ghs").alias("ghs_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ghs_a", "ghs_b")))
+        .withColumn("na", F.size("ghs_a"))
+        .withColumn("nb", F.size("ghs_b"))
         .filter(F.col("inter") / F.col("na") >= CONTAIN_T)
         .select(
             "id_a",

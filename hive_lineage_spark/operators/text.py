@@ -884,14 +884,21 @@ def dd21_exact_dup_spans(
         .groupBy("id_a", "id_b", "delta", "grp")
         .agg((F.count(F.lit(1)) + DD21_W0 - 1).alias("span"))
     )
-    md = runs.groupBy("id_a").agg(F.max("span").alias("max_span"))
-    np_ = (
-        runs.join(md, "id_a")
-        .filter(F.col("span") == F.col("max_span"))
-        .groupBy("id_a")
-        .agg(F.countDistinct("id_b").alias("n_partners"))
+    # r16: fold the (max_span, n_partners) profile in ONE pass over the
+    # run stream instead of consuming `runs` twice (max agg + self-join
+    # back) — the pre-r16 form re-executed the whole anchor-match +
+    # window pipeline per consumer. Per (id_a, id_b) the best shared
+    # span first (pair-count-sized), then a per-doc window: the global
+    # max of per-pair maxima IS max_span, and the partners attaining it
+    # are the rows whose pair-max equals it (id_b is unique per group,
+    # so count(*) == countDistinct(id_b)).
+    bs = runs.groupBy("id_a", "id_b").agg(F.max("span").alias("s"))
+    prof = (
+        bs.withColumn("max_span", F.max("s").over(Window.partitionBy("id_a")))
+        .filter(F.col("s") == F.col("max_span"))
+        .groupBy("id_a", "max_span")
+        .agg(F.count(F.lit(1)).alias("n_partners"))
     )
-    prof = md.join(np_, "id_a")
     return (
         _docs(spark, sf_dir)
         .select("doc_id")
@@ -2421,17 +2428,20 @@ def _tx24_final_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
         subs = _tx24_subs(words)
         c0 = subs.groupBy("piece").agg(F.sum("f").alias("c"))
         m0 = c0.filter((F.col("c") >= TX24_SEED_MIN) | (F.length("piece") == 1))
-        # persist the round boundary: without it seg2's plan nests
-        # seg1's whole DP inside its own (Catalyst pays seconds
-        # optimizing the doubled expression tree — SF-independent
-        # compile cost, the plan-size twin of the tx23 rescan lesson)
+        # CHECKPOINT the round boundary (r16, the tx15/tx19 BPE-stage
+        # discipline): a plain persist bounds re-execution but every
+        # downstream plan still re-ANALYZES seg1's whole HOF-DP tree
+        # nested inside seg2's — SF-independent Catalyst seconds per
+        # consumer (guide §3.3's materialize-to-truncate rule). The
+        # lineage-tracked localCheckpoint makes each round a leaf.
         m1 = _persisted(
             "tx24_m1", s, d,
             lambda s2, d2: _tx24_counts(_tx24_segment(words, _tx24_entries(subs, m0))),
+            ckpt=True,
         )
         return _tx24_segment(words, _tx24_entries(subs, m1))
 
-    return _persisted("tx24_seg", spark, sf_dir, build)
+    return _persisted("tx24_seg", spark, sf_dir, build, ckpt=True)
 
 
 def tx24_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:

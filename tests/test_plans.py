@@ -378,13 +378,15 @@ def test_pair_curation_single_join_no_python(spark, monkeypatch):
     assert len(exchanges) <= 2 and all(e.startswith("pair_id") for e in exchanges), exchanges
 
 
-def test_ss09_exact_leg_and_pq_codes_are_cached(spark):
-    """ss09's four evaluation legs each join + distinct the exact
-    baseline, and the three PQ legs share the encode pass. Exchange
-    reuse does not dedupe across unionByName branches, so both frames
-    must come from the persisted-index registry — the executed plan
-    reads them as InMemoryTableScan instead of recomputing the corpus
-    scan per leg."""
+def test_ss09_consumes_checkpointed_shortlists_one_pipeline(spark):
+    """ss09 (r16 form): the six evaluated legs and the exact baseline
+    are session-persisted CHECKPOINT leaves (``_leg_topk_cached`` /
+    ``_exact_topk_cached``) consumed by ONE joined pipeline — stacked
+    shortlists ⋈ exact, one agg, one universe left-join. No live
+    corpus pipeline and no PQ scoring tree inside the recall plan (the
+    pre-r16 six-pipeline union re-analyzed every leg's full plan per
+    run: 8341 explain lines → ~200), and the legs' own builds still
+    create the shared PQ artifacts."""
     import hive_lineage_spark.operators.similarity as ss
     from hive_lineage_spark.operators.dedup import _POSTINGS_CACHE, clear_postings_cache
 
@@ -392,9 +394,93 @@ def test_ss09_exact_leg_and_pq_codes_are_cached(spark):
     df = ss.ss09_ann_recall(spark, SF)
     df.collect()
     plan = _plan(df)
-    assert "InMemoryTableScan" in plan, plan
+    assert "Scan ExistingRDD" in plan or "RDDScan" in plan, plan
+    assert "FileScan" not in plan, plan
     tags = {k[2] for k in _POSTINGS_CACHE}
     assert {"ss09_exact", "pq_codes", "pq_trained_cb", "pq_trained_codes"} <= tags, tags
+    assert {f"leg_topk_{m}" for m in (
+        "ivf", "ivfpq", "ivfpq_res", "pq", "pq_rerank", "pq_trained"
+    )} <= tags, tags
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert len(analyzed) < 30_000, f"ss09 analyzed plan regrew: {len(analyzed)} chars"
+    clear_postings_cache()
+
+
+def test_ss17_fuses_checkpointed_shortlists(spark):
+    """ss17 (r16): fusion consumes the same session-persisted leg
+    shortlists as ss09 (tags shared — leg_topk_ivf is built once for
+    both), so the warm plan is a K-row full-outer join + one window
+    over two checkpoint leaves; no live IVF/LSH search inside."""
+    import hive_lineage_spark.operators.similarity as ss
+    from hive_lineage_spark.operators.dedup import _POSTINGS_CACHE, clear_postings_cache
+
+    clear_postings_cache()
+    df = ss.ss17_rank_fusion(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan or "RDDScan" in plan, plan
+    assert "FileScan" not in plan, plan
+    tags = {k[2] for k in _POSTINGS_CACHE}
+    assert {"leg_topk_ivf", "leg_topk_lsh"} <= tags, tags
+    clear_postings_cache()
+
+
+def test_dd19_verification_uses_gram_arrays(spark):
+    """dd19 (r16): exact containment verification computes
+    |A∩B| = size(array_intersect) from the persisted per-doc gram-array
+    index in one codegen projection over the candidate frame — the two
+    corpus-sized postings joins of the pre-r16 form are gone (the
+    ``_verify_pairs`` rewrite, ported)."""
+    from hive_lineage_spark.operators import dedup as dd
+
+    dd.clear_postings_cache()
+    df = dd.dd19_containment(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "array_intersect" in plan, plan
+    tags = {k[2] for k in dd._POSTINGS_CACHE}
+    assert "gram_arrays" in tags, tags
+    dd.clear_postings_cache()
+
+
+def test_dd21_profile_is_single_anchor_pass(spark):
+    """dd21 (r16): the (max_span, n_partners) profile folds in ONE pass
+    over the run stream — per-pair maxima then a per-doc window — so
+    the gaps-and-islands row_number window appears exactly once in the
+    executed plan (the pre-r16 form consumed ``runs`` twice and
+    re-executed the whole anchor-match + window pipeline per
+    consumer)."""
+    from hive_lineage_spark.operators import text as tx
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
+
+    clear_postings_cache()
+    df = tx.dd21_exact_dup_spans(spark, SF)
+    df.collect()
+    # AQE prints the final plan followed by "== Initial Plan ==" — count
+    # windows in the final plan only
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("row_number()") == 1, plan
+    clear_postings_cache()
+
+
+def test_tx24_round_boundary_checkpointed(spark):
+    """tx24 (r16): both EM-round artifacts materialize through the
+    lineage-tracked checkpoint (the tx15/tx19 BPE-stage discipline), so
+    the trainer's final plan is piece-count aggregation over a leaf
+    scan — no nested Viterbi-DP HOF tree re-analyzed per consumer
+    (3571 explain lines → ~126; the DP's ``aggregate(`` HOF fold must
+    not appear in the final plan)."""
+    from hive_lineage_spark.operators import text as tx
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
+
+    clear_postings_cache()
+    df = tx.tx24_unigram_lm_train(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan or "RDDScan" in plan, plan
+    assert "aggregate(" not in plan, plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert len(analyzed) < 10_000, f"tx24 analyzed plan regrew: {len(analyzed)} chars"
     clear_postings_cache()
 
 

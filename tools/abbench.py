@@ -36,6 +36,9 @@ VARIANTS = {
         "opencost": str(4 * 1024 * 1024),
         "hash": "0",
     },
+    # fan-out off at otherwise-current defaults: isolates the fan-out
+    # exchange itself (the "new" twin with only the repartition removed)
+    "nofan4m": {"fanout": "0", "coalesce": str(64 * 1024), "opencost": str(4 * 1024 * 1024)},
 }
 
 
