@@ -1450,6 +1450,79 @@ TX16_SQL = """
 TX17_VOCAB_CAP = 16  # closed vocabulary: top-V train words; rest is OOV
 
 
+def _lm_train_vocab_cached(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    """(w, u): the closed top-``cap`` train-slice vocabulary with its
+    unigram counts — the shared model core of the held-out LM ladder
+    (tx17's count table, tx18's unigram/backoff table, tx18/tx21's
+    vocabulary gate), persisted per (session, sf_dir, cap) like every
+    other trained-model artifact (the tx23_model lifecycle). The cap
+    selection is orderBy+limit (TakeOrderedAndProject; (u desc, w) is a
+    total order) so the set is deterministic."""
+    from .dedup import _persisted
+
+    def build(s: SparkSession, d: str) -> DataFrame:
+        train_tok = (
+            _docs(s, d)
+            .filter(F.col("doc_id") % 3 != 0)
+            .select(F.explode(F.split("text", " ")).alias("w"))
+        )
+        return (
+            train_tok.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("u"))
+            .orderBy(F.col("u").desc(), F.col("w"))
+            .limit(cap)
+        )
+
+    return _persisted(f"lm_vocab{cap}", spark, sf_dir, build)
+
+
+def _lm_train_tot_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t): total train-slice token count (one row), persisted —
+    consumed by tx17's and tx18's probability denominators."""
+    from .dedup import _persisted
+
+    def build(s: SparkSession, d: str) -> DataFrame:
+        return (
+            _docs(s, d)
+            .filter(F.col("doc_id") % 3 != 0)
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("t"))
+        )
+
+    return _persisted("lm_tot", spark, sf_dir, build)
+
+
+def _lm_train_cnt2_cached(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    """(w1, w2, c2): train-slice bigram counts restricted to the closed
+    top-``cap`` vocabulary — construction-identical in tx18 and tx21
+    (same split, same vocabulary rule, same zip_with extraction), so
+    ONE persisted frame serves both; every other model table (tx18's
+    head counts, tx21's head/continuation/total) is a vocab-sized
+    aggregation of this ≤cap² row core, derived per run."""
+    from .dedup import _persisted
+
+    def build(s: SparkSession, d: str) -> DataFrame:
+        ws = _docs(s, d).filter(F.col("doc_id") % 3 != 0).select(
+            "doc_id", F.split("text", " ").alias("ws")
+        )
+        bg = ws.filter(F.size("ws") >= 2).select(
+            F.expr(
+                "explode(zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+                " (a, b) -> named_struct('w1', a, 'w2', b)))"
+            ).alias("b")
+        ).select("b.w1", "b.w2")
+        vocab = _lm_train_vocab_cached(s, d, cap).select("w")
+        return (
+            bg.join(vocab.withColumnRenamed("w", "w1"), "w1", "left_semi")
+            .join(vocab.withColumnRenamed("w", "w2"), "w2", "left_semi")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c2"))
+        )
+
+    return _persisted(f"lm_cnt2_{cap}", spark, sf_dir, build)
+
+
 def tx17_heldout_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet DEPLOYMENT shape that tx13/tx16 idealize: score one
     corpus slice under a unigram model trained on a DIFFERENT slice
@@ -1475,22 +1548,15 @@ def tx17_heldout_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract: per-doc sum folds the word-sorted contribution list in
     BOTH engines; rounds at 6 dp with the midpoint nudge. Reference has
     no LM ops — LLM-pipeline scope."""
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    train_tok = tok.filter(F.col("doc_id") % 3 != 0)
-    # top-cap via orderBy+limit (TakeOrderedAndProject): per-partition
-    # partial top-K instead of the single-task global row_number window;
-    # (cnt desc, w) is a total order, so the selected set is identical
-    # (r16, guide §2.5 — same swap in tx18/tx21)
-    cnt = (
-        train_tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("w"))
-        .limit(TX17_VOCAB_CAP)
+    # model tables from the shared persisted train-side core (r16): the
+    # top-cap count table and the token total build once per session;
+    # a warm run pays only the held-out scoring pass
+    cnt = _lm_train_vocab_cached(spark, sf_dir, TX17_VOCAB_CAP).select(
+        "w", F.col("u").alias("cnt")
     )
-    tot = train_tok.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    tot = _lm_train_tot_cached(spark, sf_dir)
     tf = (
         tok.filter(F.col("doc_id") % 3 == 0)
         .groupBy("doc_id", "w")
@@ -1596,8 +1662,6 @@ def tx18_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a repr-pinned double literal, the per-doc sum folds the
     (w1,w2)-sorted list in BOTH engines, rounds at 6 dp with the
     midpoint nudge. Reference has no LM ops — LLM-pipeline scope."""
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     ws = d.select("doc_id", F.split("text", " ").alias("ws"))
     bg_all = ws.filter(F.size("ws") >= 2).select(
@@ -1607,26 +1671,15 @@ def tx18_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, b) -> named_struct('w1', a, 'w2', b)))"
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    train_tok = d.filter(F.col("doc_id") % 3 != 0).select(
-        F.explode(F.split("text", " ")).alias("w")
-    )
-    # top-cap via orderBy+limit — parallel TakeOrderedAndProject, not a
-    # single-task global window; (u desc, w) totally orders, identical set
-    uni = (
-        train_tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("u"))
-        .orderBy(F.col("u").desc(), F.col("w"))
-        .limit(TX18_VOCAB_CAP)
-    )
-    vocab = uni.select("w")
-    train_bg = (
-        bg_all.filter(F.col("doc_id") % 3 != 0)
-        .join(vocab.withColumnRenamed("w", "w1"), "w1", "left_semi")
-        .join(vocab.withColumnRenamed("w", "w2"), "w2", "left_semi")
-    )
-    cnt2 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    cnt1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    tot = train_tok.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    # model tables from the shared persisted train-side core (r16):
+    # cnt2 is the vocab-capped bigram-count frame (shared with tx21 —
+    # construction-identical), uni/tot the shared unigram artifacts;
+    # cnt1 = Σ_w2 c2 is EXACTLY the old per-head train_bg row count,
+    # derived from the ≤cap² row cached frame per run
+    uni = _lm_train_vocab_cached(spark, sf_dir, TX18_VOCAB_CAP)
+    cnt2 = _lm_train_cnt2_cached(spark, sf_dir, TX18_VOCAB_CAP)
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    tot = _lm_train_tot_cached(spark, sf_dir)
     alpha_ln = F.lit(float(TX18_ALPHA_LN))
     scored = (
         bg_all.filter(F.col("doc_id") % 3 == 0)
@@ -1840,8 +1893,6 @@ def tx21_kneser_ney_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 bound: num ≤ 4·c2·B + 3·V·V ≪ 2⁶³ for any corpus with
     c2·B < 2⁶¹ (B ≤ V² by the closed vocab); a production run with a
     100k vocab scores in ln-space doubles instead — same dataflow."""
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     ws = d.select("doc_id", F.split("text", " ").alias("ws"))
     bg_all = ws.filter(F.size("ws") >= 2).select(
@@ -1851,24 +1902,12 @@ def tx21_kneser_ney_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, b) -> named_struct('w1', a, 'w2', b)))"
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    train_tok = d.filter(F.col("doc_id") % 3 != 0).select(
-        F.explode(F.split("text", " ")).alias("w")
-    )
-    # top-cap via orderBy+limit — parallel TakeOrderedAndProject, not a
-    # single-task global window; (u desc, w) totally orders, identical set
-    vocab = (
-        train_tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("u"))
-        .orderBy(F.col("u").desc(), F.col("w"))
-        .limit(TX21_VOCAB_CAP)
-        .select("w")
-    )
-    train_bg = (
-        bg_all.filter(F.col("doc_id") % 3 != 0)
-        .join(vocab.withColumnRenamed("w", "w1"), "w1", "left_semi")
-        .join(vocab.withColumnRenamed("w", "w2"), "w2", "left_semi")
-    )
-    cnt2 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # all four KN model tables derive from the shared persisted
+    # bigram-count core (r16, construction-identical with tx18's):
+    # head/continuation/total are vocab-sized aggregations of the
+    # ≤cap² row cached frame, so a warm run pays only the held-out
+    # scoring pass
+    cnt2 = _lm_train_cnt2_cached(spark, sf_dir, TX21_VOCAB_CAP)
     head = cnt2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nh")
     )

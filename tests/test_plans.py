@@ -463,6 +463,34 @@ def test_dd21_profile_is_single_anchor_pass(spark):
     clear_postings_cache()
 
 
+def test_lm_ladder_shares_persisted_train_core(spark):
+    """tx17/tx18/tx21 (r16): the held-out LM ladder's model tables come
+    from three shared session-persisted train-side artifacts — the
+    top-cap vocabulary (w, u), the train token total, and the
+    vocab-capped bigram-count core (construction-identical in tx18 and
+    tx21, so ONE frame serves both) — and every derived table (tx18's
+    cnt1, tx21's head/cont/btot) aggregates the ≤cap² cached frame.
+    Warm runs pay only the held-out scoring pass: the scored plan reads
+    InMemoryTableScan for the model side, and building tx21 after tx18
+    adds NO new cnt2 build (shared tag)."""
+    import hive_lineage_spark.operators.text as tx
+    from hive_lineage_spark.operators.dedup import _POSTINGS_CACHE, clear_postings_cache
+
+    clear_postings_cache()
+    tx.tx18_backoff_xent(spark, SF).collect()
+    tags = {k[2] for k in _POSTINGS_CACHE}
+    assert {"lm_vocab16", "lm_tot", "lm_cnt2_16"} <= tags, tags
+    n_before = len(_POSTINGS_CACHE)
+    df21 = tx.tx21_kneser_ney_xent(spark, SF)
+    df21.collect()
+    assert len(_POSTINGS_CACHE) == n_before, "tx21 rebuilt a shared model frame"
+    plan = _plan(df21)
+    assert "InMemoryTableScan" in plan, plan
+    tx.tx17_heldout_xent(spark, SF).collect()
+    assert len(_POSTINGS_CACHE) == n_before, "tx17 rebuilt a shared model frame"
+    clear_postings_cache()
+
+
 def test_tx24_round_boundary_checkpointed(spark):
     """tx24 (r16): both EM-round artifacts materialize through the
     lineage-tracked checkpoint (the tx15/tx19 BPE-stage discipline), so
