@@ -245,9 +245,11 @@ ROTATION_QUEUE: dict[str, int] = {
 # and take slots; the tx24/tx25 checkpoint edit lives in helpers
 # outside their certified ranges but both were re-oracled this round.
 # OUT for them (drain deferral, all multiply-certified and unchanged):
-# tx09/tx10/q48/q49 — the youngest r06-drain entries; their families
-# stay covered (tx12-window span ops, q46/q47 keep the sql_extra
-# cohort) and all four remain local-oracle- and pytest-pinned.
+# tx09/tx10/q48/q49/tx03 — the youngest r06-drain entries; their
+# families stay covered (tx12-window span ops, q46/q47 keep the
+# sql_extra cohort, tx03 stays a HEADLINE bench query) and all five
+# remain local-oracle- and pytest-pinned. tp15 (window-fold normalizer
+# rewrite) takes the fifth slot.
 _DRIVER_PRIORITY = [
     # r16 registration (from ROTATION_QUEUE)
     "tx26_langid_gate",
@@ -267,7 +269,7 @@ _DRIVER_PRIORITY = [
     "tp16_token_exact_packing", "dq09_quantile_profile",
     # late-r16 second-pass changes (rotation-priority order)
     "dd19_containment", "ss17_rank_fusion", "ss09_ann_recall",
-    "dd21_exact_dup_spans",
+    "dd21_exact_dup_spans", "tp15_doremi_reweight",
     # oldest-green drain: the remaining r05 cohort...
     "q46_view_lineage", "q47_date_spine", "dd10_decontaminate",
     "dd11_incremental_postings", "tp02_stratified_sample",
@@ -275,7 +277,6 @@ _DRIVER_PRIORITY = [
     "tp07_shuffle_shards", "tx08_redact_pii", "tx11_span_dedup",
     # ...then the r06 cohort
     "ss02_ann_ivf", "ss06_kmeans", "mm01_decode_stub",
-    "tx03_quality_score",
 ]
 
 

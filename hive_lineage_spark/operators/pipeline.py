@@ -1257,28 +1257,41 @@ def tp15_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("avg_xent", F.round(F.col("sx") / F.col("n_docs") + 1e-9, 6))
     )
-    tot = g.groupBy().agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("source", "sx"))),
-            F.lit(0.0),
-            lambda a, s: a + s["sx"],
-        ).alias("ssx"),
-        F.sum("n_docs").alias("nn"),
-    ).select(F.round(F.col("ssx") / F.col("nn") + 1e-9, 6).alias("base_xent"))
+    # r16: the normalizer scalars (base_xent, Z) were 1-row aggregates
+    # crossJoined back — three consumers of ``g``, so the corpus-sized
+    # tx13 scoring pipeline above it re-executed per consumer. They are
+    # now single-partition WINDOW folds over the domain-sized frame
+    # (≤ #sources rows — the exchange moves a handful of rows), with the
+    # same explicitly-sorted lists folded in the same order, so every
+    # double is bit-identical and ``g`` executes once.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
     we = (
-        g.crossJoin(F.broadcast(tot))
+        g.withColumn("sxs", F.collect_list(F.struct("source", "sx")).over(w_all))
+        .withColumn("nn", F.sum("n_docs").over(w_all))
+        .withColumn(
+            "base_xent",
+            F.round(
+                F.aggregate(
+                    F.array_sort("sxs"), F.lit(0.0), lambda a, s: a + s["sx"]
+                )
+                / F.col("nn")
+                + 1e-9,
+                6,
+            ),
+        )
         .withColumn("excess", F.greatest(F.col("avg_xent") - F.col("base_xent"), F.lit(0.0)))
         .withColumn("e", F.exp(F.lit(TP15_ETA) * F.col("excess")))
     )
-    z = we.groupBy().agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("source", "e"))),
-            F.lit(0.0),
-            lambda a, s: a + s["e"],
-        ).alias("z")
+    zd = we.withColumn(
+        "es", F.collect_list(F.struct("source", "e")).over(w_all)
+    ).withColumn(
+        "z",
+        F.aggregate(F.array_sort("es"), F.lit(0.0), lambda a, s: a + s["e"]),
     )
     return (
-        we.crossJoin(F.broadcast(z))
+        zd
         .select(
             "source",
             F.col("n_docs").cast("long").alias("n_docs"),
