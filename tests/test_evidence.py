@@ -123,11 +123,21 @@ def test_ss19_evidence_off_drops_exact_leg(spark):
 
 def test_ss20_evidence_off_drops_exact_leg(spark):
     clear_postings_cache()
+    from hive_lineage_spark.operators.dedup import _POSTINGS_CACHE
+
     off = SS.ss20_ann_binary(spark, SF, evidence=False)
+    # the off path never even builds the exact ground-truth artifact
+    assert "ss09_exact" not in {k[2] for k in _POSTINGS_CACHE}
     on = SS.ss20_ann_binary(spark, SF, evidence=True)
     assert off.columns == ["query_id", "neighbor_id", "hamming", "cosine", "rank"]
     p_off, p_on = _plan(off), _plan(on)
-    assert p_off.count("Scan parquet") < p_on.count("Scan parquet"), p_off
+    # r16: the exact leg enters the ON plan as the session's
+    # CHECKPOINTED shortlist (a leaf scan, no longer a live parquet
+    # subtree) — so the old scan-count proxy became a leaf-presence
+    # check plus the cache-tag assertion above
+    assert "ss09_exact" in {k[2] for k in _POSTINGS_CACHE}
+    assert "Scan ExistingRDD" in p_on or "RDDScan" in p_on, p_on
+    assert "Scan ExistingRDD" not in p_off and "RDDScan" not in p_off, p_off
     assert _rows(off) == _rows(on, off.columns)
     clear_postings_cache()
 

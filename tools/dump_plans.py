@@ -49,10 +49,10 @@ SHOW = [
     ("dq03_snapshot_drift", "both snapshot profiles are single partial-agg passes feeding 1-row exchanges; the v0 read plans only v0's files (manifest time travel)"),
     ("mm09_pair_curation", "caption feature-hash encoder fused into the documents scan; ONLY the pair-id equi-join moves data; cosine/gate all JVM codegen"),
     ("mm10_video_frame_pixels", "AVI walk + JPEG decode + pixel stats in ONE narrow MapInPandas stage — no exchange; scale by adding input splits"),
-    ("ss09_ann_recall", "the exact baseline and PQ code tables read from InMemoryTableScan (persisted index registry) instead of recomputing the corpus scan per evaluation leg"),
+    ("ss09_ann_recall", "r16: ONE joined pipeline over the session's checkpointed per-variant shortlists (Scan ExistingRDD leaves) and the exact baseline; no live search or PQ scoring tree inside the recall plan"),
     ("mm13_video_420_pixels", "4:2:0 MJPEG decode shares mm10's shape: ONE narrow MapInPandas stage, no exchange — subsampling/DRI cost lives inside the Python batch, not the plan"),
-    ("tx17_heldout_xent", "train-slice model capped to V rows (window over the vocab-sized count table), LEFT-broadcast into the scored slice; both corpus passes partial-agg"),
-    ("tx18_backoff_xent", "three vocabulary-capped model tables (bigram/head/unigram) all BroadcastHashJoin LEFT into the scored bigram stream inside ONE codegen stage"),
+    ("tx17_heldout_xent", "r16: model tables read from the shared persisted train-side core (InMemoryTableScan), LEFT-broadcast into the scored slice; the warm plan's only corpus pass is the held-out tf aggregation"),
+    ("tx18_backoff_xent", "three vocabulary-capped model tables (bigram/head/unigram, r16: derived from the shared persisted cnt2/vocab core) all BroadcastHashJoin LEFT into the scored bigram stream inside ONE codegen stage"),
     ("ss14_ann_random_projection", "the 16 projection folds fuse into the embeddings scan as pure whole-stage codegen — no exchange before the rank window, no UDF"),
     ("mm15_video_shot_detect", "decode-every-frame + consecutive-diff is ONE narrow MapInPandas stage — no exchange; the cut flag is an integer compare, no float ratio"),
     ("tx19_bpe_apply", "encode via the trained vocab cache: word-level BroadcastHashJoin onto the posexploded corpus, ONE doc_id exchange for the per-doc partial agg"),
@@ -62,7 +62,7 @@ SHOW = [
     ("tx20_ccnet_buckets", "tx13's scoring plan unchanged + exactly ONE lang-keyed exchange for the tertile rank/count window"),
     ("dq05_row_expectations", "rule CASEs fuse into the fact scan as whole-stage codegen — zero exchanges; output is violation-count-sized"),
     ("tp13_range_partition", "boundary array BROADCAST into the full scan; part_id assignment is a shuffle-free codegen map; rank window only over the 1-in-20 sample"),
-    ("tx21_kneser_ney_xent", "four vocabulary-capped KN model tables (bigram/head/continuation/B) all broadcast LEFT into the shuffle-free zip_with bigram stream"),
+    ("tx21_kneser_ney_xent", "four vocabulary-capped KN model tables (r16: all aggregated from the shared persisted cnt2 core, InMemoryTableScan) broadcast LEFT into the shuffle-free zip_with bigram stream"),
     ("dd16_cdc_chunks", "content-defined chunking entirely in scan-stage codegen (window hashes, boundary filter, chunk slicing); the only exchanges key on the 8-byte chunk hash, never the text"),
     ("ss18_ann_matryoshka", "coarse pass joins only 8-dim prefixes; WindowGroupLimit prunes to C per query map-side; full vectors rejoin only for the C·n_queries rerank rows"),
     ("ss19_ann_filtered", "predicate lands on the index side BEFORE the cell join (pre-filter semantics); disqualified vectors never enter the candidate stream"),
@@ -70,13 +70,13 @@ SHOW = [
     ("dd02_ngram_jaccard", "persisted prefix-postings index (InMemoryTableScan on every consumer); prefix filter sheds candidates BEFORE the pair join; positional upper-bound filter in codegen; no cartesian product anywhere"),
     ("dd12_semdedup", "ONE cell-id exchange partitions the corpus; the within-cell self-join is the only SMJ (Σ|cell|² work, never n²); the cosine pair filter runs in whole-stage codegen before any pair materializes"),
     ("dd18_longest_dup_span", "reads the SAME persisted tx12 gram index (InMemoryTableScan, no second tokenize); cf>1 filters the vocabulary-sized count table before the doc-side join; per-doc verdict is partial-agg + one left join"),
-    ("tp15_doremi_reweight", "corpus work = tx13's tf pass only; per-source folds, the baseline and the normalizer are 1-row/domain-sized broadcast frames — the mixture update adds no corpus-sized exchange"),
+    ("tp15_doremi_reweight", "corpus work = tx13's tf pass only, executed ONCE (r16: the baseline and normalizer are single-partition window folds over the domain-sized frame, not crossJoined 1-row aggregates)"),
     ("mm21_phash_search", "pHash frame computed once (persisted; the 8-row query side is a broadcast slice, not a second decode pass); distance scan is corpus × constant rows; top-K via per-query rank window"),
     ("mm22_audio_quality", "one narrow MapInPandas stage over the fixture scan — no exchange; clipping/DC/range/quiet-run all inside the Python batch, one row per clip out"),
     ("dq07_referential_integrity", "per FK: one pruned key-column scan, left-anti against distinct parent keys (AQE broadcast-or-shuffle), 1-row aggregates crossed broadcast — the report is relationship-count-sized"),
     ("ss20_ann_binary", "sign-code build fused into the embeddings scan (codegen folds, no Python); coarse Hamming vs BROADCAST query codes; exact-flag join broadcast — no SortMergeJoin anywhere"),
     ("dq08_psi_drift", "per column: two partial-agg passes to bin granularity, a bin-sized full-outer join, and the PSI fold over a sorted bin list — every post-scan frame is bin-count-sized"),
-    ("dd19_containment", "contained side joins only its RAREST-gram containment prefix (low df by construction) against the full postings; verification reuses the persisted postings/sizes frames; all shuffle keys 8-byte hashes"),
+    ("dd19_containment", "contained side joins only its RAREST-gram containment prefix (low df by construction) against the full postings; verification is one array_intersect projection over the persisted gram-array index (r16); all shuffle keys 8-byte hashes"),
     ("dd20_graph_rank", "shown: ONE Pregel superstep (the returned frame itself is a flat checkpoint scan). One BroadcastHashJoin (msg ⋈ ranks on the sender) + one partial/final ObjectHashAggregate on the destination; BOTH inputs are checkpoint scans (Scan ExistingRDD) — no live corpus pipeline inside a round, linear plan growth via checkpoint_tracked (lineage still resolves to documents)"),
     ("web01_url_parse", "the whole URL synthesize→parse→registrable-domain chain is ONE WholeStageCodegen span over the documents scan — zero exchanges, zero Python; ReadSchema reads only (doc_id, lang, source)"),
     ("web02_host_dup_rate", "the only exchanges key on the 8-byte text hash (dup detection, partial-agg combined) and the registrable domain (host-count-sized rollup); the dup-flag join is AQE-chosen"),
@@ -90,7 +90,7 @@ SHOW = [
     ("ss21_ann_ivf_partitioned", "the serve scan reads the STORED cell-partitioned index with PartitionFilters carrying a dynamicpruning expression — the probe list prunes index files before any IO; the corpus-sized embeddings scan appears only in the one-time index build, not here"),
     ("tp16_token_exact_packing", "vocab BroadcastHashJoin onto the exploded corpus; ONE doc_id agg exchange + ONE shard-key window exchange — token-exact lengths without a corpus-keyed word shuffle"),
     ("web07_robots_compliance_gate", "the whole robots/licence/opt-out gate — rule derivation, longest-match resolution, verdict — is ONE codegen span fused into the scan; zero exchanges, zero joins"),
-    ("dd21_exact_dup_spans", "dup-gram filter prunes the vocab-sized count table BEFORE the self-join; pair stream keyed on the 8-byte anchor hash, run windows on (id_a,id_b,delta) — no text column ever shuffles"),
+    ("dd21_exact_dup_spans", "dup-gram filter prunes the vocab-sized count table BEFORE the self-join; pair stream keyed on the 8-byte anchor hash, ONE run window on (id_a,id_b,delta) feeding a single-pass profile (r16) — no text column ever shuffles"),
     ("ss22_ann_ivfpq_residual", "residual ADC: probe frame carries N_QUERIES*N_PROBE per-cell tables (broadcast); codes artifact joins map-side; the only wide exchange is the per-query top-K"),
     ("tp17_no_split_packing", "ONE exchange on the shard key feeding FlatMapGroupsInPandas — the capacity-reset recurrence runs per shard inside an Arrow batch; scan reads only doc_id + text"),
     ("mm23_video_near_dup", "ONE narrow decode+hash Arrow pass (persisted, both join sides read it); candidates from the 8-bit band equi-join, never all frame pairs; Hamming gate in codegen before the pair agg"),
@@ -100,7 +100,7 @@ SHOW = [
     ("web09_warc_extract", "binaryFile scan (path+content pruned) feeding ONE MapInPandas record walk; the extraction metrics (octet_length/regexp) are a codegen Project ON TOP of the barrier — no shuffle anywhere in the plan"),
     ("web10_frontier_cap", "WindowGroupLimit PARTIAL below the single reg_domain Exchange, FINAL above — every map task sheds rows past rank H before the shuffle (the mega-host shed); the compliance gate stays a codegen Filter before both"),
     ("ss23_ann_ivf_incremental", "TWO stored-index scans (base + delta cell-partitioned parquet), EACH with its own dynamicpruning PartitionFilter from the broadcast probe join; tombstones a BroadcastHashJoin LeftAnti on the candidate stream; embeddings appears only for centroids/probes/tombstones (constant-size frames)"),
-    ("tx24_unigram_lm_train", "ONE corpus exchange (the persisted word-frequency agg, InMemoryTableScan downstream); both EM rounds are vocab-sized — broadcast model joins into the substring stream, the Viterbi DP a single HOF aggregate projection, piece-count partial aggs; no UDF, no barrier"),
+    ("tx24_unigram_lm_train", "ONE corpus exchange (the persisted word-frequency agg); both EM rounds are vocab-sized and CHECKPOINTED (r16) — the trainer's plan is a piece-count agg over a leaf scan, no nested Viterbi-DP tree; no UDF, no barrier"),
     ("web11_frontier_refresh", "the whole refresh policy — compliance gate, host-class/change-class TTLs, age derivation, due verdict — is ONE codegen span fused into the scan; zero exchanges, zero joins (web07's shape)"),
     ("tx26_langid_gate", "tx23's train-once-serve-from-the-table shape at K classes: the persisted ≤B×K model + vocab/total/prior folds broadcast into the deduped (doc, feature) stream (BroadcastHashJoin ×3 — no SortMergeJoin anywhere); corpus exchanges are the (doc, f) pre-agg (map-side combined) and the K-rows-per-doc argmax window"),
 ]
