@@ -88,23 +88,35 @@ _TABLE_KEYS = {
 }
 
 
-_SCAN_FILE_META: dict[str, list[tuple[int, int]]] = {}
+_SCAN_FILE_META: dict[tuple, list[tuple[int, int]]] = {}
 
 
 def _scan_file_meta(path: str) -> list[tuple[int, int]]:
     """Per parquet file of a location: (bytes, row_groups). Footer
-    metadata only — no data read; cached per path."""
-    meta = _SCAN_FILE_META.get(path)
-    if meta is None:
-        import glob
+    metadata only — no data read. Cached per (path, file identity):
+    the key carries each file's (name, mtime, size) so an in-process
+    fixture rebuild (tmp-then-``os.replace``) invalidates the entry
+    instead of serving stale sizes/row-group counts to the fan-out
+    decision (r17, ADVICE)."""
+    import glob
 
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    ident = []
+    for f in files:
+        try:
+            st = os.stat(f)
+            ident.append((f, int(st.st_mtime), st.st_size))
+        except OSError:
+            ident.append((f, 0, 0))
+    key = (path, tuple(ident))
+    meta = _SCAN_FILE_META.get(key)
+    if meta is None:
         import pyarrow.parquet as pq
 
-        files = (
-            [path]
-            if os.path.isfile(path)
-            else sorted(glob.glob(os.path.join(path, "*.parquet")))
-        )
         meta = []
         for f in files:
             try:
@@ -112,7 +124,7 @@ def _scan_file_meta(path: str) -> list[tuple[int, int]]:
             except Exception:  # noqa: BLE001 — unreadable footer: one unit
                 rg = 1
             meta.append((os.path.getsize(f), max(rg, 1)))
-        _SCAN_FILE_META[path] = meta
+        _SCAN_FILE_META[key] = meta
     return meta
 
 
@@ -155,17 +167,36 @@ def fan_out_scan(
     fan-out hash-partitions on it, which skips round-robin's
     sort-before-repartition pass; without one it falls back to
     round-robin. ``SPARK_GRAFT_FANOUT=0`` disables it (A/B
-    instrumentation and an operational escape hatch)."""
+    instrumentation and an operational escape hatch).
+
+    r17 (guide §2.5 — a 32-way exchange of a byte-tiny table costs more
+    than it buys): the fan-out width is additionally capped at one
+    partition per ``SPARK_GRAFT_FANOUT_FLOOR`` input bytes (default
+    32 KB — interleaved A/B over floors {0, 16K, 32K, 128K} picked it:
+    best or statistically tied on every light rider AND every decode
+    heavy, see OPTIMIZATION_r17.md), so KB-scale inputs stop paying a
+    full-core-count exchange;
+    when the cap falls at or below what split packing already yields,
+    the exchange is skipped entirely. At production byte sizes the cap
+    equals the core count, so behavior there is unchanged."""
     if os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
         return df
     par = spark.sparkContext.defaultParallelism
-    if effective_scan_units(spark, path) * 2 >= par:
+    units = effective_scan_units(spark, path)
+    if units * 2 >= par:
         return df
+    floor_b = int(os.environ.get("SPARK_GRAFT_FANOUT_FLOOR", str(32 * 1024)))
+    n_out = par
+    if floor_b > 0:
+        total = sum(sz for sz, _ in _scan_file_meta(path))
+        n_out = min(par, max(units, -(-total // floor_b)))
+        if n_out <= units:
+            return df
     if key is not None and os.environ.get("SPARK_GRAFT_FANOUT_HASH", "1") != "0":
         from pyspark.sql import functions as F
 
-        return df.repartition(par, F.col(key))
-    return df.repartition(par)
+        return df.repartition(n_out, F.col(key))
+    return df.repartition(n_out)
 
 
 def _events_us_file(sf_dir: str) -> str:

@@ -912,3 +912,25 @@ def test_ss21_lineage_resolves_index_to_embeddings(spark):
     assert default_table_resolver("/r/.scratch/sf0.001/ivf_index_embeddings_c8_m1_s2_base_v1") == "embeddings"
     assert default_table_resolver("/r/.scratch/sf0.001/ivf_index_embeddings_c8_m1_s2_delta_v1") == "embeddings"
     assert default_table_resolver("/r/x/sf1/ivf_index_embeddings_c8_m1_s2_v1") is None  # not scratch
+
+
+def test_fanout_floor_caps_width_on_tiny_inputs(spark, monkeypatch):
+    """r17 fan-out width floor (guide §2.5): the post-scan repartition is
+    capped at one partition per SPARK_GRAFT_FANOUT_FLOOR input bytes, so
+    a KB-scale table never pays a full-core-count exchange. documents at
+    sf0.001 (~64 KB) caps at 2 partitions under the 32 KB default floor;
+    customer (~7 KB) caps at 1 = what split packing already yields, so
+    the exchange is skipped entirely; floor=0 restores the uncapped
+    core-count fan-out."""
+    from hive_lineage_spark.sources.registry import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT_FLOOR", str(32 * 1024))
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF, "documents", fan_out=True)
+    assert docs.rdd.getNumPartitions() == 2
+    cust = load_table(spark, SF, "customer", fan_out=True)
+    assert "Exchange" not in _plan(cust.select("c_custkey"))
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT_FLOOR", "0")
+    docs0 = load_table(spark, SF, "documents", fan_out=True)
+    assert docs0.rdd.getNumPartitions() == par

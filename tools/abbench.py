@@ -39,6 +39,12 @@ VARIANTS = {
     # fan-out off at otherwise-current defaults: isolates the fan-out
     # exchange itself (the "new" twin with only the repartition removed)
     "nofan4m": {"fanout": "0", "coalesce": str(64 * 1024), "opencost": str(4 * 1024 * 1024)},
+    # r17 fan-out width floors: cap partitions at one per FLOOR input
+    # bytes (0 = uncapped, the r16 behavior)
+    "floor0": {"fanout": "1", "coalesce": str(64 * 1024), "opencost": str(4 * 1024 * 1024), "floor": "0"},
+    "floor16k": {"fanout": "1", "coalesce": str(64 * 1024), "opencost": str(4 * 1024 * 1024), "floor": str(16 * 1024)},
+    "floor32k": {"fanout": "1", "coalesce": str(64 * 1024), "opencost": str(4 * 1024 * 1024), "floor": str(32 * 1024)},
+    "floor128k": {"fanout": "1", "coalesce": str(64 * 1024), "opencost": str(4 * 1024 * 1024), "floor": str(128 * 1024)},
 }
 
 
@@ -62,13 +68,21 @@ def main() -> int:
 
     results: dict[tuple[str, str], list[float]] = {}
     for name in args.queries:
-        # one untimed warm run (current config) to build persisted caches
+        # one untimed warm run (current config) to build persisted caches.
+        # NOTE (r16 ADVICE): frames built inside _persisted are cached per
+        # (session, sf_dir, tag) and keep whatever fan-out env built them —
+        # so for cached-index queries only the NON-persisted part of the
+        # plan is actually A/B'd here. That is the intended comparison for
+        # warm-path decisions; cold-path decisions need a per-variant
+        # clear_postings_cache() run instead (accepting cold rebuild cost
+        # in every timed run).
         os.environ["SPARK_GRAFT_FANOUT"] = "1"
         qs[name](spark, args.sf).write.format("noop").mode("overwrite").save()
         for r in range(args.n):
             for vname, v in variants.items():
                 os.environ["SPARK_GRAFT_FANOUT"] = v["fanout"]
                 os.environ["SPARK_GRAFT_FANOUT_HASH"] = v.get("hash", "1")
+                os.environ["SPARK_GRAFT_FANOUT_FLOOR"] = v.get("floor", "0")
                 spark.conf.set(
                     "spark.sql.adaptive.coalescePartitions.minPartitionSize", v["coalesce"]
                 )
