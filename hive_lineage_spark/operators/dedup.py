@@ -1241,6 +1241,21 @@ DECON_N = 5  # decontamination n-gram length (longer than dedup's trigrams)
 BENCH_MOD = 20  # doc_id % 20 == 0 → the stand-in "benchmark/eval" split
 
 
+def _decon_grams_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, gh) hashed 5-gram postings persisted once per
+    (session, sf_dir) — the decontamination family's shared index
+    (dd10's exact join and dd14's bloom probe/bit-set both stream the
+    SAME gram set; before r17 each run re-tokenized and re-hashed the
+    corpus). Same ``_persisted`` registry/release discipline as the
+    trigram postings; dd14's bench cold column carries the build."""
+    return _persisted(
+        "decon_grams",
+        spark,
+        sf_dir,
+        lambda s, d: hashed_ngrams_of(_docs(s, d).select("doc_id", "text"), DECON_N),
+    )
+
+
 def dd10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: flag TRAINING documents that share any
     hashed word 5-gram with the BENCHMARK split (doc_id % 20 == 0, the
@@ -1259,7 +1274,7 @@ def dd10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-composed hashes as dd02's (no gram strings
     materialized); 5-grams instead of trigrams make matches specific
     enough to mean real overlap."""
-    grams = hashed_ngrams_of(_docs(spark, sf_dir).select("doc_id", "text"), DECON_N)
+    grams = _decon_grams_cached(spark, sf_dir)
     bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "gh"
     )
@@ -1327,16 +1342,14 @@ def dd14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: n/a (LLM-pipeline scope; Bloom 1970, Soldaini et al.
     2024 Dolma §2)."""
-    grams = hashed_ngrams_of(_docs(spark, sf_dir).select("doc_id", "text"), DECON_N)
+    grams = _decon_grams_cached(spark, sf_dir)
     # Persisted: each of the k probe joins broadcasts this frame — without
     # the persist, Spark re-derives the benchmark gram pipeline per join.
     bits = _persisted(
         "bloom_bits",
         spark,
         sf_dir,
-        lambda s, d: hashed_ngrams_of(
-            _docs(s, d).select("doc_id", "text"), DECON_N
-        )
+        lambda s, d: _decon_grams_cached(s, d)
         .filter(F.col("doc_id") % BENCH_MOD == 0)
         .select(
             F.explode(

@@ -2847,9 +2847,15 @@ def mm23_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= MM23_T)
     )
+    # r17 (guide §2.3): two countDistinct over one grouping planned as an
+    # Expand — every candidate row duplicated per distinct column before
+    # the exchange. collect_set sizes compute the same two counts in ONE
+    # ObjectHashAggregate pass (frame counts per video are bounded, so
+    # the per-group sets stay tiny); frame numbers are never null, so
+    # size(collect_set(x)) == countDistinct(x) exactly.
     pair = cand.groupBy("a_id", "b_id").agg(
-        F.countDistinct("a_f").cast("int").alias("matched_a"),
-        F.countDistinct("b_f").cast("int").alias("matched_b"),
+        F.size(F.collect_set("a_f")).alias("matched_a"),
+        F.size(F.collect_set("b_f")).alias("matched_b"),
     )
     nfa = nf.select(F.col("doc_id").alias("a_id"), F.col("n_frames").alias("n_frames_a"))
     nfb = nf.select(F.col("doc_id").alias("b_id"), F.col("n_frames").alias("n_frames_b"))

@@ -1240,9 +1240,11 @@ def tp15_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fold over an explicitly sorted list in BOTH engines, excess is a
     difference of 6-dp-gridded values (exact in IEEE), and exp's
     engine-libm wobble is absorbed by the final 6-dp rounding."""
-    from .text import tx13_unigram_logprob
+    from .text import _tx13_scored_cached
 
-    per_doc = tx13_unigram_logprob(spark, sf_dir).select("doc_id", "xent")
+    # r17: the per-doc scoring rides the session-materialized tx13 frame
+    # (same plan, persisted once — tx13's own row still times the build)
+    per_doc = _tx13_scored_cached(spark, sf_dir).select("doc_id", "xent")
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     g = (
         per_doc.join(src, "doc_id")

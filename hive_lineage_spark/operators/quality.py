@@ -487,30 +487,50 @@ DQ07_RELS = [
 def dq07_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-FK orphan/coverage report over the star schema + events.
 
-    SCALE shape: per relationship, the child side reads ONE key column
-    (column-pruned scan), orphan detection is a left-anti join against
-    the distinct parent keys — AQE broadcasts the parent while it fits
-    (customer/part/supplier) and degrades to a shuffle join beyond
-    (lineitem→orders at 100 TB) — and every report input is a 1-row
-    aggregate. Output is relationship-count-sized. Coverage (distinct
-    child keys / parent keys) catches the subtler failure: zero
-    orphans but a parent slice nothing references (events cover 10% of
-    customers in the fixture)."""
+    SCALE shape (r17 restructure, guide §2.3/§2.4): per relationship the
+    old form scanned the child TWICE (a count/count_distinct aggregate —
+    an Expand — plus a left-anti orphan join) and the parent twice (the
+    anti-join's distinct build and the parent_rows aggregate), then
+    stitched three 1-row aggregates back with broadcast crossJoins —
+    ~6 stages per relationship that AQE scheduled serially. Everything
+    the report needs is derivable from ONE pass: pre-aggregate the child
+    to per-key counts (map-side combine, so the exchange carries distinct
+    keys, not rows), FULL-outer-merge with the distinct parent keys (both
+    sides arrive hash-partitioned on the key from their own aggregation,
+    so the join adds NO exchange), and fold the merged frame to a single
+    row — n_rows = Σc, n_distinct_fk = #rows with a child count and a
+    non-null key, parent_rows = #parent rows, n_orphans = Σc where no
+    parent matched (NULL child keys never match, exactly as the old
+    anti-join treated them). Per relationship: one pruned scan per table,
+    two key-sized exchanges, zero Expands, zero crossJoins. Output is
+    relationship-count-sized. Coverage (distinct child keys / parent
+    keys) catches the subtler failure: zero orphans but a parent slice
+    nothing references (events cover 10% of customers in the fixture)."""
     out = None
     for name, child, ckey, parent, pkey in DQ07_RELS:
-        fk = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        pk = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
-        stats = fk.groupBy().agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count_distinct(F.col("k")).alias("n_distinct_fk"),
+        ck = (
+            load_table(spark, sf_dir, child)
+            .groupBy(F.col(ckey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-        orph = fk.join(pk, "k", "left_anti").groupBy().agg(
-            F.count(F.lit(1)).alias("n_orphans")
+        pkd = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
         )
-        dimn = pk.groupBy().agg(F.count(F.lit(1)).alias("parent_rows"))
         rel = (
-            stats.crossJoin(F.broadcast(orph))
-            .crossJoin(F.broadcast(dimn))
+            ck.join(pkd, "k", "full")
+            .agg(
+                F.coalesce(F.sum("c"), F.lit(0)).alias("n_rows"),
+                F.count(
+                    F.when(F.col("c").isNotNull() & F.col("k").isNotNull(), 1)
+                ).alias("n_distinct_fk"),
+                F.coalesce(F.sum("hit").cast("long"), F.lit(0)).alias("parent_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("hit").isNull(), F.col("c"))), F.lit(0)
+                ).alias("n_orphans"),
+            )
             .select(
                 F.lit(name).alias("fk"),
                 "n_rows",

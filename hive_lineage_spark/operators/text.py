@@ -994,6 +994,20 @@ def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tx13_scored_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx13's per-doc scored frame persisted once per (session, sf_dir)
+    for its CONSUMERS (tx20's tertile bucketing, tp15's DoReMi step) —
+    exactly as a production pipeline materializes the quality-score
+    column once and feeds every downstream gate from it. tx13's own
+    registered query does NOT read this cache, so its bench row keeps
+    timing the live model build + scoring it advertises (r17, guide
+    §2.4; the tag rides the session-scoped ``_persisted`` registry that
+    ``clear_postings_cache`` releases)."""
+    from .dedup import _persisted
+
+    return _persisted("tx13_scored", spark, sf_dir, tx13_unigram_logprob)
+
+
 TX13_SQL = """
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -1808,14 +1822,16 @@ def tx20_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical values.
 
     SCALE shape: tx13's scoring plan unchanged (vocabulary-sized model
-    join, partial-agg passes), plus one lang-keyed exchange for the
-    rank/count window — parallelism bounded by #languages, same
-    contract as tp02, and the real CCNet splits per language too. For
-    high-cardinality strata the tp05 two-phase rank drops in
-    unchanged."""
+    join, partial-agg passes) and materialized once per session via
+    ``_tx13_scored_cached`` (r17 — tx20/tp15 each re-ran the corpus-
+    sized scoring pipeline per run; the cold column carries the build),
+    plus one lang-keyed exchange for the rank/count window —
+    parallelism bounded by #languages, same contract as tp02, and the
+    real CCNet splits per language too. For high-cardinality strata the
+    tp05 two-phase rank drops in unchanged."""
     from pyspark.sql import Window
 
-    scored = tx13_unigram_logprob(spark, sf_dir)
+    scored = _tx13_scored_cached(spark, sf_dir)
     d = _docs(spark, sf_dir).select("doc_id", "lang")
     j = scored.join(d, "doc_id")
     w = Window.partitionBy("lang").orderBy(F.asc("xent"), F.asc("doc_id"))
