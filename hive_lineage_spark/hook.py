@@ -68,6 +68,13 @@ def default_table_resolver(path: str) -> str | None:
     m = re.match(r"(.+)_us\d*$", base)
     if m and ".scratch" in path:
         return m.group(1)
+    # user_id-bucketed scratch layout (r17): `events_bkt32/` is the
+    # same µs-normalized events table CLUSTERED BY user_id — strip the
+    # `_bkt<buckets>` suffix so scans of the bucketed copy resolve to
+    # the base table exactly as the flat copy did
+    m = re.match(r"(.+)_bkt\d+$", base)
+    if m and ".scratch" in path:
+        return m.group(1)
     # the stored IVF index (operators/similarity._ivf_index_stored) is a
     # derived, fingerprint-tagged copy of its source table — the tag
     # encodes that table (`ivf_index_<table>_c..._m..._s..._v...`), so

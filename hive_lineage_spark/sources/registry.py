@@ -63,11 +63,11 @@ def load_table(
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        df = load_events(spark, sf_dir)
-        path = _events_us_file(sf_dir)
-    else:
-        path = table_path(sf_dir, name)
-        df = spark.read.parquet(path)
+        # bucketed scans carry their own partitioning (one task per
+        # bucket) — the fan-out repartition never applies to events
+        return load_events(spark, sf_dir)
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     if fan_out:
         df = fan_out_scan(df, spark, path, key=_TABLE_KEYS.get(name))
     return df
@@ -204,7 +204,7 @@ def _events_us_file(sf_dir: str) -> str:
     return os.path.join(repo, ".scratch", scratch_key(sf_dir), "events_us2", "events.parquet")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_us(spark: SparkSession, sf_dir: str) -> str:
     """events.parquet carries TIMESTAMP(NANOS), which Spark 4's parquet
     reader rejects (PARQUET_TYPE_ILLEGAL). Materialize a µs-normalized copy
     once per sf_dir and scan that — so every downstream plan keeps native
@@ -212,7 +212,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyarrow (tiny table); on a real cluster the equivalent is a one-time
     Spark job with ``spark.sql.legacy.parquet.nanosAsLong=true`` +
     ``timestamp_micros(ts div 1000)``, which scales to any size.
-    """
+    Returns the µs copy's file path."""
     import pyarrow.parquet as pq
 
     out_file = _events_us_file(sf_dir)
@@ -234,7 +234,78 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one task no matter how the file is split — r16, guide §6)
         pq.write_table(tbl, tmp, row_group_size=max(1024, tbl.num_rows // 64))
         os.replace(tmp, out_file)
-    return spark.read.parquet(out_file)
+    return out_file
+
+
+# Bucket count for the user_id-clustered events layout. Fixed (not
+# core-derived) so one on-disk fixture serves every core count the
+# driver benches at; 32 buckets keep a 32-core box fully fed and cost
+# 8-core runs nothing (4 waves of tiny tasks). Production sizes bucket
+# count from data volume (≈ table bytes / 256 MB), not from this
+# constant — override with SPARK_GRAFT_EVENTS_BUCKETS.
+EVENTS_BUCKETS = 32
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table, served from a µs-normalized scratch copy
+    CLUSTERED (bucketed) BY user_id and sorted within buckets — the
+    layout every heavy events consumer wants: q25/q27's per-user
+    windows and q43's self-join read the bucket partitioning straight
+    off the scan instead of paying a user_id exchange per run (guide
+    §2.4's bucketed-table rule), and q24/q26's bucket-agnostic aggs
+    still scan ``EVENTS_BUCKETS`` parallel tasks. The fixture is built
+    once per sf_dir (a one-time Spark job over the µs copy — exactly
+    the one-time layout job a production pipeline schedules); each new
+    session re-attaches with a CREATE TABLE ... LOCATION DDL, since
+    bucket metadata lives in the (in-memory) catalog, not in parquet.
+    ``SPARK_GRAFT_EVENTS_BUCKETED=0`` falls back to the flat µs copy
+    (escape hatch + A/B instrumentation)."""
+    us_file = _events_us(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_EVENTS_BUCKETED", "1") == "0":
+        return spark.read.parquet(us_file)
+    import re as _re
+
+    nb = int(os.environ.get("SPARK_GRAFT_EVENTS_BUCKETS", str(EVENTS_BUCKETS)))
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(us_file)), f"events_bkt{nb}"
+    )
+    tbl = "events_bkt%d_%s" % (nb, _re.sub(r"\W", "_", scratch_key(sf_dir)))
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        tmp_root = f"{root}.tmp{os.getpid()}"
+        tmp_tbl = f"{tbl}_build{os.getpid()}"
+        # repartition(nb, user_id) matches the bucket hash (both are
+        # pmod(Murmur3, nb)), so each task holds exactly one bucket and
+        # the writer emits ONE sorted file per bucket.
+        (
+            spark.read.parquet(us_file)
+            .repartition(nb, F.col("user_id"))
+            .write.mode("overwrite")
+            .bucketBy(nb, "user_id")
+            .sortBy("user_id", "ts", "event_id")
+            .option("path", tmp_root)
+            .saveAsTable(tmp_tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external: files stay
+        import shutil
+
+        if os.path.exists(os.path.join(root, "_SUCCESS")):
+            shutil.rmtree(tmp_root, ignore_errors=True)  # lost the race
+        else:
+            shutil.rmtree(root, ignore_errors=True)  # clear partial build
+            os.replace(tmp_root, root)
+    if not spark.catalog.tableExists(tbl):
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(us_file).schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY (user_id) SORTED BY (user_id, ts, event_id) "
+            f"INTO {nb} BUCKETS LOCATION '{root}'"
+        )
+    return spark.table(tbl)
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

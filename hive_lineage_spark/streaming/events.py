@@ -19,16 +19,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.registry import load_events
+from ..sources.registry import _events_us
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the (µs-normalized) events parquet. The
-    batch loader materializes the scratch copy; readStream needs an
-    explicit schema."""
-    batch = load_events(spark, sf_dir)
-    src_dir = os.path.dirname(batch.inputFiles()[0].replace("file:", ""))
-    return spark.readStream.schema(batch.schema).parquet(src_dir)
+    loader materializes the scratch copy; readStream needs an explicit
+    schema. Streams read the FLAT µs copy, not the bucketed batch
+    layout (r17): a file stream gains nothing from bucket metadata
+    (micro-batches are planned per arriving file), and the flat copy's
+    directory is what the lineage resolver maps back to ``events``."""
+    us_file = _events_us(spark, sf_dir)
+    schema = spark.read.parquet(us_file).schema
+    return spark.readStream.schema(schema).parquet(os.path.dirname(us_file))
 
 
 def windowed_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:

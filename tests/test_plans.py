@@ -941,3 +941,37 @@ def test_fanout_floor_caps_width_on_tiny_inputs(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_FANOUT_FLOOR", "0")
     docs0 = load_table(spark, SF, "documents", fan_out=True)
     assert docs0.rdd.getNumPartitions() == par
+
+
+def test_events_bucketed_layout_drops_window_shuffle(spark):
+    """r17 events layout (guide §2.4's bucketed-table rule): events
+    serves from the user_id-CLUSTERED scratch copy, so q25's per-user
+    window rides the bucket partitioning — ZERO shuffle exchanges in
+    the executed plan (an in-partition sort only) — and q43's
+    (user, bucket) self-join is bucket-local (its single remaining
+    exchange belongs to the output distinct)."""
+    from hive_lineage_spark.operators.relational import q25_sessionization
+    from hive_lineage_spark.operators.sql_extra import q43_range_join_bucketized
+
+    df = q25_sessionization(spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    df43 = q43_range_join_bucketized(spark, SF)
+    df43.write.format("noop").mode("overwrite").save()
+    p43 = _plan(df43)
+    assert p43.count("Exchange hashpartitioning") <= 1, p43
+
+
+def test_events_bucketed_rows_identical_to_flat(spark):
+    """The bucketed scratch layout is the SAME table: row-for-row equal
+    to the flat µs-normalized copy it was built from (sorted collect —
+    sf0.001 is 1,000 rows)."""
+    from hive_lineage_spark.sources import registry
+
+    flat = spark.read.parquet(registry._events_us(spark, SF))
+    bkt = registry.load_events(spark, SF)
+    assert bkt.schema == flat.schema
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, bkt.collect())) == sorted(map(key, flat.collect()))
