@@ -943,6 +943,31 @@ def test_fanout_floor_caps_width_on_tiny_inputs(spark, monkeypatch):
     assert docs0.rdd.getNumPartitions() == par
 
 
+def test_bpe_stage_plans_stay_truncated(spark):
+    """tx15/tx19/tp16 (r16 checkpoint discipline, pinned r17): the BPE
+    merge stages materialize through lineage-tracked checkpoints, so no
+    consumer ever re-analyzes the recursively-doubled merge tree (the
+    pre-r16 pathology was a 122,424-line explain). Analyzed-plan sizes
+    sit at ~1-6 KB today; the bounds allow ~10x growth before failing."""
+    from hive_lineage_spark.operators import pipeline as pl
+    from hive_lineage_spark.operators import text as tx
+    from hive_lineage_spark.operators.dedup import clear_postings_cache
+
+    clear_postings_cache()
+    for name, fn, bound in (
+        ("tx15", tx.tx15_bpe_train, 60_000),
+        ("tx19", tx.tx19_bpe_apply, 20_000),
+        ("tp16", pl.tp16_token_exact_packing, 30_000),
+    ):
+        df = fn(spark, SF)
+        df.collect()
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert len(analyzed) < bound, (
+            f"{name} analyzed plan regrew: {len(analyzed)} chars (bound {bound})"
+        )
+    clear_postings_cache()
+
+
 def test_events_bucketed_layout_drops_window_shuffle(spark):
     """r17 events layout (guide §2.4's bucketed-table rule): events
     serves from the user_id-CLUSTERED scratch copy, so q25's per-user
