@@ -250,20 +250,39 @@ ROTATION_QUEUE: dict[str, int] = {
 # sql_extra cohort, tx03 stays a HEADLINE bench query) and all five
 # remain local-oracle- and pytest-pinned. tp15 (window-fold normalizer
 # rewrite) takes the fifth slot.
+# Round-17 rotation (optimization round 2 of 2, no new semantics).
+# IN: the four ops whose defining lines changed (dq07 one-pass
+# full-outer report, mm23 pair agg, dd14 shared decon grams, tx20
+# shared tx13 score — tools/certified.py --changed; tp15/dd10 also
+# changed and already hold slots), plus the events family whose SCAN
+# source moved to the user_id-bucketed scratch layout (q24/q25/q27/
+# q41/q43/q51/dq04/dq06 — a registry-level change the line trigger
+# cannot see; dq01/q47 ride it too and already hold slots). OUT, all
+# r16-certified green and UNCHANGED in r17, decode-family coverage
+# kept in-window via mm01/mm05 (HEADLINE rows) + mm09/mm15/mm17/mm22
+# + dq01: mm06/mm07/mm08/mm10/mm11/mm12/mm13/mm14/mm16/mm18/mm19/
+# mm20. Registry-level changes (events layout, fan-out floor) are
+# additionally certified by a full-registry oracle sweep at sf0.01
+# AND sf0.001 on the sealed tree (OPTIMIZATION_r17.md), per the r16
+# ADVICE note that line-trigger rotation alone cannot cover them.
 _DRIVER_PRIORITY = [
     # r16 registration (from ROTATION_QUEUE)
     "tx26_langid_gate",
-    # changed ops, rotation-priority order (tools/certified.py --changed)
+    # r17 changed ops (tools/certified.py --changed)
+    "dq07_referential_integrity", "mm23_video_near_dup",
+    "dd14_bloom_decontaminate", "tx20_ccnet_buckets",
+    # r17 events-layout family (scan source changed)
+    "q24_window_bucket_agg", "q25_sessionization", "q27_asof_join",
+    "q41_session_window", "q43_range_join_bucketized",
+    "q51_funnel_steps", "dq04_volume_anomaly", "dq06_freshness_sla",
+    # r16 changed ops retained (multiply-certified families)
     "dd09_incremental_dedup", "dd12_semdedup", "tx14_gopher_gate",
-    "mm05_decode_image", "mm06_decode_resize", "mm07_decode_audio",
-    "mm08_video_frame_index", "dq01_profile",
+    "mm05_decode_image", "dq01_profile",
     "dd02_ngram_jaccard", "dd03_minhash_lsh",
-    "tx17_heldout_xent", "mm10_video_frame_pixels", "mm12_image_dhash",
-    "mm13_video_420_pixels", "mm14_audio_resample", "mm19_vit_patches",
+    "tx17_heldout_xent",
     "dd08_dup_clusters", "dd15_minhash_calibration",
     "tx18_backoff_xent", "tx21_kneser_ney_xent",
-    "mm09_pair_curation", "mm11_audio_features", "mm15_video_shot_detect",
-    "mm16_image_entropy", "mm18_audio_vad", "mm20_audio_spectral",
+    "mm09_pair_curation", "mm15_video_shot_detect",
     # changed holdovers already in the r15 window
     "dd17_cluster_keep_best", "mm17_image_phash", "mm22_audio_quality",
     "tp16_token_exact_packing", "dq09_quantile_profile",

@@ -22,6 +22,8 @@ SHOW = [
     ("q14_agg_tpch_q1", "partial + final HashAggregate split"),
     ("q16_topk", "TakeOrderedAndProject, no global sort"),
     ("q18_partition_pruning", "PartitionFilters prune directories"),
+    ("q25_sessionization", "events served from the user_id-bucketed scratch layout (r17): the per-user window rides the bucket partitioning — ZERO exchanges, an in-partition sort only"),
+    ("q43_range_join_bucketized", "both self-join sides read the bucketed events layout (r17): the (user, bucket) join is bucket-local; the only exchange left is the output distinct"),
     ("dd03_minhash_lsh", "broadcast dictionary; band join on longs"),
     ("dd06_embed_cosine_dup", "tile join rebalanced; dgemm inside mapInPandas"),
     ("dd09_incremental_dedup", "one-directional band join; 1-row split broadcast"),
@@ -56,10 +58,10 @@ SHOW = [
     ("ss14_ann_random_projection", "the 16 projection folds fuse into the embeddings scan as pure whole-stage codegen — no exchange before the rank window, no UDF"),
     ("mm15_video_shot_detect", "decode-every-frame + consecutive-diff is ONE narrow MapInPandas stage — no exchange; the cut flag is an integer compare, no float ratio"),
     ("tx19_bpe_apply", "encode via the trained vocab cache: word-level BroadcastHashJoin onto the posexploded corpus, ONE doc_id exchange for the per-doc partial agg"),
-    ("dd14_bloom_decontaminate", "k=4 bloom probes are broadcast LEFT joins against one persisted <=2^16-row bit set; the per-doc verdict agg reuses the gram window's doc_id partitioning"),
+    ("dd14_bloom_decontaminate", "k=4 bloom probes are broadcast LEFT joins against one persisted <=2^16-row bit set; the probe stream reads the SESSION-PERSISTED decon 5-gram index (r17 — shared with dd10, no per-run re-tokenize); the per-doc verdict agg rides the cached frame's doc_id partitioning in the executed plan"),
     ("ss16_mips_ivf", "norm augmentation fuses into the corpus scan (max-norm = broadcast 1-row agg); cell assignment keeps ss02's map-only shape; candidates = ONE BroadcastHashJoin on cell id; top-K via WindowGroupLimit"),
     ("tp12_weighted_sample", "global weighted-WOR cutoff is TakeOrderedAndProject — per-partition top-N heaps, no window, no exchange after the key map"),
-    ("tx20_ccnet_buckets", "tx13's scoring plan unchanged + exactly ONE lang-keyed exchange for the tertile rank/count window"),
+    ("tx20_ccnet_buckets", "reads tx13's SESSION-MATERIALIZED per-doc score (r17, InMemoryTableScan; tx13's own row still builds live) + exactly ONE lang-keyed exchange for the tertile rank/count window"),
     ("dq05_row_expectations", "rule CASEs fuse into the fact scan as whole-stage codegen — zero exchanges; output is violation-count-sized"),
     ("tp13_range_partition", "boundary array BROADCAST into the full scan; part_id assignment is a shuffle-free codegen map; rank window only over the 1-in-20 sample"),
     ("tx21_kneser_ney_xent", "four vocabulary-capped KN model tables (r16: all aggregated from the shared persisted cnt2 core, InMemoryTableScan) broadcast LEFT into the shuffle-free zip_with bigram stream"),
@@ -70,10 +72,10 @@ SHOW = [
     ("dd02_ngram_jaccard", "persisted prefix-postings index (InMemoryTableScan on every consumer); prefix filter sheds candidates BEFORE the pair join; positional upper-bound filter in codegen; no cartesian product anywhere"),
     ("dd12_semdedup", "ONE cell-id exchange partitions the corpus; the within-cell self-join is the only SMJ (Σ|cell|² work, never n²); the cosine pair filter runs in whole-stage codegen before any pair materializes"),
     ("dd18_longest_dup_span", "reads the SAME persisted tx12 gram index (InMemoryTableScan, no second tokenize); cf>1 filters the vocabulary-sized count table before the doc-side join; per-doc verdict is partial-agg + one left join"),
-    ("tp15_doremi_reweight", "corpus work = tx13's tf pass only, executed ONCE (r16: the baseline and normalizer are single-partition window folds over the domain-sized frame, not crossJoined 1-row aggregates)"),
+    ("tp15_doremi_reweight", "reads tx13's SESSION-MATERIALIZED per-doc score (r17); everything above it is domain-sized — the baseline and normalizer are single-partition window folds (r16), not crossJoined 1-row aggregates"),
     ("mm21_phash_search", "pHash frame computed once (persisted; the 8-row query side is a broadcast slice, not a second decode pass); distance scan is corpus × constant rows; top-K via per-query rank window"),
     ("mm22_audio_quality", "one narrow MapInPandas stage over the fixture scan — no exchange; clipping/DC/range/quiet-run all inside the Python batch, one row per clip out"),
-    ("dq07_referential_integrity", "per FK: one pruned key-column scan, left-anti against distinct parent keys (AQE broadcast-or-shuffle), 1-row aggregates crossed broadcast — the report is relationship-count-sized"),
+    ("dq07_referential_integrity", "per FK (r17): child pre-aggregated to per-key counts, FULL-outer-merged with the distinct parent keys — both sides arrive key-partitioned from their own aggregation, so the join adds NO exchange — one fold emits the report row; no Expand, no anti-join second scan, no crossJoin stitching"),
     ("ss20_ann_binary", "sign-code build fused into the embeddings scan (codegen folds, no Python); coarse Hamming vs BROADCAST query codes; exact-flag join broadcast — no SortMergeJoin anywhere"),
     ("dq08_psi_drift", "per column: two partial-agg passes to bin granularity, a bin-sized full-outer join, and the PSI fold over a sorted bin list — every post-scan frame is bin-count-sized"),
     ("dd19_containment", "contained side joins only its RAREST-gram containment prefix (low df by construction) against the full postings; verification is one array_intersect projection over the persisted gram-array index (r16); all shuffle keys 8-byte hashes"),
@@ -93,7 +95,7 @@ SHOW = [
     ("dd21_exact_dup_spans", "dup-gram filter prunes the vocab-sized count table BEFORE the self-join; pair stream keyed on the 8-byte anchor hash, ONE run window on (id_a,id_b,delta) feeding a single-pass profile (r16) — no text column ever shuffles"),
     ("ss22_ann_ivfpq_residual", "residual ADC: probe frame carries N_QUERIES*N_PROBE per-cell tables (broadcast); codes artifact joins map-side; the only wide exchange is the per-query top-K"),
     ("tp17_no_split_packing", "ONE exchange on the shard key feeding FlatMapGroupsInPandas — the capacity-reset recurrence runs per shard inside an Arrow batch; scan reads only doc_id + text"),
-    ("mm23_video_near_dup", "ONE narrow decode+hash Arrow pass (persisted, both join sides read it); candidates from the 8-bit band equi-join, never all frame pairs; Hamming gate in codegen before the pair agg"),
+    ("mm23_video_near_dup", "ONE narrow decode+hash Arrow pass (persisted, both join sides read it); candidates from the 8-bit band equi-join, never all frame pairs; Hamming gate in codegen before the pair agg — which is collect_set sizes in ONE ObjectHashAggregate pass (r17), not a double-countDistinct Expand"),
     ("web08_politeness_schedule", "web07's compliance gate composed as a codegen Filter BEFORE the reg_domain rank-window exchange (only the allowed frontier shuffles); delay/worker derivation + schedule arithmetic all codegen over the scan"),
     ("tx23_fasttext_gate", "THE MODEL is one persisted B-row frame (both class counts, one corpus pass — train once, serve from the table) broadcast-LEFT-joined into the shuffle-free bigram feature stream with the totals folded off the same frame; the only corpus-sized exchange is the per-doc score agg (doc_id-keyed, map-side combined) — the fastText forward pass as a plan"),
     ("sk05_source_intake_report", "one text-hash pass (partial-agg combined), the SHARED persisted (source, gram) frame (InMemoryTableScan — same artifact sk03 reads), register-sized HLL folds, source-count-sized rollups; the dup-flag join is AQE-chosen (web02's pattern)"),
