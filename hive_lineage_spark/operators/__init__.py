@@ -265,6 +265,10 @@ ROTATION_QUEUE: dict[str, int] = {
 # additionally certified by a full-registry oracle sweep at sf0.01
 # AND sf0.001 on the sealed tree (OPTIMIZATION_r17.md), per the r16
 # ADVICE note that line-trigger rotation alone cannot cover them.
+# Late-r17 second pass: tp06/tp09 (shared persisted quality-score
+# frame) change defining lines and take slots; OUT for them: tp04/tp07
+# (r16-certified, unchanged — tp02/tp05/tp16 plus tp06/tp09 keep the
+# pipeline family in-window).
 _DRIVER_PRIORITY = [
     # r16 registration (from ROTATION_QUEUE)
     "tx26_langid_gate",
@@ -292,8 +296,8 @@ _DRIVER_PRIORITY = [
     # oldest-green drain: the remaining r05 cohort...
     "q46_view_lineage", "q47_date_spine", "dd10_decontaminate",
     "dd11_incremental_postings", "tp02_stratified_sample",
-    "tp04_weighted_mixture", "tp05_stratified_sample_hc",
-    "tp07_shuffle_shards", "tx08_redact_pii", "tx11_span_dedup",
+    "tp06_curriculum_bins", "tp05_stratified_sample_hc",
+    "tp09_epoch_upsample", "tx08_redact_pii", "tx11_span_dedup",
     # ...then the r06 cohort
     "ss02_ann_ivf", "ss06_kmeans", "mm01_decode_stub",
 ]

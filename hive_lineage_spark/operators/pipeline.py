@@ -467,6 +467,27 @@ TP04_SQL = f"""
 N_BINS = 10  # curriculum deciles
 
 
+def _quality_scored_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, q) — the 4-dp quality score per document,
+    persisted once per (session, sf_dir) for the pipeline consumers
+    (tp06's histogram binning and tp09's upsampling each re-ran the
+    regex/HOF scoring scan per run; tp09 ran it TWICE — the histogram
+    branch and the per-doc branch share no exchange). tx03, the
+    registered query that ADVERTISES the scoring pass, does not read
+    this cache (the tx13/tx20 discipline, r17)."""
+    from .dedup import _persisted
+    from .text import quality_expr
+
+    return _persisted(
+        "quality_scored",
+        spark,
+        sf_dir,
+        lambda s, d: load_table(s, d, "documents").select(
+            "doc_id", "n_chars", quality_expr().alias("q")
+        ),
+    )
+
+
 def tp06_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum binning: assign every document an exact quality decile
     and report per-bin corpus stats — the sort-by-difficulty step of a
@@ -485,11 +506,7 @@ def tp06_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics when the score grid is coarse)."""
     from pyspark.sql import Window
 
-    from .text import quality_expr
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", quality_expr().alias("q")
-    )
+    d = _quality_scored_cached(spark, sf_dir)
     hist = d.groupBy("q").agg(
         F.count(F.lit(1)).alias("c"),
         F.sum("n_chars").alias("ch"),
@@ -556,11 +573,7 @@ def tp09_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges in the whole operator."""
     from pyspark.sql import Window
 
-    from .text import quality_expr
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", quality_expr().alias("q")
-    )
+    d = _quality_scored_cached(spark, sf_dir).select("doc_id", "q")
     hist = d.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
     total = hist.groupBy().agg(F.sum("c").alias("total"))
     w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
