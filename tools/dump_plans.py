@@ -35,7 +35,7 @@ SHOW = [
     ("tp03_pack_sequences", "single shard-key exchange; windowed cumsum in one stage"),
     ("dd07_near_dedup_apply", "anti-join on the drop list carries NO pinned hint — AQE picks the strategy from runtime stats"),
     ("ss02_ann_ivf", "cell assignment is a pure map over a broadcast 1-row centroid array — no window partitioned by vec_id, no exchange of vector-carrying corpus rows"),
-    ("tp06_curriculum_bins", "no ntile over the corpus: one partial-agg groupBy onto the 4-dp value grid, then the window runs over the tiny histogram"),
+    ("tp06_curriculum_bins", "no ntile over the corpus: one partial-agg groupBy onto the 4-dp value grid (read from the SESSION-PERSISTED quality-score frame, r17 — shared with tp09; tx03 still builds live), then the window runs over the tiny histogram"),
     ("tp05_stratified_sample_hc", "two rank phases: windows partition by (lang, bkt) then by lang over ≤K·buckets survivors — no class-wide single-partition sort"),
     ("dd11_incremental_postings", "drop-list anti-join + union with the batch-only postings build — no full-corpus rebuild"),
     ("ss05_ann_bruteforce_arrow", "one-row query block broadcast to B corpus blocks; ArrowEvalPython tile; the rank window reads B·K slim rows"),
